@@ -1,0 +1,75 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers/writers for the engine.
+  *
+  * Testdata star schema (TESTDATA.md): one parquet file per table under a
+  * scale-factor directory. At cluster scale these would be directories of
+  * many parquet files (possibly partitioned); `spark.read.parquet` handles
+  * both transparently, and all schema information comes from parquet
+  * footers (schema-on-read), with explicit StructTypes reserved for the
+  * reference-shaped ETL tables (see graft.etl).
+  *
+  * Reference source operators covered here (SURVEY.md §2.1):
+  *  - S1 parquet scan            -> table()
+  *  - S2 whole-file text scan    -> wholeTextDocs()
+  *  - S3 multi-line JSON scan    -> multiLineJson() / jsonLines()
+  *  - S4 parquet sink            -> writeParquet()
+  *  - S5 csv sink                -> writeCsv()
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** S1: columnar scan. Filters/projections above this are pushed into the
+    * parquet reader by Catalyst (verify via explain: PushedFilters/ReadSchema). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    * reader rejects outright — the same nanosecond corner the reference hit
+    * (reference gdelt/scripts/transform_pandas_friendly_to_spark_friendly.py:17-23,
+    * which *dropped* the column). The engine instead coerces on read:
+    * nanosAsLong exposes the raw int64, then integer-div to micros — the
+    * identical truncation DuckDB applies, so oracle comparisons stay exact. */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    withEventTime(eventsRaw(spark, sfDir))
+
+  /** nanos(long) → micros timestamp; applied to both batch and stream reads. */
+  def withEventTime(raw: DataFrame): DataFrame =
+    raw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+
+  /** S2: one row per whole file, recursive — reference reads raw HTML this way
+    * (reference common-crawl/scripts/nlp_analysis.py:34-37). */
+  def wholeTextDocs(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .text(path)
+
+  /** S3: multi-line JSON array (reference common-crawl.ipynb cell 3). */
+  def multiLineJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+
+  /** S3 variant: JSONL (reference build_datasets.py:57-69 handles both). */
+  def jsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** S4: parquet sink (overwrite, like reference build_datasets.py:114-115). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S5: single-file CSV with header (reference nlp_analysis.py:168-169 uses
+    * coalesce(1); only sane for small result tables, never for data tables). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+}

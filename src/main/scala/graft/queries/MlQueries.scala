@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, IDF, NGram, StopWordsRemover, Tokenizer, VectorAssembler}
+import org.apache.spark.ml.linalg.{SparseVector, Vector}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Tables.table
+
+/** spark.ml surface, mirroring the reference's ML layer (SURVEY.md §2.9):
+  * VectorAssembler + LogisticRegression + AUC + coefficient readback
+  * (reference general_ml_and_source_sentiment_analysis.py:50-69), and the
+  * Tokenizer → StopWordsRemover → NGram → CountVectorizer → IDF → top-k
+  * TF-IDF pipeline (reference nlp_analysis.py:125-164).
+  *
+  * Not ANSI-SQL-expressible, so no DuckDB oracle (driver records rows-only);
+  * numeric assertions live in ScalaTest (MlSpec) instead.
+  */
+object MlQueries {
+
+  val defs: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q28: logistic regression on lineitem features; returns the
+    // coefficient table + AUC the way the reference's report reads them
+    // back (M1-M4, M11).
+    Q("q28_lr_coefficients",
+      oracle = None,
+      run = (spark, dir) => {
+        val features = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val df = table(spark, dir, "lineitem")
+          .select(
+            when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+          .na.fill(0.0, features)
+        val assembled = new VectorAssembler()
+          .setInputCols(features.toArray).setOutputCol("features")
+          .transform(df)
+        val lr = new LogisticRegression()
+          .setMaxIter(25).setRegParam(0.01).setStandardization(true)
+        val model = lr.fit(assembled)
+        // train == eval, like the reference's final jobs (SURVEY §2.9 M5 quirk)
+        val auc = new BinaryClassificationEvaluator()
+          .setRawPredictionCol("rawPrediction")
+          .evaluate(model.transform(assembled))
+        val rows = features.zip(model.coefficients.toArray).map {
+          case (f, c) => Row(f, math.rint(c * 1e6) / 1e6)
+        } :+ Row("intercept", math.rint(model.intercept * 1e6) / 1e6) :+
+          Row("auc", math.rint(auc * 1e4) / 1e4)
+        val schema = StructType(Seq(
+          StructField("term", StringType, nullable = false),
+          StructField("value", DoubleType, nullable = false)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      }),
+
+    // ------------------------------------------------------------------
+    // q29: bigram TF-IDF top-5 terms per document — the reference's NLP
+    // pipeline M6-M10 + UD4 (top-k sparse-vector indices → vocabulary
+    // terms via a Scala UDF with the CV vocab closed over, the direct
+    // analog of nlp_analysis.py:157-164).
+    Q("q29_tfidf_bigrams",
+      oracle = None,
+      run = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val tokenized = new Tokenizer()
+          .setInputCol("text").setOutputCol("raw_tokens").transform(docs)
+        val cleaned = new StopWordsRemover()
+          .setInputCol("raw_tokens").setOutputCol("tokens").transform(tokenized)
+          // UD3 filter_short: built-in array filter, no UDF needed
+          .withColumn("tokens", filter(col("tokens"), t => length(t) > 2))
+        val bigrams = new NGram().setN(2)
+          .setInputCol("tokens").setOutputCol("bigrams").transform(cleaned)
+        val cvModel: CountVectorizerModel = new CountVectorizer()
+          .setInputCol("bigrams").setOutputCol("tf")
+          .setVocabSize(1500).setMinDF(1.0)
+          .fit(bigrams)
+        val tf = cvModel.transform(bigrams)
+        val idfModel = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tf)
+        val scored = idfModel.transform(tf)
+        val vocab = spark.sparkContext.broadcast(cvModel.vocabulary)
+        val topK = udf { v: Vector =>
+          val sv = v.asInstanceOf[SparseVector]
+          sv.indices.zip(sv.values)
+            .sortBy { case (i, value) => (-value, i) }
+            .take(5)
+            .map { case (i, _) => vocab.value(i) }
+        }
+        scored
+          .select(col("doc_id"),
+            array_join(topK(col("tfidf")), ", ").as("top_terms"))
+          .orderBy(col("doc_id"))
+      })
+  )
+}

@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables.table
+
+/** Relational query suite: the reference's single-table operator inventory
+  * (SURVEY.md §2.2-2.7) re-expressed on the testdata star schema, plus the
+  * join family the bench contract requires (§2.3 note).
+  *
+  * Scale notes (100 TB): every query here is one-shuffle-minimal —
+  * partial (map-side) aggregation before the exchange, top-k via
+  * TakeOrderedAndProject (no global sort materialization), dimension
+  * tables broadcast, fact-fact joins shuffle on the join key and rely on
+  * AQE for skew splitting. No UDFs anywhere: everything stays inside
+  * whole-stage codegen.
+  */
+object Relational {
+
+  /** Exact money arithmetic: accumulate in DECIMAL(18,2)-derived types so the
+    * sum is identical regardless of partial-aggregation order, then cast to
+    * double for a stable cross-engine representation. */
+  private def revenueExpr: Column =
+    round(
+      sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("double"),
+      2)
+
+  val defs: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q01: grouped multi-aggregate with percent-via-avg-of-flag — the
+    // reference's share-of-voice shape (SURVEY §2.4 A3,
+    // reference gdelt/scripts/general_ml_and_source_sentiment_analysis.py:31-43).
+    // One shuffle on o_orderpriority; partial agg map-side.
+    Q("q01_share_of_voice",
+      oracle = Some("""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price,
+               round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) * 100, 1) AS pct_f
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      run = (spark, dir) => {
+        table(spark, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(avg(col("o_totalprice")), 2).as("avg_price"),
+            round(avg(when(col("o_orderstatus") === "F", 1.0).otherwise(0.0)) * 100, 1).as("pct_f"))
+          .orderBy(col("o_orderpriority"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q02: top-k by count desc (SURVEY §2.5 O1,
+    // reference network_analysis.py:44-45). Catalyst plans
+    // TakeOrderedAndProject: per-partition top-k + driver merge, no full sort.
+    Q("q02_topk_brands",
+      oracle = Some("""
+        SELECT p_brand,
+               count(*) AS n_parts,
+               round(avg(p_retailprice), 2) AS avg_price
+        FROM part
+        GROUP BY p_brand
+        ORDER BY n_parts DESC, p_brand
+        LIMIT 10"""),
+      run = (spark, dir) => {
+        table(spark, dir, "part")
+          .groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).as("n_parts"),
+            round(avg(col("p_retailprice")), 2).as("avg_price"))
+          .orderBy(col("n_parts").desc, col("p_brand").asc)
+          .limit(10)
+      }),
+
+    // ------------------------------------------------------------------
+    // q03: explode + count top-k — the reference's co-mention shape
+    // (SURVEY §2.7 F1 + §2.4 A2, reference network_analysis.py:56-68).
+    // Generate stays fused with the scan + partial agg in one codegen stage.
+    Q("q03_top_tokens",
+      oracle = Some("""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> len(t) > 0)) AS token
+              FROM documents)
+        WHERE length(token) > 2
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20"""),
+      run = (spark, dir) => {
+        table(spark, dir, "documents")
+          .select(explode(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0)).as("token"))
+          .filter(length(col("token")) > 2)
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(20)
+      }),
+
+    // ------------------------------------------------------------------
+    // q04: UNION ALL of per-entity aggregates with literal tag column —
+    // the reference's stacked entity comparison (SURVEY §2.6 U1,
+    // reference sentiment_analysis.py:26-35). unionByName keeps it
+    // schema-safe; each branch pushes its own status filter into the scan.
+    Q("q04_union_entities",
+      oracle = Some("""
+        SELECT 'FINISHED' AS entity, o_orderpriority,
+               count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'OPEN' AS entity, o_orderpriority,
+               count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'PENDING' AS entity, o_orderpriority,
+               count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        FROM orders WHERE o_orderstatus = 'P' GROUP BY o_orderpriority
+        ORDER BY entity, o_orderpriority"""),
+      run = (spark, dir) => {
+        val orders = table(spark, dir, "orders")
+        def branch(status: String, tag: String): DataFrame =
+          orders.filter(col("o_orderstatus") === status)
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"),
+              round(avg(col("o_totalprice")), 2).as("avg_price"))
+            .select(lit(tag).as("entity"), col("o_orderpriority"), col("n"), col("avg_price"))
+        branch("F", "FINISHED")
+          .unionByName(branch("O", "OPEN"))
+          .unionByName(branch("P", "PENDING"))
+          .orderBy(col("entity"), col("o_orderpriority"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q05: HAVING on count — min-support filter (SURVEY §2.4 A4,
+    // reference general_ml...py:250,263). Filter applied post-agg, so it
+    // runs after the final hash aggregate, before the sort.
+    Q("q05_having_min_support",
+      oracle = Some("""
+        SELECT l_suppkey,
+               count(*) AS n_items,
+               round(avg(l_extendedprice), 2) AS avg_price
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING count(*) >= 300
+        ORDER BY avg_price DESC, l_suppkey
+        LIMIT 25"""),
+      run = (spark, dir) => {
+        table(spark, dir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_items"),
+            round(avg(col("l_extendedprice")), 2).as("avg_price"))
+          .filter(col("n_items") >= 300)
+          .orderBy(col("avg_price").desc, col("l_suppkey").asc)
+          .limit(25)
+      }),
+
+    // ------------------------------------------------------------------
+    // q06: projection/filter/predicate suite — isNotNull, IN-list, array
+    // size, element access (SURVEY §2.2 P1-P10). No shuffle at all: pure
+    // scan + filter + project, codegen'd end to end.
+    Q("q06_predicates",
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+          FROM documents)
+        SELECT doc_id, lang, toks[1] AS first_tok, len(toks) AS n_toks
+        FROM t
+        WHERE lang IS NOT NULL AND lang IN ('en', 'de', 'fr') AND len(toks) >= 20
+        ORDER BY doc_id"""),
+      run = (spark, dir) => {
+        table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            filter(split(lower(col("text")), "\\s+"), x => length(x) > 0).as("toks"))
+          .filter(col("lang").isNotNull &&
+            col("lang").isin("en", "de", "fr") &&
+            size(col("toks")) >= 20)
+          .select(col("doc_id"), col("lang"),
+            element_at(col("toks"), 1).as("first_tok"),
+            size(col("toks")).cast("long").as("n_toks"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q07: QA invariants in one pass — global count, exact distinct,
+    // date range, missing rate (SURVEY §2.4 A5-A9, reference
+    // make_docs.py:11-50). At 100 TB the exact countDistinct would move to
+    // approx_count_distinct (see q24_token_stats note); here the QA table
+    // is the contract so it stays exact.
+    Q("q07_qa_invariants",
+      oracle = Some("""
+        SELECT count(*) AS n_rows,
+               count(DISTINCT o_custkey) AS n_customers,
+               CAST(min(o_orderdate) AS DATE) AS first_date,
+               CAST(max(o_orderdate) AS DATE) AS last_date,
+               round(avg(CASE WHEN o_orderstatus IS NULL THEN 1.0 ELSE 0.0 END) * 100, 2) AS pct_null_status
+        FROM orders"""),
+      run = (spark, dir) => {
+        table(spark, dir, "orders")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("o_custkey")).as("n_customers"),
+            min(to_date(col("o_orderdate"))).as("first_date"),
+            max(to_date(col("o_orderdate"))).as("last_date"),
+            round(avg(when(col("o_orderstatus").isNull, 1.0).otherwise(0.0)) * 100, 2)
+              .as("pct_null_status"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q08: broadcast equi-join fact⋈dim — lineitem⋈part. part is the small
+    // side: explicit broadcast() keeps the fact table shuffle-free; the
+    // aggregate then shuffles only the grouped partials.
+    Q("q08_join_broadcast",
+      oracle = Some("""
+        SELECT p_brand,
+               count(*) AS n_items,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY revenue DESC, p_brand"""),
+      run = (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+        val part = table(spark, dir, "part")
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_items"), revenueExpr.as("revenue"))
+          .orderBy(col("revenue").desc, col("p_brand").asc)
+      }),
+
+    // ------------------------------------------------------------------
+    // q09: multi-join star query — orders⋈customer (shuffle, both large at
+    // scale) then broadcast nation/region up the snowflake. Catalyst + AQE
+    // pick shuffled-hash/sort-merge for the big pair; the two dims are
+    // broadcast so they add no exchanges.
+    Q("q09_join_star",
+      oracle = Some("""
+        SELECT r_name,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name"""),
+      run = (spark, dir) => {
+        val orders = table(spark, dir, "orders")
+        val customer = table(spark, dir, "customer")
+        val nation = table(spark, dir, "nation")
+        val region = table(spark, dir, "region")
+        orders
+          .join(customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+              .as("total_price"))
+          .orderBy(col("r_name"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q10: left-semi join (EXISTS). Semi joins ship only the key column of
+    // the probe side and stop at first match — cheaper than inner+distinct.
+    Q("q10_join_semi",
+      oracle = Some("""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""),
+      run = (spark, dir) => {
+        val customer = table(spark, dir, "customer")
+        val ordersF = table(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey"))
+        customer
+          .join(ordersF, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("c_mktsegment"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q11: left-anti join (NOT EXISTS) + broadcast dim for labeling —
+    // customers with no PENDING order, counted per nation. The status
+    // filter sits on the anti side so it pushes into that scan.
+    Q("q11_join_anti",
+      oracle = Some("""
+        SELECT n_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        GROUP BY n_name
+        ORDER BY n_name"""),
+      run = (spark, dir) => {
+        val customer = table(spark, dir, "customer")
+        val ordersP = table(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey"))
+        val nation = table(spark, dir, "nation")
+        customer
+          .join(ordersP, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("n_name"))
+      })
+  )
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns._
+import graft.io.Tables.table
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * q20 is the brute-force cosine top-k baseline: score every (query, row)
+  * pair, rank per query. The query set is broadcast (it is always the small
+  * side), so the corpus never shuffles for scoring; the only exchange is
+  * the per-query top-k ranking, which moves just (q_id, neighbor, cosine)
+  * triples — never the vectors.
+  *
+  * q21 is the blocked near-duplicate variant: candidate pairs only within a
+  * blocking key (here the `label` partition — in production an IVF coarse
+  * quantizer cell or LSH bucket plays this role), turning O(n²) into
+  * O(Σ block²). The same equi-join shape holds for IVF at 100 TB.
+  */
+object Similarity {
+
+  private val QUERY_MOD = 53 // ~2% of vec_ids serve as the query set
+  private val TOPK = 10
+  // the synthetic vectors have no planted duplicates (max within-label
+  // cosine ≈ 0.47 at sf0.01) — 0.35 surfaces the genuinely correlated tail
+  private val NEARDUP_COS = 0.35
+
+  private def normed(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  private val normedCte = """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e)"""
+
+  val defs: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q20: brute-force cosine top-k (ANN baseline). Rank on the *rounded*
+    // cosine with vec_id tie-break so ordering is engine-independent.
+    Q("q20_ann_cosine",
+      oracle = Some(s"""
+        $normedCte,
+        qs AS (
+          SELECT vec_id AS q_id, v AS qv, nrm AS qn
+          FROM n WHERE vec_id % $QUERY_MOD = 0),
+        scored AS (
+          SELECT q_id, vec_id AS neighbor,
+                 round(list_sum(list_transform(range(1, len(v) + 1),
+                                               i -> v[i] * qv[i])) / (nrm * qn), 4)
+                   AS cosine
+          FROM n, qs WHERE vec_id <> q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank,
+               neighbor, cosine
+        FROM scored
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""),
+      run = (spark, dir) => {
+        val n = normed(spark, dir)
+        val qs = n.filter(col("vec_id") % QUERY_MOD === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("neighbor").asc)
+        n.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor"),
+            round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4).as("cosine"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TOPK)
+          .select(col("q_id"), col("rank"), col("neighbor"), col("cosine"))
+          .orderBy(col("q_id"), col("rank"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q21: embedding-cosine near-duplicate pairs, blocked by label.
+    Q("q21_embedding_neardup",
+      oracle = Some(s"""
+        $normedCte
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_sum(list_transform(range(1, len(a.v) + 1),
+                                             i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4)
+                 AS cosine
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                                      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)
+              >= $NEARDUP_COS
+        ORDER BY vec_a, vec_b"""),
+      run = (spark, dir) => {
+        val n = normed(spark, dir)
+        val cos = cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+        n.as("a")
+          .join(n.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .filter(cos >= NEARDUP_COS)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            round(cos, 4).as("cosine"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      })
+  )
+}

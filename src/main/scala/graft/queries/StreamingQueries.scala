@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming demonstration: the reference is batch-only
+  * (SURVEY.md §2.10), so these queries are the engine's streaming surface
+  * over the `events` table. Each runs a real streaming query (file source →
+  * windowed aggregate → memory sink) to completion and returns the result
+  * table, which makes it oracle-checkable against an equivalent batch SQL.
+  *
+  * Scale: the same plan runs unchanged against a kafka/file stream on a
+  * cluster; state is bounded by (window × event_type) cardinality, and the
+  * watermark variant (unit-tested in StreamingSpec) bounds it further for
+  * append-mode sinks.
+  */
+object StreamingQueries {
+
+  val defs: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q27: tumbling 1-day window counts + exact decimal sums per type.
+    Q("q27_stream_tumbling",
+      oracle = Some("""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      run = (spark, dir) => {
+        // stream source must use the *raw* schema (ts as nanos-long, see
+        // Tables.eventsRaw) and apply the same micros coercion per-batch.
+        val rawSchema = graft.io.Tables.eventsRaw(spark, dir).schema
+        val sink = "stream_tumbling_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        // glob form: FileStreamSource requires a directory basePath, so
+        // address the single file through a pattern under its parent dir.
+        val stream = graft.io.Tables.withEventTime(
+          spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*"))
+        val agg = stream
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+              .as("total_value"))
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table(sink)
+          .select(col("w.start").cast("date").as("day"), col("event_type"),
+            col("n"), col("total_value"))
+          .orderBy(col("day"), col("event_type"))
+      })
+  )
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.io.Tables.table
+
+/** Text-analysis suite for training-data pipelines: language-ID (stopword
+  * n-gram heuristic), quality scoring, token statistics, and document
+  * fingerprinting. All pure column expressions — no UDFs — with exact
+  * DuckDB oracle twins.
+  */
+object TextAnalysis {
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ein"))
+
+  private val enStop: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
+
+  private def markerCountSql(words: Seq[String]): String =
+    s"len(list_filter(tk, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  val defs: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q22: language-ID by stopword-marker voting, deterministic tie-break
+    // in fixed language order; aggregated to (predicted_lang, n_docs).
+    Q("q22_langid",
+      oracle = Some {
+        val scores = markers.map { case (l, ws) =>
+          s"${markerCountSql(ws)} AS s_$l"
+        }.mkString(", ")
+        s"""
+        WITH toks AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
+        scored AS (
+          SELECT doc_id, $scores FROM toks),
+        pred AS (
+          SELECT CASE
+            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+            WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+            WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+            WHEN s_de > 0 THEN 'de'
+            ELSE 'unknown' END AS pred_lang
+          FROM scored)
+        SELECT pred_lang, count(*) AS n_docs
+        FROM pred GROUP BY pred_lang ORDER BY pred_lang"""
+      },
+      run = (spark, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        val scored = table(spark, dir, "documents")
+          .select(col("doc_id") +: markers.map { case (l, ws) =>
+            markerCount(toks, ws).as(s"s_$l")
+          }: _*)
+        val pred =
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_de") && col("s_en") > 0, "en")
+            .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de") &&
+              col("s_es") > 0, "es")
+            .when(col("s_fr") >= col("s_de") && col("s_fr") > 0, "fr")
+            .when(col("s_de") > 0, "de")
+            .otherwise("unknown")
+        scored.select(pred.as("pred_lang"))
+          .groupBy(col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("pred_lang"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q23: per-document quality score — length saturation, stopword ratio,
+    // lexical diversity. The exact formula is arbitrary; what matters is
+    // that it is deterministic, cheap (single projection, no shuffle), and
+    // engine-portable. Rounding note: these small-rational scores land on
+    // exact .00005 boundaries, where Spark's round (decimal-string HALF_UP)
+    // and DuckDB's (binary multiply) disagree — so both sides use the same
+    // floor(x*1e4 + 0.5)/1e4 construction, which is pure double arithmetic
+    // and therefore bit-identical across engines.
+    Q("q23_quality_score",
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
+        f AS (
+          SELECT doc_id,
+                 len(tk) AS n_toks,
+                 ${markerCountSql(enStop)} AS n_stop,
+                 len(list_distinct(tk)) AS n_distinct
+          FROM toks WHERE len(tk) > 0)
+        SELECT doc_id, n_toks,
+               floor((0.3 * least(n_toks / 100.0, 1.0) +
+                      0.4 * (n_stop * 1.0 / n_toks) +
+                      0.3 * (n_distinct * 1.0 / n_toks)) * 10000 + 0.5) / 10000
+                 AS quality
+        FROM f ORDER BY doc_id"""),
+      run = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) > 0)
+          .select(col("doc_id"),
+            size(col("tk")).cast("long").as("n_toks"),
+            markerCount(col("tk"), enStop).as("n_stop"),
+            size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
+        val raw = lit(0.3) * least(col("n_toks") / 100.0, lit(1.0)) +
+          lit(0.4) * (col("n_stop") * lit(1.0) / col("n_toks")) +
+          lit(0.3) * (col("n_distinct") * lit(1.0) / col("n_toks"))
+        docs.select(col("doc_id"), col("n_toks"),
+          (floor(raw * 10000 + 0.5) / 10000).as("quality"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q24: corpus token statistics in one job. countDistinct here is
+    // exact (contract); the 100 TB path swaps in approx_count_distinct
+    // (HLL, fixed memory) — see q30_approx_distinct.
+    Q("q24_token_stats",
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
+        ex AS (SELECT doc_id, unnest(tk) AS token FROM toks)
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               count(*) AS total_tokens,
+               count(DISTINCT token) AS distinct_tokens,
+               round(count(*) * 1.0 / (SELECT count(*) FROM documents), 2)
+                 AS avg_tokens_per_doc
+        FROM ex"""),
+      run = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        val ex = docs.select(explode(TextFns.tokens(col("text"))).as("token"))
+        val tok = ex.agg(count(lit(1)).as("total_tokens"),
+          countDistinct(col("token")).as("distinct_tokens"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        tok.crossJoin(nd)
+          .select(col("n_docs"), col("total_tokens"), col("distinct_tokens"),
+            round(col("total_tokens") * lit(1.0) / col("n_docs"), 2)
+              .as("avg_tokens_per_doc"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q25: document fingerprint — 64-bit-equivalent md5 prefix over the
+    // normalized token stream (whitespace-canonicalized, lowercased).
+    // The dedup-friendly stable content id used by q15 at scale.
+    Q("q25_fingerprint",
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents)
+        SELECT doc_id,
+               substr(md5(array_to_string(tk, ' ')), 1, 16) AS fp
+        FROM toks ORDER BY doc_id"""),
+      run = (spark, dir) => {
+        table(spark, dir, "documents")
+          .select(col("doc_id"),
+            substring(md5(array_join(TextFns.tokens(col("text")), " ")), 1, 16)
+              .as("fp"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q30: the 100 TB-safe distinct: HLL sketch, fixed memory, no giant
+    // exact-distinct shuffle. No oracle (DuckDB's approx sketch differs);
+    // driver records rows-only.
+    Q("q30_approx_distinct",
+      oracle = None,
+      run = (spark, dir) => {
+        table(spark, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("token"))
+          .agg(approx_count_distinct(col("token"), 0.01).as("approx_distinct_tokens"))
+      })
+  )
+}

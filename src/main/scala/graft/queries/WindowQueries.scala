@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.io.Tables.table
+
+/** Window-function and sessionization suite over the `events` table.
+  *
+  * The reference has no window functions at all (SURVEY.md §2.10) — its
+  * "weekly window" is a static CASE label. These queries are the engine's
+  * demonstration of the windowed/sessionized analytics the reference
+  * approximates with batch labels.
+  *
+  * Scale notes: all three shuffle exactly once, on user_id (or custkey) —
+  * the window partition key. Rows within a user fit easily in memory even
+  * at 100 TB total (per-user event counts grow with time, not with fleet
+  * size; a pathological power-user key is handled by AQE skew splitting on
+  * the exchange, or by bucketing the events table on user_id so the
+  * exchange disappears entirely).
+  *
+  * Determinism: `events.ts` is nanosecond parquet; both Spark and DuckDB
+  * truncate to microseconds, but all comparisons here are on epoch micros
+  * (unix_micros / epoch_us) so the arithmetic is integer-exact on both
+  * engines. Window order keys always include the unique event_id/orderkey
+  * tie-breaker.
+  */
+object WindowQueries {
+
+  val defs: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q12: rank-per-group (top order per customer) via row_number.
+    // Spark: one shuffle on o_custkey, in-partition sort, no global sort.
+    Q("q12_window_top_order",
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) = 1
+        ORDER BY o_custkey"""),
+      run = (spark, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        table(spark, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q13: running (cumulative) sum per user — explicit ROWS frame so both
+    // engines accumulate in identical forced order (prefix sum: no
+    // partial-agg reordering possible).
+    Q("q13_window_running_sum",
+      oracle = Some("""
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS run_value
+        FROM events
+        ORDER BY event_id"""),
+      run = (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")).asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(spark, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            round(sum(col("value")).over(w), 2).as("run_value"))
+          .orderBy(col("event_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q14: sessionization with a 30-minute inactivity gap — lag() to flag
+    // session starts, then per-user session counts. Gap math in integer
+    // epoch micros for cross-engine exactness. (A session_window /
+    // Structured Streaming variant lives in graft.streaming; this batch
+    // formulation is the oracle-checkable one.)
+    Q("q14_sessionize",
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT user_id,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                        > 1800000000 OR
+                      lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                        IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events)
+        SELECT user_id,
+               CAST(sum(is_new) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM flagged
+        GROUP BY user_id
+        ORDER BY user_id"""),
+      run = (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")).asc, col("event_id").asc)
+        table(spark, dir, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("is_new",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+              .otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("is_new")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      })
+  )
+}
