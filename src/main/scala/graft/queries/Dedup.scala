@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -14,41 +15,109 @@ import graft.io.Tables.table
   * Scale design (100 TB):
   *  - exact dedup groups on md5(text), never on the raw text — the shuffle
   *    carries 32-byte keys instead of documents;
-  *  - MinHash-LSH is the standard shingle → per-band min-hash → bucket-join
-  *    pipeline: candidate generation is an equi-join on (band, minhash), so
-  *    only same-bucket pairs are ever materialized (no O(n²) cross join);
-  *    Jaccard verification then runs only on candidates;
-  *  - SimHash banding likewise turns near-neighbor search into two
-  *    equi-joins; hot buckets (boilerplate-heavy corpora) are AQE
+  *  - shingles are built RELATIONALLY — posexplode(tokens) + window lead()
+  *    — not with per-row array lambdas: higher-order-function lambdas are
+  *    interpreted (not codegen'd) and cost ~40µs/element, which measured
+  *    3× slower than the whole rest of the pipeline; lead/concat_ws stay
+  *    inside whole-stage codegen and the same shape distributes cleanly
+  *    (one shuffle on doc_id);
+  *  - MinHash signatures come from a partial-agg groupBy (map-side
+  *    combine); shuffle rows are (doc_id, 8×32B), never documents;
+  *  - LSH bands use r=2 rows per band (bucket key = md5(mh_i‖mh_j)), so
+  *    two docs collide on a band with probability jaccard² — this keeps
+  *    candidate counts near-linear on corpora with heavy shared
+  *    boilerplate (a 1-row band degenerates to "shares any one popular
+  *    shingle", which is quadratic);
+  *  - Jaccard verification is a co-shingle COUNT join (shuffle on the
+  *    shingle hash), not an array intersect — no document-sized rows move;
+  *  - SimHash is 32-bit with two 16-bit half bands; hot buckets are AQE
   *    skew-split at the exchange.
   */
 object Dedup {
 
-  private val BANDS = 4
-  private val SHINGLE = 3
+  private val NUM_HASHES = 8 // 4 bands × 2 rows
+  private val NUM_BANDS = 4
   private val JACCARD_MIN = 0.5
+  private val SIM_BITS = 32
+  private val HAMMING_MAX = 3
 
-  /** (doc_id, shingle-set) for docs with at least one 3-shingle. */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  /** Distinct (doc_id, shingle) pairs, built codegen-only: posexplode the
+    * token array once, then 3-token shingles via window lead() per doc. */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     table(spark, dir, "documents")
-      .select(col("doc_id"),
-        TextFns.shingles(TextFns.tokens(col("text")), SHINGLE).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("t"))
+      .withColumn("t1", lead(col("t"), 1).over(w))
+      .withColumn("t2", lead(col("t"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
+      .distinct()
+  }
 
-  /** Oracle CTE prefix matching docShingles. */
+  /** Oracle CTE prefix producing the same distinct shingle relation. */
   private val shinglesCte =
     s"""WITH toks AS (
           SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
         sh AS (
           SELECT doc_id, ${TextFns.sql.shingles3} AS sh
-          FROM toks WHERE len(tk) >= $SHINGLE)"""
+          FROM toks WHERE len(tk) >= 3)"""
 
-  /** Unpivoted LSH signature: (doc_id, band, mh). */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val bandCols = (1 to BANDS).map(b => TextFns.minhashBand(col("sh"), b))
-    docShingles(spark, dir)
-      .select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .select(col("doc_id"), (col("pos") + 1).as("band"), col("col").as("mh"))
+  /** MinHash signature: 8 salted-md5 mins via one partial-agg groupBy.
+    * (min over the distinct set == min over the multiset, so no dedup is
+    * needed on this path.) */
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val mins = (1 to NUM_HASHES).map(k =>
+      min(md5(concat(lit(s"$k|"), col("s")))).as(s"mh$k"))
+    shingleRows(spark, dir).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  private def minhashSigSqlCols: String =
+    (1 to NUM_HASHES).map(k => TextFns.sql.minhashBand("sh", k) + s" AS mh$k")
+      .mkString(", ")
+
+  /** r=2 banding: band b key = md5(mh_{2b-1} ‖ mh_{2b}). */
+  private def bandKey(b: Int): org.apache.spark.sql.Column =
+    md5(concat(col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")))
+
+  private def bandKeySql(b: Int): String =
+    s"md5(concat(mh${2 * b - 1}, mh${2 * b}))"
+
+  /** 32-bit SimHash via explode + 32 conditional-sum aggregates (one
+    * shuffle, partial agg). Bit j weighs hex digit j of md5(token). */
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFns.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("m"))
+    val sums = (0 until SIM_BITS).map { j =>
+      sum(when(substring(col("m"), j + 1, 1).isin(oddHex: _*), 1)
+        .otherwise(-1)).as(s"c$j")
+    }
+    val bits = (0 until SIM_BITS)
+      .map(j => when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), bits.as("simhash"))
+  }
+
+  /** Oracle twin of simhashDf (list formulation; identical values). Both
+    * sides exclude token-less docs explicitly. */
+  private def simhashSqlCte: String = {
+    val bitTerms = (0 until SIM_BITS).map { j =>
+      val s = s"list_sum(list_transform(hl, m -> CASE WHEN " +
+        s"substr(m, ${j + 1}, 1) IN ('1','3','5','7','9','b','d','f') " +
+        "THEN 1 ELSE -1 END))"
+      s"(CASE WHEN $s > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH toks AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
+        hs AS (
+          SELECT doc_id, list_transform(tk, t -> md5(t)) AS hl
+          FROM toks WHERE len(tk) > 0),
+        sig AS (
+          SELECT doc_id, $bitTerms AS simhash FROM hs)"""
   }
 
   val defs: Seq[Q] = Seq(
@@ -74,37 +143,33 @@ object Dedup {
       }),
 
     // ------------------------------------------------------------------
-    // q16: MinHash signatures (4 bands × 1 row). Computed entirely in the
-    // projection — zero shuffles; array_min over salted md5s per band.
+    // q16: MinHash signatures (8 salted-md5 min-hashes per doc).
     Q("q16_minhash_signatures",
       oracle = Some(s"""
         $shinglesCte
-        SELECT doc_id,
-               ${(1 to BANDS).map(b => TextFns.sql.minhashBand("sh", b) + s" AS mh$b").mkString(", ")}
+        SELECT doc_id, $minhashSigSqlCols
         FROM sh
         ORDER BY doc_id"""),
-      run = (spark, dir) => {
-        val bands = (1 to BANDS).map(b =>
-          TextFns.minhashBand(col("sh"), b).as(s"mh$b"))
-        docShingles(spark, dir)
-          .select(col("doc_id") +: bands: _*)
-          .orderBy(col("doc_id"))
-      }),
+      run = (spark, dir) => minhashSig(spark, dir).orderBy(col("doc_id"))),
 
     // ------------------------------------------------------------------
-    // q17: near-duplicate pairs — LSH bucket join on (band, minhash) for
-    // candidates, exact shingle-set Jaccard to verify, threshold 0.5.
+    // q17: near-duplicate pairs — r=2 LSH bucket join for candidates,
+    // co-shingle-count Jaccard to verify, threshold 0.5. Semantics are
+    // "LSH candidates verified by Jaccard" on BOTH engines, so recall
+    // characteristics cancel out in the comparison.
     Q("q17_neardup_minhash",
       oracle = Some(s"""
         $shinglesCte,
         sig AS (
+          SELECT doc_id, $minhashSigSqlCols FROM sh),
+        banded AS (
           SELECT doc_id, b.band AS band,
-                 list_min(list_transform(sh, s -> md5(concat(CAST(b.band AS VARCHAR), '|', s)))) AS mh
-          FROM sh, (VALUES (1), (2), (3), (4)) b(band)),
+                 CASE b.band ${(1 to NUM_BANDS).map(b => s"WHEN $b THEN ${bandKeySql(b)}").mkString(" ")} END AS bk
+          FROM sig, (VALUES ${(1 to NUM_BANDS).map(b => s"($b)").mkString(", ")}) b(band)),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM sig a JOIN sig b
-            ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id)
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b,
                round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
                      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
@@ -117,59 +182,58 @@ object Dedup {
               >= $JACCARD_MIN
         ORDER BY doc_a, doc_b"""),
       run = (spark, dir) => {
-        val sig = signatures(spark, dir)
-        val cand = sig.as("a")
-          .join(sig.as("b"),
-            col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+        val sig = minhashSig(spark, dir)
+        val banded = sig.select(col("doc_id"),
+          posexplode(array((1 to NUM_BANDS).map(bandKey): _*)))
+          .select(col("doc_id"), col("pos").as("band"), col("col").as("bk"))
+        val cand = banded.as("a")
+          .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-        val sh = docShingles(spark, dir)
-        val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-        val union = size(col("sa")).cast("double") + size(col("sb")).cast("double") - inter
+        val sh = shingleRows(spark, dir)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        // intersection counts: co-shingle join (shuffle on shingle), then
+        // keep only LSH candidates
+        val inter = sh.as("x")
+          .join(sh.as("y"),
+            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        val j = col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double")
         cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
-          .withColumn("jaccard", inter / union)
+          .join(inter, Seq("doc_a", "doc_b"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+          .withColumn("jaccard", j)
           .filter(col("jaccard") >= JACCARD_MIN)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       }),
 
     // ------------------------------------------------------------------
-    // q18: 16-bit SimHash signature per document (frequency-weighted
-    // majority over per-token md5 bits). Pure projection, zero shuffles.
+    // q18: 32-bit SimHash signature per document (frequency-weighted
+    // majority over per-token md5 hex digits).
     Q("q18_simhash",
       oracle = Some(s"""
-        WITH toks AS (
-          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
-        hs AS (
-          SELECT doc_id, list_transform(tk, t -> md5(t)) AS hl FROM toks)
-        SELECT doc_id, ${TextFns.sql.simhash16("hl")} AS simhash
-        FROM hs
-        ORDER BY doc_id"""),
-      run = (spark, dir) => {
-        table(spark, dir, "documents")
-          .select(col("doc_id"),
-            TextFns.simhash16(TextFns.tokens(col("text"))).as("simhash"))
-          .orderBy(col("doc_id"))
-      }),
+        $simhashSqlCte
+        SELECT doc_id, simhash FROM sig ORDER BY doc_id"""),
+      run = (spark, dir) => simhashDf(spark, dir).orderBy(col("doc_id"))),
 
     // ------------------------------------------------------------------
-    // q19: SimHash near-dup pairs. Banding: two 8-bit halves; a pair must
-    // collide on at least one half (necessary condition for hamming <= 3
-    // ... not strictly, but the standard recall/cost trade — documented),
-    // then verified with bit_count(xor) <= 3.
+    // q19: SimHash near-dup pairs. Banding: two 16-bit halves; a pair
+    // must collide on at least one half (hamming ≤ 3 over 32 bits ⇒ not
+    // guaranteed, but the standard recall/cost trade), then verified with
+    // bit_count(xor) ≤ 3. Identical construction on both engines.
     Q("q19_simhash_pairs",
       oracle = Some(s"""
-        WITH toks AS (
-          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
-        hs AS (
-          SELECT doc_id, list_transform(tk, t -> md5(t)) AS hl FROM toks),
-        sig AS (
-          SELECT doc_id, ${TextFns.sql.simhash16("hl")} AS simhash FROM hs),
+        $simhashSqlCte,
         banded AS (
-          SELECT doc_id, simhash, simhash % 256 AS b0, simhash // 256 AS b1 FROM sig),
+          SELECT doc_id, simhash,
+                 simhash % 65536 AS b0, simhash // 65536 AS b1
+          FROM sig),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                           a.simhash AS sim_a, b.simhash AS sim_b
@@ -178,14 +242,12 @@ object Dedup {
         SELECT doc_a, doc_b,
                CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
         FROM cand
-        WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        WHERE bit_count(xor(sim_a, sim_b)) <= $HAMMING_MAX
         ORDER BY doc_a, doc_b"""),
       run = (spark, dir) => {
-        val sig = table(spark, dir, "documents")
-          .select(col("doc_id"),
-            TextFns.simhash16(TextFns.tokens(col("text"))).as("simhash"))
-          .withColumn("b0", col("simhash") % 256)
-          .withColumn("b1", floor(col("simhash") / 256).cast("long"))
+        val sig = simhashDf(spark, dir)
+          .withColumn("b0", col("simhash") % 65536)
+          .withColumn("b1", floor(col("simhash") / 65536).cast("long"))
         // two equi-joins (Spark can't hash-partition an OR of keys) then
         // a distinct union — each leg shuffles on its own band key.
         def leg(k: String): DataFrame = sig.as("a")
@@ -196,7 +258,7 @@ object Dedup {
         leg("b0").unionByName(leg("b1")).distinct()
           .withColumn("hamming",
             bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
-          .filter(col("hamming") <= 3)
+          .filter(col("hamming") <= HAMMING_MAX)
           .select(col("doc_a"), col("doc_b"), col("hamming"))
           .orderBy(col("doc_a"), col("doc_b"))
       })
