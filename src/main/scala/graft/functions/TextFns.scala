@@ -14,9 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
-  /** Lowercased whitespace tokens, empties dropped. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+  /** Lowercased whitespace tokens, empties dropped.
+    *
+    * Implemented as trim-then-split rather than split-then-filter: a
+    * higher-order `filter` lambda is interpreted per element (not
+    * codegen'd), which profiling showed dominating every tokens()-based
+    * query; regexp_replace + split stay inside whole-stage codegen. The
+    * edge cases (leading whitespace → one empty token; whitespace-only →
+    * [""]) are handled by the trim and the empty-string guard, so the
+    * result is identical to the filtered form. */
+  def tokens(text: Column): Column = {
+    val t = regexp_replace(lower(text), "^\\s+|\\s+$", "")
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
 
   /** Distinct n-token shingles joined with single spaces; empty array when
     * the document has fewer than n tokens. */
@@ -53,7 +63,9 @@ object TextFns {
     * the Spark definitions so the two stay in lockstep. */
   object sql {
     val tokens: String =
-      "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+      "(CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') = '' " +
+        "THEN CAST([] AS VARCHAR[]) " +
+        "ELSE string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END)"
 
     /** 3-shingles over a token-list column named `tk`; DuckDB range(1, n)
       * is empty for n <= 1 which handles short docs. */

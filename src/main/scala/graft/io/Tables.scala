@@ -33,11 +33,20 @@ object Tables {
     * (reference gdelt/scripts/transform_pandas_friendly_to_spark_friendly.py:17-23,
     * which *dropped* the column). The engine instead coerces on read:
     * nanosAsLong exposes the raw int64, then integer-div to micros — the
-    * identical truncation DuckDB applies, so oracle comparisons stay exact. */
+    * identical truncation DuckDB applies, so oracle comparisons stay exact.
+    *
+    * The nanosAsLong flag is SESSION-WIDE (it changes how every
+    * nanosecond-timestamp parquet in the session is read) — so the engine's
+    * drivers (Verify/Bench/Profile) and the test harness set it once at
+    * SparkSession construction; the set here is a defensive no-op in those
+    * paths and exists only so ad-hoc sessions can call this directly. */
   def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption(NANOS_AS_LONG).isEmpty)
+      spark.conf.set(NANOS_AS_LONG, "true")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
+
+  val NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
     withEventTime(eventsRaw(spark, sfDir))

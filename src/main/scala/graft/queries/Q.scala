@@ -20,6 +20,21 @@ final case class Q(
     oracle: Option[String],
     run: (SparkSession, String) => DataFrame)
 
+object Q {
+  /** Materialize a small, already-aggregated RESULT table on the driver and
+    * rebuild it as a local single-partition DataFrame. Used by queries that
+    * persist() heavyweight intermediates: cutting the lineage here lets
+    * them unpersist before returning (no cached-table leak across bench /
+    * verify invocations) without the consumer re-running the whole DAG.
+    * Never used on data-scale tables — results only (pairs, coefficients,
+    * windowed aggregates). */
+  def localized(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+}
+
 object Registry {
   lazy val all: Seq[Q] =
     Relational.defs ++ WindowQueries.defs ++ Dedup.defs ++

@@ -83,17 +83,17 @@ object Relational {
     Q("q03_top_tokens",
       oracle = Some("""
         SELECT token, count(*) AS n
-        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
-                                        t -> len(t) > 0)) AS token
+        FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
               FROM documents)
         WHERE length(token) > 2
         GROUP BY token
         ORDER BY n DESC, token
         LIMIT 20"""),
       run = (spark, dir) => {
+        // no empty-token pre-filter needed: the length > 2 predicate drops
+        // them, and skipping the higher-order filter keeps codegen intact
         table(spark, dir, "documents")
-          .select(explode(filter(split(lower(col("text")), "\\s+"),
-            t => length(t) > 0)).as("token"))
+          .select(explode(split(lower(col("text")), "\\s+")).as("token"))
           .filter(length(col("token")) > 2)
           .groupBy(col("token")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("token").asc)
@@ -162,10 +162,9 @@ object Relational {
     // size, element access (SURVEY §2.2 P1-P10). No shuffle at all: pure
     // scan + filter + project, codegen'd end to end.
     Q("q06_predicates",
-      oracle = Some("""
+      oracle = Some(s"""
         WITH t AS (
-          SELECT doc_id, lang,
-                 list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+          SELECT doc_id, lang, ${graft.functions.TextFns.sql.tokens} AS toks
           FROM documents)
         SELECT doc_id, lang, toks[1] AS first_tok, len(toks) AS n_toks
         FROM t
@@ -174,7 +173,7 @@ object Relational {
       run = (spark, dir) => {
         table(spark, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            filter(split(lower(col("text")), "\\s+"), x => length(x) > 0).as("toks"))
+            graft.functions.TextFns.tokens(col("text")).as("toks"))
           .filter(col("lang").isNotNull &&
             col("lang").isin("en", "de", "fr") &&
             size(col("toks")) >= 20)

@@ -45,10 +45,15 @@ object StreamingQueries {
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("complete").start()
         try q.processAllAvailable() finally q.stop()
-        spark.table(sink)
-          .select(col("w.start").cast("date").as("day"), col("event_type"),
-            col("n"), col("total_value"))
-          .orderBy(col("day"), col("event_type"))
+        // materialize the (small, already-aggregated) sink contents and
+        // drop the temp view immediately — a UUID-named memory sink left
+        // registered would leak cached driver memory on every invocation
+        try Q.localized(
+          spark.table(sink)
+            .select(col("w.start").cast("date").as("day"), col("event_type"),
+              col("n"), col("total_value"))
+            .orderBy(col("day"), col("event_type")))
+        finally spark.catalog.dropTempView(sink)
       })
   )
 }
