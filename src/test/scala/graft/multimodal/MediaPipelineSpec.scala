@@ -1,0 +1,62 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+import MediaPipeline._
+
+class MediaPipelineSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  test("decodeFeatures agrees with the q26 relational twin on bytes/width/height/md5") {
+    val items = fromDocuments(spark, sf0001)
+    val decoded = decodeFeatures(items)
+      .select(col("docId"), col("nBytes"), col("width").cast("long"),
+        col("height").cast("long"), col("fingerprint"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    val relational = Registry26(spark)
+    relational.size shouldBe decoded.size
+    relational.foreach { case (id, row) => decoded(id) shouldBe row }
+  }
+
+  private def Registry26(s: org.apache.spark.sql.SparkSession) =
+    graft.queries.Registry.queries("q26_multimodal_features")(s, sf0001)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+
+  test("batch size does not change results (mapInPandas-style batching is transparent)") {
+    val items = fromDocuments(spark, sf0001)
+    val a = decodeFeatures(items, batchSize = 1).collect().sortBy(_.docId).toSeq
+    val b = decodeFeatures(items, batchSize = 1000).collect().sortBy(_.docId).toSeq
+    a shouldBe b
+  }
+
+  test("decode is narrow: partition count is preserved (no shuffle)") {
+    val items = fromDocuments(spark, sf0001).repartition(7)
+    decodeFeatures(items).rdd.getNumPartitions shouldBe 7
+  }
+
+  test("frameSampleIndices: evenly spaced, correct count, edge cases") {
+    frameSampleIndices(10, 5) shouldBe Seq(0, 2, 4, 6, 8)
+    frameSampleIndices(3, 5) shouldBe Seq(0, 1, 2) // fewer frames than k
+    frameSampleIndices(0, 5) shouldBe Seq.empty
+    frameSampleIndices(100, 1) shouldBe Seq(0)
+    an[IllegalArgumentException] should be thrownBy frameSampleIndices(10, 0)
+  }
+
+  test("resizePlan: aspect-preserving downscale, never upscales") {
+    val f = MediaFeatures(1L, "image", 100L, 640, 480, 1, "x")
+    resizePlan(f, 320, 320) shouldBe ((320, 240))
+    resizePlan(f, 6400, 6400) shouldBe ((640, 480)) // no upscale
+    resizePlan(MediaFeatures(2L, "image", 1L, 1, 1000, 1, "x"), 10, 10) shouldBe ((1, 10))
+  }
+
+  test("video items get multi-frame counts, stills get 1") {
+    val d = decodeFeatures(fromDocuments(spark, sf0001)).collect()
+    d.filter(_.mediaType != "video").foreach(_.nFrames shouldBe 1)
+    d.filter(_.mediaType == "video").foreach(_.nFrames should be >= 1)
+    d.map(_.mediaType).distinct.toSet shouldBe Set("image", "audio", "video")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+/** Numeric assertions for the ML queries (no DuckDB oracle — the driver
+  * records rows-only; this spec is their correctness gate). */
+class MlSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  test("q28: schema, AUC range, determinism across runs") {
+    val run = Registry.queries("q28_lr_coefficients")
+    val a = run(spark, sf0001).collect()
+    a.map(_.getString(0)).toSeq shouldBe
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "intercept", "auc")
+    val auc = a.last.getDouble(1)
+    auc should be > 0.5
+    auc should be <= 1.0
+    val b = run(spark, sf0001).collect()
+    a.map(_.getDouble(1)).toSeq shouldBe b.map(_.getDouble(1)).toSeq
+  }
+
+  test("q29: one row per document, top terms non-empty, deterministic") {
+    val run = Registry.queries("q29_tfidf_bigrams")
+    val a = run(spark, sf0001).collect()
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    a.length.toLong shouldBe nDocs
+    all(a.map(_.getString(1))) should not be empty
+    // bigram sanity: each term is two whitespace-joined tokens
+    val firstTerms = a.head.getString(1).split(", ")
+    all(firstTerms.map(_.split(" ").length)) shouldBe 2
+    val b = run(spark, sf0001).collect()
+    a.map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      b.map(r => (r.getLong(0), r.getString(1))).toSeq
+  }
+
+  test("q30: HLL estimate within 5% of the exact distinct count") {
+    import org.apache.spark.sql.functions._
+    val approx = Registry.queries("q30_approx_distinct")(spark, sf0001)
+      .collect().head.getLong(0)
+    val exact = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).collect().head.getLong(0)
+    approx.toDouble shouldBe exact.toDouble +- exact * 0.05
+  }
+}
