@@ -42,6 +42,7 @@ object Dedup {
   private val NUM_HASHES = 8 // 4 bands × 2 rows
   private val NUM_BANDS = 4
   private val JACCARD_MIN = 0.5
+  private val NGRAM_JACCARD_MIN = 0.4
   private val SIM_BITS = 32
   private val HAMMING_MAX = 3
 
@@ -87,6 +88,58 @@ object Dedup {
   private def minhashSigSqlCols: String =
     (1 to NUM_HASHES).map(k => TextFns.sql.minhashBand("sh", k) + s" AS mh$k")
       .mkString(", ")
+
+  /** Jaccard for a given candidate pair set (doc_a < doc_b, distinct) via
+    * co-shingle counting. Scale-safe by construction: the shingle relation
+    * is semi-joined down to docs appearing in some pair, deduped only on
+    * that small slice, and the enumerated co-shingle rows are filtered
+    * against the pair set BEFORE the count aggregate — so a popular
+    * boilerplate shingle cannot go quadratic. Returns a LOCALIZED result
+    * (pairs are small); the persisted slice is dropped before returning. */
+  private def verifiedJaccard(sh: DataFrame, pairs: DataFrame,
+      minJaccard: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = shc.as("x")
+      .join(shc.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .join(pairs, Seq("doc_a", "doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val j = col("n_inter").cast("double") /
+      (col("na") + col("nb") - col("n_inter")).cast("double")
+    val result = Q.localized(inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard", j)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b")))
+    shc.unpersist(blocking = false)
+    result
+  }
+
+  /** Oracle fragment: Jaccard + threshold over `pairs(doc_a, doc_b)` and
+    * the shingle-list relation `sh` from [[shinglesCte]]. */
+  private def jaccardSelectSql(minJaccard: Double): String =
+    s"""SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                     (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+                 AS jaccard
+        FROM pairs
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+        WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+              >= $minJaccard
+        ORDER BY doc_a, doc_b"""
 
   /** r=2 banding: band b key = md5(mh_{2b-1} ‖ mh_{2b}). */
   private def bandKey(b: Int): org.apache.spark.sql.Column =
@@ -178,25 +231,15 @@ object Dedup {
           SELECT doc_id, b.band AS band,
                  CASE b.band ${(1 to NUM_BANDS).map(b => s"WHEN $b THEN ${bandKeySql(b)}").mkString(" ")} END AS bk
           FROM sig, (VALUES ${(1 to NUM_BANDS).map(b => s"($b)").mkString(", ")}) b(band)),
-        cand AS (
+        pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b,
-               round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-                     (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
-                 AS jaccard
-        FROM cand
-        JOIN sh sa ON sa.doc_id = doc_a
-        JOIN sh sb ON sb.doc_id = doc_b
-        WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-              >= $JACCARD_MIN
-        ORDER BY doc_a, doc_b"""),
+        ${jaccardSelectSql(JACCARD_MIN)}"""),
       run = (spark, dir) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         // the shingle relation feeds the signature build AND the Jaccard
-        // verification — persist so the tokenize+window work runs once
+        // verification — persist so the tokenize+zip work runs once
         val sh = shingleRows(spark, dir).persist(MEMORY_AND_DISK)
         val sig = minhashSigFrom(sh)
         val banded = sig.select(col("doc_id"),
@@ -209,43 +252,8 @@ object Dedup {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
           .persist(MEMORY_AND_DISK)
-        // Verification stays near-linear at scale by TWO candidate
-        // restrictions applied BELOW the co-shingle aggregation:
-        //  1. the shingle relation is semi-joined down to docs that appear
-        //     in any candidate pair (typically a tiny fraction of the
-        //     corpus), so non-candidate docs never enter the pair join;
-        //  2. the enumerated (doc_a, doc_b) co-shingle rows are joined
-        //     against the candidate-pair set BEFORE the groupBy, so one
-        //     popular boilerplate shingle among candidate docs cannot
-        //     degenerate into a quadratic aggregate.
-        val candDocs = cand.select(col("doc_a").as("doc_id"))
-          .union(cand.select(col("doc_b").as("doc_id")))
-          .distinct()
-        // distinct AFTER the candidate restriction: the full shingle
-        // relation never pays a dedup shuffle, only this small slice does
-        // (the oracle's list_distinct shingle lists require set semantics
-        // for the intersection counts)
-        val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
-          .distinct()
-          .persist(MEMORY_AND_DISK)
-        val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val inter = shc.as("x")
-          .join(shc.as("y"),
-            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .join(cand, Seq("doc_a", "doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("n_inter"))
-        val j = col("n_inter").cast("double") /
-          (col("na") + col("nb") - col("n_inter")).cast("double")
-        val result = Q.localized(inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-          .withColumn("jaccard", j)
-          .filter(col("jaccard") >= JACCARD_MIN)
-          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b")))
-        Seq(sh, cand, shc).foreach(_.unpersist(blocking = false))
+        val result = verifiedJaccard(sh, cand, JACCARD_MIN)
+        Seq(sh, cand).foreach(_.unpersist(blocking = false))
         result
       }),
 
@@ -308,6 +316,47 @@ object Dedup {
             .select(col("doc_a"), col("doc_b"), col("hamming"))
             .orderBy(col("doc_a"), col("doc_b")))
         sig.unpersist(blocking = false)
+        result
+      }),
+
+    // ------------------------------------------------------------------
+    // q35: direct n-gram Jaccard with RARE-SHINGLE blocking (classic
+    // entity-resolution blocking): candidate pairs are docs sharing a
+    // shingle whose document frequency is in [2, 5] — popular boilerplate
+    // shingles are excluded from pair generation outright, bounding the
+    // enumeration at Σ df² ≤ 25·|rare shingles| (linear-ish in corpus
+    // size), unlike all-pairs-within-a-block schemes. Complements q17:
+    // no hashing, exact n-gram overlap semantics, lower threshold.
+    Q("q35_ngram_jaccard",
+      oracle = Some(s"""
+        $shinglesCte,
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        rare AS (
+          SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+        occ AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM occ a JOIN occ b ON a.s = b.s AND a.doc_id < b.doc_id)
+        ${jaccardSelectSql(NGRAM_JACCARD_MIN)}"""),
+      run = (spark, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val sh = shingleRows(spark, dir).persist(MEMORY_AND_DISK)
+        // df on DISTINCT (doc, shingle) occurrences — countDistinct here
+        // rather than a pre-distinct of the whole relation (one shuffle,
+        // partial agg; the 100 TB form is the same plan)
+        val rare = sh.groupBy(col("s"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df").between(2, 5))
+          .select(col("s"))
+        val occ = sh.join(rare, "s").select(col("doc_id"), col("s")).distinct()
+        val pairs = occ.as("a")
+          .join(occ.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .persist(MEMORY_AND_DISK)
+        val result = verifiedJaccard(sh, pairs, NGRAM_JACCARD_MIN)
+        Seq(sh, pairs).foreach(_.unpersist(blocking = false))
         result
       })
   )

@@ -263,6 +263,101 @@ object Relational {
       }),
 
     // ------------------------------------------------------------------
+    // q31: ROLLUP over the region→nation hierarchy with explicit grouping
+    // flags. One pass: Catalyst expands grouping sets inside a single
+    // hash aggregate (Expand + partial agg), no per-level rescan. Grouping
+    // labels are materialized as 'ALL' so the result carries no NULL
+    // grouping keys (cross-engine sort/hash safety) and the explicit
+    // grp_id = grouping(r)*2+grouping(n) avoids engine-specific
+    // grouping_id bit orders.
+    Q("q31_rollup",
+      oracle = Some("""
+        SELECT CAST(grouping(r_name)*2 + grouping(n_name) AS BIGINT) AS grp_id,
+               CASE WHEN grouping(r_name) = 1 THEN 'ALL' ELSE r_name END AS region,
+               CASE WHEN grouping(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
+               count(*) AS n_customers,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY grp_id, region, nation"""),
+      run = (spark, dir) => {
+        table(spark, dir, "customer")
+          .join(broadcast(table(spark, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(spark, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(
+            // grouping() is only resolvable inside the Aggregate itself,
+            // so the 'ALL' labels are computed here, not in a later select
+            (grouping(col("r_name")) * 2 + grouping(col("n_name")))
+              .cast("long").as("grp_id"),
+            when(grouping(col("r_name")) === 1, "ALL")
+              .otherwise(col("r_name")).as("region"),
+            when(grouping(col("n_name")) === 1, "ALL")
+              .otherwise(col("n_name")).as("nation"),
+            count(lit(1)).as("n_customers"),
+            round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+              .as("total_acctbal"))
+          .select(col("grp_id"), col("region"), col("nation"),
+            col("n_customers"), col("total_acctbal"))
+          .orderBy(col("grp_id"), col("region"), col("nation"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q32: pivot (status × priority counts). Explicit pivot values keep
+    // the plan a single groupBy (no distinct-values pre-scan) and the
+    // output schema static — exactly how a 100 TB pivot must be written.
+    Q("q32_pivot",
+      oracle = Some("""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+               round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS avg_price_f
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      run = (spark, dir) => {
+        table(spark, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+            count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+            count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
+            round(avg(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2)
+              .as("avg_price_f"))
+          .orderBy(col("o_orderpriority"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q34: exact interpolated percentiles (median / p90 / p99) per group.
+    // Spark's percentile() and DuckDB's quantile_cont use the same
+    // lower + frac*(upper-lower) interpolation on the sorted values; the
+    // floor(x*100+0.5)/100 rounding is pure double arithmetic on both
+    // engines (see q23 note). At 100 TB this becomes approx_percentile
+    // (fixed-memory sketch) — the exact form is the contract here.
+    Q("q34_percentiles",
+      oracle = Some("""
+        SELECT o_orderpriority,
+               floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS p50,
+               floor(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90,
+               floor(quantile_cont(o_totalprice, 0.99) * 100 + 0.5) / 100 AS p99
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      run = (spark, dir) => {
+        def p(q: Double, name: String) =
+          (floor(percentile(col("o_totalprice"), lit(q)) * 100 + 0.5) / 100).as(name)
+        table(spark, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(p(0.5, "p50"), p(0.9, "p90"), p(0.99, "p99"))
+          .orderBy(col("o_orderpriority"))
+      }),
+
+    // ------------------------------------------------------------------
     // q10: left-semi join (EXISTS). Semi joins ship only the key column of
     // the probe side and stop at first match — cheaper than inner+distinct.
     Q("q10_join_semi",

@@ -24,6 +24,7 @@ import graft.io.Tables.table
 object Similarity {
 
   private val QUERY_MOD = 53 // ~2% of vec_ids serve as the query set
+  private val CENTROID_MOD = 101 // ~1% of vectors play IVF coarse centroids
   private val TOPK = 10
   // the synthetic vectors have no planted duplicates (max within-label
   // cosine ≈ 0.47 at sf0.01) — 0.35 surfaces the genuinely correlated tail
@@ -109,6 +110,82 @@ object Similarity {
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
             round(cos, 4).as("cosine"))
           .orderBy(col("vec_a"), col("vec_b"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q36: IVF-style ANN — the 100 TB scale path for q20. A deterministic
+    // coarse codebook (every vec_id ≡ 0 mod 101 plays "trained centroid"),
+    // each vector assigned to its nearest centroid cell (argmax cosine,
+    // broadcast centroids — the corpus never shuffles for assignment),
+    // then exact top-k only WITHIN the query's cell. Recall follows the
+    // IVF nprobe=1 trade; both engines run the identical construction so
+    // results compare exactly. Cell-assignment scores are rounded to 6dp
+    // before the argmax tie-break (engine-independent ordering).
+    Q("q36_ann_ivf",
+      oracle = Some(s"""
+        $normedCte,
+        cents AS (
+          SELECT vec_id AS c_id, v AS cv, nrm AS cn
+          FROM n WHERE vec_id % $CENTROID_MOD = 0),
+        assigned AS (
+          SELECT vec_id, c_id FROM (
+            SELECT n.vec_id, c_id,
+                   row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn), 6) DESC,
+                              c_id) AS rn
+            FROM n, cents)
+          WHERE rn = 1),
+        qs AS (
+          SELECT n.vec_id AS q_id, v AS qv, nrm AS qn, a.c_id AS qcell
+          FROM n JOIN assigned a ON n.vec_id = a.vec_id
+          WHERE n.vec_id % $QUERY_MOD = 0),
+        scored AS (
+          SELECT q_id, n.vec_id AS neighbor,
+                 round(list_sum(list_transform(range(1, len(v) + 1),
+                                i -> v[i] * qv[i])) / (nrm * qn), 4) AS cosine
+          FROM n JOIN assigned a ON n.vec_id = a.vec_id
+          JOIN qs ON a.c_id = qs.qcell
+          WHERE n.vec_id <> q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank,
+               neighbor, cosine
+        FROM scored
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""),
+      run = (spark, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val n = normed(spark, dir)
+        val cents = n.filter(col("vec_id") % CENTROID_MOD === 0)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(round(cosine(col("v"), col("cv"), col("nrm"), col("cn")), 6).desc,
+            col("c_id").asc)
+        val assigned = n.crossJoin(broadcast(cents))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
+          .persist(MEMORY_AND_DISK)
+        val qs = assigned.filter(col("vec_id") % QUERY_MOD === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"), col("c_id").as("qcell"))
+        val wRank = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("neighbor").asc)
+        // probe: queries are broadcast per cell; the corpus side stays
+        // partitioned — the join key is the cell id
+        val result = Q.localized(assigned
+          .join(broadcast(qs), col("c_id") === col("qcell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor"),
+            round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4).as("cosine"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= TOPK)
+          .select(col("q_id"), col("rank"), col("neighbor"), col("cosine"))
+          .orderBy(col("q_id"), col("rank")))
+        assigned.unpersist(blocking = false)
+        result
       })
   )
 }

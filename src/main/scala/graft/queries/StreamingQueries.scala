@@ -54,6 +54,48 @@ object StreamingQueries {
               col("n"), col("total_value"))
             .orderBy(col("day"), col("event_type")))
         finally spark.catalog.dropTempView(sink)
+      }),
+
+    // ------------------------------------------------------------------
+    // q38: SLIDING windows (2-day length, 1-day slide) — each event lands
+    // in two overlapping windows; state is bounded by
+    // (windows-in-watermark × event_type). The oracle expands the two
+    // epoch-aligned window starts per event relationally (unnest) and
+    // aggregates — the same semantics Spark's window() generator applies.
+    Q("q38_stream_sliding",
+      oracle = Some("""
+        WITH expanded AS (
+          SELECT unnest([CAST(date_trunc('day', ts) AS TIMESTAMP),
+                         CAST(date_trunc('day', ts) AS TIMESTAMP) - INTERVAL 1 DAY])
+                   AS w_start,
+                 event_type, value
+          FROM events)
+        SELECT epoch_us(w_start) AS w_start_us, event_type,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        FROM expanded
+        GROUP BY w_start, event_type
+        ORDER BY w_start_us, event_type"""),
+      run = (spark, dir) => {
+        val rawSchema = graft.io.Tables.eventsRaw(spark, dir).schema
+        val sink = "stream_sliding_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val stream = graft.io.Tables.withEventTime(
+          spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*"))
+        val agg = stream
+          .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+              .as("total_value"))
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        try Q.localized(
+          spark.table(sink)
+            .select(unix_micros(col("w.start")).as("w_start_us"),
+              col("event_type"), col("n"), col("total_value"))
+            .orderBy(col("w_start_us"), col("event_type")))
+        finally spark.catalog.dropTempView(sink)
       })
   )
 }

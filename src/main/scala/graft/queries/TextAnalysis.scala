@@ -161,6 +161,37 @@ object TextAnalysis {
       }),
 
     // ------------------------------------------------------------------
+    // q37: BPE-ish token counting — a subword-style regex (letter runs |
+    // single digits | single punctuation marks, the GPT-2 pre-tokenizer
+    // shape) counted against whitespace tokens per document. Pure
+    // projection, no shuffle; regexp_extract_all is identical RE2/Java
+    // syntax on both engines. Ratio rounded with the pure-double floor
+    // construction (see q23).
+    Q("q37_bpe_tokens",
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpe,
+                 len(${TextFns.sql.tokens}) AS n_ws
+          FROM documents)
+        SELECT doc_id, n_bpe, n_ws,
+               floor(n_bpe * 1.0 / n_ws * 10000 + 0.5) / 10000 AS bpe_per_ws
+        FROM t WHERE n_ws > 0
+        ORDER BY doc_id"""),
+      run = (spark, dir) => {
+        table(spark, dir, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(lower(col("text")),
+              lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"),
+            size(TextFns.tokens(col("text"))).cast("long").as("n_ws"))
+          .filter(col("n_ws") > 0)
+          .select(col("doc_id"), col("n_bpe"), col("n_ws"),
+            (floor(col("n_bpe") * lit(1.0) / col("n_ws") * 10000 + 0.5) / 10000)
+              .as("bpe_per_ws"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // ------------------------------------------------------------------
     // q30: the 100 TB-safe distinct: HLL sketch, fixed memory, no giant
     // exact-distinct shuffle. No oracle (DuckDB's approx sketch differs);
     // driver records rows-only.

@@ -109,6 +109,97 @@ object WindowQueries {
           .agg(sum(col("is_new")).as("n_sessions"),
             count(lit(1)).as("n_events"))
           .orderBy(col("user_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q33: AS-OF JOIN — for every click, the most recent purchase by the
+    // same user at or before it. Implemented the scale-correct way: tag
+    // and UNION the two event streams, ONE shuffle on user_id, then a
+    // running last_value(ignoreNulls) carries the latest purchase forward
+    // — no range-join explosion, no per-row subquery, and skew is just
+    // AQE on a single exchange. (DuckDB's native ASOF JOIN would leave
+    // tie-order unspecified; the oracle mirrors this same union+window
+    // construction so both engines resolve ties identically: purchases
+    // sort before clicks at equal timestamps, later event_id wins.)
+    Q("q33_asof_join",
+      oracle = Some("""
+        WITH tagged AS (
+          SELECT user_id, epoch_us(ts) AS us, 0 AS kind, event_id,
+                 event_id AS purchase_id
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, epoch_us(ts) AS us, 1 AS kind, event_id,
+                 NULL AS purchase_id
+          FROM events WHERE event_type = 'click'),
+        carried AS (
+          SELECT user_id, us, kind, event_id,
+                 last_value(purchase_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY us, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_id
+          FROM tagged)
+        SELECT event_id AS click_id, user_id,
+               coalesce(purchase_id, -1) AS purchase_id
+        FROM carried WHERE kind = 1
+        ORDER BY click_id"""),
+      run = (spark, dir) => {
+        val events = table(spark, dir, "events")
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            lit(0).as("kind"), col("event_id"),
+            col("event_id").as("purchase_id"))
+        val clicks = events.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            lit(1).as("kind"), col("event_id"),
+            lit(null).cast("long").as("purchase_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us").asc, col("kind").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionByName(clicks)
+          .withColumn("purchase_id",
+            last(col("purchase_id"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id").as("click_id"), col("user_id"),
+            coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+          .orderBy(col("click_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q39: native session_window (30-minute gap) batch aggregation —
+    // Spark's built-in session operator; the oracle derives the same
+    // sessions relationally (lag → gap flag → running session counter →
+    // group), which is also exactly what q14 verifies in aggregate form.
+    Q("q39_session_window",
+      oracle = Some("""
+        WITH ordered AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                        > 1800000000
+                      OR lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                        IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events),
+        sess AS (
+          SELECT user_id, us,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM ordered)
+        SELECT user_id, min(us) AS session_start_us,
+               max(us) + 1800000000 AS session_end_us,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start_us"""),
+      run = (spark, dir) => {
+        table(spark, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            unix_micros(col("session_window.end")).as("session_end_us"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("session_start_us"))
       })
   )
 }
