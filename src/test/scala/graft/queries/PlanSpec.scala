@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+/** Physical-plan assertions: the scale properties the query comments claim
+  * must actually appear in the executed plan — filter pushdown reaching
+  * the parquet scan, column pruning, broadcast joins staying broadcast,
+  * top-k compiling to TakeOrderedAndProject (no global sort), and
+  * map-side partial aggregation before every exchange. */
+class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private def plan(name: String): String = {
+    val df = Registry.queries(name)(spark, sf0001)
+    df.collect() // finalize AQE so the plan carries codegen ids / final joins
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q06: lang predicates are pushed into the parquet scan") {
+    val p = plan("q06_predicates")
+    p should include("PushedFilters")
+    p should include regex "PushedFilters:.*IsNotNull\\(lang\\)"
+    p should include regex "PushedFilters:.*In\\(lang"
+  }
+
+  test("q02: column pruning — scan reads only the two referenced part columns") {
+    val p = plan("q02_topk_brands")
+    p should include regex "ReadSchema: struct<p_brand:string,p_retailprice:"
+  }
+
+  test("q02: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q02_topk_brands")
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("q08/q09: dimension joins are broadcast, no shuffle on the fact side for q08") {
+    plan("q08_join_broadcast") should include("BroadcastHashJoin")
+    val p9 = plan("q09_join_star")
+    "BroadcastHashJoin".r.findAllIn(p9).length should be >= 2
+  }
+
+  test("q10/q11: semi and anti joins plan as such") {
+    plan("q10_join_semi") should include("LeftSemi")
+    plan("q11_join_anti") should include("LeftAnti")
+  }
+
+  test("q01: aggregation is partial (map-side) before the exchange") {
+    val p = plan("q01_share_of_voice")
+    p should include("HashAggregate")
+    "HashAggregate".r.findAllIn(p).length should be >= 2 // partial + final
+  }
+
+  test("q12: window query hash-shuffles exactly once (on the partition key)") {
+    // one data shuffle (hashpartitioning on the window key); the trailing
+    // rangepartitioning exchange is the presentation ORDER BY, not data
+    // flow. Simple mode on the unexecuted plan: the post-AQE formatted
+    // output would list initial+final plans and double-count.
+    val p = Registry.queries("q12_window_top_order")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    p should include regex "hashpartitioning\\(o_custkey"
+    // and the rank-1 filter is pushed map-side ahead of the shuffle
+    p should include("WindowGroupLimit")
+  }
+
+  test("relational suite stays inside whole-stage codegen (no UDF breaks)") {
+    Seq("q01_share_of_voice", "q05_having_min_support", "q06_predicates",
+      "q08_join_broadcast").foreach { q =>
+      val p = plan(q)
+      p should include("codegen id") // formatted mode's codegen-span marker
+      p should not include "BatchEvalPython"
+    }
+  }
+}
