@@ -3,22 +3,25 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float>` embedding columns, as pure
-  * codegen-friendly column expressions (zip_with + aggregate) — no UDFs, no
-  * ml.linalg conversion on the hot path.
+/** Dense-vector math over `array<float>` embedding columns — no UDFs, no
+  * ml.linalg conversion on the hot path, and no higher-order-function
+  * lambdas (those are interpreted per element; the dot product is a native
+  * codegen Expression, see graft.functions.expr.DotProduct).
   *
-  * All math is promoted to double *before* accumulation and folds run in
-  * index order, so results are reproducible and match a DuckDB oracle
-  * computing the same left-to-right sum.
+  * All math is promoted to double *before* accumulation and runs in index
+  * order, so results are reproducible and match a DuckDB oracle computing
+  * the same left-to-right sum.
   */
 object VectorFns {
 
-  /** array<float> → array<double> (float→double promotion is exact). */
-  def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
+  /** array<float> → array<double> (float→double promotion is exact;
+    * Cast is codegen'd, unlike a per-element transform lambda). */
+  def toDoubleArray(c: Column): Column = c.cast("array<double>")
 
-  /** Dot product, left-to-right fold in index order. */
+  /** Dot product, left-to-right accumulation in index order (native
+    * codegen expression — org.apache.spark.sql.graft.DotProduct). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.VectorExprs.dot(a, b)
 
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))

@@ -44,8 +44,12 @@ object MlQueries {
           .setInputCols(features.toArray).setOutputCol("features")
           .transform(df)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // tol stops L-BFGS as soon as the loss plateaus — on this data it
+        // converges in well under the 25-iteration cap, and every saved
+        // iteration is a full pass over the training set
         val lr = new LogisticRegression()
           .setMaxIter(25).setRegParam(0.01).setStandardization(true)
+          .setTol(1e-5)
         val model = lr.fit(assembled)
         // train == eval, like the reference's final jobs (SURVEY §2.9 M5 quirk)
         val auc = new BinaryClassificationEvaluator()

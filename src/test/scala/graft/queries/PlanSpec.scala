@@ -67,6 +67,12 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include("WindowGroupLimit")
   }
 
+  test("q20: similarity scoring uses the native codegen dot product in a codegen span") {
+    val p = plan("q20_ann_cosine")
+    p should include("graft_dot")
+    p should include("codegen id")
+  }
+
   test("relational suite stays inside whole-stage codegen (no UDF breaks)") {
     Seq("q01_share_of_voice", "q05_having_min_support", "q06_predicates",
       "q08_join_broadcast").foreach { q =>
