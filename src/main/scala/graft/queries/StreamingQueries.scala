@@ -8,12 +8,29 @@ import org.apache.spark.sql.functions._
   * windowed aggregate → memory sink) to completion and returns the result
   * table, which makes it oracle-checkable against an equivalent batch SQL.
   *
+  * Streaming state partitioning: stateful streaming pins its shuffle
+  * partitioning at first start (no AQE) and every micro-batch touches
+  * every state store — so the partition count is scoped down around
+  * .start() to match the (small) window×type state cardinality instead of
+  * inheriting the batch-tuned session value. On a cluster this would be
+  * sized to state volume, not to input volume.
+  *
   * Scale: the same plan runs unchanged against a kafka/file stream on a
   * cluster; state is bounded by (window × event_type) cardinality, and the
   * watermark variant (unit-tested in StreamingSpec) bounds it further for
   * append-mode sinks.
   */
 object StreamingQueries {
+
+  /** Run `body` with streaming-sized shuffle partitions, restoring the
+    * session value after (queries run sequentially in Verify/Bench). */
+  private def withStreamPartitions[A](spark: org.apache.spark.sql.SparkSession)(
+      body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try body finally spark.conf.set(key, prev)
+  }
 
   val defs: Seq[Q] = Seq(
 
@@ -42,8 +59,10 @@ object StreamingQueries {
           .agg(count(lit(1)).as("n"),
             round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
               .as("total_value"))
-        val q = agg.writeStream.format("memory").queryName(sink)
-          .outputMode("complete").start()
+        val q = withStreamPartitions(spark) {
+          agg.writeStream.format("memory").queryName(sink)
+            .outputMode("complete").start()
+        }
         try q.processAllAvailable() finally q.stop()
         // materialize the (small, already-aggregated) sink contents and
         // drop the temp view immediately — a UUID-named memory sink left
@@ -87,8 +106,10 @@ object StreamingQueries {
           .agg(count(lit(1)).as("n"),
             round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
               .as("total_value"))
-        val q = agg.writeStream.format("memory").queryName(sink)
-          .outputMode("complete").start()
+        val q = withStreamPartitions(spark) {
+          agg.writeStream.format("memory").queryName(sink)
+            .outputMode("complete").start()
+        }
         try q.processAllAvailable() finally q.stop()
         try Q.localized(
           spark.table(sink)
