@@ -94,6 +94,23 @@ class GdeltGoldenSpec extends AnyFunSuite with Matchers with SparkTestSession {
     (o(0).getAs[String]("theme"), o(0).getAs[Long]("count")) shouldBe ("TAX_FNCACT", 2019L)
   }
 
+  test("theme model reproduces theme_report.md top coefficients") {
+    val scored = GdeltMl.themeModel(core).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // published top-8 FEB (positive) / MAY (negative) themes with strengths;
+    // L-BFGS on a 1000-dim bag gets a looser tolerance than the 6-feature
+    // model, and vocabulary tie order can shuffle sub-top entries — assert
+    // the headline coefficients, which are well separated
+    scored("WB_653_ENTERPRISE_ARCHITECTURE") shouldBe 2.461 +- 0.15
+    scored("TAX_FNCACT_ORGANIZERS") shouldBe 1.995 +- 0.15
+    scored("TAX_FNCACT_BARD") shouldBe 1.711 +- 0.15
+    scored("WB_1226_INDUSTRIAL_CLUSTERS_AND_VALUE_CHAINS") shouldBe -2.115 +- 0.15
+    scored("TAX_FNCACT_AMBASSADOR") shouldBe -1.605 +- 0.15
+    // and the extreme themes rank where the report ranks them
+    val top3 = GdeltMl.themeModel(core).limit(3).collect().map(_.getString(0))
+    top3 should contain("WB_653_ENTERPRISE_ARCHITECTURE")
+  }
+
   test("week classifier reproduces summary_report.md §3: AUC 0.72, coefficient values") {
     val m = GdeltMl.weekClassifier(
       spark.read.parquet("/root/reference/gdelt/data/gdelt_ml_features.parquet"))
