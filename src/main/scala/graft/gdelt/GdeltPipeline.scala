@@ -1,0 +1,49 @@
+package graft.gdelt
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.io.Tables
+
+/** The reference's whole batch flow as ONE runnable job (SURVEY §3):
+  * raw GKG JSON export → core parquet → ml-features parquet → markdown
+  * summary report. Replaces build_datasets.py (pandas ETL) +
+  * transform_pandas_friendly_to_spark_friendly.py (the ns-timestamp fixup
+  * — unnecessary here, we write µs) + the report scripts, distributed end
+  * to end.
+  *
+  * Usage: runMain graft.gdelt.GdeltPipeline <rawJson|rawJsonl> <outDir>
+  */
+object GdeltPipeline {
+
+  /** Raw GKG DataFrame → (core, mlFeatures), both written under outDir. */
+  def run(spark: SparkSession, raw: DataFrame, outDir: String): (DataFrame, DataFrame) = {
+    val core = GdeltEtl.core(raw)
+    Tables.writeParquet(core, s"$outDir/gdelt_core.parquet")
+    val coreBack = spark.read.parquet(s"$outDir/gdelt_core.parquet")
+    val ml = GdeltEtl.mlFeatures(coreBack)
+    Tables.writeParquet(ml, s"$outDir/gdelt_ml_features.parquet")
+    val mlBack = spark.read.parquet(s"$outDir/gdelt_ml_features.parquet")
+    GdeltReport.write(coreBack, mlBack, s"$outDir/summary_report.md")
+    (coreBack, mlBack)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(rawPath, outDir) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NANOS_AS_LONG, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // the reference's export can be a JSON array or JSONL; multiLine
+    // handles both shapes the pandas loader accepted (build_datasets.py:57-69)
+    val raw =
+      if (rawPath.endsWith(".jsonl")) Tables.jsonLines(spark, rawPath)
+      else Tables.multiLineJson(spark, rawPath)
+    run(spark, raw, outDir)
+    spark.stop()
+  }
+}

@@ -67,6 +67,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include("WindowGroupLimit")
   }
 
+  test("q33: as-of join is one union + one hash shuffle — no range-join explosion") {
+    val p = Registry.queries("q33_asof_join")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should include("Union")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+  }
+
   test("q20: similarity scoring uses the native codegen dot product in a codegen span") {
     val p = plan("q20_ann_cosine")
     p should include("graft_dot")
