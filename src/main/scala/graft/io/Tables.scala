@@ -22,11 +22,30 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Tables whose per-row scan-side work is heavy (full-text tokenize /
+    * regex / vector math) and therefore must not serialize on a single
+    * input split. */
+  private val computeHeavy = Set("documents", "embeddings")
+
   /** S1: columnar scan. Filters/projections above this are pushed into the
-    * parquet reader by Catalyst (verify via explain: PushedFilters/ReadSchema). */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    * parquet reader by Catalyst (verify via explain: PushedFilters/ReadSchema).
+    *
+    * Parallelism note: parquet splits at ROW-GROUP granularity, and the
+    * local testdata ships one row group per table — so a bare scan yields
+    * ONE task and everything upstream of the first shuffle runs on one
+    * core. For the compute-heavy text/vector tables we repartition when
+    * (and only when) the scan is under-split relative to the cluster; on a
+    * real lake (many files / many row groups) the condition is false and
+    * no exchange is added. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") events(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet")
+    val cores = spark.sparkContext.defaultParallelism
+    if (computeHeavy(name) && df.rdd.getNumPartitions < cores / 2)
+      df.repartition(cores)
+    else df
+  }
 
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     * reader rejects outright — the same nanosecond corner the reference hit

@@ -62,8 +62,11 @@ object NlpAnalysis {
     val scored = new IDF().setInputCol("features").setOutputCol("tfidf_feat")
       .fit(tf).transform(tf)
 
-    // UD4 get_top_k: top-5 tf-idf indices → vocabulary terms; ties keep
-    // ascending index order, matching Python's stable sort
+    // UD4 get_top_k: top-5 tf-idf terms. The reference tie-breaks by
+    // vocabulary index (Python stable sort), but CountVectorizer's index
+    // order among equal-count terms depends on partition merge order and
+    // is not reproducible even across reference reruns — so ties break on
+    // the term string here, which is partitioning-independent.
     val vocab = scored.sparkSession.sparkContext.broadcast(cvModel.vocabulary)
     val topK = udf { v: Vector =>
       val (indices, values) = v match {
@@ -71,9 +74,10 @@ object NlpAnalysis {
         case dv => (Array.range(0, dv.size), dv.toArray)
       }
       indices.zip(values)
-        .sortBy { case (i, value) => (-value, i) }
+        .map { case (i, value) => (vocab.value(i), value) }
+        .sortBy { case (term, value) => (-value, term) }
         .take(5)
-        .map { case (i, _) => vocab.value(i) }
+        .map(_._1)
     }
     scored.select(col("period"),
       topK(col("tfidf_feat")).as("top_phrases"),

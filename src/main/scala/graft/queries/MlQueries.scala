@@ -101,15 +101,19 @@ object MlQueries {
         // pattern-match instead of an unchecked SparseVector cast: the
         // CountVectorizer→IDF chain happens to preserve sparsity today, but
         // a dense vector must not become a runtime ClassCastException.
+        // Ties break on the TERM STRING, not the vocabulary index:
+        // CountVectorizer's index order among equal-count terms depends on
+        // partition merge order and is not deterministic across runs.
         val topK = udf { v: Vector =>
           val (indices, values) = v match {
             case sv: SparseVector => (sv.indices, sv.values)
             case dv => (Array.range(0, dv.size), dv.toArray)
           }
           indices.zip(values)
-            .sortBy { case (i, value) => (-value, i) }
+            .map { case (i, value) => (vocab.value(i), value) }
+            .sortBy { case (term, value) => (-value, term) }
             .take(5)
-            .map { case (i, _) => vocab.value(i) }
+            .map(_._1)
         }
         val result = Q.localized(scored
           .select(col("doc_id"),
