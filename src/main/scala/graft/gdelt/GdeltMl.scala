@@ -41,6 +41,24 @@ object GdeltMl {
       indexerModel.labelsArray.head.toSeq)
   }
 
+  /** M5 variant: the reference's abandoned first-try train/test split
+    * (randomSplit [0.8, 0.2], seed 42 — original_first_try_glue_job.py:53);
+    * the final jobs dropped the split (train ≡ eval, the quirk
+    * weekClassifier reproduces). Returns held-out AUC. */
+  def weekClassifierSplit(features: DataFrame): Double = {
+    val indexed = new StringIndexer()
+      .setInputCol("label_week").setOutputCol("label")
+      .fit(features).transform(features)
+    val assembled = new VectorAssembler()
+      .setInputCols(weekFeatures.toArray).setOutputCol("features")
+      .transform(indexed.na.fill(0, weekFeatures))
+    val Array(train, test) = assembled.randomSplit(Array(0.8, 0.2), seed = 42)
+    val model = new LogisticRegression()
+      .setFeaturesCol("features").setLabelCol("label").fit(train)
+    new BinaryClassificationEvaluator().setLabelCol("label")
+      .evaluate(model.transform(test))
+  }
+
   /** Theme bag-of-words classifier: CountVectorizer(1000, minDF=5) + LR
     * (regParam 0.1); coefficients read back against the CV vocabulary and
     * ranked — positive ⇒ predicts the less-frequent label

@@ -128,4 +128,10 @@ class GdeltGoldenSpec extends AnyFunSuite with Matchers with SparkTestSession {
     // StringIndexer is frequency-ordered: week_may (2413) first
     m.labels shouldBe Seq("week_may", "week_feb")
   }
+
+  test("M5 randomSplit variant: held-out AUC lands near the train==eval figure") {
+    val auc = GdeltMl.weekClassifierSplit(
+      spark.read.parquet("/root/reference/gdelt/data/gdelt_ml_features.parquet"))
+    auc shouldBe 0.72 +- 0.06 // held-out on ~680 rows: wider tolerance
+  }
 }
