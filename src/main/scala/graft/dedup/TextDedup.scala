@@ -1,0 +1,127 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+/** Reusable text-deduplication API over any (id, text) relation — the
+  * library form of the q15/q16/q17 building blocks, for callers that want
+  * "deduplicate this corpus" rather than a benchmark query. All stages are
+  * the scale-shaped plans documented in graft.queries.Dedup: shuffle keys
+  * are hashes, shingles build shuffle-free, Jaccard verification is
+  * candidate-restricted below the aggregation.
+  */
+object TextDedup {
+
+  /** Exact dedup: one survivor per byte-identical text (min id wins —
+    * deterministic, unlike bare dropDuplicates). Returns the surviving
+    * rows of `df`. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df.groupBy(md5(col(textCol)).as("graft_fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("graft_fp")
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Verified near-duplicate pairs (id_a < id_b, jaccard >= threshold):
+    * MinHash r=2-band LSH candidates, co-shingle-count Jaccard verify. */
+  def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, numHashes: Int = 8): DataFrame = {
+    require(numHashes % 2 == 0, "numHashes must be even (r=2 banding)")
+    val toks = graft.functions.TextFns.tokens(col(textCol))
+    val n = greatest(size(toks) - 2, lit(0))
+    val z = arrays_zip(slice(toks, lit(1), n), slice(toks, lit(2), n), slice(toks, lit(3), n))
+    val sh = df.select(col(idCol).as("doc_id"), explode(z).as("g"))
+      .select(col("doc_id"), concat_ws(" ", col("g").getField("0"),
+        col("g").getField("1"), col("g").getField("2")).as("s"))
+      .persist(MEMORY_AND_DISK)
+    val mins = (1 to numHashes).map(k =>
+      min(md5(concat(lit(s"$k|"), col("s")))).as(s"mh$k"))
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    def bandKey(b: Int): Column = md5(concat(col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")))
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((1 to numHashes / 2).map(bandKey): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bk"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").distinct()
+      .persist(MEMORY_AND_DISK)
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = shc.as("x")
+      .join(shc.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .join(cand, Seq("doc_a", "doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val j = col("n_inter").cast("double") /
+      (col("na") + col("nb") - col("n_inter")).cast("double")
+    val result = graft.queries.Q.localized(inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard", j)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")))
+    Seq(sh, cand, shc).foreach(_.unpersist(blocking = false))
+    result
+  }
+
+  /** Collapse near-duplicate pairs into clusters by iterative min-label
+    * propagation (connected components): each doc's label converges to
+    * the min id in its component. The standard Spark CC shape — a few
+    * self-joining label-exchange rounds, each one shuffle; iteration
+    * count is O(log(longest path)), and pair graphs from dedup are
+    * near-cliques, so 2-3 rounds typically converge. Returns
+    * (id, cluster_id). */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist(MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node adopts the min label among itself and its neighbors
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val next = labels.join(fromNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.cluster_id") =!= col("p.cluster_id"))
+        .limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    val out = graft.queries.Q.localized(labels)
+    Seq(edges, labels).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Full fuzzy dedup: drop every doc that shares a near-dup cluster with
+    * a smaller id (exact duplicates collapse too — jaccard 1.0). Returns
+    * the surviving rows of `df`. */
+  def deduplicate(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold)
+    val losers = clusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}
