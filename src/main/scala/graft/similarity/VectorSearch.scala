@@ -1,0 +1,87 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns._
+
+/** Reusable similarity-search API over any (id, embedding) relation — the
+  * library form of the q20/q36 building blocks. Scoring runs through the
+  * native codegen dot product (org.apache.spark.sql.graft.DotProduct);
+  * the corpus never shuffles for scoring — queries (or the centroid
+  * codebook) broadcast instead.
+  */
+object VectorSearch {
+
+  /** Normalize: project (id, vec<double>, norm). */
+  private def normed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"), toDoubleArray(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  /** Exact brute-force cosine top-k: every query scored against the whole
+    * corpus (the recall ceiling; O(|corpus|·|queries|) — use ivfTopK for
+    * large query sets). Returns (q_id, rank, neighbor, cosine). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val n = normed(corpus, idCol, vecCol)
+    val qs = normed(queries, idCol, vecCol)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    n.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        cosine(col("v"), col("qv"), col("nrm"), col("qn")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor"), col("cosine"))
+  }
+
+  /** IVF-style approximate top-k: assign corpus and queries to a
+    * broadcast centroid codebook (nearest-centroid cell), then search
+    * only the query's cell (nprobe=1). `centroids` must be small enough
+    * to broadcast — at scale it is the trained coarse quantizer. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val n = normed(corpus, idCol, vecCol)
+    val cents = normed(centroids, idCol, vecCol)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(round(cosine(col("v"), col("cv"), col("nrm"), col("cn")), 6).desc,
+        col("c_id").asc)
+    val assigned = n.crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
+      .persist(MEMORY_AND_DISK)
+    val qIds = queries.select(col(idCol).as("vec_id"))
+    val qs = assigned.join(qIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("c_id").as("qcell"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    val out = graft.queries.Q.localized(assigned
+      .join(broadcast(qs), col("c_id") === col("qcell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        cosine(col("v"), col("qv"), col("nrm"), col("qn")).as("cosine"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor"), col("cosine")))
+    assigned.unpersist(blocking = false)
+    out
+  }
+
+  /** Convenience: deterministic id-ring codebook for corpora without a
+    * trained quantizer (every id ≡ 0 mod `mod`). */
+  def ringCentroids(corpus: DataFrame, idCol: String, mod: Int): DataFrame =
+    corpus.filter(col(idCol) % mod === 0)
+
+  /** Load-and-search helper over the testdata embeddings table. */
+  def searchTestdata(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val emb = graft.io.Tables.table(spark, sfDir, "embeddings")
+    bruteForceTopK(emb, emb.filter(col("vec_id") % 53 === 0), "vec_id", "embedding", k)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+class VectorSearchSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("bruteForceTopK: k ranked neighbors per query, self excluded, cosine descending") {
+    val queries = emb.filter(col("vec_id") % 53 === 0)
+    val out = VectorSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect()
+    val nQ = queries.count()
+    out.length.toLong shouldBe nQ * 5
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.map(_.getLong(1)).toSeq shouldBe (1L to 5L)
+      sorted.map(_.getDouble(3)).toSeq shouldBe
+        sorted.map(_.getDouble(3)).sortBy(-_).toSeq
+      sorted.foreach(_.getLong(2) should not be q)
+    }
+  }
+
+  test("ivfTopK: rank-1 within the probed cell agrees with brute force when the cell holds it") {
+    val queries = emb.filter(col("vec_id") % 53 === 0)
+    val cents = VectorSearch.ringCentroids(emb, "vec_id", 101)
+    val ivf = VectorSearch.ivfTopK(emb, queries, cents, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bf = VectorSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // nprobe=1 recall: a decent share of rank-1 neighbors must match the
+    // exact answer (cells are coarse at this corpus size)
+    val qIds = ivf.keys.map(_._1).toSet
+    val hit = qIds.count(q => ivf.get(q -> 1L) == bf.get(q -> 1L))
+    hit.toDouble / qIds.size should be >= 0.3
+    // every ivf neighbor must at least be a real corpus vector ≠ query
+    ivf.foreach { case ((q, _), n) => n should not be q }
+  }
+
+  test("searchTestdata wires the table reader to the search") {
+    VectorSearch.searchTestdata(spark, sf0001, 3)
+      .groupBy("q_id").count().collect().foreach(_.getLong(1) shouldBe 3L)
+  }
+}
