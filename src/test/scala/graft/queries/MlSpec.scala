@@ -35,6 +35,22 @@ class MlSpec extends AnyFunSuite with Matchers with SparkTestSession {
       b.map(r => (r.getLong(0), r.getString(1))).toSeq
   }
 
+  test("q34 scale path: approx_percentile tracks the exact percentiles") {
+    import org.apache.spark.sql.functions._
+    // approx_percentile returns an actual data value (no interpolation),
+    // so at sf0.001 group sizes (~300 rows) the step between adjacent
+    // values — not sketch error — dominates the difference; 3% covers it,
+    // and the bound tightens as groups grow (sketch accuracy is rank-based)
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val rows = orders.groupBy(col("o_orderpriority"))
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("exact"),
+        approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)).as("approx"))
+      .collect()
+    rows.foreach { r =>
+      math.abs(r.getDouble(1) - r.getDouble(2)) should be <= r.getDouble(1) * 0.03
+    }
+  }
+
   test("q30: HLL estimate within 5% of the exact distinct count") {
     import org.apache.spark.sql.functions._
     val approx = Registry.queries("q30_approx_distinct")(spark, sf0001)
