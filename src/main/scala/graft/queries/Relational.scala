@@ -358,6 +358,53 @@ object Relational {
       }),
 
     // ------------------------------------------------------------------
+    // q40: INTERSECT / EXCEPT set ops (engine-added — SURVEY §2.6 notes
+    // the reference has none): customers active in BOTH 'F' and 'O'
+    // orders minus those with any 'P' order. Catalyst plans both as
+    // semi/anti joins over distinct keys, so only key columns shuffle.
+    Q("q40_set_ops",
+      oracle = Some("""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        ORDER BY custkey"""),
+      run = (spark, dir) => {
+        val orders = table(spark, dir, "orders")
+        def keys(status: String): DataFrame =
+          orders.filter(col("o_orderstatus") === status)
+            .select(col("o_custkey").as("custkey"))
+        keys("F").intersect(keys("O")).except(keys("P"))
+          .orderBy(col("custkey"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q41: correlated scalar subquery — customers above their nation's
+    // average balance. Catalyst decorrelates to an aggregate + join
+    // (visible in the plan: no per-row subquery execution); the nation
+    // averages are a tiny broadcast side.
+    Q("q41_correlated_subquery",
+      oracle = Some("""
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+                           WHERE i.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey"""),
+      run = (spark, dir) => {
+        val customer = table(spark, dir, "customer")
+        // same decorrelated shape, expressed directly: per-nation avg then
+        // a broadcast join back — identical semantics and the plan Catalyst
+        // would rewrite the subquery into
+        val navg = customer.groupBy(col("c_nationkey"))
+          .agg(avg(col("c_acctbal")).as("nation_avg"))
+        customer.join(broadcast(navg), Seq("c_nationkey"))
+          .filter(col("c_acctbal") > col("nation_avg"))
+          .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+          .orderBy(col("c_custkey"))
+      }),
+
+    // ------------------------------------------------------------------
     // q10: left-semi join (EXISTS). Semi joins ship only the key column of
     // the probe side and stop at first match — cheaper than inner+distinct.
     Q("q10_join_semi",
