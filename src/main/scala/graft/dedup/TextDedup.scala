@@ -61,12 +61,18 @@ object TextDedup {
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     val j = col("n_inter").cast("double") /
       (col("na") + col("nb") - col("n_inter")).cast("double")
-    val result = graft.queries.Q.localized(inter
+    // materialize DISTRIBUTED (persist + count), never collect: at corpus
+    // scale the verified pair set can itself be huge. The caller owns the
+    // returned cached table (unpersist when done); upstream intermediates
+    // are dropped here.
+    val result = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard", j)
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .persist(MEMORY_AND_DISK)
+    result.count()
     Seq(sh, cand, shc).foreach(_.unpersist(blocking = false))
     result
   }
@@ -108,9 +114,10 @@ object TextDedup {
       converged = changed == 0
       i += 1
     }
-    val out = graft.queries.Q.localized(labels)
-    Seq(edges, labels).foreach(_.unpersist(blocking = false))
-    out
+    // labels stay a distributed cached table (one row per doc in any pair
+    // — potentially huge at scale); caller unpersists when done
+    edges.unpersist(blocking = false)
+    labels
   }
 
   /** Full fuzzy dedup: drop every doc that shares a near-dup cluster with
@@ -119,9 +126,12 @@ object TextDedup {
   def deduplicate(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5): DataFrame = {
     val pairs = nearDuplicatePairs(df, idCol, textCol, threshold)
-    val losers = clusters(pairs)
-      .filter(col("id") =!= col("cluster_id"))
+    val cl = clusters(pairs)
+    val losers = cl.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+    val out = df.join(losers, Seq(idCol), "left_anti").persist(MEMORY_AND_DISK)
+    out.count()
+    Seq(pairs, cl).foreach(_.unpersist(blocking = false))
+    out
   }
 }

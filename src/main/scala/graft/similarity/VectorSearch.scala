@@ -62,14 +62,19 @@ object VectorSearch {
         col("nrm").as("qn"), col("c_id").as("qcell"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("neighbor").asc)
-    val out = graft.queries.Q.localized(assigned
+    // distributed materialization (persist + count), not a driver collect:
+    // queries×k rows can be large when the query set is; the caller owns
+    // the returned cached table
+    val out = assigned
       .join(broadcast(qs), col("c_id") === col("qcell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor"),
         cosine(col("v"), col("qv"), col("nrm"), col("qn")).as("cosine"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("neighbor"), col("cosine")))
+      .select(col("q_id"), col("rank"), col("neighbor"), col("cosine"))
+      .persist(MEMORY_AND_DISK)
+    out.count()
     assigned.unpersist(blocking = false)
     out
   }
