@@ -29,12 +29,17 @@ object TopKAgg {
 
     private def trim(xs: Seq[Entry]): Buf = Buf(xs.sorted(ord).take(k))
 
-    override def reduce(buf: Buf, row: ScoredRow): Buf =
-      trim(Entry(row.score, row.payload) +: buf.entries)
+    // amortized trimming: sort only when the buffer doubles past k, so a
+    // hot group costs O(log k) per row amortized instead of a full sort
+    // per row; the buffer stays bounded at 2k
+    override def reduce(buf: Buf, row: ScoredRow): Buf = {
+      val es = Entry(row.score, row.payload) +: buf.entries
+      if (es.length > 2 * k) trim(es) else Buf(es)
+    }
 
     override def merge(a: Buf, b: Buf): Buf = trim(a.entries ++ b.entries)
 
-    override def finish(buf: Buf): Seq[Entry] = buf.entries.sorted(ord)
+    override def finish(buf: Buf): Seq[Entry] = buf.entries.sorted(ord).take(k)
 
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
 

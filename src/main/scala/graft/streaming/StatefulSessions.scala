@@ -34,7 +34,11 @@ object StatefulSessions {
       val us = e.ts.getTime * 1000
       open match {
         case Some(s) if us - s.lastUs <= GapUs =>
-          open = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
+          // min/max rather than overwrite: a late-but-within-watermark
+          // event older than lastUs must extend the session backward, not
+          // rewind its end
+          open = Some(OpenSession(math.min(s.startUs, us),
+            math.max(s.lastUs, us), s.nEvents + 1))
         case Some(s) =>
           closed += Session(userId, s.startUs, s.lastUs + GapUs, s.nEvents)
           open = Some(OpenSession(us, us, 1))

@@ -33,12 +33,13 @@ class TopKAggSpec extends AnyFunSuite with Matchers with SparkTestSession {
     agg.foreach { case (k, es) => es shouldBe expected(k) }
   }
 
-  test("buffer never exceeds k during reduce/merge and ties break on payload") {
+  test("buffer never exceeds 2k during reduce/merge and ties break on payload") {
     val a = new TopK(2)
     var buf = a.zero
     Seq(ScoredRow("g", 1.0, "b"), ScoredRow("g", 1.0, "a"),
-      ScoredRow("g", 5.0, "z"), ScoredRow("g", 0.5, "y"))
-      .foreach { r => buf = a.reduce(buf, r); buf.entries.length should be <= 2 }
+      ScoredRow("g", 5.0, "z"), ScoredRow("g", 0.5, "y"),
+      ScoredRow("g", 0.4, "x"), ScoredRow("g", 0.3, "w"))
+      .foreach { r => buf = a.reduce(buf, r); buf.entries.length should be <= 4 }
     val merged = a.merge(buf, Buf(Seq(Entry(1.0, "a"), Entry(9.0, "w"))))
     merged.entries.length shouldBe 2
     a.finish(merged) shouldBe Seq(Entry(9.0, "w"), Entry(5.0, "z"))
