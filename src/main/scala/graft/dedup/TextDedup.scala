@@ -61,18 +61,19 @@ object TextDedup {
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     val j = col("n_inter").cast("double") /
       (col("na") + col("nb") - col("n_inter")).cast("double")
-    // materialize DISTRIBUTED (persist + count), never collect: at corpus
-    // scale the verified pair set can itself be huge. The caller owns the
-    // returned cached table (unpersist when done); upstream intermediates
-    // are dropped here.
+    // localCheckpoint: materializes DISTRIBUTED (never a driver collect —
+    // at corpus scale the verified pair set is itself huge) AND truncates
+    // lineage —
+    // self-join DAGs nest the upstream plan many times over, so without
+    // the cut a re-dedup of a dedup output blows the plan tree up
+    // exponentially (at production scale prefer reliable checkpoint(dir))
     val result = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard", j)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .persist(MEMORY_AND_DISK)
-    result.count()
+      .localCheckpoint(true)
     Seq(sh, cand, shc).foreach(_.unpersist(blocking = false))
     result
   }
@@ -114,10 +115,11 @@ object TextDedup {
       converged = changed == 0
       i += 1
     }
-    // labels stay a distributed cached table (one row per doc in any pair
-    // — potentially huge at scale); caller unpersists when done
-    edges.unpersist(blocking = false)
-    labels
+    // distributed + lineage-cut result (one row per doc in any pair —
+    // potentially huge at scale, never collected)
+    val out = labels.localCheckpoint(true)
+    Seq(edges, labels).foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Full fuzzy dedup: drop every doc that shares a near-dup cluster with
@@ -129,8 +131,7 @@ object TextDedup {
     val cl = clusters(pairs)
     val losers = cl.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
-    val out = df.join(losers, Seq(idCol), "left_anti").persist(MEMORY_AND_DISK)
-    out.count()
+    val out = df.join(losers, Seq(idCol), "left_anti").localCheckpoint(true)
     Seq(pairs, cl).foreach(_.unpersist(blocking = false))
     out
   }

@@ -62,9 +62,8 @@ object VectorSearch {
         col("nrm").as("qn"), col("c_id").as("qcell"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("neighbor").asc)
-    // distributed materialization (persist + count), not a driver collect:
-    // queries×k rows can be large when the query set is; the caller owns
-    // the returned cached table
+    // distributed materialization with lineage cut (localCheckpoint), not
+    // a driver collect: queries×k rows can be large when the query set is
     val out = assigned
       .join(broadcast(qs), col("c_id") === col("qcell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -73,8 +72,7 @@ object VectorSearch {
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("neighbor"), col("cosine"))
-      .persist(MEMORY_AND_DISK)
-    out.count()
+      .localCheckpoint(true)
     assigned.unpersist(blocking = false)
     out
   }
