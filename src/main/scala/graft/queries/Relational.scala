@@ -405,6 +405,55 @@ object Relational {
       }),
 
     // ------------------------------------------------------------------
+    // q42: array aggregation — per-priority sorted distinct status list +
+    // bounded sample of order keys. collect_set is fine HERE because the
+    // per-group domain is tiny and bounded; the slice caps the per-group
+    // payload (an unbounded collect_list is the anti-pattern at scale).
+    Q("q42_collect_agg",
+      oracle = Some("""
+        SELECT o_orderpriority,
+               list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+               list_sort(list(o_orderkey))[1:5] AS first_keys
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      run = (spark, dir) => {
+        table(spark, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+            slice(sort_array(collect_list(col("o_orderkey"))), 1, 5).as("first_keys"))
+          .orderBy(col("o_orderpriority"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q43: date/time function suite over order dates — truncation,
+    // extraction, arithmetic, all epoch-anchored so both engines agree.
+    Q("q43_datetime_funcs",
+      oracle = Some("""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+               CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+               count(*) AS n,
+               CAST(max(date_diff('day', DATE '1995-01-01', o_orderdate)) AS BIGINT)
+                 AS max_days_since_95
+        FROM orders
+        GROUP BY 1, 2, 3
+        ORDER BY month"""),
+      run = (spark, dir) => {
+        table(spark, dir, "orders")
+          .select(to_date(col("o_orderdate")).as("d"))
+          .groupBy(
+            date_trunc("month", col("d")).cast("date").as("month"),
+            year(col("d")).cast("long").as("y"),
+            quarter(col("d")).cast("long").as("q"))
+          .agg(count(lit(1)).as("n"),
+            max(datediff(col("d"), lit("1995-01-01").cast("date"))).cast("long")
+              .as("max_days_since_95"))
+          .orderBy(col("month"))
+      }),
+
+    // ------------------------------------------------------------------
     // q10: left-semi join (EXISTS). Semi joins ship only the key column of
     // the probe side and stop at first match — cheaper than inner+distinct.
     Q("q10_join_semi",
