@@ -28,6 +28,17 @@ object TextAnalysis {
   private def markerCountSql(words: Seq[String]): String =
     s"len(list_filter(tk, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** q46 oracle prefix: exploded distinct 3-shingles (raw strings; the
+    * Spark side compares md5(shingle) keys — membership is identical). */
+  private val q46ShinglesCte: String =
+    s"""WITH toks AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
+        shl AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+          FROM toks WHERE len(tk) >= 3),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shl)"""
+
   val defs: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -189,6 +200,77 @@ object TextAnalysis {
             (floor(col("n_bpe") * lit(1.0) / col("n_ws") * 10000 + 0.5) / 10000)
               .as("bpe_per_ws"))
           .orderBy(col("doc_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q45: PII-style redaction — emails and URLs replaced with placeholder
+    // tokens, with per-doc hit counts. Pure regexp projection (no
+    // shuffle); the regexes are RE2/Java-compatible so both engines
+    // transform identically. A core training-data sanitization pass.
+    Q("q45_redact",
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+               md5(regexp_replace(regexp_replace(text,
+                     'https?://[^\s]+', '<URL>', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'))
+                 AS redacted_fp
+        FROM documents
+        ORDER BY doc_id"""),
+      run = (spark, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val urlRe = "https?://[^\\s]+"
+        table(spark, dir, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("text"), lit(urlRe), lit(0)))
+              .cast("long").as("n_urls"),
+            md5(regexp_replace(regexp_replace(col("text"), urlRe, "<URL>"),
+              emailRe, "<EMAIL>")).as("redacted_fp"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q46: benchmark decontamination — flag documents sharing any 3-token
+    // shingle with an "evaluation set" (deterministic stand-in: docs with
+    // id < 10). The semi-join runs on md5(shingle) keys, so at 100 TB the
+    // probe shuffles 32-byte hashes and the (small) eval shingle set
+    // broadcasts; a bloom filter over eval hashes is the same plan one
+    // step cheaper. The flagged/clean split is what a training pipeline
+    // must drop before training.
+    Q("q46_decontaminate",
+      oracle = Some(s"""
+        $q46ShinglesCte,
+        eval_sh AS (
+          SELECT DISTINCT s FROM ex WHERE doc_id < 10),
+        flagged AS (
+          SELECT DISTINCT doc_id FROM ex
+          WHERE doc_id >= 10 AND s IN (SELECT s FROM eval_sh))
+        SELECT (SELECT count(*) FROM flagged) AS n_contaminated,
+               (SELECT count(*) FROM documents WHERE doc_id >= 10) -
+                 (SELECT count(*) FROM flagged) AS n_clean"""),
+      run = (spark, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        val n = greatest(size(toks) - 2, lit(0))
+        val z = arrays_zip(slice(toks, lit(1), n), slice(toks, lit(2), n),
+          slice(toks, lit(3), n))
+        val sh = table(spark, dir, "documents")
+          .select(col("doc_id"), explode(z).as("g"))
+          .select(col("doc_id"), md5(concat_ws(" ", col("g").getField("0"),
+            col("g").getField("1"), col("g").getField("2"))).as("h"))
+        val evalSh = sh.filter(col("doc_id") < 10).select(col("h")).distinct()
+        val flagged = sh.filter(col("doc_id") >= 10)
+          .join(broadcast(evalSh), Seq("h"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val nDocs = table(spark, dir, "documents")
+          .filter(col("doc_id") >= 10)
+          .agg(count(lit(1)).as("n_total"))
+        flagged.agg(count(lit(1)).as("n_contaminated"))
+          .crossJoin(nDocs)
+          .select(col("n_contaminated"),
+            (col("n_total") - col("n_contaminated")).as("n_clean"))
       }),
 
     // ------------------------------------------------------------------

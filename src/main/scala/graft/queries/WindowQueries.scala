@@ -112,6 +112,36 @@ object WindowQueries {
       }),
 
     // ------------------------------------------------------------------
+    // q44: distribution window functions — ntile quartiles, percent_rank,
+    // cume_dist over each customer's order history, plus first/last frame
+    // values. Same single-shuffle shape as q12; every order key includes
+    // the unique o_orderkey tie-break so both engines rank identically.
+    Q("q44_window_distribution",
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               round(percent_rank() OVER w, 4) AS pct_rank,
+               round(cume_dist() OVER w, 4) AS cume,
+               first_value(o_orderkey) OVER w AS cheapest_key,
+               round(o_totalprice - first_value(o_totalprice) OVER w, 2) AS above_min
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_orderkey"""),
+      run = (spark, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        table(spark, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 4).as("pct_rank"),
+            round(cume_dist().over(w), 4).as("cume"),
+            first(col("o_orderkey")).over(w).as("cheapest_key"),
+            round(col("o_totalprice") - first(col("o_totalprice")).over(w), 2)
+              .as("above_min"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      }),
+
+    // ------------------------------------------------------------------
     // q33: AS-OF JOIN — for every click, the most recent purchase by the
     // same user at or before it. Implemented the scale-correct way: tag
     // and UNION the two event streams, ONE shuffle on user_id, then a
