@@ -116,12 +116,15 @@ object WindowQueries {
     // cume_dist over each customer's order history, plus first/last frame
     // values. Same single-shuffle shape as q12; every order key includes
     // the unique o_orderkey tie-break so both engines rank identically.
+    // percent_rank/cume_dist are k/(n-1)-style rationals that can land on
+    // exact .00005 boundaries, so they use the pure-double floor rounding
+    // (see q23 note) instead of round().
     Q("q44_window_distribution",
       oracle = Some("""
         SELECT o_custkey, o_orderkey,
                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-               round(percent_rank() OVER w, 4) AS pct_rank,
-               round(cume_dist() OVER w, 4) AS cume,
+               floor((percent_rank() OVER w) * 10000 + 0.5) / 10000 AS pct_rank,
+               floor((cume_dist() OVER w) * 10000 + 0.5) / 10000 AS cume,
                first_value(o_orderkey) OVER w AS cheapest_key,
                round(o_totalprice - first_value(o_totalprice) OVER w, 2) AS above_min
         FROM orders
@@ -133,8 +136,8 @@ object WindowQueries {
         table(spark, dir, "orders")
           .select(col("o_custkey"), col("o_orderkey"),
             ntile(4).over(w).cast("long").as("quartile"),
-            round(percent_rank().over(w), 4).as("pct_rank"),
-            round(cume_dist().over(w), 4).as("cume"),
+            (floor(percent_rank().over(w) * 10000 + 0.5) / 10000).as("pct_rank"),
+            (floor(cume_dist().over(w) * 10000 + 0.5) / 10000).as("cume"),
             first(col("o_orderkey")).over(w).as("cheapest_key"),
             round(col("o_totalprice") - first(col("o_totalprice")).over(w), 2)
               .as("above_min"))
