@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, IDF, NGram, StopWordsRemover, Tokenizer, VectorAssembler}
 import org.apache.spark.ml.linalg.{SparseVector, Vector}
 import org.apache.spark.sql.Row
@@ -51,10 +50,18 @@ object MlQueries {
           .setMaxIter(25).setRegParam(0.01).setStandardization(true)
           .setTol(1e-5)
         val model = lr.fit(assembled)
-        // train == eval, like the reference's final jobs (SURVEY §2.9 M5 quirk)
-        val auc = new BinaryClassificationEvaluator()
-          .setRawPredictionCol("rawPrediction")
-          .evaluate(model.transform(assembled))
+        // train == eval, like the reference's final jobs (SURVEY §2.9 M5
+        // quirk). AUC via the sort-free binned integrator (one hash agg;
+        // BinaryClassificationEvaluator's global sortByKey is the 100 TB
+        // bottleneck and it bins to ~1000 points afterwards anyway) — the
+        // exact evaluator remains the reference-parity path in GdeltMl,
+        // and BinnedAucSpec pins the two within 0.002.
+        val auc = graft.ml.BinnedAuc.auc(
+          model.transform(assembled)
+            .select(col("label"),
+              org.apache.spark.ml.functions.vector_to_array(col("probability"))
+                .getItem(1).as("p1")),
+          "p1", "label")
         assembled.unpersist(blocking = false)
         val rows = features.zip(model.coefficients.toArray).map {
           case (f, c) => Row(f, math.rint(c * 1e6) / 1e6)
