@@ -41,22 +41,38 @@ object GdeltMl {
       indexerModel.labelsArray.head.toSeq)
   }
 
-  /** M5 variant: the reference's abandoned first-try train/test split
-    * (randomSplit [0.8, 0.2], seed 42 — original_first_try_glue_job.py:53);
-    * the final jobs dropped the split (train ≡ eval, the quirk
-    * weekClassifier reproduces). Returns held-out AUC. */
-  def weekClassifierSplit(features: DataFrame): Double = {
+  /** The reference's abandoned FIRST-TRY job, ported faithfully
+    * (original_first_try_glue_job.py): 13 features (url/token counts +
+    * flags + all 7 V2Tone components), randomSplit [0.8, 0.2] seed 42
+    * (M5), default LR, held-out AUC, and — the M11 shape the final jobs
+    * dropped — label values introspected from the SCHEMA's ml_attr
+    * metadata rather than the fitted indexer model. */
+  final case class FirstTryResult(auc: Double,
+      coefficients: Map[String, Double], positiveLabel: String)
+
+  val firstTryFeatures: Seq[String] =
+    Seq("url_length", "num_themes", "num_orgs",
+      "k_openai", "k_google", "k_anthropic") ++ (1 to 7).map(i => s"v2tone_$i")
+
+  def firstTryClassifier(features: DataFrame): FirstTryResult = {
     val indexed = new StringIndexer()
       .setInputCol("label_week").setOutputCol("label")
       .fit(features).transform(features)
     val assembled = new VectorAssembler()
-      .setInputCols(weekFeatures.toArray).setOutputCol("features")
-      .transform(indexed.na.fill(0, weekFeatures))
+      .setInputCols(firstTryFeatures.toArray).setOutputCol("features")
+      .transform(indexed.na.fill(0, firstTryFeatures))
     val Array(train, test) = assembled.randomSplit(Array(0.8, 0.2), seed = 42)
     val model = new LogisticRegression()
       .setFeaturesCol("features").setLabelCol("label").fit(train)
-    new BinaryClassificationEvaluator().setLabelCol("label")
+    val auc = new BinaryClassificationEvaluator().setLabelCol("label")
       .evaluate(model.transform(test))
+    // M11: schema-metadata introspection, the literal port of
+    // df.schema["label"].metadata["ml_attr"]["vals"][1]
+    val labelVals = indexed.schema("label").metadata
+      .getMetadata("ml_attr").getStringArray("vals")
+    FirstTryResult(auc,
+      firstTryFeatures.zip(model.coefficients.toArray).toMap,
+      labelVals(1))
   }
 
   /** Theme bag-of-words classifier: CountVectorizer(1000, minDF=5) + LR

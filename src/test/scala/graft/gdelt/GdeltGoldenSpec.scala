@@ -129,9 +129,13 @@ class GdeltGoldenSpec extends AnyFunSuite with Matchers with SparkTestSession {
     m.labels shouldBe Seq("week_may", "week_feb")
   }
 
-  test("M5 randomSplit variant: held-out AUC lands near the train==eval figure") {
-    val auc = GdeltMl.weekClassifierSplit(
+  test("first-try job port: 13 features, seed-42 split, schema-metadata labels") {
+    val r = GdeltMl.firstTryClassifier(
       spark.read.parquet("/root/reference/gdelt/data/gdelt_ml_features.parquet"))
-    auc shouldBe 0.72 +- 0.06 // held-out on ~680 rows: wider tolerance
+    r.auc shouldBe 0.72 +- 0.08 // held-out on ~680 rows: wider tolerance
+    r.coefficients.keySet should have size 13
+    // StringIndexer frequency order: week_may(0), week_feb(1) — so the
+    // "positive" label the reference prints is week_feb
+    r.positiveLabel shouldBe "week_feb"
   }
 }
