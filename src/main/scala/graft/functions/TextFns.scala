@@ -59,6 +59,19 @@ object TextFns {
     }.reduce(_ + _)
   }
 
+  /** Stopword-marker vocabularies shared by the language-ID heuristic
+    * (q22, TextQuality.langId) and its oracle twin. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ein"))
+
+  /** English stopword sample used by the quality score (q23,
+    * TextQuality.qualityScore). */
+  val enStopSample: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
   /** DuckDB oracle twins of the above, as SQL fragments. Kept adjacent to
     * the Spark definitions so the two stay in lockstep. */
   object sql {

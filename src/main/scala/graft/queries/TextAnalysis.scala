@@ -13,14 +13,8 @@ import graft.io.Tables.table
   */
 object TextAnalysis {
 
-  private val markers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "in"),
-    "es" -> Seq("el", "la", "de", "que", "los"),
-    "fr" -> Seq("le", "les", "des", "et", "une"),
-    "de" -> Seq("der", "die", "und", "das", "ein"))
-
-  private val enStop: Seq[String] =
-    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  private val markers: Seq[(String, Seq[String])] = TextFns.langMarkers
+  private val enStop: Seq[String] = TextFns.enStopSample
 
   private def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
