@@ -18,18 +18,36 @@ object Bench {
     // best-of-2 per query: the first run pays one-time codegen compilation
     // and is exposed to co-tenant CPU noise; the min is the steady-state
     // figure a warmed cluster would see.
+    // a crashing query must NOT register as a fast successful run — record
+    // failures explicitly and surface them in the JSON + exit code.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable => Left(e.getClass.getSimpleName + ": " + e.getMessage)
+        }
       }
-      name -> math.min(once(), once())
+      (once(), once()) match {
+        case (Right(a), Right(b)) => name -> Right(math.min(a, b))
+        case (Right(a), Left(_))  => name -> Right(a)
+        case (Left(_), Right(b))  => name -> Right(b)
+        case (Left(e), Left(_))   => name -> Left(e)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Left(_))  => "\"" + k + "\":\"failed\""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, Left(e)) => s"$k ($e)" }
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val failedJson = failed.map(f => "\"" + f.replace("\"", "'") + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    if (failed.nonEmpty)
+      System.err.println(s"BENCH FAILURES: ${failed.mkString("; ")}")
     spark.stop()
   }
 }

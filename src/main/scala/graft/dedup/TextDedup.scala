@@ -13,6 +13,11 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   */
 object TextDedup {
 
+  /** Candidate-slice document-frequency bound above which a shingle is
+    * counted via the pair-driven path in [[nearDuplicatePairs]] (see
+    * graft.queries.Dedup.HOT_DF_CAP — same constant, same argument). */
+  private val HOT_DF_CAP = 32
+
   /** Exact dedup: one survivor per byte-identical text (min id wins —
     * deterministic, unlike bare dropDuplicates). Returns the surviving
     * rows of `df`. */
@@ -27,6 +32,25 @@ object TextDedup {
     * MinHash r=2-band LSH candidates, co-shingle-count Jaccard verify. */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, numHashes: Int = 8): DataFrame = {
+    val (result, cached) =
+      nearDuplicatePairsPlan(df, idCol, textCol, threshold, numHashes)
+    // localCheckpoint: materializes DISTRIBUTED (never a driver collect —
+    // at corpus scale the verified pair set is itself huge) AND truncates
+    // lineage — self-join DAGs nest the upstream plan many times over, so
+    // without the cut a re-dedup of a dedup output blows the plan tree up
+    // exponentially (at production scale prefer reliable checkpoint(dir))
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** The un-materialized plan behind [[nearDuplicatePairs]], plus the
+    * intermediates it persisted (caller must unpersist after acting on
+    * the result). Exposed so PlanSpec can assert the physical shape,
+    * which the localCheckpoint in the public API hides. */
+  private[graft] def nearDuplicatePairsPlan(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.5,
+      numHashes: Int = 8): (DataFrame, Seq[DataFrame]) = {
     require(numHashes % 2 == 0, "numHashes must be even (r=2 banding)")
     val toks = graft.functions.TextFns.tokens(col(textCol))
     val n = greatest(size(toks) - 2, lit(0))
@@ -54,28 +78,37 @@ object TextDedup {
     val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").distinct()
       .persist(MEMORY_AND_DISK)
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = shc.as("x")
-      .join(shc.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+    // intersection counting split by candidate-slice df (exact — the two
+    // paths partition the shingle set): cold shingles take the bounded
+    // shingle-driven self-join; hot boilerplate shingles (df > cap, shared
+    // by many CANDIDATES so the semi-join can't remove them) are counted
+    // pair-driven — |pairs| × hot-shingles-per-doc, independent of df.
+    val hotS = shc.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > HOT_DF_CAP)
+      .select(col("s"))
+    val shCold = shc.join(hotS, Seq("s"), "left_anti")
+    val shHot = shc.join(hotS, Seq("s"), "left_semi")
+    val coCold = shCold.as("x")
+      .join(shCold.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .join(cand, Seq("doc_a", "doc_b"))
+    val coHot = cand
+      .join(shHot.as("ha"), col("doc_a") === col("ha.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("ha.s").as("hot_s"))
+      .join(shHot.as("hb"),
+        col("doc_b") === col("hb.doc_id") && col("hot_s") === col("hb.s"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+    val inter = coCold.union(coHot)
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     val j = col("n_inter").cast("double") /
       (col("na") + col("nb") - col("n_inter")).cast("double")
-    // localCheckpoint: materializes DISTRIBUTED (never a driver collect —
-    // at corpus scale the verified pair set is itself huge) AND truncates
-    // lineage —
-    // self-join DAGs nest the upstream plan many times over, so without
-    // the cut a re-dedup of a dedup output blows the plan tree up
-    // exponentially (at production scale prefer reliable checkpoint(dir))
     val result = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard", j)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .localCheckpoint(true)
-    Seq(sh, cand, shc).foreach(_.unpersist(blocking = false))
-    result
+    (result, Seq(sh, cand, shc))
   }
 
   /** Collapse near-duplicate pairs into clusters by iterative min-label
@@ -122,17 +155,23 @@ object TextDedup {
     out
   }
 
-  /** Full fuzzy dedup: drop every doc that shares a near-dup cluster with
-    * a smaller id (exact duplicates collapse too — jaccard 1.0). Returns
-    * the surviving rows of `df`. */
+  /** Full fuzzy dedup: exact dedup first (so byte-identical docs collapse
+    * regardless of length — docs under 3 tokens produce no shingles and
+    * would otherwise never enter LSH), then drop every remaining doc that
+    * shares a near-dup cluster with a smaller id. The exact pass is also
+    * the cheap standard pre-filter: it shrinks the corpus the expensive
+    * LSH stage sees. Returns the surviving rows of `df`. */
   def deduplicate(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5): DataFrame = {
-    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold)
+    val exactKept = exact(df, idCol, textCol)
+      .persist(MEMORY_AND_DISK)
+    val pairs = nearDuplicatePairs(exactKept, idCol, textCol, threshold)
     val cl = clusters(pairs)
     val losers = cl.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
-    val out = df.join(losers, Seq(idCol), "left_anti").localCheckpoint(true)
-    Seq(pairs, cl).foreach(_.unpersist(blocking = false))
+    val out = exactKept.join(losers, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    Seq(pairs, cl, exactKept).foreach(_.unpersist(blocking = false))
     out
   }
 }

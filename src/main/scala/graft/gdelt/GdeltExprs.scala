@@ -66,84 +66,51 @@ object GdeltExprs {
 
   /** F11: registrable domain (tldextract parity). The one genuinely
     * list-driven piece: a label pair like "co.uk" is a public suffix, so
-    * the registrable domain keeps three labels instead of two. The suffix
-    * set below is the standard country-code second-level inventory — a
-    * static subset of the public suffix list (publicsuffix.org), enough
-    * for exact parity on the reference corpus (validated in
-    * GdeltGoldenSpec against all 3,415 published rows). */
-  private val multiPartSuffixes: Set[String] = Set(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk", "plc.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
-    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
-    "co.nz", "net.nz", "org.nz", "govt.nz",
-    "co.za", "org.za", "net.za", "web.za",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.cn", "net.cn", "org.cn", "gov.cn",
-    "com.hk", "org.hk", "net.hk", "edu.hk",
-    "com.sg", "org.sg", "net.sg", "edu.sg",
-    "com.my", "org.my", "net.my", "edu.my",
-    "com.tw", "org.tw", "net.tw",
-    "com.br", "net.br", "org.br",
-    "com.mx", "org.mx", "net.mx",
-    "com.ar", "net.ar", "org.ar",
-    "com.tr", "net.tr", "org.tr", "gen.tr",
-    "com.pk", "net.pk", "org.pk",
-    "com.ph", "net.ph", "org.ph",
-    "com.vn", "net.vn", "org.vn",
-    "com.bd", "net.bd", "org.bd",
-    "com.ng", "net.ng", "org.ng",
-    "com.gh", "org.gh", "net.gh", "edu.gh",
-    "co.ke", "or.ke", "ne.ke",
-    "com.eg", "org.eg", "net.eg",
-    "com.sa", "net.sa", "org.sa",
-    "com.bn", "net.bn", "org.bn",
-    "com.np", "org.np", "net.np",
-    "com.kh", "org.kh", "net.kh",
-    "com.lb", "org.lb", "net.lb",
-    "com.mt", "org.mt", "net.mt",
-    "com.cy", "org.cy", "net.cy",
-    "co.id", "or.id", "web.id", "ac.id", "net.id", "my.id",
-    "co.th", "or.th", "in.th", "ac.th",
-    "co.kr", "or.kr", "ne.kr",
-    "co.il", "org.il", "net.il", "ac.il",
-    "co.ao", "co.bw", "co.cr", "co.zw", "co.zm", "co.tz", "co.ug", "co.ma",
-    "com.ua", "net.ua", "org.ua", "in.ua",
-    "com.pl", "net.pl", "org.pl", "waw.pl",
-    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
-    "com.co", "net.co", "org.co",
-    "com.pe", "net.pe", "org.pe",
-    "com.ec", "com.uy", "com.py", "com.bo", "com.ve", "com.do", "com.gt",
-    "com.sv", "com.hn", "com.ni", "com.pa", "com.pr", "com.jm", "com.tt",
-    "com.fj", "com.pg", "com.sb",
-    "com.mm", "com.la", "com.mo", "com.kw", "com.qa", "com.bh", "com.om",
-    "com.jo", "com.ps", "com.sy", "com.ye", "com.iq", "com.af",
-    "com.et", "com.ly", "com.tn", "com.dz", "com.sd", "com.so", "com.mw",
-    "com.na", "com.mz", "com.zm", "com.cm", "com.ci", "com.sn", "com.ml",
-    "com.bf", "com.ne", "com.tg", "com.bj", "com.ga", "com.cd", "com.cg",
-    "com.mg", "com.mu", "com.sc", "com.cv", "com.gm", "com.sl", "com.lr",
-    "com.gn", "com.mr", "com.dj", "com.km", "com.bi", "com.rw", "com.ss",
-    "com.er", "com.bt", "com.mv", "com.lk", "net.lk", "org.lk", "edu.lk",
-    "gov.lk", "ac.lk",
-    "nic.in", "res.in", "edu.in", "gov.in", "mil.in",
-    "gob.mx", "gob.ar", "gob.pe", "gob.cl", "gob.es", "gob.ec", "gob.ve",
-    "co.ve", "co.at", "or.at", "ac.at", "co.hu", "co.rs", "co.me",
-    "in.rs", "edu.rs", "org.rs",
-    "com.mk", "org.mk", "net.mk", "com.al", "com.ba", "com.hr", "com.si",
-    "com.ge", "com.am", "com.az", "com.kz", "com.uz", "com.kg", "com.tj",
-    "com.tm", "com.mn", "com.by", "com.md", "com.ee", "com.lv", "com.lt",
-    "co.uz", "co.am", "co.cm", "co.gg", "co.je", "co.im",
-    "com.es", "org.es", "nom.es", "com.pt", "edu.pt", "com.gr", "org.gr",
-    "net.gr", "com.ro", "org.ro", "com.bg", "org.bg", "com.mk",
-    "com.ni", "com.na", "idv.tw", "org.tw",
-    "ac.nz", "geek.nz", "gen.nz", "kiwi.nz", "maori.nz", "school.nz",
-    "ac.za", "gov.za", "law.za", "mil.za", "nom.za",
-    "ac.in", "co.ck", "co.ls", "co.mw", "co.mz", "co.na", "co.sz",
-    "co.vi", "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae",
-    "com.kw", "edu.kw", "com.fj")
+    * the registrable domain keeps three labels instead of two.
+    *
+    * Rules load from the checked-in publicsuffix.org-format snapshot
+    * `graft/public_suffix_snapshot.dat` (see its provenance header:
+    * ICANN-section ccSLD inventory, private section excluded to match
+    * tldextract's default — reference build_datasets.py:13-17). Matching
+    * follows the PSL algorithm: exception (`!`) rules prevail, otherwise
+    * the longest matching rule wins, wildcard (`*.`) rules match one
+    * extra label, and the implicit default rule `*` makes any unlisted
+    * TLD its own suffix. Exact per-row parity on the reference's 3,415
+    * published rows is pinned by GdeltGoldenSpec. */
+  private lazy val (exactSuffixes, wildcardSuffixes, exceptionRules)
+      : (Set[String], Set[String], Set[String]) = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.dat")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
+      finally in.close()
+    (lines.filterNot(l => l.startsWith("!") || l.startsWith("*.")).toSet,
+      lines.filter(_.startsWith("*.")).map(_.substring(2)).toSet,
+      lines.filter(_.startsWith("!")).map(_.substring(1)).toSet)
+  }
+
+  /** Number of labels in `labels`' public suffix per the PSL algorithm. */
+  private def publicSuffixLabels(labels: Array[String]): Int = {
+    val n = labels.length
+    var k = n
+    while (k >= 1) { // exception rules prevail over everything
+      if (exceptionRules.contains(labels.takeRight(k).mkString("."))) return k - 1
+      k -= 1
+    }
+    var best = 1 // implicit default rule "*": the TLD itself
+    k = 2
+    while (k <= n) {
+      val cand = labels.takeRight(k).mkString(".")
+      if (exactSuffixes.contains(cand)) best = k
+      if (wildcardSuffixes.contains(labels.takeRight(k - 1).mkString("."))) best = k
+      k += 1
+    }
+    best
+  }
 
   /** udf: host → registrable domain. A UDF (not an expression) because the
-    * suffix check is a set lookup; it runs once per row in ETL, far off the
-    * analytic hot path. */
+    * suffix check is a rule-set lookup; it runs once per row in ETL, far
+    * off the analytic hot path. */
   val registrableDomainUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { url: String =>
       if (url == null) null
@@ -159,10 +126,11 @@ object GdeltExprs {
           .toLowerCase.stripSuffix(".")
         val labels = host.split('.').filter(_.nonEmpty)
         if (labels.length <= 1) host
-        else if (labels.length >= 3 &&
-          multiPartSuffixes.contains(labels.takeRight(2).mkString("."))) {
-          labels.takeRight(3).mkString(".")
-        } else labels.takeRight(2).mkString(".")
+        else {
+          val ps = publicSuffixLabels(labels)
+          if (labels.length <= ps) host
+          else labels.takeRight(ps + 1).mkString(".")
+        }
       }
     }
 

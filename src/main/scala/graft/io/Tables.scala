@@ -42,9 +42,49 @@ object Tables {
       if (name == "events") events(spark, sfDir)
       else spark.read.parquet(s"$sfDir/$name.parquet")
     val cores = spark.sparkContext.defaultParallelism
-    if (computeHeavy(name) && df.rdd.getNumPartitions < cores / 2)
+    if (computeHeavy(name) && underSplit(spark, s"$sfDir/$name.parquet"))
       df.repartition(cores)
     else df
+  }
+
+  /** Memoized under-split decision per path. The estimate reproduces
+    * Spark's own file-split planning (FilePartition.maxSplitBytes: clamp
+    * bytes-per-core between openCostInBytes and maxPartitionBytes, then
+    * pack) from file-system metadata alone — one cheap listStatus per
+    * path per JVM, instead of forcing a plan→RDD conversion on every
+    * read just to probe getNumPartitions. */
+  private val underSplitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def underSplit(spark: SparkSession, path: String): Boolean =
+    underSplitCache.getOrElseUpdate(path, {
+      import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+      val cores = spark.sparkContext.defaultParallelism
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = listDataFiles(fs, hPath)
+      val maxPartitionBytes =
+        byteStringAsBytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+      val openCost =
+        byteStringAsBytes(spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+      val totalBytes = files.map(_.getLen + openCost).sum
+      val bytesPerCore = totalBytes / math.max(1, cores)
+      val maxSplitBytes =
+        math.min(maxPartitionBytes, math.max(openCost, bytesPerCore))
+      val estimatedSplits =
+        math.max(1L, (totalBytes + maxSplitBytes - 1) / math.max(1L, maxSplitBytes))
+      estimatedSplits < cores / 2
+    })
+
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val st = fs.getFileStatus(path)
+    if (st.isFile) Seq(st)
+    else fs.listStatus(path).toSeq.flatMap { s =>
+      if (s.isDirectory) listDataFiles(fs, s.getPath)
+      else if (s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith(".")) Nil
+      else Seq(s)
+    }
   }
 
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
@@ -58,10 +98,12 @@ object Tables {
     * nanosecond-timestamp parquet in the session is read) — so the engine's
     * drivers (Verify/Bench/Profile) and the test harness set it once at
     * SparkSession construction; the set here is a defensive no-op in those
-    * paths and exists only so ad-hoc sessions can call this directly. */
+    * paths and exists only so ad-hoc sessions can call this directly.
+    * (Set unconditionally: nanosAsLong is a registered SQLConf, so
+    * conf.getOption always returns Some(default) — a presence check would
+    * never fire. Runtime set of this conf is permitted.) */
   def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    if (spark.conf.getOption(NANOS_AS_LONG).isEmpty)
-      spark.conf.set(NANOS_AS_LONG, "true")
+    spark.conf.set(NANOS_AS_LONG, "true")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 

@@ -89,13 +89,34 @@ object Dedup {
     (1 to NUM_HASHES).map(k => TextFns.sql.minhashBand("sh", k) + s" AS mh$k")
       .mkString(", ")
 
+  /** Shingles with candidate-slice document frequency above this bound go
+    * through the pair-driven intersection path instead of the df²
+    * shingle-driven self-join (see [[verifiedJaccard]]). Any value works
+    * for correctness (the two paths partition the shingle set and their
+    * counts add); 32 keeps the cold path's per-shingle enumeration ≤ 32·df
+    * while typical corpora put ~all shingles below it. */
+  private val HOT_DF_CAP = 32
+
   /** Jaccard for a given candidate pair set (doc_a < doc_b, distinct) via
     * co-shingle counting. Scale-safe by construction: the shingle relation
     * is semi-joined down to docs appearing in some pair, deduped only on
-    * that small slice, and the enumerated co-shingle rows are filtered
-    * against the pair set BEFORE the count aggregate — so a popular
-    * boilerplate shingle cannot go quadratic. Returns a LOCALIZED result
-    * (pairs are small); the persisted slice is dropped before returning. */
+    * that small slice — and the intersection count is split by
+    * candidate-slice document frequency:
+    *
+    *  - COLD shingles (df ≤ HOT_DF_CAP) use the shingle-driven x⋈y
+    *    self-join, filtered against the pair set before the count
+    *    aggregate; enumeration per shingle is ≤ df² ≤ HOT_DF_CAP·df.
+    *  - HOT shingles (df > HOT_DF_CAP — corpus boilerplate shared by many
+    *    CANDIDATES, which the pre-filter semi-join cannot remove) are
+    *    counted pair-driven: pairs ⋈ hot(doc_a) semi-matched on
+    *    (doc_b, s). Work is |pairs| × hot-shingles-per-doc — linear in
+    *    the pair set, independent of df. A boilerplate line repeated
+    *    across every candidate can no longer blow up the slice.
+    *
+    * The two paths partition the shingle set, so their counts sum to the
+    * exact intersection — output is identical to the naive join.
+    * Returns a LOCALIZED result (pairs are small); the persisted slice is
+    * dropped before returning. */
   private def verifiedJaccard(sh: DataFrame, pairs: DataFrame,
       minJaccard: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -106,11 +127,24 @@ object Dedup {
       .distinct()
       .persist(MEMORY_AND_DISK)
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = shc.as("x")
-      .join(shc.as("y"),
+    val hotS = shc.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > HOT_DF_CAP)
+      .select(col("s"))
+    val shCold = shc.join(hotS, Seq("s"), "left_anti")
+    val shHot = shc.join(hotS, Seq("s"), "left_semi")
+    val coCold = shCold.as("x")
+      .join(shCold.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .join(pairs, Seq("doc_a", "doc_b"))
+    val coHot = pairs
+      .join(shHot.as("ha"), col("doc_a") === col("ha.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("ha.s").as("hot_s"))
+      .join(shHot.as("hb"),
+        col("doc_b") === col("hb.doc_id") && col("hot_s") === col("hb.s"),
+        "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+    val inter = coCold.union(coHot)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     val j = col("n_inter").cast("double") /

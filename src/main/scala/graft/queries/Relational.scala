@@ -409,11 +409,14 @@ object Relational {
     // bounded sample of order keys. collect_set is fine HERE because the
     // per-group domain is tiny and bounded; the slice caps the per-group
     // payload (an unbounded collect_list is the anti-pattern at scale).
+    // The arrays are serialized to comma-joined strings in the RESULT on
+    // both engines: identical semantics, but scalar (hashable/sortable)
+    // output for the cross-engine comparison harness.
     Q("q42_collect_agg",
       oracle = Some("""
         SELECT o_orderpriority,
-               list_sort(list_distinct(list(o_orderstatus))) AS statuses,
-               list_sort(list(o_orderkey))[1:5] AS first_keys
+               array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+               array_to_string(list_sort(list(o_orderkey))[1:5], ',') AS first_keys
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority"""),
@@ -421,8 +424,9 @@ object Relational {
         table(spark, dir, "orders")
           .groupBy(col("o_orderpriority"))
           .agg(
-            sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
-            slice(sort_array(collect_list(col("o_orderkey"))), 1, 5).as("first_keys"))
+            array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+            array_join(slice(sort_array(collect_list(col("o_orderkey"))), 1, 5)
+              .cast("array<string>"), ",").as("first_keys"))
           .orderBy(col("o_orderpriority"))
       }),
 

@@ -117,6 +117,56 @@ object StreamingQueries {
               col("event_type"), col("n"), col("total_value"))
             .orderBy(col("w_start_us"), col("event_type")))
         finally spark.catalog.dropTempView(sink)
+      }),
+
+    // ------------------------------------------------------------------
+    // q49: WATERMARKED APPEND-mode tumbling counts — the production
+    // discipline q27/q38 (complete-mode) don't exercise under the oracle
+    // gate: a 1-hour watermark bounds state, and the sink receives a
+    // window only once, when the watermark passes its end. Mechanics: the
+    // data batch leaves the watermark at 0 (it advances between batches),
+    // then the no-data micro-batch Spark triggers on watermark advance
+    // emits every closed window; processAllAvailable returns after both.
+    // The oracle replays the same rule in batch SQL: watermark =
+    // ms-floored max event time minus 1h (Spark tracks event time in
+    // milliseconds), emitted ⟺ window.end <= watermark (the engine's
+    // eviction predicate is LessThanOrEqual on the window end).
+    Q("q49_stream_watermark_append",
+      oracle = Some("""
+        WITH m AS (
+          SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS wm_us
+          FROM events)
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        FROM events, m
+        WHERE epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY)
+              <= wm_us
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      run = (spark, dir) => {
+        val rawSchema = graft.io.Tables.eventsRaw(spark, dir).schema
+        val sink = "stream_wm_append_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val stream = graft.io.Tables.withEventTime(
+          spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*"))
+        val agg = stream
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+              .as("total_value"))
+        val q = withStreamPartitions(spark) {
+          agg.writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+        }
+        try q.processAllAvailable() finally q.stop()
+        try Q.localized(
+          spark.table(sink)
+            .select(col("w.start").cast("date").as("day"), col("event_type"),
+              col("n"), col("total_value"))
+            .orderBy(col("day"), col("event_type")))
+        finally spark.catalog.dropTempView(sink)
       })
   )
 }

@@ -268,6 +268,76 @@ object TextAnalysis {
       }),
 
     // ------------------------------------------------------------------
+    // q48: bigram TF-IDF top-5 per document in pure relational form — the
+    // oracle-checkable twin of q29's spark.ml pipeline (M6-M10 semantics:
+    // tokens, short-token filter, adjacent bigrams, tf × smoothed idf
+    // ln((N+1)/(df+1)) — spark.ml IDF's formula — and a row_number top-5
+    // with term tie-break). q29 stays as the ml-surface exerciser; this
+    // row puts the TF-IDF math itself under the hash gate.
+    // Scale shape: bigrams build shuffle-free (slice+zip, codegen), tf is
+    // one hash-agg shuffle on (doc, bigram), df reuses tf's output with a
+    // second agg on bigram, and the top-5 window partitions by doc_id —
+    // no global sort anywhere. Determinism: tf·idf products of the same
+    // doubles are bit-identical on both engines; ties break on the bigram
+    // string.
+    Q("q48_tfidf_relational",
+      oracle = Some(s"""
+        WITH tk AS (
+          SELECT doc_id, list_filter(${TextFns.sql.tokens}, t -> length(t) > 2) AS tk
+          FROM documents),
+        big AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                 i -> concat_ws(' ', tk[i], tk[i+1]))) AS bigram
+          FROM tk),
+        tf AS (
+          SELECT doc_id, bigram, count(*) AS tf FROM big GROUP BY 1, 2),
+        dfr AS (
+          SELECT bigram, count(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, bigram,
+                 tf * ln((n_docs + 1.0) / (df + 1.0)) AS tfidf
+          FROM tf JOIN dfr USING (bigram), nd),
+        ranked AS (
+          SELECT doc_id, bigram, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, bigram) AS rank
+          FROM scored)
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, bigram,
+               round(tfidf, 4) AS tfidf
+        FROM ranked WHERE rank <= 5
+        ORDER BY doc_id, rank"""),
+      run = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        val toks = filter(TextFns.tokens(col("text")), t => length(t) > 2)
+        val n2 = greatest(size(col("tk")) - 1, lit(0))
+        val big = docs.select(col("doc_id"), toks.as("tk"))
+          .select(col("doc_id"),
+            explode(arrays_zip(slice(col("tk"), lit(1), n2),
+              slice(col("tk"), lit(2), n2))).as("g"))
+          .select(col("doc_id"),
+            concat_ws(" ", col("g").getField("0"), col("g").getField("1"))
+              .as("bigram"))
+        val tf = big.groupBy(col("doc_id"), col("bigram"))
+          .agg(count(lit(1)).as("tf"))
+        val dfr = tf.groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("bigram").asc)
+        tf.join(dfr, "bigram")
+          .crossJoin(broadcast(nd))
+          .select(col("doc_id"), col("bigram"),
+            (col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+              .as("tfidf"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("doc_id"), col("rank"), col("bigram"),
+            round(col("tfidf"), 4).as("tfidf"))
+          .orderBy(col("doc_id"), col("rank"))
+      }),
+
+    // ------------------------------------------------------------------
     // q30: the 100 TB-safe distinct: HLL sketch, fixed memory, no giant
     // exact-distinct shuffle. No oracle (DuckDB's approx sketch differs);
     // driver records rows-only.

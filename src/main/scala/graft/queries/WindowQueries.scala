@@ -145,6 +145,57 @@ object WindowQueries {
       }),
 
     // ------------------------------------------------------------------
+    // q47: exact ROC-AUC in closed relational form (Mann-Whitney /
+    // rank-sum with tie handling) — the oracle-checkable twin of the
+    // BinnedAuc sketch the ML queries use (BinnedAucSpec pins the two
+    // within tolerance on this same scored frame). Scale shape: aggregate
+    // per distinct score FIRST (one hash-agg shuffle), then the running
+    // negative count runs over score groups only — the window input is
+    // |distinct scores|, not |rows|. Tie handling is the ½·n⁺ₛ·n⁻ₛ term.
+    // Every summand is an integer multiple of 0.5 (exact in double far
+    // past these magnitudes), so partial-agg order cannot perturb the sum
+    // on either engine.
+    Q("q47_auc_ranksum",
+      oracle = Some("""
+        WITH scored AS (
+          SELECT l_discount * 10 - l_tax * 5 + l_quantity / 100.0 AS score,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+          FROM lineitem),
+        g AS (
+          SELECT score,
+                 CAST(sum(y) AS DOUBLE) AS np,
+                 CAST(count(*) - sum(y) AS DOUBLE) AS nn
+          FROM scored GROUP BY score),
+        c AS (
+          SELECT np, nn,
+                 coalesce(sum(nn) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+          FROM g)
+        SELECT round(sum(np * neg_below + 0.5 * np * nn) /
+                     (sum(np) * sum(nn)), 6) AS auc,
+               CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg
+        FROM c"""),
+      run = (spark, dir) => {
+        val scored = table(spark, dir, "lineitem")
+          .select(
+            (col("l_discount") * 10 - col("l_tax") * 5 + col("l_quantity") / 100.0)
+              .as("score"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        val g = scored.groupBy(col("score"))
+          .agg(sum(col("y")).cast("double").as("np"),
+            (count(lit(1)) - sum(col("y"))).cast("double").as("nn"))
+        val w = Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("neg_below", coalesce(sum(col("nn")).over(w), lit(0.0)))
+          .agg(
+            round(sum(col("np") * col("neg_below") + lit(0.5) * col("np") * col("nn")) /
+              (sum(col("np")) * sum(col("nn"))), 6).as("auc"),
+            sum(col("np")).cast("long").as("n_pos"),
+            sum(col("nn")).cast("long").as("n_neg"))
+      }),
+
+    // ------------------------------------------------------------------
     // q33: AS-OF JOIN — for every click, the most recent purchase by the
     // same user at or before it. Implemented the scale-correct way: tag
     // and UNION the two event streams, ONE shuffle on user_id, then a

@@ -44,6 +44,21 @@ object VectorSearch {
     * to broadcast — at scale it is the trained coarse quantizer. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    val (result, cached) = ivfTopKPlan(corpus, queries, centroids, idCol, vecCol, k)
+    // distributed materialization with lineage cut (localCheckpoint), not
+    // a driver collect: queries×k rows can be large when the query set is
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** The un-materialized plan behind [[ivfTopK]], plus the persisted
+    * intermediates (caller unpersists after acting on the result).
+    * Exposed so PlanSpec can assert the broadcast-codebook shape, which
+    * the localCheckpoint in the public API hides. */
+  private[graft] def ivfTopKPlan(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      k: Int): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val n = normed(corpus, idCol, vecCol)
     val cents = normed(centroids, idCol, vecCol)
@@ -56,14 +71,17 @@ object VectorSearch {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
       .persist(MEMORY_AND_DISK)
-    val qIds = queries.select(col(idCol).as("vec_id"))
-    val qs = assigned.join(qIds, Seq("vec_id"), "left_semi")
+    // queries are assigned to cells from their OWN vectors (same
+    // nearest-centroid rule as the corpus) — queries need not be corpus
+    // members, matching bruteForceTopK's contract
+    val qs = normed(queries, idCol, vecCol)
+      .crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("c_id").as("qcell"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("neighbor").asc)
-    // distributed materialization with lineage cut (localCheckpoint), not
-    // a driver collect: queries×k rows can be large when the query set is
     val out = assigned
       .join(broadcast(qs), col("c_id") === col("qcell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -72,9 +90,7 @@ object VectorSearch {
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("neighbor"), col("cosine"))
-      .localCheckpoint(true)
-    assigned.unpersist(blocking = false)
-    out
+    (out, Seq(assigned))
   }
 
   /** Convenience: deterministic id-ring codebook for corpora without a

@@ -60,6 +60,70 @@ class TextDedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
     survivors.length should be < 6
   }
 
+  test("deduplicate: byte-identical SHORT docs (< 3 tokens, no shingles) collapse via the exact pass") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "hello world", // 2 tokens: produces zero 3-shingles
+      2L -> "hello world", // byte-identical — must still be deduplicated
+      3L -> "hi",
+      4L -> "hi",
+      5L -> "something else entirely different here"
+    ).toDF("doc_id", "text")
+    val survivors = TextDedup.deduplicate(docs, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    survivors shouldBe Array(1L, 3L, 5L)
+  }
+
+  test("nearDuplicatePairs: a boilerplate line repeated across 100 docs (df >> hot cap) " +
+    "completes with output identical to an independent naive implementation") {
+    import spark.implicits._
+    // every doc shares the same 10-token boilerplate (8 shared shingles,
+    // candidate-df 100+ — far above the hot cap of 32), plus unique filler;
+    // two planted near-dup pairs on top
+    val boiler = "subscribe to our newsletter for daily updates and breaking news"
+    val docs: Seq[(Long, String)] =
+      (1 to 100).map { i =>
+        i.toLong -> (boiler + s" unique$i alpha$i beta$i gamma$i delta$i " +
+          s"epsilon$i zeta$i eta$i theta$i iota$i")
+      } ++ Seq(
+        200L -> (boiler + " identical planted pair body text goes right here now"),
+        201L -> (boiler + " identical planted pair body text goes right here now"),
+        202L -> (boiler + " nearly identical other planted body text ends with apple"),
+        203L -> (boiler + " nearly identical other planted body text ends with orange"))
+    val result = TextDedup
+      .nearDuplicatePairs(docs.toDF("doc_id", "text"), "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+
+    // independent naive reference: same shingle/minhash/band math in plain
+    // Scala, all-pairs — no LSH-vs-hot-path shortcuts to accidentally share
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shingleSet(text: String): Set[String] =
+      text.split("\\s+").filter(_.nonEmpty).sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sh = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    def bands(s: Set[String]): Seq[String] = {
+      val mh = (1 to 8).map(k => s.map(x => md5hex(s"$k|$x")).min)
+      (1 to 4).map(b => md5hex(mh(2 * b - 2) + mh(2 * b - 1)))
+    }
+    val bandKeys = sh.view.mapValues(bands).toMap
+    val ids = docs.map(_._1).sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if bandKeys(a).zip(bandKeys(b)).exists { case (x, y) => x == y }
+      j = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      if j >= 0.5
+    } yield (a, b, j)).sortBy(p => (p._1, p._2))
+
+    expected.map(p => (p._1, p._2)) should contain allOf ((200L, 201L), (202L, 203L))
+    result.map(p => (p._1, p._2)).toSeq shouldBe expected.map(p => (p._1, p._2))
+    result.zip(expected).foreach { case ((_, _, got), (_, _, want)) =>
+      got shouldBe want +- 1e-12
+    }
+  }
+
   test("deduplicate on the testdata corpus shrinks it and keeps it stable") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val n = docs.count()

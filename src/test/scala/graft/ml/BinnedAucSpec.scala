@@ -43,6 +43,22 @@ class BinnedAucSpec extends AnyFunSuite with Matchers with SparkTestSession {
     binned shouldBe exact +- 0.002
   }
 
+  test("agrees with the exact rank-sum AUC (q47's relational form) on the same scored frame") {
+    // q47 computes exact Mann-Whitney AUC of this fixed linear score over
+    // lineitem; BinnedAuc on a monotone [0,1] rescale of the same score
+    // must land within binning tolerance — transitively validating the
+    // AUC path the ML queries rely on against a DuckDB-verified value.
+    val exact = graft.queries.Registry.queries("q47_auc_ranksum")(spark, sf0001)
+      .collect()(0).getDouble(0)
+    val scored = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(
+        // raw score range is (-0.4, 1.5); monotone rescale preserves AUC
+        (((col("l_discount") * 10 - col("l_tax") * 5 + col("l_quantity") / 100.0)
+          + 0.5) / 2.0).as("score"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"))
+    BinnedAuc.auc(scored, "score", "label") shouldBe exact +- 0.002
+  }
+
   test("degenerate single-class input returns 0.5") {
     import spark.implicits._
     val onlyPos = Seq((1, 0.9), (1, 0.1)).toDF("label", "score")

@@ -82,6 +82,48 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include("codegen id")
   }
 
+  test("dedup verify plan (q17's shape): candidate restriction is a LeftSemi, " +
+    "the hot/cold shingle split is a LeftAnti, and nothing degenerates to a cartesian") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val (planned, cached) = graft.dedup.TextDedup
+      .nearDuplicatePairsPlan(docs, "doc_id", "text", 0.5)
+    try {
+      val p = planned.queryExecution
+        .explainString(ExplainMode.fromString("simple"))
+      p should include("LeftSemi") // shingles restricted to candidate docs
+      p should include("LeftAnti") // cold-shingle side of the df split
+      p should not include "CartesianProduct"
+      p should not include "BroadcastNestedLoopJoin"
+      "HashAggregate".r.findAllIn(p).length should be >= 2 // partial+final minhash
+      // (no numeric exchange pin: persisted branches — sh/cand/shc — are
+      // re-printed at every reuse site in the plan text, so a textual
+      // exchange count multiplies per consumer and does not measure the
+      // executed shuffle count)
+    } finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  test("IVF probe plan (q36's shape): query/codebook sides broadcast — probe is a " +
+    "BroadcastHashJoin on the cell id; the corpus never sort-merge-shuffles for scoring") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.io.Tables.table(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 53 === 0)
+    val cents = graft.similarity.VectorSearch.ringCentroids(emb, "vec_id", 101)
+    val (planned, cached) = graft.similarity.VectorSearch
+      .ivfTopKPlan(emb, queries, cents, "vec_id", "embedding", 10)
+    try {
+      val p = planned.queryExecution
+        .explainString(ExplainMode.fromString("simple"))
+      p should include("BroadcastHashJoin") // cell-probe join
+      p should not include "SortMergeJoin"
+      p should not include "CartesianProduct"
+      // the only hash exchanges are the two window partitionings (cell
+      // assignment by vec_id, ranking by q_id) — vectors themselves move
+      // only inside those, never through a join shuffle
+      p should include regex "hashpartitioning\\(vec_id"
+      p should include regex "hashpartitioning\\(q_id"
+    } finally cached.foreach(_.unpersist(blocking = false))
+  }
+
   test("relational suite stays inside whole-stage codegen (no UDF breaks)") {
     Seq("q01_share_of_voice", "q05_having_min_support", "q06_predicates",
       "q08_join_broadcast").foreach { q =>
