@@ -13,11 +13,6 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   */
 object TextDedup {
 
-  /** Candidate-slice document-frequency bound above which a shingle is
-    * counted via the pair-driven path in [[nearDuplicatePairs]] (see
-    * graft.queries.Dedup.HOT_DF_CAP — same constant, same argument). */
-  private val HOT_DF_CAP = 32
-
   /** Exact dedup: one survivor per byte-identical text (min id wins —
     * deterministic, unlike bare dropDuplicates). Returns the surviving
     * rows of `df`. */
@@ -78,27 +73,17 @@ object TextDedup {
     val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").distinct()
       .persist(MEMORY_AND_DISK)
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // intersection counting split by candidate-slice df (exact — the two
-    // paths partition the shingle set): cold shingles take the bounded
-    // shingle-driven self-join; hot boilerplate shingles (df > cap, shared
-    // by many CANDIDATES so the semi-join can't remove them) are counted
-    // pair-driven — |pairs| × hot-shingles-per-doc, independent of df.
-    val hotS = shc.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > HOT_DF_CAP)
-      .select(col("s"))
-    val shCold = shc.join(hotS, Seq("s"), "left_anti")
-    val shHot = shc.join(hotS, Seq("s"), "left_semi")
-    val coCold = shCold.as("x")
-      .join(shCold.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .join(cand, Seq("doc_a", "doc_b"))
-    val coHot = cand
-      .join(shHot.as("ha"), col("doc_a") === col("ha.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("ha.s").as("hot_s"))
-      .join(shHot.as("hb"),
-        col("doc_b") === col("hb.doc_id") && col("hot_s") === col("hb.s"), "left_semi")
-      .select(col("doc_a"), col("doc_b"))
-    val inter = coCold.union(coHot)
+    // PAIR-DRIVEN intersection count: expand each candidate pair with
+    // doc_a's shingles, semi-match on (doc_b, s). Work is
+    // |pairs| × shingles-per-doc — independent of shingle df, so a
+    // boilerplate shingle shared by every candidate doc contributes one
+    // row per pair instead of df² enumerated self-join rows.
+    val inter = cand
+      .join(shc.as("xa"), col("doc_a") === col("xa.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("xa.s").as("sa"))
+      .join(shc.as("xb"),
+        col("doc_b") === col("xb.doc_id") && col("sa") === col("xb.s"),
+        "left_semi")
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     val j = col("n_inter").cast("double") /
       (col("na") + col("nb") - col("n_inter")).cast("double")

@@ -28,12 +28,12 @@ import graft.io.Tables.table
   *    candidate counts near-linear on corpora with heavy shared
   *    boilerplate (a 1-row band degenerates to "shares any one popular
   *    shingle", which is quadratic);
-  *  - Jaccard verification is a co-shingle COUNT join (shuffle on the
-  *    shingle hash), not an array intersect — no document-sized rows move;
-  *    the shingle relation is first semi-joined down to LSH-candidate docs
-  *    and the enumerated pairs filtered against the candidate set BEFORE
-  *    the count aggregate, so popular boilerplate shingles cannot go
-  *    quadratic;
+  *  - Jaccard verification is a PAIR-DRIVEN co-shingle COUNT (expand each
+  *    candidate pair with one side's shingles, semi-match the other side),
+  *    not an array intersect — no document-sized rows move; the shingle
+  *    relation is first semi-joined down to LSH-candidate docs, and the
+  *    per-pair expansion is |pairs| × shingles-per-doc, independent of
+  *    shingle df — popular boilerplate shingles cannot go quadratic;
   *  - SimHash is 32-bit with two 16-bit half bands; hot buckets are AQE
   *    skew-split at the exchange.
   */
@@ -89,34 +89,18 @@ object Dedup {
     (1 to NUM_HASHES).map(k => TextFns.sql.minhashBand("sh", k) + s" AS mh$k")
       .mkString(", ")
 
-  /** Shingles with candidate-slice document frequency above this bound go
-    * through the pair-driven intersection path instead of the df²
-    * shingle-driven self-join (see [[verifiedJaccard]]). Any value works
-    * for correctness (the two paths partition the shingle set and their
-    * counts add); 32 keeps the cold path's per-shingle enumeration ≤ 32·df
-    * while typical corpora put ~all shingles below it. */
-  private val HOT_DF_CAP = 32
-
   /** Jaccard for a given candidate pair set (doc_a < doc_b, distinct) via
-    * co-shingle counting. Scale-safe by construction: the shingle relation
-    * is semi-joined down to docs appearing in some pair, deduped only on
-    * that small slice — and the intersection count is split by
-    * candidate-slice document frequency:
-    *
-    *  - COLD shingles (df ≤ HOT_DF_CAP) use the shingle-driven x⋈y
-    *    self-join, filtered against the pair set before the count
-    *    aggregate; enumeration per shingle is ≤ df² ≤ HOT_DF_CAP·df.
-    *  - HOT shingles (df > HOT_DF_CAP — corpus boilerplate shared by many
-    *    CANDIDATES, which the pre-filter semi-join cannot remove) are
-    *    counted pair-driven: pairs ⋈ hot(doc_a) semi-matched on
-    *    (doc_b, s). Work is |pairs| × hot-shingles-per-doc — linear in
-    *    the pair set, independent of df. A boilerplate line repeated
-    *    across every candidate can no longer blow up the slice.
-    *
-    * The two paths partition the shingle set, so their counts sum to the
-    * exact intersection — output is identical to the naive join.
-    * Returns a LOCALIZED result (pairs are small); the persisted slice is
-    * dropped before returning. */
+    * PAIR-DRIVEN co-shingle counting. The shingle relation is first
+    * semi-joined down to docs appearing in some pair and deduped on that
+    * small slice; the intersection is then counted by expanding each pair
+    * with doc_a's shingles and semi-matching them against (doc_b, s) —
+    * never by a shingle-keyed self-join. Work is
+    * |pairs| × shingles-per-doc: linear in the candidate pair set and
+    * INDEPENDENT of shingle document frequency, so a boilerplate shingle
+    * shared by every candidate doc (which the candidate-restriction
+    * semi-join cannot remove) contributes one row per pair instead of
+    * df² enumerated rows. Returns a LOCALIZED result (pairs are small);
+    * the persisted slice is dropped before returning. */
   private def verifiedJaccard(sh: DataFrame, pairs: DataFrame,
       minJaccard: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -127,24 +111,12 @@ object Dedup {
       .distinct()
       .persist(MEMORY_AND_DISK)
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val hotS = shc.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > HOT_DF_CAP)
-      .select(col("s"))
-    val shCold = shc.join(hotS, Seq("s"), "left_anti")
-    val shHot = shc.join(hotS, Seq("s"), "left_semi")
-    val coCold = shCold.as("x")
-      .join(shCold.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .join(pairs, Seq("doc_a", "doc_b"))
-    val coHot = pairs
-      .join(shHot.as("ha"), col("doc_a") === col("ha.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("ha.s").as("hot_s"))
-      .join(shHot.as("hb"),
-        col("doc_b") === col("hb.doc_id") && col("hot_s") === col("hb.s"),
+    val inter = pairs
+      .join(shc.as("xa"), col("doc_a") === col("xa.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("xa.s").as("sa"))
+      .join(shc.as("xb"),
+        col("doc_b") === col("xb.doc_id") && col("sa") === col("xb.s"),
         "left_semi")
-      .select(col("doc_a"), col("doc_b"))
-    val inter = coCold.union(coHot)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     val j = col("n_inter").cast("double") /

@@ -74,12 +74,13 @@ class TextDedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
     survivors shouldBe Array(1L, 3L, 5L)
   }
 
-  test("nearDuplicatePairs: a boilerplate line repeated across 100 docs (df >> hot cap) " +
+  test("nearDuplicatePairs: a boilerplate line repeated across 100 docs " +
     "completes with output identical to an independent naive implementation") {
     import spark.implicits._
-    // every doc shares the same 10-token boilerplate (8 shared shingles,
-    // candidate-df 100+ — far above the hot cap of 32), plus unique filler;
-    // two planted near-dup pairs on top
+    // every doc shares the same 10-token boilerplate (8 shared shingles
+    // with candidate-df 100+ — the pair-driven intersection must stay
+    // linear in pairs, not df²), plus unique filler; two planted near-dup
+    // pairs on top
     val boiler = "subscribe to our newsletter for daily updates and breaking news"
     val docs: Seq[(Long, String)] =
       (1 to 100).map { i =>

@@ -82,16 +82,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include("codegen id")
   }
 
-  test("dedup verify plan (q17's shape): candidate restriction is a LeftSemi, " +
-    "the hot/cold shingle split is a LeftAnti, and nothing degenerates to a cartesian") {
+  test("dedup verify plan (q17's shape): candidate restriction and pair-driven " +
+    "intersection are LeftSemi joins; no shingle-keyed self-join, no cartesian") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val (planned, cached) = graft.dedup.TextDedup
       .nearDuplicatePairsPlan(docs, "doc_id", "text", 0.5)
     try {
       val p = planned.queryExecution
         .explainString(ExplainMode.fromString("simple"))
-      p should include("LeftSemi") // shingles restricted to candidate docs
-      p should include("LeftAnti") // cold-shingle side of the df split
+      // two distinct semi joins: shingles→candidate docs, and the
+      // (doc_b, s) match that counts intersections pair-driven
+      "LeftSemi".r.findAllIn(p).length should be >= 2
       p should not include "CartesianProduct"
       p should not include "BroadcastNestedLoopJoin"
       "HashAggregate".r.findAllIn(p).length should be >= 2 // partial+final minhash
