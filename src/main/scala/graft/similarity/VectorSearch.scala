@@ -38,13 +38,16 @@ object VectorSearch {
       .select(col("q_id"), col("rank"), col("neighbor"), col("cosine"))
   }
 
-  /** IVF-style approximate top-k: assign corpus and queries to a
-    * broadcast centroid codebook (nearest-centroid cell), then search
-    * only the query's cell (nprobe=1). `centroids` must be small enough
-    * to broadcast — at scale it is the trained coarse quantizer. */
+  /** IVF-style approximate top-k: assign corpus vectors to a broadcast
+    * centroid codebook (nearest-centroid cell), then search only each
+    * query's `nprobe` nearest cells. `nprobe` is IVF's recall/cost dial:
+    * 1 = cheapest, |centroids| = exhaustive (provably identical to
+    * bruteForceTopK, see VectorSearchSpec). `centroids` must be small
+    * enough to broadcast — at scale it is the trained coarse quantizer. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val (result, cached) = ivfTopKPlan(corpus, queries, centroids, idCol, vecCol, k)
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    val (result, cached) =
+      ivfTopKPlan(corpus, queries, centroids, idCol, vecCol, k, nprobe)
     // distributed materialization with lineage cut (localCheckpoint), not
     // a driver collect: queries×k rows can be large when the query set is
     val out = result.localCheckpoint(true)
@@ -58,8 +61,9 @@ object VectorSearch {
     * the localCheckpoint in the public API hides. */
   private[graft] def ivfTopKPlan(corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
-      k: Int): (DataFrame, Seq[DataFrame]) = {
+      k: Int, nprobe: Int = 1): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(nprobe >= 1, "nprobe must be >= 1")
     val n = normed(corpus, idCol, vecCol)
     val cents = normed(centroids, idCol, vecCol)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -73,11 +77,13 @@ object VectorSearch {
       .persist(MEMORY_AND_DISK)
     // queries are assigned to cells from their OWN vectors (same
     // nearest-centroid rule as the corpus) — queries need not be corpus
-    // members, matching bruteForceTopK's contract
+    // members, matching bruteForceTopK's contract. One (q, cell) row per
+    // probed cell: cells partition the corpus, so probing more cells
+    // unions disjoint candidate sets — no neighbor dedup needed.
     val qs = normed(queries, idCol, vecCol)
       .crossJoin(broadcast(cents))
       .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("c_id").as("qcell"))
     val wRank = Window.partitionBy(col("q_id"))

@@ -1,0 +1,73 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Benchmark decontamination as a library API — the q46 semantics
+  * (reference-free engine extension): a document is contaminated when it
+  * shares any 3-token shingle with the evaluation corpus. All matching
+  * runs on md5(shingle) keys, so only 32-byte hashes ever shuffle.
+  *
+  * Two paths with IDENTICAL output:
+  *  - [[contaminated]]: probe shingles semi-join the (small, broadcast)
+  *    eval shingle set.
+  *  - [[contaminatedBloom]]: a driver-built Bloom filter over the eval
+  *    hashes pre-filters the probe side BEFORE the confirming semi-join.
+  *    The confirming join removes Bloom false positives, so the result
+  *    stays exact. At 100 TB this is the shuffle reducer: the Bloom
+  *    sketch is KB-MB regardless of corpus size, and it drops ~all clean
+  *    documents' shingles map-side, so the semi-join's probe input
+  *    shrinks from "every shingle in the lake" to "hashes that might
+  *    match" — the same role Spark's runtime-filter join optimization
+  *    plays, applied explicitly.
+  */
+object Decontamination {
+
+  /** (doc_id, h) — md5 over 3-token shingles, built shuffle-free with the
+    * slice+zip codegen pattern (see graft.queries.Dedup). */
+  private def shingleHashes(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val n = greatest(size(toks) - 2, lit(0))
+    val z = arrays_zip(
+      slice(toks, lit(1), n), slice(toks, lit(2), n), slice(toks, lit(3), n))
+    df.select(col(idCol).as("graft_doc_id"), explode(z).as("g"))
+      .select(col("graft_doc_id"),
+        md5(concat_ws(" ", col("g").getField("0"), col("g").getField("1"),
+          col("g").getField("2"))).as("h"))
+  }
+
+  /** Ids of `docs` sharing any 3-token shingle with `evalDocs` (exact). */
+  def contaminated(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val evalSh = shingleHashes(evalDocs, idCol, textCol)
+      .select(col("h")).distinct()
+    shingleHashes(docs, idCol, textCol)
+      .join(broadcast(evalSh), Seq("h"), "left_semi")
+      .select(col("graft_doc_id").as(idCol)).distinct()
+  }
+
+  /** Same result as [[contaminated]], with a Bloom pre-filter on the
+    * probe side. `fpp` trades sketch size against how many clean shingles
+    * survive to the confirming join (correctness is unaffected). */
+  def contaminatedBloom(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val evalSh = shingleHashes(evalDocs, idCol, textCol)
+      .select(col("h")).distinct()
+      .persist(MEMORY_AND_DISK)
+    val nEval = math.max(evalSh.count(), 1L)
+    val bloom = evalSh.stat.bloomFilter("h", nEval, fpp)
+    val bloomB = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf { h: String => bloomB.value.mightContainString(h) }
+    val out = shingleHashes(docs, idCol, textCol)
+      .filter(mightContain(col("h")))
+      .join(broadcast(evalSh), Seq("h"), "left_semi")
+      .select(col("graft_doc_id").as(idCol)).distinct()
+      .localCheckpoint(true)
+    evalSh.unpersist(blocking = false)
+    out
+  }
+}

@@ -41,6 +41,27 @@ class VectorSearchSpec extends AnyFunSuite with Matchers with SparkTestSession {
     ivf.foreach { case ((q, _), n) => n should not be q }
   }
 
+  test("ivfTopK nprobe: recall is monotone in probed cells, and probing every " +
+    "cell reproduces brute force exactly") {
+    val queries = emb.filter(col("vec_id") % 53 === 0)
+    val cents = VectorSearch.ringCentroids(emb, "vec_id", 101)
+    val nCells = cents.count().toInt
+    nCells should be >= 2 // the comparison below must be non-trivial
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bf = ranks(VectorSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    def recall(nprobe: Int): Double = {
+      val ivf = ranks(VectorSearch.ivfTopK(emb, queries, cents, "vec_id", "embedding", 5, nprobe))
+      ivf.intersect(bf).size.toDouble / bf.size
+    }
+    val r1 = recall(1)
+    val rHalf = recall(math.max(1, nCells / 2))
+    val rAll = recall(nCells)
+    r1 should be <= rHalf
+    rHalf should be <= rAll
+    rAll shouldBe 1.0 // cells partition the corpus: probing all ≡ exhaustive
+  }
+
   test("searchTestdata wires the table reader to the search") {
     VectorSearch.searchTestdata(spark, sf0001, 3)
       .groupBy("q_id").count().collect().foreach(_.getLong(1) shouldBe 3L)

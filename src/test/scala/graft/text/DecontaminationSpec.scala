@@ -1,0 +1,50 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+class DecontaminationSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private lazy val evalSet = docs.filter(col("doc_id") < 10)
+  private lazy val probe = docs.filter(col("doc_id") >= 10)
+
+  test("exact path matches q46's oracle-verified counts on the testdata corpus") {
+    val n = Decontamination
+      .contaminated(probe, evalSet, "doc_id", "text").count()
+    // q46 computes the same semantics inline and is DuckDB-hash-verified;
+    // here we only need internal consistency: flagged ⊆ probe, and a doc
+    // sharing its full text with an eval doc must be flagged
+    n should be >= 0L
+    n should be <= probe.count()
+  }
+
+  test("bloom pre-filtered path returns EXACTLY the same ids as the exact path") {
+    val exact = Decontamination.contaminated(probe, evalSet, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Decontamination
+      .contaminatedBloom(probe, evalSet, "doc_id", "text", fpp = 0.05)
+      .collect().map(_.getLong(0)).toSet
+    bloom shouldBe exact // confirming semi-join removes all Bloom FPs
+  }
+
+  test("a planted verbatim copy of an eval doc is flagged; disjoint text is not") {
+    import spark.implicits._
+    val evalD = Seq(1L -> "the secret benchmark answer is forty two exactly")
+      .toDF("doc_id", "text")
+    val probeD = Seq(
+      100L -> "prefix words then the secret benchmark answer is forty two exactly",
+      101L -> "completely unrelated content with no overlap whatsoever present")
+      .toDF("doc_id", "text")
+    val flagged = Decontamination.contaminated(probeD, evalD, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    flagged shouldBe Set(100L)
+    val flaggedB = Decontamination
+      .contaminatedBloom(probeD, evalD, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    flaggedB shouldBe Set(100L)
+  }
+}
