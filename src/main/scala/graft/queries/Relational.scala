@@ -431,6 +431,44 @@ object Relational {
       }),
 
     // ------------------------------------------------------------------
+    // q50: grouped top-k through the typed TopKAgg Aggregator (UDAF) —
+    // the bounded-buffer scale replacement for window-rank-then-filter
+    // when k ≪ group size: partial buffers combine map-side, so the
+    // shuffle carries ≤ 2k entries per group per partition instead of
+    // every row. The oracle is the equivalent window-rank SQL; both sides
+    // tie-break on (score DESC, payload-string ASC), which is the
+    // Aggregator's documented deterministic order.
+    Q("q50_topk_agg",
+      oracle = Some("""
+        SELECT o_orderpriority,
+               CAST(row_number() OVER (
+                 PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, CAST(o_orderkey AS VARCHAR)) AS BIGINT)
+                 AS rank,
+               o_totalprice AS price,
+               o_orderkey AS okey
+        FROM orders
+        QUALIFY rank <= 3
+        ORDER BY o_orderpriority, rank"""),
+      run = (spark, dir) => {
+        import spark.implicits._
+        import graft.functions.TopKAgg
+        val ds = table(spark, dir, "orders")
+          .select(col("o_orderpriority").as("key"),
+            col("o_totalprice").as("score"),
+            col("o_orderkey").cast("string").as("payload"))
+          .as[TopKAgg.ScoredRow]
+        ds.groupByKey(_.key).agg(TopKAgg.topK(3))
+          .toDF("o_orderpriority", "entries")
+          .select(col("o_orderpriority"), posexplode(col("entries")))
+          .select(col("o_orderpriority"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.score").as("price"),
+            col("col.payload").cast("long").as("okey"))
+          .orderBy(col("o_orderpriority"), col("rank"))
+      }),
+
+    // ------------------------------------------------------------------
     // q43: date/time function suite over order dates — truncation,
     // extraction, arithmetic, all epoch-anchored so both engines agree.
     Q("q43_datetime_funcs",

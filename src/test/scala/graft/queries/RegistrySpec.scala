@@ -14,9 +14,9 @@ class RegistrySpec extends AnyFunSuite with Matchers {
     all(names) should fullyMatch regex "q\\d{2}_[a-z0-9_]+"
   }
 
-  test("49 queries registered, 46 with oracles") {
-    Registry.all.length shouldBe 49
-    Registry.oracles.size shouldBe 46
+  test("50 queries registered, 47 with oracles") {
+    Registry.all.length shouldBe 50
+    Registry.oracles.size shouldBe 47
     // the three no-oracle queries are exactly the ML/sketch ones
     (Registry.queries.keySet -- Registry.oracles.keySet) shouldBe
       Set("q28_lr_coefficients", "q29_tfidf_bigrams", "q30_approx_distinct")
