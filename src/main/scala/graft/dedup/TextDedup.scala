@@ -14,13 +14,67 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 object TextDedup {
 
   /** Exact dedup: one survivor per byte-identical text (min id wins —
-    * deterministic, unlike bare dropDuplicates). Returns the surviving
-    * rows of `df`. */
+    * deterministic, unlike bare dropDuplicates). NULL-text rows are not
+    * duplicates of each other (no content to compare) and all pass
+    * through. Returns the surviving rows of `df`. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = df.groupBy(md5(col(textCol)).as("graft_fp"))
+    val keep = df.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("graft_fp"))
       .agg(min(col(idCol)).as(idCol))
       .drop("graft_fp")
-    df.join(keep, Seq(idCol), "left_semi")
+    df.filter(col(textCol).isNull)
+      .unionByName(df.join(keep, Seq(idCol), "left_semi"))
+  }
+
+  /** Shared 3-token shingle relation (doc_id, s): lowercase whitespace
+    * tokens, shingles via slice+arrays_zip (shuffle-free, codegen; no
+    * higher-order lambdas, no per-doc window — see graft.queries.Dedup's
+    * header for the measurements). NOT deduplicated: MinHash is
+    * min-over-multiset, and Jaccard dedups only its restricted slice.
+    * Single source of truth for Dedup / TextDedup / Decontamination. */
+  private[graft] def shingleRows(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = graft.functions.TextFns.tokens(col(textCol))
+    val n = greatest(size(toks) - 2, lit(0))
+    val z = arrays_zip(
+      slice(toks, lit(1), n), slice(toks, lit(2), n), slice(toks, lit(3), n))
+    df.select(col(idCol).as("doc_id"), explode(z).as("g"))
+      .select(col("doc_id"), concat_ws(" ", col("g").getField("0"),
+        col("g").getField("1"), col("g").getField("2")).as("s"))
+  }
+
+  /** Shared Jaccard verification for a candidate pair set (doc_a < doc_b,
+    * distinct), PAIR-DRIVEN: the shingle relation is semi-joined down to
+    * candidate docs and deduped on that slice; the intersection is then
+    * counted by expanding each pair with doc_a's shingles and
+    * semi-matching (doc_b, s). Work is |pairs| × shingles-per-doc —
+    * independent of shingle df, so a boilerplate shingle shared by every
+    * candidate contributes one row per pair instead of df² self-join
+    * rows. Returns (jaccard relation with RAW double scores, persisted
+    * intermediates for the caller to unpersist). */
+  private[graft] def verifiedJaccardPlan(sh: DataFrame, pairs: DataFrame,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").distinct()
+      .persist(MEMORY_AND_DISK)
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(shc.as("xa"), col("doc_a") === col("xa.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("xa.s").as("sa"))
+      .join(shc.as("xb"),
+        col("doc_b") === col("xb.doc_id") && col("sa") === col("xb.s"),
+        "left_semi")
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val j = col("n_inter").cast("double") /
+      (col("na") + col("nb") - col("n_inter")).cast("double")
+    val result = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard", j)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    (result, Seq(shc))
   }
 
   /** Verified near-duplicate pairs (id_a < id_b, jaccard >= threshold):
@@ -47,13 +101,7 @@ object TextDedup {
       textCol: String, threshold: Double = 0.5,
       numHashes: Int = 8): (DataFrame, Seq[DataFrame]) = {
     require(numHashes % 2 == 0, "numHashes must be even (r=2 banding)")
-    val toks = graft.functions.TextFns.tokens(col(textCol))
-    val n = greatest(size(toks) - 2, lit(0))
-    val z = arrays_zip(slice(toks, lit(1), n), slice(toks, lit(2), n), slice(toks, lit(3), n))
-    val sh = df.select(col(idCol).as("doc_id"), explode(z).as("g"))
-      .select(col("doc_id"), concat_ws(" ", col("g").getField("0"),
-        col("g").getField("1"), col("g").getField("2")).as("s"))
-      .persist(MEMORY_AND_DISK)
+    val sh = shingleRows(df, idCol, textCol).persist(MEMORY_AND_DISK)
     val mins = (1 to numHashes).map(k =>
       min(md5(concat(lit(s"$k|"), col("s")))).as(s"mh$k"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -68,32 +116,8 @@ object TextDedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .persist(MEMORY_AND_DISK)
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").distinct()
-      .persist(MEMORY_AND_DISK)
-    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // PAIR-DRIVEN intersection count: expand each candidate pair with
-    // doc_a's shingles, semi-match on (doc_b, s). Work is
-    // |pairs| × shingles-per-doc — independent of shingle df, so a
-    // boilerplate shingle shared by every candidate doc contributes one
-    // row per pair instead of df² enumerated self-join rows.
-    val inter = cand
-      .join(shc.as("xa"), col("doc_a") === col("xa.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("xa.s").as("sa"))
-      .join(shc.as("xb"),
-        col("doc_b") === col("xb.doc_id") && col("sa") === col("xb.s"),
-        "left_semi")
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    val j = col("n_inter").cast("double") /
-      (col("na") + col("nb") - col("n_inter")).cast("double")
-    val result = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("jaccard", j)
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    (result, Seq(sh, cand, shc))
+    val (result, verifyCached) = verifiedJaccardPlan(sh, cand, threshold)
+    (result, Seq(sh, cand) ++ verifyCached)
   }
 
   /** Collapse near-duplicate pairs into clusters by iterative min-label

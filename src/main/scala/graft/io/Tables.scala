@@ -56,17 +56,20 @@ object Tables {
   private val underSplitCache =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
-  private def underSplit(spark: SparkSession, path: String): Boolean =
-    underSplitCache.getOrElseUpdate(path, {
-      import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
-      val cores = spark.sparkContext.defaultParallelism
+  private def underSplit(spark: SparkSession, path: String): Boolean = {
+    import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    val cores = spark.sparkContext.defaultParallelism
+    val maxPartitionBytes =
+      byteStringAsBytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val openCost =
+      byteStringAsBytes(spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    // key includes every input to the decision — a JVM hosting sessions
+    // with different core counts or split confs must not share answers
+    val key = s"$path|$cores|$maxPartitionBytes|$openCost"
+    underSplitCache.getOrElseUpdate(key, {
       val hPath = new org.apache.hadoop.fs.Path(path)
       val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val files = listDataFiles(fs, hPath)
-      val maxPartitionBytes =
-        byteStringAsBytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-      val openCost =
-        byteStringAsBytes(spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
       val totalBytes = files.map(_.getLen + openCost).sum
       val bytesPerCore = totalBytes / math.max(1, cores)
       val maxSplitBytes =
@@ -75,6 +78,7 @@ object Tables {
         math.max(1L, (totalBytes + maxSplitBytes - 1) / math.max(1L, maxSplitBytes))
       estimatedSplits < cores / 2
     })
+  }
 
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       path: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {

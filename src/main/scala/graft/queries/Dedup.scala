@@ -52,18 +52,11 @@ object Dedup {
     * 3-token shingles as arrays_zip of three shifted slices of the token
     * array — no window (r1 used lead() over a per-doc window, which cost a
     * full shuffle+sort of every token row), and no higher-order lambdas
-    * (interpreted, ~40µs/element — measured 3× the rest of the pipeline). */
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    val n = greatest(size(toks) - 2, lit(0))
-    val z = arrays_zip(
-      slice(toks, lit(1), n), slice(toks, lit(2), n), slice(toks, lit(3), n))
-    table(spark, dir, "documents")
-      .select(col("doc_id"), explode(z).as("g"))
-      .select(col("doc_id"),
-        concat_ws(" ", col("g").getField("0"), col("g").getField("1"),
-          col("g").getField("2")).as("s"))
-  }
+    * (interpreted, ~40µs/element — measured 3× the rest of the pipeline).
+    * Shared construction: graft.dedup.TextDedup.shingleRows. */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.TextDedup.shingleRows(
+      table(spark, dir, "documents"), "doc_id", "text")
 
   /** Oracle CTE prefix producing the same distinct shingle relation. */
   private val shinglesCte =
@@ -90,45 +83,20 @@ object Dedup {
       .mkString(", ")
 
   /** Jaccard for a given candidate pair set (doc_a < doc_b, distinct) via
-    * PAIR-DRIVEN co-shingle counting. The shingle relation is first
-    * semi-joined down to docs appearing in some pair and deduped on that
-    * small slice; the intersection is then counted by expanding each pair
-    * with doc_a's shingles and semi-matching them against (doc_b, s) —
-    * never by a shingle-keyed self-join. Work is
-    * |pairs| × shingles-per-doc: linear in the candidate pair set and
-    * INDEPENDENT of shingle document frequency, so a boilerplate shingle
-    * shared by every candidate doc (which the candidate-restriction
-    * semi-join cannot remove) contributes one row per pair instead of
-    * df² enumerated rows. Returns a LOCALIZED result (pairs are small);
-    * the persisted slice is dropped before returning. */
+    * PAIR-DRIVEN co-shingle counting — the shared
+    * graft.dedup.TextDedup.verifiedJaccardPlan (see its doc for the
+    * |pairs| × shingles-per-doc bound that makes boilerplate shingles
+    * harmless). This wrapper rounds for cross-engine hashing and returns
+    * a LOCALIZED result (pairs are small); the persisted slice is
+    * dropped before returning. */
   private def verifiedJaccard(sh: DataFrame, pairs: DataFrame,
       minJaccard: Double): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val candDocs = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id")))
-      .distinct()
-    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
-      .distinct()
-      .persist(MEMORY_AND_DISK)
-    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = pairs
-      .join(shc.as("xa"), col("doc_a") === col("xa.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("xa.s").as("sa"))
-      .join(shc.as("xb"),
-        col("doc_b") === col("xb.doc_id") && col("sa") === col("xb.s"),
-        "left_semi")
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val j = col("n_inter").cast("double") /
-      (col("na") + col("nb") - col("n_inter")).cast("double")
-    val result = Q.localized(inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("jaccard", j)
-      .filter(col("jaccard") >= minJaccard)
+    val (jac, cached) =
+      graft.dedup.TextDedup.verifiedJaccardPlan(sh, pairs, minJaccard)
+    val result = Q.localized(jac
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b")))
-    shc.unpersist(blocking = false)
+    cached.foreach(_.unpersist(blocking = false))
     result
   }
 

@@ -3,8 +3,6 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
-
 /** Benchmark decontamination as a library API — the q46 semantics
   * (reference-free engine extension): a document is contaminated when it
   * shares any 3-token shingle with the evaluation corpus. All matching
@@ -25,19 +23,13 @@ import graft.functions.TextFns
   */
 object Decontamination {
 
-  /** (doc_id, h) — md5 over 3-token shingles, built shuffle-free with the
-    * slice+zip codegen pattern (see graft.queries.Dedup). */
+  /** (graft_doc_id, h) — md5 over the SHARED 3-token shingle relation
+    * (graft.dedup.TextDedup.shingleRows: single source of truth for the
+    * shingle construction across the dedup/decontamination surface). */
   private def shingleHashes(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val toks = TextFns.tokens(col(textCol))
-    val n = greatest(size(toks) - 2, lit(0))
-    val z = arrays_zip(
-      slice(toks, lit(1), n), slice(toks, lit(2), n), slice(toks, lit(3), n))
-    df.select(col(idCol).as("graft_doc_id"), explode(z).as("g"))
-      .select(col("graft_doc_id"),
-        md5(concat_ws(" ", col("g").getField("0"), col("g").getField("1"),
-          col("g").getField("2"))).as("h"))
-  }
+      textCol: String): DataFrame =
+    graft.dedup.TextDedup.shingleRows(df, idCol, textCol)
+      .select(col("doc_id").as("graft_doc_id"), md5(col("s")).as("h"))
 
   /** Ids of `docs` sharing any 3-token shingle with `evalDocs` (exact). */
   def contaminated(docs: DataFrame, evalDocs: DataFrame, idCol: String,

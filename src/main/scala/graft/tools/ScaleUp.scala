@@ -34,8 +34,16 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def rep(name: String)(shift: (DataFrame, Long) => DataFrame): Unit = {
+    def rep(name: String, keyCols: Seq[String] = Seq.empty)(
+        shift: (DataFrame, Long) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
+      // SHIFT must clear every shifted key's true max or copies collide
+      // (silently corrupting join fan-out) — validate, don't assume
+      keyCols.foreach { kc =>
+        val mx = base.agg(max(col(kc))).collect().head.getLong(0)
+        require(mx < SHIFT,
+          s"$name.$kc max $mx >= SHIFT $SHIFT — raise SHIFT for this source")
+      }
       val scaled = (0 until copies).map(i => shift(base, i * SHIFT))
         .reduce(_ unionByName _)
       // many output files on purpose: a scaled lake must not ship as one
@@ -49,37 +57,37 @@ object ScaleUp {
       spark.read.parquet(s"$src/$n.parquet")
         .write.mode("overwrite").parquet(s"$dst/$n.parquet")
     }
-    rep("customer") { (df, s) =>
+    rep("customer", Seq("c_custkey")) { (df, s) =>
       df.withColumn("c_custkey", col("c_custkey") + s)
     }
-    rep("supplier") { (df, s) =>
+    rep("supplier", Seq("s_suppkey")) { (df, s) =>
       df.withColumn("s_suppkey", col("s_suppkey") + s)
     }
-    rep("part") { (df, s) =>
+    rep("part", Seq("p_partkey")) { (df, s) =>
       df.withColumn("p_partkey", col("p_partkey") + s)
     }
-    rep("orders") { (df, s) =>
+    rep("orders", Seq("o_orderkey", "o_custkey")) { (df, s) =>
       df.withColumn("o_orderkey", col("o_orderkey") + s)
         .withColumn("o_custkey", col("o_custkey") + s)
     }
-    rep("lineitem") { (df, s) =>
+    rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")) { (df, s) =>
       df.withColumn("l_orderkey", col("l_orderkey") + s)
         .withColumn("l_partkey", col("l_partkey") + s)
         .withColumn("l_suppkey", col("l_suppkey") + s)
     }
-    rep("documents") { (df, s) =>
+    rep("documents", Seq("doc_id")) { (df, s) =>
       val v = (s / SHIFT).toString
       df.withColumn("doc_id", col("doc_id") + s)
         .withColumn("text", concat(lit(s"v$v "), col("text")))
     }
-    rep("embeddings") { (df, s) =>
+    rep("embeddings", Seq("vec_id")) { (df, s) =>
       df.withColumn("vec_id", col("vec_id") + s)
     }
     // events: the source is TIMESTAMP(NANOS) parquet; with nanosAsLong set
     // (session config above) it reads — and therefore re-writes — as a
     // raw nanos BIGINT, which is exactly the shape Tables.withEventTime
     // and the streaming rawSchema path expect
-    rep("events") { (df, s) =>
+    rep("events", Seq("event_id", "user_id")) { (df, s) =>
       df.withColumn("event_id", col("event_id") + s)
         .withColumn("user_id", col("user_id") + s)
     }

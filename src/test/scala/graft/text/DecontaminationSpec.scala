@@ -13,13 +13,15 @@ class DecontaminationSpec extends AnyFunSuite with Matchers with SparkTestSessio
   private lazy val probe = docs.filter(col("doc_id") >= 10)
 
   test("exact path matches q46's oracle-verified counts on the testdata corpus") {
+    // q46 computes the same semantics inline (eval = doc_id < 10,
+    // probe = doc_id >= 10) and is DuckDB-hash-verified — the library API
+    // must reproduce its exact flagged/clean counts
+    val q46 = graft.queries.Registry
+      .queries("q46_decontaminate")(spark, sf0001).collect().head
     val n = Decontamination
       .contaminated(probe, evalSet, "doc_id", "text").count()
-    // q46 computes the same semantics inline and is DuckDB-hash-verified;
-    // here we only need internal consistency: flagged ⊆ probe, and a doc
-    // sharing its full text with an eval doc must be flagged
-    n should be >= 0L
-    n should be <= probe.count()
+    n shouldBe q46.getAs[Long]("n_contaminated")
+    (probe.count() - n) shouldBe q46.getAs[Long]("n_clean")
   }
 
   test("bloom pre-filtered path returns EXACTLY the same ids as the exact path") {
