@@ -72,4 +72,22 @@ class GdeltExprsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     dom("localhost") shouldBe "localhost"
     assert(dom(null) == null)
   }
+
+  test("registrableDomain: PSL algorithm — longest match, wildcard and exception rules") {
+    def dom(u: String): Any = one(registrableDomain(col("s")), "s" -> u)
+    // longest matching rule wins over the shorter implicit TLD rule
+    dom("https://a.b.co.uk/") shouldBe "b.co.uk"
+    dom("https://shop.com.zm/x") shouldBe "shop.com.zm" // restored rule
+    // wildcard *.sch.uk: any label under sch.uk is itself a suffix
+    dom("http://pupils.stpauls.sch.uk") shouldBe "pupils.stpauls.sch.uk"
+    dom("http://www.pupils.stpauls.sch.uk") shouldBe "pupils.stpauls.sch.uk"
+    // wildcard *.ck with exception !www.ck
+    dom("http://foo.example.ck") shouldBe "foo.example.ck"
+    dom("http://www.ck") shouldBe "www.ck"
+    dom("http://sub.www.ck") shouldBe "www.ck"
+    // a host that IS a public suffix comes back unchanged (nothing to keep)
+    dom("co.uk") shouldBe "co.uk"
+    // trailing dot and case are canonicalized
+    dom("HTTPS://WWW.BBC.CO.UK./x") shouldBe "bbc.co.uk"
+  }
 }
