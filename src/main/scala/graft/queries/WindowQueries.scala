@@ -248,6 +248,57 @@ object WindowQueries {
       }),
 
     // ------------------------------------------------------------------
+    // q51: RANGE JOIN, banded — clicks within 1 hour AFTER each purchase
+    // by the same user. A naive time-range join plans as a nested loop
+    // (per-user cross product × residual filter); the scale form BANDS
+    // time into interval-length buckets: each purchase interval
+    // [ts, ts+1h) lands in ≤ 2 buckets (exploded), each click in exactly
+    // one, and the join becomes an EQUI-join on (user_id, bucket) with
+    // the range residual as a post-filter — hash-partitionable, AQE-skew-
+    // splittable, no quadratic blowup. A click's bucket is unique, so no
+    // pair can match twice and no dedup is needed. The oracle states the
+    // same semantics as a plain non-equi join (DuckDB plans its own IE
+    // join); PlanSpec pins that the Spark side stays nested-loop-free.
+    Q("q51_range_join_banded",
+      oracle = Some("""
+        WITH p AS (
+          SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, epoch_us(ts) AS c_us
+          FROM events WHERE event_type = 'click')
+        SELECT purchase_id, count(c_us) AS n_clicks
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id
+         AND c.c_us >= p.p_us AND c.c_us < p.p_us + 3600000000
+        GROUP BY purchase_id
+        ORDER BY purchase_id"""),
+      run = (spark, dir) => {
+        val H = 3600L * 1000000L // 1 hour in micros = the band width
+        val ev = table(spark, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("p_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+        val pBanded = purchases.withColumn("bucket",
+          explode(array_distinct(array(
+            floor(col("p_us") / H).cast("long"),
+            floor((col("p_us") + H - 1) / H).cast("long")))))
+        val cBanded = clicks.withColumn("bucket",
+          floor(col("c_us") / H).cast("long"))
+        val counts = pBanded
+          .join(cBanded, Seq("user_id", "bucket"))
+          .filter(col("c_us") >= col("p_us") && col("c_us") < col("p_us") + H)
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).as("n"))
+        purchases.select(col("purchase_id"))
+          .join(counts, Seq("purchase_id"), "left")
+          .select(col("purchase_id"), coalesce(col("n"), lit(0L)).as("n_clicks"))
+          .orderBy(col("purchase_id"))
+      }),
+
+    // ------------------------------------------------------------------
     // q39: native session_window (30-minute gap) batch aggregation —
     // Spark's built-in session operator; the oracle derives the same
     // sessions relationally (lag → gap flag → running session counter →

@@ -125,6 +125,14 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally cached.foreach(_.unpersist(blocking = false))
   }
 
+  test("q51: banded range join is an equi-join — no nested loop, no cartesian") {
+    val p = Registry.queries("q51_range_join_banded")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    p should include regex "user_id.*bucket|bucket.*user_id" // the band key
+  }
+
   test("relational suite stays inside whole-stage codegen (no UDF breaks)") {
     Seq("q01_share_of_voice", "q05_having_min_support", "q06_predicates",
       "q08_join_broadcast").foreach { q =>

@@ -14,9 +14,9 @@ class RegistrySpec extends AnyFunSuite with Matchers {
     all(names) should fullyMatch regex "q\\d{2}_[a-z0-9_]+"
   }
 
-  test("50 queries registered, 47 with oracles") {
-    Registry.all.length shouldBe 50
-    Registry.oracles.size shouldBe 47
+  test("51 queries registered, 48 with oracles") {
+    Registry.all.length shouldBe 51
+    Registry.oracles.size shouldBe 48
     // the three no-oracle queries are exactly the ML/sketch ones
     (Registry.queries.keySet -- Registry.oracles.keySet) shouldBe
       Set("q28_lr_coefficients", "q29_tfidf_bigrams", "q30_approx_distinct")
