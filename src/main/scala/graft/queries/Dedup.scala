@@ -332,6 +332,71 @@ object Dedup {
         val result = verifiedJaccard(sh, pairs, NGRAM_JACCARD_MIN)
         Seq(sh, pairs).foreach(_.unpersist(blocking = false))
         result
+      }),
+
+    // ------------------------------------------------------------------
+    // q52: the FULL fuzzy-dedup pipeline end to end, hash-verified —
+    // exact dedup (min-id survivor per md5(text)), MinHash r=2-band LSH
+    // candidates over the survivors, pair-driven Jaccard verify ≥ 0.5,
+    // connected-components clustering (min-label propagation), drop every
+    // doc whose cluster has a smaller id. The Spark side runs the
+    // graft.dedup.TextDedup.deduplicate library API verbatim; the oracle
+    // replays the identical construction in SQL, with the clustering step
+    // as a RECURSIVE CTE computing each node's min reachable id — so the
+    // distributed label-propagation loop (previously spec-only) is now
+    // checked value-for-value against an independent fixpoint.
+    Q("q52_fuzzy_dedup",
+      oracle = Some(s"""
+        WITH RECURSIVE
+        surv AS (
+          SELECT min(doc_id) AS doc_id
+          FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+          UNION ALL
+          SELECT doc_id FROM documents WHERE text IS NULL),
+        toks AS (
+          SELECT d.doc_id, ${TextFns.sql.tokens} AS tk
+          FROM documents d JOIN surv USING (doc_id)),
+        sh AS (
+          SELECT doc_id, ${TextFns.sql.shingles3} AS sh
+          FROM toks WHERE len(tk) >= 3),
+        sig AS (
+          SELECT doc_id, $minhashSigSqlCols FROM sh),
+        banded AS (
+          SELECT doc_id, b.band AS band,
+                 CASE b.band ${(1 to NUM_BANDS).map(b => s"WHEN $b THEN ${bandKeySql(b)}").mkString(" ")} END AS bk
+          FROM sig, (VALUES ${(1 to NUM_BANDS).map(b => s"($b)").mkString(", ")}) b(band)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        vp AS (
+          SELECT doc_a, doc_b
+          FROM pairs
+          JOIN sh sa ON sa.doc_id = doc_a
+          JOIN sh sb ON sb.doc_id = doc_b
+          WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                >= $JACCARD_MIN),
+        nodes AS (SELECT doc_a AS id FROM vp UNION SELECT doc_b FROM vp),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM vp
+          UNION SELECT doc_b, doc_a FROM vp),
+        reach AS (
+          SELECT id, id AS label FROM nodes
+          UNION
+          SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON r.id = e.src),
+        cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+        losers AS (SELECT id FROM cl WHERE cluster_id < id)
+        SELECT s.doc_id FROM surv s
+        WHERE s.doc_id NOT IN (SELECT id FROM losers)
+        ORDER BY s.doc_id"""),
+      run = (spark, dir) => {
+        val survivors = graft.dedup.TextDedup.deduplicate(
+          table(spark, dir, "documents"), "doc_id", "text", JACCARD_MIN)
+        val result = Q.localized(
+          survivors.select(col("doc_id")).orderBy(col("doc_id")))
+        survivors.unpersist(blocking = false)
+        result
       })
   )
 }
