@@ -135,32 +135,35 @@ object TextDedup {
       .distinct()
       .withColumn("cluster_id", col("id"))
       .persist(MEMORY_AND_DISK)
+    var cached = labels // the actually-persisted relation behind `labels`
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // each node adopts the min label among itself and its neighbors
+      // each node adopts the min label among itself and its neighbors.
+      // The previous label rides along in the same relation, so the
+      // convergence check is a filter over this iteration's (persisted)
+      // result — no extra join+shuffle per round just to detect fixpoint.
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_id")).as("n_min"))
       val next = labels.join(fromNeighbors, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
             .as("cluster_id"))
         .persist(MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.cluster_id") =!= col("p.cluster_id"))
-        .limit(1).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      val changed =
+        next.filter(col("cluster_id") =!= col("prev")).limit(1).count()
+      cached.unpersist(blocking = false)
+      cached = next
+      labels = next.select(col("id"), col("cluster_id"))
       converged = changed == 0
       i += 1
     }
     // distributed + lineage-cut result (one row per doc in any pair —
     // potentially huge at scale, never collected)
     val out = labels.localCheckpoint(true)
-    Seq(edges, labels).foreach(_.unpersist(blocking = false))
+    Seq(edges, cached).foreach(_.unpersist(blocking = false))
     out
   }
 
