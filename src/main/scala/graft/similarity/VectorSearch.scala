@@ -104,6 +104,37 @@ object VectorSearch {
   def ringCentroids(corpus: DataFrame, idCol: String, mod: Int): DataFrame =
     corpus.filter(col(idCol) % mod === 0)
 
+  /** Train a real coarse quantizer: spark.ml KMeans over L2-NORMALIZED
+    * vectors (so the euclidean objective orders like the cosine metric
+    * ivfTopK assigns cells with — spherical-k-means-style), fixed seed
+    * for reproducibility. Returns a (idCol, vecCol) centroid DataFrame
+    * that plugs straight into [[ivfTopK]]. At 100 TB this fits on a
+    * SAMPLE of the corpus (KMeans cost is per-iteration linear in rows);
+    * the codebook stays k × dim doubles — always broadcastable. */
+  def trainCodebook(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIter: Int = 10, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.feature.Normalizer
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.types._
+    val spark = corpus.sparkSession
+    val feats = new Normalizer().setP(2.0)
+      .setInputCol("raw").setOutputCol("features")
+      .transform(corpus.select(
+        array_to_vector(toDoubleArray(col(vecCol))).as("raw")))
+    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features").fit(feats)
+    import scala.jdk.CollectionConverters._
+    val rows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i.toLong, c.toArray.toSeq)
+    }.toSeq.asJava
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField(vecCol, ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Load-and-search helper over the testdata embeddings table. */
   def searchTestdata(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val emb = graft.io.Tables.table(spark, sfDir, "embeddings")

@@ -62,6 +62,25 @@ class VectorSearchSpec extends AnyFunSuite with Matchers with SparkTestSession {
     rAll shouldBe 1.0 // cells partition the corpus: probing all ≡ exhaustive
   }
 
+  test("trainCodebook: k seeded-deterministic centroids that drive ivfTopK; " +
+    "full probe still reproduces brute force") {
+    val queries = emb.filter(col("vec_id") % 53 === 0)
+    val k = 8
+    val cb = VectorSearch.trainCodebook(emb, "vec_id", "embedding", k)
+    cb.count() shouldBe k
+    // same seed → identical centers (cell-for-cell)
+    val cb2 = VectorSearch.trainCodebook(emb, "vec_id", "embedding", k)
+    cb.orderBy("vec_id").collect().map(_.getSeq[Double](1)) shouldBe
+      cb2.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bf = ranks(VectorSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val all = ranks(VectorSearch.ivfTopK(emb, queries, cb, "vec_id", "embedding", 5, k))
+    all shouldBe bf // trained cells still partition the corpus
+    val one = ranks(VectorSearch.ivfTopK(emb, queries, cb, "vec_id", "embedding", 5, 1))
+    (one.intersect(bf).size.toDouble / bf.size) should be >= 0.2
+  }
+
   test("searchTestdata wires the table reader to the search") {
     VectorSearch.searchTestdata(spark, sf0001, 3)
       .groupBy("q_id").count().collect().foreach(_.getLong(1) shouldBe 3L)
