@@ -167,6 +167,43 @@ object StreamingQueries {
               col("n"), col("total_value"))
             .orderBy(col("day"), col("event_type")))
         finally spark.catalog.dropTempView(sink)
+      }),
+
+    // ------------------------------------------------------------------
+    // q53: STREAMING EXACT DEDUP with watermark-bounded state
+    // (dropDuplicatesWithinWatermark): the input stream is deliberately
+    // DOUBLED (union of two file sources over the same events), the
+    // operator emits each event_id once, and the sink's per-type counts
+    // hash-match the batch distinct counts. State is bounded by the
+    // 1-hour watermark — the producer-retry/at-least-once-ingest dedup
+    // every production pipeline needs, previously covered only by
+    // StreamingDedupSpec (MemoryStream), now under the oracle gate.
+    Q("q53_stream_dedup",
+      oracle = Some("""
+        SELECT event_type, count(DISTINCT event_id) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      run = (spark, dir) => {
+        val rawSchema = graft.io.Tables.eventsRaw(spark, dir).schema
+        val sink = "stream_dedup_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        def leg() = graft.io.Tables.withEventTime(
+          spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*"))
+        val deduped = leg().unionByName(leg())
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("event_type"))
+        val q = withStreamPartitions(spark) {
+          deduped.writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+        }
+        try q.processAllAvailable() finally q.stop()
+        try Q.localized(
+          spark.table(sink)
+            .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+            .orderBy(col("event_type")))
+        finally spark.catalog.dropTempView(sink)
       })
   )
 }

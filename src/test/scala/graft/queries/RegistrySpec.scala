@@ -14,9 +14,9 @@ class RegistrySpec extends AnyFunSuite with Matchers {
     all(names) should fullyMatch regex "q\\d{2}_[a-z0-9_]+"
   }
 
-  test("52 queries registered, 49 with oracles") {
-    Registry.all.length shouldBe 52
-    Registry.oracles.size shouldBe 49
+  test("53 queries registered, 50 with oracles") {
+    Registry.all.length shouldBe 53
+    Registry.oracles.size shouldBe 50
     // the three no-oracle queries are exactly the ML/sketch ones
     (Registry.queries.keySet -- Registry.oracles.keySet) shouldBe
       Set("q28_lr_coefficients", "q29_tfidf_bigrams", "q30_approx_distinct")
