@@ -124,10 +124,12 @@ object TextDedup {
     * propagation (connected components): each doc's label converges to
     * the min id in its component. The standard Spark CC shape — a few
     * self-joining label-exchange rounds, each one shuffle; iteration
-    * count is O(log(longest path)), and pair graphs from dedup are
-    * near-cliques, so 2-3 rounds typically converge. Returns
-    * (id, cluster_id). */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * count is O(longest chain), and pair graphs from dedup are
+    * near-cliques, so 2-3 rounds typically converge. THROWS if the graph
+    * has not converged within maxIter rounds (a silent partial clustering
+    * would return wrong survivors); raise maxIter for pathological
+    * long-chain corpora. Returns (id, cluster_id). */
+  def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(MEMORY_AND_DISK)
@@ -159,6 +161,12 @@ object TextDedup {
       labels = next.select(col("id"), col("cluster_id"))
       converged = changed == 0
       i += 1
+    }
+    if (!converged) {
+      Seq(edges, cached).foreach(_.unpersist(blocking = false))
+      throw new IllegalStateException(
+        s"clusters() did not converge in $maxIter rounds — the pair graph " +
+          "has a chain longer than maxIter; raise maxIter")
     }
     // distributed + lineage-cut result (one row per doc in any pair —
     // potentially huge at scale, never collected)

@@ -122,6 +122,21 @@ object Dedup {
   private def bandKeySql(b: Int): String =
     s"md5(concat(mh${2 * b - 1}, mh${2 * b}))"
 
+  /** Oracle fragment shared by q17/q52: LSH candidate pairs from the
+    * shingle-list relation `sh` — signatures, r=2 banding, bucket join.
+    * Single source of truth so the two oracles cannot diverge. */
+  private def lshPairsCte: String =
+    s"""sig AS (
+          SELECT doc_id, $minhashSigSqlCols FROM sh),
+        banded AS (
+          SELECT doc_id, b.band AS band,
+                 CASE b.band ${(1 to NUM_BANDS).map(b => s"WHEN $b THEN ${bandKeySql(b)}").mkString(" ")} END AS bk
+          FROM sig, (VALUES ${(1 to NUM_BANDS).map(b => s"($b)").mkString(", ")}) b(band)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)"""
+
   /** 32-bit SimHash via explode + 32 conditional-sum aggregates (one
     * shuffle, partial agg). Bit j weighs hex digit j of md5(token). */
   private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
@@ -199,16 +214,7 @@ object Dedup {
     Q("q17_neardup_minhash",
       oracle = Some(s"""
         $shinglesCte,
-        sig AS (
-          SELECT doc_id, $minhashSigSqlCols FROM sh),
-        banded AS (
-          SELECT doc_id, b.band AS band,
-                 CASE b.band ${(1 to NUM_BANDS).map(b => s"WHEN $b THEN ${bandKeySql(b)}").mkString(" ")} END AS bk
-          FROM sig, (VALUES ${(1 to NUM_BANDS).map(b => s"($b)").mkString(", ")}) b(band)),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+        $lshPairsCte
         ${jaccardSelectSql(JACCARD_MIN)}"""),
       run = (spark, dir) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -359,16 +365,7 @@ object Dedup {
         sh AS (
           SELECT doc_id, ${TextFns.sql.shingles3} AS sh
           FROM toks WHERE len(tk) >= 3),
-        sig AS (
-          SELECT doc_id, $minhashSigSqlCols FROM sh),
-        banded AS (
-          SELECT doc_id, b.band AS band,
-                 CASE b.band ${(1 to NUM_BANDS).map(b => s"WHEN $b THEN ${bandKeySql(b)}").mkString(" ")} END AS bk
-          FROM sig, (VALUES ${(1 to NUM_BANDS).map(b => s"($b)").mkString(", ")}) b(band)),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        $lshPairsCte,
         vp AS (
           SELECT doc_a, doc_b
           FROM pairs

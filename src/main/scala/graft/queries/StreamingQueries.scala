@@ -1,36 +1,69 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming demonstration: the reference is batch-only
   * (SURVEY.md §2.10), so these queries are the engine's streaming surface
   * over the `events` table. Each runs a real streaming query (file source →
-  * windowed aggregate → memory sink) to completion and returns the result
-  * table, which makes it oracle-checkable against an equivalent batch SQL.
+  * transform → memory sink) to completion and returns the result table,
+  * which makes it oracle-checkable against an equivalent batch SQL.
   *
   * Streaming state partitioning: stateful streaming pins its shuffle
   * partitioning at first start (no AQE) and every micro-batch touches
   * every state store — so the partition count is scoped down around
-  * .start() to match the (small) window×type state cardinality instead of
-  * inheriting the batch-tuned session value. On a cluster this would be
-  * sized to state volume, not to input volume.
+  * .start() to match the (small) state cardinality instead of inheriting
+  * the batch-tuned session value. On a cluster this would be sized to
+  * state volume, not to input volume.
   *
-  * Scale: the same plan runs unchanged against a kafka/file stream on a
-  * cluster; state is bounded by (window × event_type) cardinality, and the
-  * watermark variant (unit-tested in StreamingSpec) bounds it further for
-  * append-mode sinks.
+  * Scale: the same plans run unchanged against a kafka/file stream on a
+  * cluster; state is bounded by (window × event_type) cardinality for the
+  * aggregations and by the watermark horizon for the dedup.
   */
 object StreamingQueries {
 
   /** Run `body` with streaming-sized shuffle partitions, restoring the
     * session value after (queries run sequentially in Verify/Bench). */
-  private def withStreamPartitions[A](spark: org.apache.spark.sql.SparkSession)(
-      body: => A): A = {
+  private def withStreamPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "8")
     try body finally spark.conf.set(key, prev)
   }
+
+  /** The events file-stream source. Must use the *raw* schema (ts as
+    * nanos-long, see Tables.eventsRaw) and apply the same micros coercion
+    * per batch; the glob form exists because FileStreamSource needs a
+    * directory basePath, so the single file is addressed through a
+    * pattern under its parent dir. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = graft.io.Tables.eventsRaw(spark, dir).schema
+    graft.io.Tables.withEventTime(
+      spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*"))
+  }
+
+  /** Shared harness: run `streamed` to completion into a uniquely-named
+    * memory sink in `mode`, localize `finish` of the sink table, and drop
+    * the temp view — a UUID-named memory sink left registered would leak
+    * cached driver memory on every invocation. */
+  private def runToMemorySink(spark: SparkSession, prefix: String,
+      mode: String, streamed: DataFrame)(
+      finish: DataFrame => DataFrame): DataFrame = {
+    val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = withStreamPartitions(spark) {
+      streamed.writeStream.format("memory").queryName(sink)
+        .outputMode(mode).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    try Q.localized(finish(spark.table(sink)))
+    finally spark.catalog.dropTempView(sink)
+  }
+
+  private def windowAgg(stream: DataFrame, w: org.apache.spark.sql.Column) =
+    stream.groupBy(w.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("total_value"))
 
   val defs: Seq[Q] = Seq(
 
@@ -44,35 +77,12 @@ object StreamingQueries {
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2"""),
-      run = (spark, dir) => {
-        // stream source must use the *raw* schema (ts as nanos-long, see
-        // Tables.eventsRaw) and apply the same micros coercion per-batch.
-        val rawSchema = graft.io.Tables.eventsRaw(spark, dir).schema
-        val sink = "stream_tumbling_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        // glob form: FileStreamSource requires a directory basePath, so
-        // address the single file through a pattern under its parent dir.
-        val stream = graft.io.Tables.withEventTime(
-          spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*"))
-        val agg = stream
-          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
-              .as("total_value"))
-        val q = withStreamPartitions(spark) {
-          agg.writeStream.format("memory").queryName(sink)
-            .outputMode("complete").start()
-        }
-        try q.processAllAvailable() finally q.stop()
-        // materialize the (small, already-aggregated) sink contents and
-        // drop the temp view immediately — a UUID-named memory sink left
-        // registered would leak cached driver memory on every invocation
-        try Q.localized(
-          spark.table(sink)
-            .select(col("w.start").cast("date").as("day"), col("event_type"),
-              col("n"), col("total_value"))
-            .orderBy(col("day"), col("event_type")))
-        finally spark.catalog.dropTempView(sink)
+      run = (spark, dir) => runToMemorySink(spark, "stream_tumbling_",
+        "complete",
+        windowAgg(eventsStream(spark, dir), window(col("ts"), "1 day"))) {
+        _.select(col("w.start").cast("date").as("day"), col("event_type"),
+          col("n"), col("total_value"))
+          .orderBy(col("day"), col("event_type"))
       }),
 
     // ------------------------------------------------------------------
@@ -95,28 +105,12 @@ object StreamingQueries {
         FROM expanded
         GROUP BY w_start, event_type
         ORDER BY w_start_us, event_type"""),
-      run = (spark, dir) => {
-        val rawSchema = graft.io.Tables.eventsRaw(spark, dir).schema
-        val sink = "stream_sliding_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        val stream = graft.io.Tables.withEventTime(
-          spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*"))
-        val agg = stream
-          .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
-              .as("total_value"))
-        val q = withStreamPartitions(spark) {
-          agg.writeStream.format("memory").queryName(sink)
-            .outputMode("complete").start()
-        }
-        try q.processAllAvailable() finally q.stop()
-        try Q.localized(
-          spark.table(sink)
-            .select(unix_micros(col("w.start")).as("w_start_us"),
-              col("event_type"), col("n"), col("total_value"))
-            .orderBy(col("w_start_us"), col("event_type")))
-        finally spark.catalog.dropTempView(sink)
+      run = (spark, dir) => runToMemorySink(spark, "stream_sliding_",
+        "complete",
+        windowAgg(eventsStream(spark, dir), window(col("ts"), "2 days", "1 day"))) {
+        _.select(unix_micros(col("w.start")).as("w_start_us"),
+          col("event_type"), col("n"), col("total_value"))
+          .orderBy(col("w_start_us"), col("event_type"))
       }),
 
     // ------------------------------------------------------------------
@@ -144,29 +138,13 @@ object StreamingQueries {
               <= wm_us
         GROUP BY 1, 2
         ORDER BY 1, 2"""),
-      run = (spark, dir) => {
-        val rawSchema = graft.io.Tables.eventsRaw(spark, dir).schema
-        val sink = "stream_wm_append_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        val stream = graft.io.Tables.withEventTime(
-          spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*"))
-        val agg = stream
-          .withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
-              .as("total_value"))
-        val q = withStreamPartitions(spark) {
-          agg.writeStream.format("memory").queryName(sink)
-            .outputMode("append").start()
-        }
-        try q.processAllAvailable() finally q.stop()
-        try Q.localized(
-          spark.table(sink)
-            .select(col("w.start").cast("date").as("day"), col("event_type"),
-              col("n"), col("total_value"))
-            .orderBy(col("day"), col("event_type")))
-        finally spark.catalog.dropTempView(sink)
+      run = (spark, dir) => runToMemorySink(spark, "stream_wm_append_",
+        "append",
+        windowAgg(eventsStream(spark, dir).withWatermark("ts", "1 hour"),
+          window(col("ts"), "1 day"))) {
+        _.select(col("w.start").cast("date").as("day"), col("event_type"),
+          col("n"), col("total_value"))
+          .orderBy(col("day"), col("event_type"))
       }),
 
     // ------------------------------------------------------------------
@@ -184,26 +162,14 @@ object StreamingQueries {
         FROM events
         GROUP BY event_type
         ORDER BY event_type"""),
-      run = (spark, dir) => {
-        val rawSchema = graft.io.Tables.eventsRaw(spark, dir).schema
-        val sink = "stream_dedup_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        def leg() = graft.io.Tables.withEventTime(
-          spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*"))
-        val deduped = leg().unionByName(leg())
+      run = (spark, dir) => runToMemorySink(spark, "stream_dedup_",
+        "append",
+        eventsStream(spark, dir).unionByName(eventsStream(spark, dir))
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
-          .select(col("event_id"), col("event_type"))
-        val q = withStreamPartitions(spark) {
-          deduped.writeStream.format("memory").queryName(sink)
-            .outputMode("append").start()
-        }
-        try q.processAllAvailable() finally q.stop()
-        try Q.localized(
-          spark.table(sink)
-            .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-            .orderBy(col("event_type")))
-        finally spark.catalog.dropTempView(sink)
+          .select(col("event_id"), col("event_type"))) {
+        _.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
       })
   )
 }

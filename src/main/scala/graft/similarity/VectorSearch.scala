@@ -104,13 +104,18 @@ object VectorSearch {
   def ringCentroids(corpus: DataFrame, idCol: String, mod: Int): DataFrame =
     corpus.filter(col(idCol) % mod === 0)
 
-  /** Train a real coarse quantizer: spark.ml KMeans over L2-NORMALIZED
-    * vectors (so the euclidean objective orders like the cosine metric
-    * ivfTopK assigns cells with — spherical-k-means-style), fixed seed
-    * for reproducibility. Returns a (idCol, vecCol) centroid DataFrame
-    * that plugs straight into [[ivfTopK]]. At 100 TB this fits on a
-    * SAMPLE of the corpus (KMeans cost is per-iteration linear in rows);
-    * the codebook stays k × dim doubles — always broadcastable. */
+  /** Train a coarse quantizer: spark.ml KMeans over L2-NORMALIZED input
+    * vectors, fixed seed for reproducibility. Normalizing the inputs
+    * makes the fit an APPROXIMATION of spherical k-means (centers are
+    * means of unit vectors but are not re-normalized each iteration, so
+    * the euclidean training assignment is not exactly the cosine order);
+    * at search time this does not matter for consistency — [[ivfTopK]]
+    * assigns cells by cosine, which is invariant to center norms — it
+    * only means the cell boundaries are near-, not exactly-, spherical.
+    * Returns a (idCol, vecCol) centroid DataFrame that plugs straight
+    * into [[ivfTopK]]. At 100 TB this fits on a SAMPLE of the corpus
+    * (KMeans cost is per-iteration linear in rows); the codebook stays
+    * k × dim doubles — always broadcastable. */
   def trainCodebook(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       maxIter: Int = 10, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
