@@ -10,14 +10,19 @@ import org.apache.spark.sql.functions._
   * of a Pandas-UDF-over-mapInPandas pipeline (iterator of batches, so a
   * real codec can amortize per-batch library/model setup).
   *
-  * The CODEC IS A STUB: no image/audio libraries ship in this environment,
-  * so `stubDecode` derives deterministic fake features from the payload
-  * bytes. Everything around it — the typed schema, the batch shape, the
-  * partition-preserving execution, the frame-sampling arithmetic — is the
-  * real Spark-side plumbing a production decode would use, and is what
-  * MediaPipelineSpec exercises. The reference has no multimodal surface;
-  * this is a north-star extension (builder contract), with the relational
-  * twin oracle-checked as q26_multimodal_features.
+  * The decode is REAL for the formats the JDK itself ships codecs for —
+  * PNG/JPEG/BMP/GIF via `javax.imageio` (actual pixel-dimension decode)
+  * and WAV via `javax.sound.sampled` (sample rate / channels / frame
+  * count) — detected by payload magic bytes. Payloads with no recognized
+  * container (including video, for which no JVM codec exists here) fall
+  * back to `stubDecode`, a deterministic arithmetic stand-in. The typed
+  * schema, batch shape, partition-preserving execution, and the
+  * frame-sampling arithmetic are the production plumbing either way, and
+  * MediaPipelineSpec decodes real in-memory PNG and WAV payloads through
+  * the full pipeline. The reference has no multimodal surface; this is a
+  * north-star extension (builder contract), with the relational twin
+  * oracle-checked as q26_multimodal_features (text payloads match no
+  * magic bytes, so q26 exercises the stub path unchanged).
   */
 object MediaPipeline {
 
@@ -57,12 +62,51 @@ object MediaPipeline {
     import spark.implicits._
     items.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // a real codec would initialize once here, per batch, then decode
-        // the whole batch through native buffers
-        batch.iterator.map(stubDecode)
+        // per-batch init point: a heavier codec (or a model) would set up
+        // once here and decode the batch through shared buffers; the JDK
+        // ImageIO/AudioSystem codecs are static so nothing to init
+        batch.iterator.map(decode)
       }
     }
   }
+
+  /** Container sniffing by magic bytes. Returns None for unrecognized
+    * payloads (which then take the stub path). */
+  private[multimodal] def detectContainer(p: Array[Byte]): Option[String] = {
+    def at(i: Int, v: Int): Boolean = i < p.length && (p(i) & 0xff) == v
+    def ascii(i: Int, s: String): Boolean =
+      i + s.length <= p.length && s.indices.forall(j => p(i + j) == s(j).toByte)
+    if (at(0, 0x89) && ascii(1, "PNG")) Some("image")
+    else if (at(0, 0xff) && at(1, 0xd8)) Some("image") // JPEG
+    else if (ascii(0, "GIF8")) Some("image")
+    else if (ascii(0, "BM")) Some("image") // BMP (ImageIO validates further)
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) Some("wav")
+    else None
+  }
+
+  /** Decode: real JDK codec when the container is recognized, stub
+    * otherwise. For audio the (width, height) slots carry
+    * (sampleRate, channels) — documented union semantics, same schema. */
+  private[multimodal] def decode(m: MediaItem): MediaFeatures =
+    try {
+      detectContainer(m.payload) match {
+        case Some("image") =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          if (img == null) stubDecode(m) // sniffed but not decodable
+          else MediaFeatures(m.docId, m.mediaType, m.payload.length.toLong,
+            img.getWidth, img.getHeight, 1,
+            hex(MessageDigest.getInstance("MD5").digest(m.payload)))
+        case Some("wav") =>
+          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(m.payload))
+          MediaFeatures(m.docId, m.mediaType, m.payload.length.toLong,
+            aff.getFormat.getSampleRate.toInt, aff.getFormat.getChannels,
+            aff.getFrameLength,
+            hex(MessageDigest.getInstance("MD5").digest(m.payload)))
+        case _ => stubDecode(m)
+      }
+    } catch { case _: Exception => stubDecode(m) }
 
   /** STUB decode: deterministic arithmetic stand-in for a codec. Keeps the
     * same width/height derivation as q26 so the two stay cross-checkable. */

@@ -38,6 +38,51 @@ class MediaPipelineSpec extends AnyFunSuite with Matchers with SparkTestSession 
     decodeFeatures(items).rdd.getNumPartitions shouldBe 7
   }
 
+  test("REAL codec path: an actual PNG payload decodes to its true pixel dimensions") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(37, 21,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(5, 5, 0xff8800) // non-uniform content
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val out = decodeFeatures(
+      Seq(MediaItem(1L, "image", png)).toDS(), batchSize = 4).collect().head
+    out.width shouldBe 37
+    out.height shouldBe 21
+    out.nFrames shouldBe 1
+    out.nBytes shouldBe png.length.toLong
+    out.fingerprint shouldBe
+      java.security.MessageDigest.getInstance("MD5").digest(png)
+        .map(b => f"$b%02x").mkString
+  }
+
+  test("REAL codec path: an actual WAV payload decodes to sampleRate/channels/frames") {
+    import spark.implicits._
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val pcm = new Array[Byte](16000 * 2 * 2 / 10) // 0.1s of stereo 16-bit
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / fmt.getFrameSize)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val out = decodeFeatures(
+      Seq(MediaItem(2L, "audio", wav)).toDS(), batchSize = 4).collect().head
+    out.width shouldBe 16000 // sampleRate rides in the width slot for audio
+    out.height shouldBe 2 // channels
+    out.nFrames shouldBe 1600 // 0.1s × 16kHz
+  }
+
+  test("unrecognized payloads (and q26's text bytes) take the stub path unchanged") {
+    import spark.implicits._
+    val junk = "BMnot really a bitmap, just text".getBytes("UTF-8")
+    val viaPipeline = decodeFeatures(
+      Seq(MediaItem(3L, "image", junk)).toDS()).collect().head
+    viaPipeline shouldBe MediaPipeline.stubDecode(MediaItem(3L, "image", junk))
+    MediaPipeline.detectContainer("plain text".getBytes("UTF-8")) shouldBe None
+  }
+
   test("frameSampleIndices: evenly spaced, correct count, edge cases") {
     frameSampleIndices(10, 5) shouldBe Seq(0, 2, 4, 6, 8)
     frameSampleIndices(3, 5) shouldBe Seq(0, 1, 2) // fewer frames than k
