@@ -4,6 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // ≥3 timed runs per query so the JSON can report both min (steady
+    // state) and median (noise-robust central tendency) — a co-tenant
+    // load spike then shows up as min≪median instead of silently
+    // inflating the official number.
+    val runs = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val startedAtMs = System.currentTimeMillis()
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadavgStart = osBean.getSystemLoadAverage // -1.0 if unavailable
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,14 +23,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     // sorted: deterministic execution order keeps per-query numbers
     // comparable across rounds (Map order is hash-dependent).
-    // best-of-2 per query: the first run pays one-time codegen compilation
-    // and is exposed to co-tenant CPU noise; the min is the steady-state
-    // figure a warmed cluster would see.
     // a crashing query must NOT register as a fast successful run — record
-    // failures (including one-of-two flaky crashes) in the JSON `failed`
+    // failures (including flaky some-of-N crashes) in the JSON `failed`
     // list and on stderr; stdout stays a single parseable JSON line for
     // the driver, which treats `failed` as the failure signal.
-    final case class R(time: Either[String, Double], flaky: Option[String])
+    final case class R(min: Either[String, Double], median: Double,
+        flaky: Option[String])
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
@@ -33,12 +39,15 @@ object Bench {
           case e: Throwable => Left(e.getClass.getSimpleName + ": " + e.getMessage)
         }
       }
-      name -> ((once(), once()) match {
-        case (Right(a), Right(b)) => R(Right(math.min(a, b)), None)
-        case (Right(a), Left(e))  => R(Right(a), Some(e))
-        case (Left(e), Right(b))  => R(Right(b), Some(e))
-        case (Left(e), Left(_))   => R(Left(e), None)
-      })
+      val attempts = Seq.fill(runs)(once())
+      val ok = attempts.collect { case Right(t) => t }.sorted
+      val errs = attempts.collect { case Left(e) => e }
+      def median(xs: Seq[Double]): Double =
+        if (xs.size % 2 == 1) xs(xs.size / 2)
+        else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
+      name -> (if (ok.isEmpty) R(Left(errs.head), -1.0, None)
+               else R(Right(ok.head), median(ok),
+                 errs.headOption.map(e => s"${errs.size}/$runs runs: $e")))
     }
     // JSON string escape (quotes, backslashes, all control chars) —
     // exception messages are routinely multi-line
@@ -52,16 +61,30 @@ object Bench {
       case c => c.toString
     } + "\""
     val qs = results.map {
-      case (k, R(Right(v), _)) => "\"" + k + "\":" + v
-      case (k, R(Left(_), _))  => "\"" + k + "\":\"failed\""
+      case (k, R(Right(v), _, _)) => "\"" + k + "\":" + v
+      case (k, R(Left(_), _, _))  => "\"" + k + "\":\"failed\""
+    }.mkString("{", ",", "}")
+    val qsMedian = results.collect {
+      case (k, R(Right(_), m, _)) => "\"" + k + "\":" + m
     }.mkString("{", ",", "}")
     val failed = results.collect {
-      case (k, R(Left(e), _))        => s"$k ($e)"
-      case (k, R(Right(_), Some(e))) => s"$k (flaky 1/2 runs: $e)"
+      case (k, R(Left(e), _, _))        => s"$k ($e)"
+      case (k, R(Right(_), _, Some(e))) => s"$k (flaky $e)"
     }
-    val total = results.collect { case (_, R(Right(v), _)) => v }.sum
+    val total = results.collect { case (_, R(Right(v), _, _)) => v }.sum
+    val totalMedian = results.collect { case (_, R(Right(_), m, _)) => m }.sum
     val failedJson = failed.map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val loadavgEnd = osBean.getSystemLoadAverage
+    val finishedAtMs = System.currentTimeMillis()
+    def iso(ms: Long): String = java.time.Instant.ofEpochMilli(ms).toString
+    // `value`/`queries` stay min-of-N (steady state, the cross-round
+    // comparable figure); `*_median` + loadavg let a reader adjudicate
+    // whether the capture was load-corrupted without a rerun.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""total_median":$totalMedian,"queries_median":$qsMedian,"runs":$runs,""" +
+      s""""loadavg_start":$loadavgStart,"loadavg_end":$loadavgEnd,""" +
+      s""""started_at":${jstr(iso(startedAtMs))},"finished_at":${jstr(iso(finishedAtMs))},""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty)
       System.err.println(s"BENCH FAILURES: ${failed.mkString("; ")}")
     spark.stop()
