@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+import graft.exec.Materializer
+
 /** Reusable text-deduplication API over any (id, text) relation — the
   * library form of the q15/q16/q17 building blocks, for callers that want
   * "deduplicate this corpus" rather than a benchmark query. All stages are
@@ -78,17 +80,21 @@ object TextDedup {
   }
 
   /** Verified near-duplicate pairs (id_a < id_b, jaccard >= threshold):
-    * MinHash r=2-band LSH candidates, co-shingle-count Jaccard verify. */
+    * MinHash r=2-band LSH candidates, co-shingle-count Jaccard verify.
+    * `mat` picks the lineage-cut storage: the default Local is fastest
+    * but not fault-tolerant — at cluster scale pass
+    * Materializer.Reliable (or .Parquet) so executor loss doesn't abort
+    * the whole pipeline. Materialization is always distributed: at
+    * corpus scale the verified pair set is itself huge, and the cut is
+    * required — self-join DAGs nest the upstream plan many times over,
+    * so without it a re-dedup of a dedup output blows the plan tree up
+    * exponentially. */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, numHashes: Int = 8): DataFrame = {
+      threshold: Double = 0.5, numHashes: Int = 8,
+      mat: Materializer = Materializer.Local): DataFrame = {
     val (result, cached) =
       nearDuplicatePairsPlan(df, idCol, textCol, threshold, numHashes)
-    // localCheckpoint: materializes DISTRIBUTED (never a driver collect —
-    // at corpus scale the verified pair set is itself huge) AND truncates
-    // lineage — self-join DAGs nest the upstream plan many times over, so
-    // without the cut a re-dedup of a dedup output blows the plan tree up
-    // exponentially (at production scale prefer reliable checkpoint(dir))
-    val out = result.localCheckpoint(true)
+    val out = mat(result)
     cached.foreach(_.unpersist(blocking = false))
     out
   }
@@ -121,58 +127,88 @@ object TextDedup {
   }
 
   /** Collapse near-duplicate pairs into clusters by iterative min-label
-    * propagation (connected components): each doc's label converges to
-    * the min id in its component. The standard Spark CC shape — a few
-    * self-joining label-exchange rounds, each one shuffle; iteration
-    * count is O(longest chain), and pair graphs from dedup are
-    * near-cliques, so 2-3 rounds typically converge. THROWS if the graph
-    * has not converged within maxIter rounds (a silent partial clustering
-    * would return wrong survivors); raise maxIter for pathological
-    * long-chain corpora. Returns (id, cluster_id). */
-  def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    * propagation WITH POINTER JUMPING (connected components): each doc's
+    * label converges to the min id in its component. Each round first
+    * adopts the min label among a node and its neighbors (the standard
+    * Spark CC label-exchange), then jumps each label through the label
+    * of its label — so the distance a min label has traveled more than
+    * doubles per round (d ← 2d+2) and iteration count is O(log longest
+    * chain) instead of O(longest chain). Pair graphs from dedup are
+    * near-cliques (1-2 rounds either way); the jump is what keeps a
+    * pathological chain-shaped corpus from costing a shuffle per hop.
+    * THROWS if the graph has not converged within maxIter rounds (a
+    * silent partial clustering would return wrong survivors). Returns
+    * (id, cluster_id). */
+  def clusters(pairs: DataFrame, maxIter: Int = 50,
+      mat: Materializer = Materializer.Local): DataFrame =
+    clustersWithRounds(pairs, maxIter, mat)._1
+
+  /** [[clusters]] plus the number of rounds it took — exposed (with the
+    * jump toggle) so TextDedupSpec can pin that pointer jumping really
+    * reduces rounds on a chain fixture. */
+  private[graft] def clustersWithRounds(pairs: DataFrame, maxIter: Int = 50,
+      mat: Materializer = Materializer.Local,
+      pointerJump: Boolean = true): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id"))
+    // each round ends in an EAGER mat() lineage cut, not a bare persist:
+    // the label relation is referenced 2-4× by the next round's plan, so
+    // without the cut the logical plan tree doubles per round (exponential
+    // analyze/explain cost — OOMs past ~20 rounds); with it the per-round
+    // plan is O(1) and, under a Reliable/Parquet mat, every round is also
+    // a durable restart point at cluster scale. Block release for old
+    // rounds is the ContextCleaner's (cuts become unreachable each round).
+    var labels = mat(edges.select(col("src").as("id"))
       .distinct()
-      .withColumn("cluster_id", col("id"))
-      .persist(MEMORY_AND_DISK)
-    var cached = labels // the actually-persisted relation behind `labels`
+      .withColumn("cluster_id", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       // each node adopts the min label among itself and its neighbors.
       // The previous label rides along in the same relation, so the
-      // convergence check is a filter over this iteration's (persisted)
+      // convergence check is a filter over this iteration's materialized
       // result — no extra join+shuffle per round just to detect fixpoint.
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_id")).as("n_min"))
-      val next = labels.join(fromNeighbors, Seq("id"), "left")
+      val propagated = labels.join(fromNeighbors, Seq("id"), "left")
         .select(col("id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
             .as("cluster_id"))
-        .persist(MEMORY_AND_DISK)
+      // pointer jump: label ← label(label). Every label is the id of a
+      // node in the same component (mins of node ids), so the lookup
+      // self-join always hits; labels only decrease and never leave
+      // the component, preserving the fixpoint (= component min).
+      // Costs one extra equi-join per round, wins exponentially fewer
+      // rounds on chains (covered distance d ← 2d+2 per round).
+      val roundTemp =
+        if (pointerJump) Some(propagated.persist(MEMORY_AND_DISK)) else None
+      val next = mat(roundTemp match {
+        case None => propagated
+        case Some(p) => p.as("x")
+          .join(p.select(col("id").as("j_id"), col("cluster_id").as("j_lbl")).as("y"),
+            col("x.cluster_id") === col("y.j_id"), "left")
+          .select(col("x.id").as("id"), col("x.prev").as("prev"),
+            coalesce(col("y.j_lbl"), col("x.cluster_id")).as("cluster_id"))
+      })
       val changed =
         next.filter(col("cluster_id") =!= col("prev")).limit(1).count()
-      cached.unpersist(blocking = false)
-      cached = next
+      roundTemp.foreach(_.unpersist(blocking = false))
       labels = next.select(col("id"), col("cluster_id"))
       converged = changed == 0
       i += 1
     }
+    edges.unpersist(blocking = false)
     if (!converged) {
-      Seq(edges, cached).foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"clusters() did not converge in $maxIter rounds — the pair graph " +
           "has a chain longer than maxIter; raise maxIter")
     }
-    // distributed + lineage-cut result (one row per doc in any pair —
-    // potentially huge at scale, never collected)
-    val out = labels.localCheckpoint(true)
-    Seq(edges, cached).foreach(_.unpersist(blocking = false))
-    out
+    // labels is already distributed + lineage-cut by the round's mat()
+    // (one row per doc in any pair — potentially huge, never collected)
+    (labels, i)
   }
 
   /** Full fuzzy dedup: exact dedup first (so byte-identical docs collapse
@@ -180,17 +216,20 @@ object TextDedup {
     * would otherwise never enter LSH), then drop every remaining doc that
     * shares a near-dup cluster with a smaller id. The exact pass is also
     * the cheap standard pre-filter: it shrinks the corpus the expensive
-    * LSH stage sees. Returns the surviving rows of `df`. */
+    * LSH stage sees. Returns the surviving rows of `df`. `mat` picks the
+    * lineage-cut storage for every stage (see [[nearDuplicatePairs]]) —
+    * at cluster scale pass Materializer.Reliable/.Parquet so one lost
+    * executor doesn't restart the ~15-job pipeline from zero. */
   def deduplicate(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      mat: Materializer = Materializer.Local): DataFrame = {
     val exactKept = exact(df, idCol, textCol)
       .persist(MEMORY_AND_DISK)
-    val pairs = nearDuplicatePairs(exactKept, idCol, textCol, threshold)
-    val cl = clusters(pairs)
+    val pairs = nearDuplicatePairs(exactKept, idCol, textCol, threshold, mat = mat)
+    val cl = clusters(pairs, mat = mat)
     val losers = cl.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
-    val out = exactKept.join(losers, Seq(idCol), "left_anti")
-      .localCheckpoint(true)
+    val out = mat(exactKept.join(losers, Seq(idCol), "left_anti"))
     Seq(pairs, cl, exactKept).foreach(_.unpersist(blocking = false))
     out
   }

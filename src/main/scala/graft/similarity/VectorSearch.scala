@@ -43,14 +43,17 @@ object VectorSearch {
     * query's `nprobe` nearest cells. `nprobe` is IVF's recall/cost dial:
     * 1 = cheapest, |centroids| = exhaustive (provably identical to
     * bruteForceTopK, see VectorSearchSpec). `centroids` must be small
-    * enough to broadcast — at scale it is the trained coarse quantizer. */
+    * enough to broadcast — at scale it is the trained coarse quantizer.
+    * `mat` picks the lineage-cut storage for the distributed result
+    * (never a driver collect: queries×k rows can be large when the
+    * query set is) — default Local; pass Materializer.Reliable/.Parquet
+    * on a cluster so the cut survives executor loss. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1,
+      mat: graft.exec.Materializer = graft.exec.Materializer.Local): DataFrame = {
     val (result, cached) =
       ivfTopKPlan(corpus, queries, centroids, idCol, vecCol, k, nprobe)
-    // distributed materialization with lineage cut (localCheckpoint), not
-    // a driver collect: queries×k rows can be large when the query set is
-    val out = result.localCheckpoint(true)
+    val out = mat(result)
     cached.foreach(_.unpersist(blocking = false))
     out
   }

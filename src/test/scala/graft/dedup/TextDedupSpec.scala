@@ -50,6 +50,21 @@ class TextDedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
     cl(21L) shouldBe 20L
   }
 
+  test("pointer jumping: fewer rounds than plain propagation on a chain") {
+    import spark.implicits._
+    // a pure chain 0-1-2-...-23 is the worst case for plain min-label
+    // propagation (one hop per round); with the label(label) jump the
+    // covered distance more than doubles per round
+    val n = 24L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (cl, roundsJump) = TextDedup.clustersWithRounds(pairs)
+    val (_, roundsPlain) =
+      TextDedup.clustersWithRounds(pairs, pointerJump = false)
+    cl.collect().map(_.getLong(1)).toSet shouldBe Set(0L) // one component, min label
+    roundsJump should be < roundsPlain
+    roundsJump should be <= 7 // O(log chain), not O(chain)
+  }
+
   test("deduplicate: one survivor per near-dup cluster, unrelated docs untouched") {
     val survivors = TextDedup.deduplicate(corpus, "doc_id", "text", 0.5)
       .select("doc_id").collect().map(_.getLong(0)).sorted
