@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * The decode is REAL for the formats the JDK itself ships codecs for —
   * PNG/JPEG/BMP/GIF via `javax.imageio` (actual pixel-dimension decode)
   * and WAV via `javax.sound.sampled` (sample rate / channels / frame
-  * count) — detected by payload magic bytes. Payloads with no recognized
-  * container (including video, for which no JVM codec exists here) fall
-  * back to `stubDecode`, a deterministic arithmetic stand-in. The typed
+  * count) — and for MP4/MOV CONTAINER METADATA via a pure-JVM ISO BMFF
+  * box walk (`ftyp`→`moov`→`mvhd`/`trak`/`tkhd`, the public ISO/IEC
+  * 14496-12 layout: presentation duration + track pixel dimensions — no
+  * codec needed, frame DECODE would still require one). Detection is by
+  * payload magic bytes. Payloads with no recognized container fall back
+  * to `stubDecode`, a deterministic arithmetic stand-in. The typed
   * schema, batch shape, partition-preserving execution, and the
   * frame-sampling arithmetic are the production plumbing either way, and
   * MediaPipelineSpec decodes real in-memory PNG and WAV payloads through
@@ -81,6 +84,7 @@ object MediaPipeline {
     else if (ascii(0, "GIF8")) Some("image")
     else if (ascii(0, "BM")) Some("image") // BMP (ImageIO validates further)
     else if (ascii(0, "RIFF") && ascii(8, "WAVE")) Some("wav")
+    else if (ascii(4, "ftyp")) Some("mp4") // ISO BMFF (MP4/MOV/3GP...)
     else None
   }
 
@@ -104,9 +108,87 @@ object MediaPipeline {
             aff.getFormat.getSampleRate.toInt, aff.getFormat.getChannels,
             aff.getFrameLength,
             hex(MessageDigest.getInstance("MD5").digest(m.payload)))
+        case Some("mp4") =>
+          parseMp4(m.payload) match {
+            case Some(meta) =>
+              // union semantics for video containers: (width, height) are
+              // the first visual track's tkhd pixel dims; nFrames carries
+              // the mvhd presentation duration in MILLISECONDS (a frame
+              // count needs the stts sample table + codec framerate)
+              MediaFeatures(m.docId, m.mediaType, m.payload.length.toLong,
+                meta.width, meta.height,
+                math.min(meta.durationMs, Int.MaxValue.toLong).toInt,
+                hex(MessageDigest.getInstance("MD5").digest(m.payload)))
+            case None => stubDecode(m)
+          }
         case _ => stubDecode(m)
       }
     } catch { case _: Exception => stubDecode(m) }
+
+  /** MP4 container metadata from the first visual track. */
+  private[multimodal] final case class Mp4Meta(
+      width: Int, height: Int, timescale: Long, durationMs: Long)
+
+  /** Minimal ISO BMFF (ISO/IEC 14496-12) box walk — pure byte parsing, no
+    * codec: boxes are [u32 size][4cc type][payload] (size==1 → u64
+    * largesize follows; size==0 → box extends to end). `moov/mvhd` gives
+    * (timescale, presentation duration); each `moov/trak/tkhd` carries the
+    * track's 16.16-fixed pixel width/height — nonzero only for visual
+    * tracks, so the first nonzero pair is the video dimensions. Returns
+    * None for anything malformed (caller stubs). */
+  private[multimodal] def parseMp4(p: Array[Byte]): Option[Mp4Meta] = {
+    def be32(i: Int): Long =
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int): String =
+      new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    /** (type, payloadStart, payloadEnd) for each box in [start, end). */
+    def boxes(start: Int, end: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var off = start
+        def hasNext: Boolean = off + 8 <= end
+        def next(): (String, Int, Int) = {
+          val size = be32(off)
+          val typ = fourcc(off + 4)
+          val (payloadStart, boxEnd) =
+            if (size == 1L && off + 16 <= end) (off + 16L, off + be64(off + 8))
+            else if (size == 0L) (off + 8L, end.toLong)
+            else (off + 8L, off + size)
+          if (size != 0L && size != 1L && size < 8L) { off = end; ("", end, end) }
+          else {
+            val e = math.min(boxEnd, end.toLong).toInt
+            val s = math.min(payloadStart, e.toLong).toInt
+            off = math.max(e, off + 8) // malformed sizes must still advance
+            (typ, s, e)
+          }
+        }
+      }
+    def find(start: Int, end: Int, typ: String): Option[(Int, Int)] =
+      boxes(start, end).collectFirst { case (`typ`, s, e) => (s, e) }
+    try {
+      for {
+        (moovS, moovE) <- find(0, p.length, "moov")
+        (mvhdS, _) <- find(moovS, moovE, "mvhd")
+      } yield {
+        val mvhdV = p(mvhdS) & 0xff
+        val (timescale, duration) =
+          if (mvhdV == 1) (be32(mvhdS + 20), be64(mvhdS + 24))
+          else (be32(mvhdS + 12), be32(mvhdS + 16))
+        val dims = boxes(moovS, moovE).collect { case ("trak", ts, te) => (ts, te) }
+          .flatMap { case (ts, te) => find(ts, te, "tkhd") }
+          .map { case (s, _) =>
+            val v = p(s) & 0xff
+            val wOff = if (v == 1) s + 88 else s + 76
+            ((be32(wOff) >> 16).toInt, (be32(wOff + 4) >> 16).toInt)
+          }
+          .collectFirst { case (w, h) if w > 0 && h > 0 => (w, h) }
+          .getOrElse((0, 0))
+        val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+        Mp4Meta(dims._1, dims._2, timescale, durMs)
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
 
   /** STUB decode: deterministic arithmetic stand-in for a codec. Keeps the
     * same width/height derivation as q26 so the two stay cross-checkable. */

@@ -74,6 +74,68 @@ class MediaPipelineSpec extends AnyFunSuite with Matchers with SparkTestSession 
     out.nFrames shouldBe 1600 // 0.1s × 16kHz
   }
 
+  /** Build a minimal valid ISO BMFF file: ftyp + moov{mvhd, trak{tkhd}}.
+    * Box layouts per ISO/IEC 14496-12 (public spec). */
+  private def makeMp4(w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(8)
+      .put("isom".getBytes("US-ASCII")).putInt(0x200).array())
+    val mvhd = { // version 0: ver+flags, creation, modification, timescale, duration...
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      box("mvhd", b.array())
+    }
+    val tkhd = { // version 0: ver+flags ... width/height as 16.16 fixed at 76/80
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.position(76)
+      b.putInt(w << 16).putInt(h << 16)
+      box("tkhd", b.array())
+    }
+    val moov = box("moov", box("trak", tkhd) ++ mvhd)
+    ftyp ++ moov
+  }
+
+  test("REAL container path: MP4 moov/mvhd/tkhd metadata through the distributed pipeline") {
+    import spark.implicits._
+    // 640×360 track, mvhd timescale 600 with duration 3000 units = 5000 ms
+    val mp4 = makeMp4(640, 360, 600, 3000)
+    MediaPipeline.detectContainer(mp4) shouldBe Some("mp4")
+    val out = decodeFeatures(
+      Seq(MediaItem(4L, "video", mp4)).toDS(), batchSize = 4).collect().head
+    out.width shouldBe 640
+    out.height shouldBe 360
+    out.nFrames shouldBe 5000 // duration-ms rides in the nFrames slot for video
+    out.nBytes shouldBe mp4.length.toLong
+  }
+
+  test("MP4 parser: version-1 boxes, audio-only (no dims), malformed payloads") {
+    // version-1 mvhd: 64-bit duration, timescale at +20
+    val mvhdV1 = {
+      val b = java.nio.ByteBuffer.allocate(112)
+      b.put(0, 1.toByte) // version 1
+      b.putInt(20, 90000).putLong(24, 450000L) // timescale, duration → 5000 ms
+      b.array()
+    }
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", new Array[Byte](8))
+    val audioOnly = ftyp ++ box("moov", box("mvhd", mvhdV1))
+    val meta = MediaPipeline.parseMp4(audioOnly)
+    meta.map(_.durationMs) shouldBe Some(5000L)
+    meta.map(_.width) shouldBe Some(0) // no visual track
+    // malformed: ftyp magic but truncated / garbage boxes → None, stub path
+    MediaPipeline.parseMp4(ftyp.take(12)) shouldBe None
+    val junk = ftyp ++ Array[Byte](0, 0, 0, 3, 'x', 'y') // size<8 box
+    MediaPipeline.parseMp4(junk) shouldBe None
+  }
+
   test("unrecognized payloads (and q26's text bytes) take the stub path unchanged") {
     import spark.implicits._
     val junk = "BMnot really a bitmap, just text".getBytes("UTF-8")
