@@ -46,6 +46,53 @@ object Similarity {
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
       FROM e)"""
 
+  /** Where q54 materializes its trained codebook so the DuckDB oracle can
+    * replay the identical search over the identical centroids (KMeans
+    * centers aren't SQL-reproducible; the search given a codebook is). */
+  private[queries] val TrainedCentroidsPath = "/root/repo/target/q54_centroids"
+
+  /** Shared IVF search plan over a normed corpus `n` (vec_id, v, nrm) and
+    * broadcast centroids `cents` (c_id, cv, cn): nearest-cell assignment
+    * (6dp-rounded cosine, c_id tie-break — engine-independent), queries =
+    * corpus rows with vec_id % QUERY_MOD = 0 probing their `nprobe`
+    * nearest cells, exact top-k within probed cells (4dp-rounded cosine,
+    * neighbor tie-break). Cells partition the corpus, so multi-cell
+    * probes union disjoint candidate sets — no dedup needed. The corpus
+    * never shuffles for scoring; only (q_id, neighbor, cosine) triples
+    * move for the final ranking. */
+  private def ivfSearch(n: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(round(cosine(col("v"), col("cv"), col("nrm"), col("cn")), 6).desc,
+        col("c_id").asc)
+    val assigned = n.crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
+      .persist(MEMORY_AND_DISK)
+    val qs = n.filter(col("vec_id") % QUERY_MOD === 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("c_id").as("qcell"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    // probe: queries are broadcast per cell; the corpus side stays
+    // partitioned — the join key is the cell id
+    val result = Q.localized(assigned
+      .join(broadcast(qs), col("c_id") === col("qcell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= TOPK)
+      .select(col("q_id"), col("rank"), col("neighbor"), col("cosine"))
+      .orderBy(col("q_id"), col("rank")))
+    assigned.unpersist(blocking = false)
+    result
+  }
+
   val defs: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -156,36 +203,81 @@ object Similarity {
         QUALIFY rank <= $TOPK
         ORDER BY q_id, rank"""),
       run = (spark, dir) => {
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val n = normed(spark, dir)
         val cents = n.filter(col("vec_id") % CENTROID_MOD === 0)
           .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(round(cosine(col("v"), col("cv"), col("nrm"), col("cn")), 6).desc,
-            col("c_id").asc)
-        val assigned = n.crossJoin(broadcast(cents))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
-          .persist(MEMORY_AND_DISK)
-        val qs = assigned.filter(col("vec_id") % QUERY_MOD === 0)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("nrm").as("qn"), col("c_id").as("qcell"))
-        val wRank = Window.partitionBy(col("q_id"))
-          .orderBy(col("cosine").desc, col("neighbor").asc)
-        // probe: queries are broadcast per cell; the corpus side stays
-        // partitioned — the join key is the cell id
-        val result = Q.localized(assigned
-          .join(broadcast(qs), col("c_id") === col("qcell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("neighbor"),
-            round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4).as("cosine"))
-          .withColumn("rank", row_number().over(wRank).cast("long"))
-          .filter(col("rank") <= TOPK)
-          .select(col("q_id"), col("rank"), col("neighbor"), col("cosine"))
-          .orderBy(col("q_id"), col("rank")))
-        assigned.unpersist(blocking = false)
-        result
+        ivfSearch(n, cents, nprobe = 1)
+      }),
+
+    // ------------------------------------------------------------------
+    // q54: IVF over a TRAINED codebook with nprobe=2 — the production IVF
+    // shape q36's deterministic ring codebook stands in for. KMeans
+    // centers aren't SQL-reproducible, but the search GIVEN a codebook
+    // is: the engine trains the quantizer (seeded spherical-KMeans
+    // approximation, VectorSearch.trainCodebook), materializes the
+    // centroids to parquet, and both engines replay the identical
+    // assignment + 2-cell probe over that shared artifact. Multi-cell
+    // probing is the recall dial that distinguishes real IVF from plain
+    // bucketing; candidates from the two probed cells are disjoint (cells
+    // partition the corpus), so ranking needs no dedup.
+    Q("q54_ann_ivf_trained",
+      oracle = Some(s"""
+        $normedCte,
+        rawc AS (
+          SELECT c_id, list_transform(cv, x -> CAST(x AS DOUBLE)) AS cv
+          FROM read_parquet('$TrainedCentroidsPath/*.parquet')),
+        cents AS (
+          SELECT c_id, cv,
+                 sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+          FROM rawc),
+        assigned AS (
+          SELECT vec_id, c_id FROM (
+            SELECT n.vec_id, c_id,
+                   row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn), 6) DESC,
+                              c_id) AS rn
+            FROM n, cents)
+          WHERE rn = 1),
+        qs AS (
+          SELECT q_id, qv, qn, qcell FROM (
+            SELECT n.vec_id AS q_id, v AS qv, nrm AS qn, c_id AS qcell,
+                   row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn), 6) DESC,
+                              c_id) AS rn
+            FROM n, cents
+            WHERE n.vec_id % $QUERY_MOD = 0)
+          WHERE rn <= 2),
+        scored AS (
+          SELECT q_id, n.vec_id AS neighbor,
+                 round(list_sum(list_transform(range(1, len(v) + 1),
+                                i -> v[i] * qv[i])) / (nrm * qn), 4) AS cosine
+          FROM n JOIN assigned a ON n.vec_id = a.vec_id
+          JOIN qs ON a.c_id = qs.qcell
+          WHERE n.vec_id <> q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank,
+               neighbor, cosine
+        FROM scored
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""),
+      run = (spark, dir) => {
+        import graft.io.Tables
+        val codebook = graft.similarity.VectorSearch.trainCodebook(
+          Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", k = 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+        // single file: the codebook is k × dim doubles — always tiny
+        Tables.writeParquet(codebook.coalesce(1), TrainedCentroidsPath)
+        // search over the PERSISTED centroids (the exact doubles the
+        // oracle reads), not the in-memory ones
+        val cents = spark.read.parquet(TrainedCentroidsPath)
+          .select(col("c_id"), col("cv"))
+          .withColumn("cn", l2norm(col("cv")))
+        ivfSearch(normed(spark, dir), cents, nprobe = 2)
       })
   )
 }
