@@ -23,13 +23,23 @@ import org.apache.spark.sql.functions._
 object StreamingQueries {
 
   /** Run `body` with streaming-sized shuffle partitions, restoring the
-    * session value after (queries run sequentially in Verify/Bench). */
+    * session value after (queries run sequentially in Verify/Bench).
+    * Every micro-batch opens/commits every state store instance, so the
+    * partition count is sized to state cardinality (a handful of
+    * event_type × window groups), not input volume. */
   private def withStreamPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, "1")
     try body finally spark.conf.set(key, prev)
   }
+
+  /** Raw events schema per sfDir, probed once per JVM: every streaming
+    * query needs it (readStream requires an explicit schema), and the
+    * batch-side footer read it comes from is pure fixed overhead when
+    * repeated per query. */
+  private val rawSchemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
 
   /** The events file-stream source. Must use the *raw* schema (ts as
     * nanos-long, see Tables.eventsRaw) and apply the same micros coercion
@@ -37,7 +47,8 @@ object StreamingQueries {
     * directory basePath, so the single file is addressed through a
     * pattern under its parent dir. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val rawSchema = graft.io.Tables.eventsRaw(spark, dir).schema
+    val rawSchema = rawSchemaCache.getOrElseUpdate(dir,
+      graft.io.Tables.eventsRaw(spark, dir).schema)
     graft.io.Tables.withEventTime(
       spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*"))
   }
@@ -45,16 +56,38 @@ object StreamingQueries {
   /** Shared harness: run `streamed` to completion into a uniquely-named
     * memory sink in `mode`, localize `finish` of the sink table, and drop
     * the temp view — a UUID-named memory sink left registered would leak
-    * cached driver memory on every invocation. */
+    * cached driver memory on every invocation. Trigger.AvailableNow is
+    * the production batch-over-stream discipline: process everything
+    * available (including the watermark-advance no-data batch that
+    * append-mode emission needs) then stop on its own — awaitTermination
+    * replaces the processAllAvailable poll+stop pair. */
   private def runToMemorySink(spark: SparkSession, prefix: String,
       mode: String, streamed: DataFrame)(
       finish: DataFrame => DataFrame): DataFrame = {
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    // the checkpoint (offset/commit WAL + state store files) for these
+    // run-to-completion memory-sink queries is ephemeral by construction
+    // — the query is drained and dropped in the same call — so it goes
+    // on tmpfs when available: every micro-batch pays several fsyncs
+    // into it, pure fixed overhead on a disk-backed /tmp. A PRODUCTION
+    // writeStream (durable sink, query outliving the process) must
+    // checkpoint to reliable shared storage instead.
+    val shm = new java.io.File("/dev/shm")
+    val ckpt = if (shm.isDirectory && shm.canWrite)
+      Some(s"/dev/shm/graft_ckpt/$sink") else None
     val q = withStreamPartitions(spark) {
-      streamed.writeStream.format("memory").queryName(sink)
-        .outputMode(mode).start()
+      val w = streamed.writeStream.format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode(mode)
+      ckpt.foreach(w.option("checkpointLocation", _))
+      w.start()
     }
-    try q.processAllAvailable() finally q.stop()
+    try q.awaitTermination() finally {
+      q.stop()
+      ckpt.foreach { c =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(c))
+      }
+    }
     try Q.localized(finish(spark.table(sink)))
     finally spark.catalog.dropTempView(sink)
   }
