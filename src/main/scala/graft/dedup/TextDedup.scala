@@ -146,22 +146,25 @@ object TextDedup {
   /** [[clusters]] plus the number of rounds it took — exposed (with the
     * jump toggle) so TextDedupSpec can pin that pointer jumping really
     * reduces rounds on a chain fixture. */
+  /** Rounds between eager mat() plan cuts in the CC loop: the label
+    * relation is referenced up to 4× by each round's plan, so the
+    * logical tree grows ~4^k between cuts — k=4 bounds analysis at a few
+    * thousand nodes while letting the common near-clique case (≤3
+    * rounds) run on cheap lazy persists with zero extra jobs. */
+  private val CC_CUT_EVERY = 4
+
   private[graft] def clustersWithRounds(pairs: DataFrame, maxIter: Int = 50,
       mat: Materializer = Materializer.Local,
       pointerJump: Boolean = true): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(MEMORY_AND_DISK)
-    // each round ends in an EAGER mat() lineage cut, not a bare persist:
-    // the label relation is referenced 2-4× by the next round's plan, so
-    // without the cut the logical plan tree doubles per round (exponential
-    // analyze/explain cost — OOMs past ~20 rounds); with it the per-round
-    // plan is O(1) and, under a Reliable/Parquet mat, every round is also
-    // a durable restart point at cluster scale. Block release for old
-    // rounds is the ContextCleaner's (cuts become unreachable each round).
-    var labels = mat(edges.select(col("src").as("id"))
+    var labels = edges.select(col("src").as("id"))
       .distinct()
-      .withColumn("cluster_id", col("id")))
+      .withColumn("cluster_id", col("id"))
+      .persist(MEMORY_AND_DISK)
+    // the persisted round to release once the next round is materialized
+    var prevRound: Option[DataFrame] = Some(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -182,33 +185,53 @@ object TextDedup {
       // self-join always hits; labels only decrease and never leave
       // the component, preserving the fixpoint (= component min).
       // Costs one extra equi-join per round, wins exponentially fewer
-      // rounds on chains (covered distance d ← 2d+2 per round).
+      // rounds on chains (covered distance d ← 2d+2 per round) — so it
+      // is ADAPTIVE: the first two rounds run plain (dedup pair graphs
+      // are near-cliques that converge by then, and the jump would be
+      // pure overhead); a graph still unconverged at round 3 is
+      // chain-shaped and gets the acceleration from there on.
       val roundTemp =
-        if (pointerJump) Some(propagated.persist(MEMORY_AND_DISK)) else None
-      val next = mat(roundTemp match {
+        if (pointerJump && i >= 2) Some(propagated.persist(MEMORY_AND_DISK))
+        else None
+      val stepped = roundTemp match {
         case None => propagated
         case Some(p) => p.as("x")
           .join(p.select(col("id").as("j_id"), col("cluster_id").as("j_lbl")).as("y"),
             col("x.cluster_id") === col("y.j_id"), "left")
           .select(col("x.id").as("id"), col("x.prev").as("prev"),
             coalesce(col("y.j_lbl"), col("x.cluster_id")).as("cluster_id"))
-      })
+      }
+      // most rounds end in a lazy persist (materialized by the
+      // convergence count — one job per round); every CC_CUT_EVERY-th
+      // round ends in an eager mat() LINEAGE CUT instead, which bounds
+      // the otherwise-exponential logical-plan growth (~4^k between
+      // cuts) and, under a Reliable/Parquet mat, is a durable restart
+      // point at cluster scale. Cut-round block release is the
+      // ContextCleaner's (the cut becomes unreachable next round).
+      val cutRound = i % CC_CUT_EVERY == CC_CUT_EVERY - 1
+      val next = if (cutRound) mat(stepped) else stepped.persist(MEMORY_AND_DISK)
       val changed =
         next.filter(col("cluster_id") =!= col("prev")).limit(1).count()
       roundTemp.foreach(_.unpersist(blocking = false))
+      prevRound.foreach(_.unpersist(blocking = false))
+      prevRound = if (cutRound) None else Some(next)
       labels = next.select(col("id"), col("cluster_id"))
       converged = changed == 0
       i += 1
     }
     edges.unpersist(blocking = false)
     if (!converged) {
+      prevRound.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"clusters() did not converge in $maxIter rounds — the pair graph " +
           "has a chain longer than maxIter; raise maxIter")
     }
-    // labels is already distributed + lineage-cut by the round's mat()
-    // (one row per doc in any pair — potentially huge, never collected)
-    (labels, i)
+    // final cut: the result must survive the prevRound unpersist and cut
+    // lineage for downstream self-joins (one row per doc in any pair —
+    // potentially huge, never collected)
+    val out = mat(labels)
+    prevRound.foreach(_.unpersist(blocking = false))
+    (out, i)
   }
 
   /** Full fuzzy dedup: exact dedup first (so byte-identical docs collapse

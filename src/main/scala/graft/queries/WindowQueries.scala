@@ -185,6 +185,13 @@ object WindowQueries {
         val g = scored.groupBy(col("score"))
           .agg(sum(col("y")).cast("double").as("np"),
             (count(lit(1)) - sum(col("y"))).cast("double").as("nn"))
+        // DOCUMENTED TRADE: this global Window.orderBy runs on ONE task —
+        // fine here because its input is the score-grouped relation
+        // (|distinct scores| rows, bounded by the discount×tax×quantity
+        // grid), and exactness is the point: q47 is the ORACLE form of
+        // AUC. A continuous-score corpus at scale uses BinnedAuc (the
+        // declared scale form, pinned within 2e-3 by BinnedAucSpec),
+        // whose fixed-width histogram needs no global sort at all.
         val w = Window.orderBy(col("score"))
           .rowsBetween(Window.unboundedPreceding, -1)
         g.withColumn("neg_below", coalesce(sum(col("nn")).over(w), lit(0.0)))
