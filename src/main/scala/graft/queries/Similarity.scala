@@ -267,8 +267,17 @@ object Similarity {
         ORDER BY q_id, rank"""),
       run = (spark, dir) => {
         import graft.io.Tables
+        // train on a seeded 20% sample — the cluster-scale discipline
+        // (KMeans cost is per-iteration linear in rows, and the codebook
+        // only needs the cell geometry, not every point); the oracle is
+        // immune to sampling/training variation because it replays the
+        // MATERIALIZED centroids, whatever they are
+        // 5 iterations: a coarse quantizer needs rough cell geometry, not
+        // a converged clustering — recall is governed by nprobe, and the
+        // oracle replays whatever centroids come out
         val codebook = graft.similarity.VectorSearch.trainCodebook(
-          Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", k = 8)
+          Tables.table(spark, dir, "embeddings").sample(0.2, 42L),
+          "vec_id", "embedding", k = 8, maxIter = 5)
           .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
         // single file: the codebook is k × dim doubles — always tiny
         Tables.writeParquet(codebook.coalesce(1), TrainedCentroidsPath)

@@ -118,9 +118,15 @@ object VectorSearch {
     * Returns a (idCol, vecCol) centroid DataFrame that plugs straight
     * into [[ivfTopK]]. At 100 TB this fits on a SAMPLE of the corpus
     * (KMeans cost is per-iteration linear in rows); the codebook stays
-    * k × dim doubles — always broadcastable. */
+    * k × dim doubles — always broadcastable. The training input is
+    * coalesced to `trainPartitions`: KMeans runs ~4·maxIter tiny jobs
+    * (init steps + Lloyd iterations), and a train-sized relation spread
+    * over corpus-sized partitioning pays per-job task-scheduling
+    * overhead ~partitions times over — size it to the sample, not the
+    * corpus. */
   def trainCodebook(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      maxIter: Int = 10, seed: Long = 42L): DataFrame = {
+      maxIter: Int = 10, seed: Long = 42L,
+      trainPartitions: Int = 8, initMode: String = "k-means||"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.feature.Normalizer
     import org.apache.spark.ml.functions.array_to_vector
@@ -129,9 +135,10 @@ object VectorSearch {
     val feats = new Normalizer().setP(2.0)
       .setInputCol("raw").setOutputCol("features")
       .transform(corpus.select(
-        array_to_vector(toDoubleArray(col(vecCol))).as("raw")))
+        array_to_vector(toDoubleArray(col(vecCol))).as("raw"))
+        .coalesce(trainPartitions))
     val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
-      .setFeaturesCol("features").fit(feats)
+      .setInitMode(initMode).setFeaturesCol("features").fit(feats)
     import scala.jdk.CollectionConverters._
     val rows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       org.apache.spark.sql.Row(i.toLong, c.toArray.toSeq)
