@@ -102,7 +102,7 @@ object TextDedup {
   /** The un-materialized plan behind [[nearDuplicatePairs]], plus the
     * intermediates it persisted (caller must unpersist after acting on
     * the result). Exposed so PlanSpec can assert the physical shape,
-    * which the localCheckpoint in the public API hides. */
+    * which the mat() cut in the public API hides. */
   private[graft] def nearDuplicatePairsPlan(df: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.5,
       numHashes: Int = 8): (DataFrame, Seq[DataFrame]) = {

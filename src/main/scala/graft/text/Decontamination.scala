@@ -43,9 +43,12 @@ object Decontamination {
 
   /** Same result as [[contaminated]], with a Bloom pre-filter on the
     * probe side. `fpp` trades sketch size against how many clean shingles
-    * survive to the confirming join (correctness is unaffected). */
+    * survive to the confirming join (correctness is unaffected). `mat`
+    * picks the lineage-cut storage for the distributed result (see
+    * graft.exec.Materializer — pass Reliable/Parquet on a cluster). */
   def contaminatedBloom(docs: DataFrame, evalDocs: DataFrame, idCol: String,
-      textCol: String, fpp: Double = 0.01): DataFrame = {
+      textCol: String, fpp: Double = 0.01,
+      mat: graft.exec.Materializer = graft.exec.Materializer.Local): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val evalSh = shingleHashes(evalDocs, idCol, textCol)
       .select(col("h")).distinct()
@@ -54,11 +57,10 @@ object Decontamination {
     val bloom = evalSh.stat.bloomFilter("h", nEval, fpp)
     val bloomB = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf { h: String => bloomB.value.mightContainString(h) }
-    val out = shingleHashes(docs, idCol, textCol)
+    val out = mat(shingleHashes(docs, idCol, textCol)
       .filter(mightContain(col("h")))
       .join(broadcast(evalSh), Seq("h"), "left_semi")
-      .select(col("graft_doc_id").as(idCol)).distinct()
-      .localCheckpoint(true)
+      .select(col("graft_doc_id").as(idCol)).distinct())
     evalSh.unpersist(blocking = false)
     out
   }
