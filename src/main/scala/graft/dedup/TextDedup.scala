@@ -143,9 +143,6 @@ object TextDedup {
       mat: Materializer = Materializer.Local): DataFrame =
     clustersWithRounds(pairs, maxIter, mat)._1
 
-  /** [[clusters]] plus the number of rounds it took — exposed (with the
-    * jump toggle) so TextDedupSpec can pin that pointer jumping really
-    * reduces rounds on a chain fixture. */
   /** Rounds between eager mat() plan cuts in the CC loop: the label
     * relation is referenced up to 4× by each round's plan, so the
     * logical tree grows ~4^k between cuts — k=4 bounds analysis at a few
@@ -153,6 +150,9 @@ object TextDedup {
     * rounds) run on cheap lazy persists with zero extra jobs. */
   private val CC_CUT_EVERY = 4
 
+  /** [[clusters]] plus the number of rounds it took — exposed (with the
+    * jump toggle) so TextDedupSpec can pin that pointer jumping really
+    * reduces rounds on a chain fixture. */
   private[graft] def clustersWithRounds(pairs: DataFrame, maxIter: Int = 50,
       mat: Materializer = Materializer.Local,
       pointerJump: Boolean = true): (DataFrame, Int) = {

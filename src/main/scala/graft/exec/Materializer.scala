@@ -27,24 +27,35 @@ object Materializer {
     * object store on a cluster): the cut survives executor loss, so a
     * 100 TB fuzzy-dedup run (~15 chained jobs) resumes from the last cut
     * instead of restarting from zero. Requires the checkpoint dir to be
-    * set on the session's SparkContext — fails fast if it isn't. */
+    * set on the session's SparkContext — fails fast if it isn't. The
+    * input is persisted around the checkpoint: Spark's documented
+    * caveat is that checkpointing an unpersisted RDD computes it twice
+    * (the eager materialization, then the checkpoint-file write job). */
   case object Reliable extends Materializer {
     def apply(df: DataFrame): DataFrame = {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "Materializer.Reliable needs sparkContext.setCheckpointDir(...) " +
           "(an HDFS/object-store path on a cluster)")
-      df.checkpoint(eager = true)
+      val cached =
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint(eager = true)
+      cached.unpersist(blocking = false)
+      out
     }
   }
 
   /** Parquet write→read roundtrip under `dir`: reliable like [[Reliable]]
     * AND an open artifact — a separate session (or a restarted job) can
-    * resume from the parquet directly, where RDD checkpoint files are
-    * session-internal blobs. Each cut gets a fresh numbered subdir. */
+    * read the cut parquet directly, where RDD checkpoint files are
+    * session-internal blobs. Cuts are numbered within a per-instance
+    * unique run subdir, so a restarted job (fresh instance, counter back
+    * at 0) or a second pipeline sharing `dir` can never clobber the
+    * artifacts a previous run left behind. */
   final case class Parquet(dir: String) extends Materializer {
+    private val runId = java.util.UUID.randomUUID().toString.take(8)
     private val counter = new java.util.concurrent.atomic.AtomicInteger()
     def apply(df: DataFrame): DataFrame = {
-      val path = s"$dir/cut_${counter.getAndIncrement()}"
+      val path = s"$dir/run_$runId/cut_${counter.getAndIncrement()}"
       df.write.mode("overwrite").parquet(path)
       df.sparkSession.read.parquet(path)
     }

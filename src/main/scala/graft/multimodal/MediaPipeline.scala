@@ -184,7 +184,12 @@ object MediaPipeline {
           }
           .collectFirst { case (w, h) if w > 0 && h > 0 => (w, h) }
           .getOrElse((0, 0))
-        val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+        // overflow/garbage-proof: a corrupt 64-bit duration (top bit set,
+        // or > MaxValue/1000) must not surface as a negative duration
+        val durMs =
+          if (timescale <= 0 || duration < 0) 0L
+          else math.min(duration.toDouble * 1000.0 / timescale,
+            Long.MaxValue.toDouble).toLong
         Mp4Meta(dims._1, dims._2, timescale, durMs)
       }
     } catch { case _: IndexOutOfBoundsException => None }

@@ -48,7 +48,11 @@ object Similarity {
 
   /** Where q54 materializes its trained codebook so the DuckDB oracle can
     * replay the identical search over the identical centroids (KMeans
-    * centers aren't SQL-reproducible; the search given a codebook is). */
+    * centers aren't SQL-reproducible; the search given a codebook is).
+    * Necessarily ABSOLUTE and fixed: the oracle is a static SQL string
+    * that must name the same file, and the driver contract pins the repo
+    * at /root/repo (driver runs Verify then the oracle sequentially, so
+    * there is no concurrent writer in the gate). */
   private[queries] val TrainedCentroidsPath = "/root/repo/target/q54_centroids"
 
   /** Shared IVF search plan over a normed corpus `n` (vec_id, v, nrm) and

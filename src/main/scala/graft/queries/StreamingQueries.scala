@@ -30,7 +30,7 @@ object StreamingQueries {
   private def withStreamPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "1")
+    spark.conf.set(key, "4")
     try body finally spark.conf.set(key, prev)
   }
 
@@ -72,8 +72,14 @@ object StreamingQueries {
     // into it, pure fixed overhead on a disk-backed /tmp. A PRODUCTION
     // writeStream (durable sink, query outliving the process) must
     // checkpoint to reliable shared storage instead.
+    // 4 GiB of usable tmpfs required — a container's default 64 MB
+    // /dev/shm would overflow under a multi-file stream's state+WAL and
+    // fail queries that run fine on disk-backed temp checkpoints. (A
+    // crashed JVM can leak its ckpt dir into RAM until reboot; the
+    // normal path below deletes it.)
     val shm = new java.io.File("/dev/shm")
-    val ckpt = if (shm.isDirectory && shm.canWrite)
+    val ckpt = if (shm.isDirectory && shm.canWrite &&
+        shm.getUsableSpace >= 4L * 1024 * 1024 * 1024)
       Some(s"/dev/shm/graft_ckpt/$sink") else None
     val q = withStreamPartitions(spark) {
       val w = streamed.writeStream.format("memory").queryName(sink)

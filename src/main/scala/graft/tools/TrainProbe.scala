@@ -28,7 +28,7 @@ object TrainProbe {
       val sampled = t("sample") { val s = emb.sample(0.2, 42L); s.count(); s }
       val cb = t("train") {
         graft.similarity.VectorSearch.trainCodebook(
-          sampled, "vec_id", "embedding", k = 8, maxIter = 5, initMode = "random")
+          sampled, "vec_id", "embedding", k = 8, maxIter = 5)
       }
       val path = "/root/repo/target/train_probe_centroids"
       t("write") { graft.io.Tables.writeParquet(cb.coalesce(1), path) }

@@ -26,6 +26,17 @@ class MaterializerSpec extends AnyFunSuite with Matchers with SparkTestSession {
     TextDedup.deduplicate(corpus, "doc_id", "text", 0.5, mat)
       .select("doc_id").collect().map(_.getLong(0)).toSet
 
+  // declared FIRST: ScalaTest runs tests in declaration order, and the
+  // Reliable tests below set a checkpoint dir on the shared session that
+  // cannot be unset through the public API — running after them, the
+  // require() path would never be exercised
+  test("Reliable fails fast without a checkpoint dir") {
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      an[IllegalArgumentException] should be thrownBy
+        Materializer.Reliable(corpus)
+    } else succeed // a prior suite set it; Reliable is then legal
+  }
+
   test("Reliable: full fuzzy-dedup pipeline through sparkContext checkpoints") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
     val prev = spark.sparkContext.getCheckpointDir
@@ -39,21 +50,17 @@ class MaterializerSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally prev.foreach(spark.sparkContext.setCheckpointDir)
   }
 
-  test("Reliable fails fast without a checkpoint dir") {
-    // a fresh context-level unset isn't possible on the shared session, so
-    // simulate by asserting the require path on a session whose dir is unset
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      an[IllegalArgumentException] should be thrownBy
-        Materializer.Reliable(corpus)
-    } else succeed // another suite already set it; Reliable is then legal
-  }
-
-  test("Parquet: write-read cuts land under the given dir and preserve results") {
+  test("Parquet: write-read cuts land under a unique run dir and preserve results") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mat_").toString
     survivors(Materializer.Parquet(dir)) shouldBe survivors(Materializer.Local)
-    val cuts = new java.io.File(dir).listFiles()
-    cuts should not be null
-    cuts.map(_.getName).count(_.startsWith("cut_")) should be > 0
+    val runs = new java.io.File(dir).listFiles()
+    runs should not be null
+    val runDirs = runs.filter(_.getName.startsWith("run_"))
+    runDirs.length shouldBe 1
+    runDirs.head.listFiles().map(_.getName).count(_.startsWith("cut_")) should be > 0
+    // a restarted pipeline (fresh instance) must not clobber prior cuts
+    survivors(Materializer.Parquet(dir)) shouldBe survivors(Materializer.Local)
+    new java.io.File(dir).listFiles().count(_.getName.startsWith("run_")) shouldBe 2
   }
 
   test("ivfTopK through a reliable cut matches the local cut") {

@@ -134,6 +134,13 @@ class MediaPipelineSpec extends AnyFunSuite with Matchers with SparkTestSession 
     MediaPipeline.parseMp4(ftyp.take(12)) shouldBe None
     val junk = ftyp ++ Array[Byte](0, 0, 0, 3, 'x', 'y') // size<8 box
     MediaPipeline.parseMp4(junk) shouldBe None
+    // corrupt v1 duration with the sign bit set must clamp to 0, never
+    // surface as a negative duration/nFrames
+    val evil = java.nio.ByteBuffer.allocate(112)
+    evil.put(0, 1.toByte)
+    evil.putInt(20, 90000).putLong(24, Long.MinValue)
+    val evilMp4 = ftyp ++ box("moov", box("mvhd", evil.array()))
+    MediaPipeline.parseMp4(evilMp4).map(_.durationMs) shouldBe Some(0L)
   }
 
   test("unrecognized payloads (and q26's text bytes) take the stub path unchanged") {
