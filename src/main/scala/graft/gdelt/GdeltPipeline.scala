@@ -24,6 +24,9 @@ object GdeltPipeline {
     Tables.writeParquet(ml, s"$outDir/gdelt_ml_features.parquet")
     val mlBack = spark.read.parquet(s"$outDir/gdelt_ml_features.parquet")
     GdeltReport.write(coreBack, mlBack, s"$outDir/summary_report.md")
+    GdeltGraphs.writeShareOfVoice(coreBack, s"$outDir/graph_share_of_voice.png")
+    GdeltGraphs.writeFeatureImportance(mlBack,
+      s"$outDir/graph_feature_importance.png")
     (coreBack, mlBack)
   }
 
