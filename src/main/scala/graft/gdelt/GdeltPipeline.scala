@@ -3,6 +3,7 @@ package graft.gdelt
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.io.Tables
+import graft.queries.Q
 
 /** The reference's whole batch flow as ONE runnable job (SURVEY §3):
   * raw GKG JSON export → core parquet → ml-features parquet → markdown
@@ -23,9 +24,14 @@ object GdeltPipeline {
     val ml = GdeltEtl.mlFeatures(coreBack)
     Tables.writeParquet(ml, s"$outDir/gdelt_ml_features.parquet")
     val mlBack = spark.read.parquet(s"$outDir/gdelt_ml_features.parquet")
-    GdeltReport.write(coreBack, mlBack, s"$outDir/summary_report.md")
-    GdeltGraphs.writeShareOfVoice(coreBack, s"$outDir/graph_share_of_voice.png")
-    GdeltGraphs.writeFeatureImportance(mlBack,
+    // stats + model computed ONCE, shared by the markdown report and
+    // both graphs (the fit is the pipeline's most expensive tail step)
+    val stats = Q.localized(GdeltAnalysis.summaryStats(coreBack))
+    val model = GdeltMl.weekClassifier(mlBack)
+    graft.report.Markdown.write(s"$outDir/summary_report.md",
+      GdeltReport.summary(coreBack, stats, model))
+    GdeltGraphs.writeShareOfVoiceStats(stats, s"$outDir/graph_share_of_voice.png")
+    GdeltGraphs.writeFeatureImportanceModel(model,
       s"$outDir/graph_feature_importance.png")
     (coreBack, mlBack)
   }

@@ -13,14 +13,20 @@ import graft.report.Markdown
 object GdeltReport {
 
   /** The summary-report shape: stats, model quality, per-company sources. */
-  def summary(core: DataFrame, features: DataFrame): String = {
-    val model = GdeltMl.weekClassifier(features)
+  def summary(core: DataFrame, features: DataFrame): String =
+    summary(core, GdeltAnalysis.summaryStats(core),
+      GdeltMl.weekClassifier(features))
+
+  /** As above, from already-computed stats/model — so a pipeline that
+    * also renders graphs aggregates and fits exactly once. */
+  def summary(core: DataFrame, stats: DataFrame,
+      model: GdeltMl.WeekModel): String = {
     val coefRows = GdeltMl.weekFeatures
       .map(f => f"| $f | ${model.coefficients(f)}%+.4f |")
       .mkString("\n")
     Seq(
       "# ANALYTICAL SUMMARY",
-      Markdown.section("Share of voice by week", GdeltAnalysis.summaryStats(core)),
+      Markdown.section("Share of voice by week", stats),
       f"## Model\n\nLogistic Regression AUC: **${model.auc}%.2f**\n\n" +
         s"| Feature | Coefficient |\n| --- | --- |\n$coefRows",
       Markdown.section("Entity sentiment", GdeltAnalysis.entitySentiment(core)),

@@ -1,6 +1,6 @@
 package graft.io
 
-import java.io.{ByteArrayInputStream, EOFException}
+import java.io.{BufferedInputStream, ByteArrayInputStream, InputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPInputStream
 
@@ -27,9 +27,17 @@ import org.apache.spark.sql.functions._
   * sequences natively, so the same code path handles both compressions.
   *
   * Scale shape: one task per WARC file (`binaryFile` source), the same
-  * per-segment parallelism the crawl itself is sharded by; parsing is
-  * narrow (no shuffle) and projections/filters above [[records]] prune
-  * columns before anything wide happens. */
+  * per-segment parallelism the crawl itself is sharded by. Decompression
+  * and record parsing STREAM — peak memory is one record, not the
+  * decompressed file, so a ~1 GB gzip segment (~4 GB raw, beyond any JVM
+  * array) parses fine; only the compressed input must fit the binaryFile
+  * source's 2 GB content limit. Parsing is narrow (no shuffle).
+  *
+  * Malformation policy: a corrupt record re-syncs the scan to the next
+  * `WARC/` marker (one bad record doesn't drop the rest of a 100k-record
+  * segment); a TRUNCATED record at end-of-stream is dropped. The only
+  * silent-loss window is a corrupt Content-Length that lands the resync
+  * scan inside a payload whose text itself contains `WARC/`. */
 object Warc {
 
   final case class WarcRecord(
@@ -39,6 +47,12 @@ object Warc {
       httpStatus: Int,
       contentType: String,
       body: String)
+
+  /** Records larger than this are skipped (streamed past, not
+    * materialized) — a byte-array record body must stay JVM-sized. */
+  private val MaxRecordBytes: Long = 256L * 1024 * 1024
+  /** Header blocks larger than this are treated as corrupt (resync). */
+  private val MaxHeaderBytes = 1024 * 1024
 
   /** Distributed WARC scan: every record of every matched file.
     * `httpStatus`/`contentType`/`body` are parsed from the HTTP payload
@@ -51,10 +65,11 @@ object Warc {
       .flatMap { case (file, bytes) => parseFile(file, bytes) }
   }
 
-  /** Response records carrying HTML, shaped like
-    * [[Tables.wholeTextDocs]] output (`path`, `value`) so the NLP
-    * pipeline (reference nlp_analysis.py:34-37 reads pre-extracted HTML
-    * files) runs unchanged on raw crawl segments. */
+  /** Response records carrying HTML, shaped for the NLP pipeline: the
+    * `value` column matches [[Tables.wholeTextDocs]]'s one-string-per-doc
+    * column (reference nlp_analysis.py:34-37 reads pre-extracted HTML
+    * files that way), and `path` carries the crawl URI — the identity
+    * wholeTextDocs callers recover via `input_file_name()`. */
   def htmlDocs(spark: SparkSession, path: String): DataFrame = {
     records(spark, path)
       .filter(r => r.warcType == "response" && r.httpStatus == 200 &&
@@ -62,45 +77,117 @@ object Warc {
       .select(col("targetUri").as("path"), col("body").as("value"))
   }
 
-  /** Parse one WARC file (gunzipping if needed). Malformed trailing bytes
-    * end the scan rather than failing the task — truncated final records
-    * are a fact of life in crawl data. */
+  /** Parse one WARC file, streaming through gunzip when the gzip magic
+    * is present. */
   private[io] def parseFile(file: String, raw: Array[Byte]): Iterator[WarcRecord] = {
-    val bytes =
+    val base = new ByteArrayInputStream(raw)
+    val in: InputStream =
       if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
-        gunzip(raw)
-      else raw
+        new GZIPInputStream(base, 64 * 1024)
+      else base
+    parseStream(file, new BufferedInputStream(in, 64 * 1024))
+  }
+
+  private[io] def parseStream(file: String, in: InputStream): Iterator[WarcRecord] =
     new Iterator[WarcRecord] {
-      private var off = 0
+      // a truncated/corrupt gzip tail surfaces as EOF/ZipException from
+      // read(): treat as end-of-stream (drop the unreadable tail), never
+      // as a task failure
+      private def rd(): Int =
+        try in.read() catch { case _: java.io.IOException => -1 }
+      private def rd(buf: Array[Byte], off: Int, len: Int): Int =
+        try in.read(buf, off, len) catch { case _: java.io.IOException => -1 }
+
       private var nextRec: Option[WarcRecord] = advance()
       def hasNext: Boolean = nextRec.isDefined
-      def next(): WarcRecord = {
-        val r = nextRec.get; nextRec = advance(); r
+      def next(): WarcRecord = { val r = nextRec.get; nextRec = advance(); r }
+
+      @annotation.tailrec
+      private def advance(): Option[WarcRecord] =
+        if (!scanToMarker()) None
+        else readHeaderBlock() match {
+          case None => None // EOF inside header
+          case Some(header) =>
+            val headers = parseHeaders("WARC/" + header)
+            headers.get("content-length").flatMap(_.trim.toLongOption)
+              .filter(_ >= 0) match {
+              case None => advance() // corrupt length: resync
+              case Some(len) if len > MaxRecordBytes =>
+                skipFully(len) // oversized: stream past, drop
+                advance()
+              case Some(len) =>
+                val payload = readFully(len.toInt)
+                if (payload.length < len) None // truncated tail
+                else {
+                  val warcType = headers.getOrElse("warc-type", "")
+                  val uri = headers.getOrElse("warc-target-uri", "")
+                  val (status, ctype, body) =
+                    if (warcType == "response") parseHttp(payload)
+                    else (-1, "", new String(payload, StandardCharsets.UTF_8))
+                  Some(WarcRecord(file, warcType, uri, status, ctype, body))
+                }
+            }
+        }
+
+      /** Consume bytes until just past a `WARC/` marker (skipping
+        * inter-record CRLFs and any corrupt-region garbage). */
+      private def scanToMarker(): Boolean = {
+        val marker = "WARC/".getBytes(StandardCharsets.US_ASCII)
+        var matched = 0
+        var b = rd()
+        while (b >= 0) {
+          matched = if (b == marker(matched)) matched + 1
+          else if (b == marker(0)) 1 else 0
+          if (matched == marker.length) return true
+          b = rd()
+        }
+        false
       }
-      private def advance(): Option[WarcRecord] = {
-        // seek the next version line (skips inter-record CRLFs)
-        while (off < bytes.length &&
-          (bytes(off) == '\r' || bytes(off) == '\n')) off += 1
-        if (off >= bytes.length) return None
-        val headerEnd = indexOfDoubleCrlf(bytes, off)
-        if (headerEnd < 0) { off = bytes.length; return None }
-        val header = new String(bytes, off, headerEnd - off, StandardCharsets.UTF_8)
-        if (!header.startsWith("WARC/")) { off = bytes.length; return None }
-        val headers = parseHeaders(header)
-        val len = headers.getOrElse("content-length", "0").trim.toLong.toInt
-        val payloadStart = headerEnd + 4
-        if (payloadStart + len > bytes.length) { off = bytes.length; return None }
-        val payload = java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + len)
-        off = payloadStart + len
-        val warcType = headers.getOrElse("warc-type", "")
-        val uri = headers.getOrElse("warc-target-uri", "")
-        val (status, ctype, body) =
-          if (warcType == "response") parseHttp(payload)
-          else (-1, "", new String(payload, StandardCharsets.UTF_8))
-        Some(WarcRecord(file, warcType, uri, status, ctype, body))
+
+      /** Read the rest of the header block (after `WARC/`) up to and
+        * excluding the double CRLF. None on EOF/oversized. */
+      private def readHeaderBlock(): Option[String] = {
+        val buf = new java.io.ByteArrayOutputStream(512)
+        var tail = 0 // how much of \r\n\r\n we've seen
+        var b = rd()
+        while (b >= 0 && buf.size <= MaxHeaderBytes) {
+          tail = (tail, b) match {
+            case (0, '\r') | (2, '\r') => tail + 1
+            case (1, '\n') | (3, '\n') => tail + 1
+            case (_, '\r') => 1
+            case _ => 0
+          }
+          buf.write(b)
+          if (tail == 4) {
+            val all = buf.toByteArray
+            return Some(new String(all, 0, all.length - 4, StandardCharsets.UTF_8))
+          }
+          b = rd()
+        }
+        None
+      }
+
+      private def readFully(n: Int): Array[Byte] = {
+        val out = new Array[Byte](n)
+        var off = 0
+        var read = 0
+        while (off < n && read >= 0) {
+          read = rd(out, off, n - off)
+          if (read > 0) off += read
+        }
+        if (off == n) out else java.util.Arrays.copyOf(out, off)
+      }
+
+      private def skipFully(n: Long): Unit = {
+        var left = n
+        val buf = new Array[Byte](64 * 1024)
+        var read = 0
+        while (left > 0 && read >= 0) {
+          read = rd(buf, 0, math.min(left, buf.length.toLong).toInt)
+          if (read > 0) left -= read
+        }
       }
     }
-  }
 
   private def parseHeaders(block: String): Map[String, String] =
     block.split("\r\n").drop(1).flatMap { line =>
@@ -109,24 +196,29 @@ object Warc {
       else Some(line.substring(0, i).trim.toLowerCase -> line.substring(i + 1).trim)
     }.toMap
 
-  /** HTTP payload → (status, content-type, body). Not an HTTP response
-    * (e.g. resource records) → (-1, "", whole payload). */
+  /** HTTP payload → (status, content-type, body). Header split happens at
+    * the BYTE level (headers may carry non-ASCII bytes, so char indexes
+    * into a UTF-8 decode would misalign); the head decodes byte-preserving
+    * ISO-8859-1, the body UTF-8. Not an HTTP response → (-1, "", payload). */
   private def parseHttp(payload: Array[Byte]): (Int, String, String) = {
     val headerEnd = indexOfDoubleCrlf(payload, 0)
-    val asString = new String(payload, StandardCharsets.UTF_8)
-    if (headerEnd < 0 || !asString.startsWith("HTTP/")) (-1, "", asString)
+    def whole = new String(payload, StandardCharsets.UTF_8)
+    if (headerEnd < 0) (-1, "", whole)
     else {
-      val head = asString.substring(0, headerEnd)
-      val lines = head.split("\r\n")
-      val status = lines.head.split("\\s+").lift(1)
-        .flatMap(_.toIntOption).getOrElse(-1)
-      val ctype = lines.drop(1).collectFirst {
-        case l if l.toLowerCase.startsWith("content-type:") =>
-          l.substring(l.indexOf(':') + 1).trim
-      }.getOrElse("")
-      (status, ctype,
-        new String(payload, headerEnd + 4, payload.length - headerEnd - 4,
-          StandardCharsets.UTF_8))
+      val head = new String(payload, 0, headerEnd, StandardCharsets.ISO_8859_1)
+      if (!head.startsWith("HTTP/")) (-1, "", whole)
+      else {
+        val lines = head.split("\r\n")
+        val status = lines.head.split("\\s+").lift(1)
+          .flatMap(_.toIntOption).getOrElse(-1)
+        val ctype = lines.drop(1).collectFirst {
+          case l if l.toLowerCase.startsWith("content-type:") =>
+            l.substring(l.indexOf(':') + 1).trim
+        }.getOrElse("")
+        (status, ctype,
+          new String(payload, headerEnd + 4, payload.length - headerEnd - 4,
+            StandardCharsets.UTF_8))
+      }
     }
   }
 
@@ -138,19 +230,5 @@ object Warc {
       i += 1
     }
     -1
-  }
-
-  /** Concatenated-member gzip (Common Crawl's per-record compression) —
-    * GZIPInputStream consumes member sequences; truncated tails yield
-    * what was readable. */
-  private def gunzip(raw: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(raw.length * 4)
-    try {
-      val in = new GZIPInputStream(new ByteArrayInputStream(raw))
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } catch { case _: EOFException => /* truncated tail: keep prefix */ }
-    out.toByteArray
   }
 }

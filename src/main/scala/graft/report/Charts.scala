@@ -28,6 +28,10 @@ object Charts {
   val Blue = new Color(0x00, 0x3e, 0x96)
   val Navy = new Color(0x1e, 0x3a, 0x8a)
   private val SeriesColors = Array(Blue, Red, Navy)
+  // chart chrome (title/axes/labels/legend text) deliberately does NOT
+  // reuse a series color — series 3 (Navy) must stay distinguishable
+  // from the axis/label ink
+  private val Chrome = new Color(0x33, 0x33, 0x33)
 
   private val Margin = 60
 
@@ -42,7 +46,7 @@ object Charts {
   }
 
   private def title(g: Graphics2D, text: String, w: Int): Unit = {
-    g.setColor(Navy)
+    g.setColor(Chrome)
     g.setFont(new Font(Font.SANS_SERIF, Font.BOLD, 14))
     val fm = g.getFontMetrics
     g.drawString(text, math.max(0, (w - fm.stringWidth(text)) / 2), 24)
@@ -77,10 +81,10 @@ object Charts {
       g.setColor(if (v > 0) Red else Blue)
       val (bx, bw) = if (v >= 0) (x(0), x(v) - x(0)) else (x(v), x(0) - x(v))
       g.fillRect(bx, top, math.max(1, bw), barH)
-      g.setColor(Navy)
+      g.setColor(Chrome)
       g.drawString(labels(i), 4, top + barH / 2 + 4)
     }
-    g.setColor(Navy)
+    g.setColor(Chrome)
     g.setStroke(new BasicStroke(1f))
     g.drawLine(x(0), Margin - 8, x(0), Margin + plotH + 8) // zero line
     g.dispose()
@@ -95,6 +99,9 @@ object Charts {
     require(categories.nonEmpty && series.nonEmpty, "empty chart")
     require(series.forall(_._2.length == categories.length),
       "every series needs one value per category")
+    require(series.forall(_._2.forall(_ >= 0.0)),
+      "groupedBarChart plots non-negative values (shares/counts); " +
+        "diverging data belongs in hBarChart")
     val (img, g) = canvas(w, h)
     title(g, chartTitle, w)
     val hi = math.max(series.flatMap(_._2).max, 1e-12)
@@ -112,7 +119,7 @@ object Charts {
         g.setColor(SeriesColors(s % SeriesColors.length))
         g.fillRect(bx, baseY - bh, barW, math.max(if (v > 0) 1 else 0, bh))
       }
-      g.setColor(Navy)
+      g.setColor(Chrome)
       val fm = g.getFontMetrics
       g.drawString(categories(c),
         Margin + c * groupW + (groupW - fm.stringWidth(categories(c))) / 2,
@@ -123,10 +130,10 @@ object Charts {
       val lx = Margin + s * 140
       g.setColor(SeriesColors(s % SeriesColors.length))
       g.fillRect(lx, 34, 10, 10)
-      g.setColor(Navy)
+      g.setColor(Chrome)
       g.drawString(series(s)._1, lx + 14, 44)
     }
-    g.setColor(Navy)
+    g.setColor(Chrome)
     g.drawLine(Margin, baseY, Margin + plotW, baseY)
     g.dispose()
     png(img)
@@ -140,7 +147,7 @@ object Charts {
       chartTitle: String, path: String): Unit = {
     val rows = df.select(labelCol, valueCol).collect()
     val bytes = hBarChart(
-      rows.map(_.get(0).toString).toSeq,
+      rows.map(r => String.valueOf(r.get(0))).toSeq, // null key → "null" bar
       rows.map(r => asDouble(r.get(1))).toSeq, chartTitle)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
   }
@@ -150,7 +157,7 @@ object Charts {
       seriesCols: Seq[String], chartTitle: String, path: String): Unit = {
     val rows = df.select((categoryCol +: seriesCols).map(org.apache.spark.sql.functions.col): _*).collect()
     val bytes = groupedBarChart(
-      rows.map(_.get(0).toString).toSeq,
+      rows.map(r => String.valueOf(r.get(0))).toSeq, // null key → "null" bar
       seriesCols.zipWithIndex.map { case (name, i) =>
         name -> rows.map(r => asDouble(r.get(i + 1))).toSeq
       }, chartTitle)
