@@ -228,8 +228,11 @@ object TextDedup {
     }
     // final cut: the result must survive the prevRound unpersist and cut
     // lineage for downstream self-joins (one row per doc in any pair —
-    // potentially huge, never collected)
-    val out = mat(labels)
+    // potentially huge, never collected). Skipped when the last round
+    // already ended in a mat() cut (prevRound None) — labels is then a
+    // trivial select over the cut relation and re-cutting would just
+    // duplicate the materialization.
+    val out = if (prevRound.isEmpty) labels else mat(labels)
     prevRound.foreach(_.unpersist(blocking = false))
     (out, i)
   }
