@@ -125,6 +125,23 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally cached.foreach(_.unpersist(blocking = false))
   }
 
+  test("trained-codebook IVF with nprobe=2 (q54's shape) keeps the broadcast probe") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.io.Tables.table(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 53 === 0)
+    val cents = graft.similarity.VectorSearch
+      .trainCodebook(emb.sample(0.5, 42L), "vec_id", "embedding", k = 4, maxIter = 2)
+    val (planned, cached) = graft.similarity.VectorSearch
+      .ivfTopKPlan(emb, queries, cents, "vec_id", "embedding", 10, nprobe = 2)
+    try {
+      val p = planned.queryExecution
+        .explainString(ExplainMode.fromString("simple"))
+      p should include("BroadcastHashJoin")
+      p should not include "SortMergeJoin"
+      p should not include "CartesianProduct"
+    } finally cached.foreach(_.unpersist(blocking = false))
+  }
+
   test("q51: banded range join is an equi-join — no nested loop, no cartesian") {
     val p = Registry.queries("q51_range_join_banded")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
