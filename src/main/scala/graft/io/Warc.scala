@@ -35,10 +35,23 @@ import org.apache.spark.sql.functions._
   *
   * Malformation policy: a corrupt record re-syncs the scan to the next
   * `WARC/` marker (one bad record doesn't drop the rest of a 100k-record
-  * segment); a TRUNCATED record at end-of-stream is dropped. The only
-  * silent-loss window is a corrupt Content-Length that lands the resync
-  * scan inside a payload whose text itself contains `WARC/`. */
+  * segment); a TRUNCATED record at end-of-stream is dropped. Loss is
+  * surfaced, never silent: when a mid-stream I/O failure (corrupt gzip)
+  * or an EOF-cut record drops the remainder of a segment, the scan logs
+  * one WARN for the file and appends one queryable sentinel row
+  * (`warcType` = [[TruncatedType]]) so ingestion QA can count lossy
+  * segments relationally — `records.filter($"warcType" === TruncatedType)`
+  * — instead of grepping executor logs. The only remaining silent-loss
+  * window is a corrupt Content-Length that lands the resync scan inside
+  * a payload whose text itself contains `WARC/`. */
 object Warc {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.io.Warc")
+
+  /** `warcType` of the per-file sentinel row emitted when a segment lost
+    * its tail (corrupt gzip / truncated record); `body` carries the
+    * reason. Response filters like [[htmlDocs]] never match it. */
+  val TruncatedType = "x-graft-truncated"
 
   final case class WarcRecord(
       file: String,
@@ -92,21 +105,42 @@ object Warc {
     new Iterator[WarcRecord] {
       // a truncated/corrupt gzip tail surfaces as EOF/ZipException from
       // read(): treat as end-of-stream (drop the unreadable tail), never
-      // as a task failure
+      // as a task failure — but record WHY the stream ended so the loss
+      // can be surfaced (`lossReason` drives the sentinel row below)
+      private var lossReason: String = null
+      private def markLoss(reason: => String): Unit =
+        if (lossReason == null) lossReason = reason
       private def rd(): Int =
-        try in.read() catch { case _: java.io.IOException => -1 }
+        try in.read() catch {
+          case e: java.io.IOException =>
+            markLoss(s"I/O error mid-stream (${e.getClass.getSimpleName})"); -1
+        }
       private def rd(buf: Array[Byte], off: Int, len: Int): Int =
-        try in.read(buf, off, len) catch { case _: java.io.IOException => -1 }
+        try in.read(buf, off, len) catch {
+          case e: java.io.IOException =>
+            markLoss(s"I/O error mid-stream (${e.getClass.getSimpleName})"); -1
+        }
 
-      private var nextRec: Option[WarcRecord] = advance()
+      private var sentinelEmitted = false
+      private def fetch(): Option[WarcRecord] = advance() match {
+        case some @ Some(_) => some
+        case None if lossReason != null && !sentinelEmitted =>
+          sentinelEmitted = true
+          log.warn(s"WARC $file: $lossReason — remainder of segment dropped")
+          Some(WarcRecord(file, TruncatedType, "", -1, "", lossReason))
+        case None => None
+      }
+
+      private var nextRec: Option[WarcRecord] = fetch()
       def hasNext: Boolean = nextRec.isDefined
-      def next(): WarcRecord = { val r = nextRec.get; nextRec = advance(); r }
+      def next(): WarcRecord = { val r = nextRec.get; nextRec = fetch(); r }
 
       @annotation.tailrec
       private def advance(): Option[WarcRecord] =
         if (!scanToMarker()) None
         else readHeaderBlock() match {
-          case None => None // EOF inside header
+          case None => // EOF (or oversized block) inside a started header
+            markLoss("record header cut off by EOF"); None
           case Some(header) =>
             val headers = parseHeaders("WARC/" + header)
             headers.get("content-length").flatMap(_.trim.toLongOption)
@@ -117,8 +151,11 @@ object Warc {
                 advance()
               case Some(len) =>
                 val payload = readFully(len.toInt)
-                if (payload.length < len) None // truncated tail
-                else {
+                if (payload.length < len) { // truncated tail
+                  markLoss(s"record payload cut off by EOF " +
+                    s"(${payload.length} of $len bytes)")
+                  None
+                } else {
                   val warcType = headers.getOrElse("warc-type", "")
                   val uri = headers.getOrElse("warc-target-uri", "")
                   val (status, ctype, body) =

@@ -49,11 +49,16 @@ object Similarity {
   /** Where q54 materializes its trained codebook so the DuckDB oracle can
     * replay the identical search over the identical centroids (KMeans
     * centers aren't SQL-reproducible; the search given a codebook is).
-    * Necessarily ABSOLUTE and fixed: the oracle is a static SQL string
-    * that must name the same file, and the driver contract pins the repo
-    * at /root/repo (driver runs Verify then the oracle sequentially, so
-    * there is no concurrent writer in the gate). */
-  private[queries] val TrainedCentroidsPath = "/root/repo/target/q54_centroids"
+    * The oracle is a static SQL string that must name the same file, so
+    * the path must be ABSOLUTE and agreed between engine and oracle; it
+    * is pinned in exactly one place — here — as `target/q54_centroids`
+    * under the working directory (the driver runs Verify and the oracle
+    * from the repo root, sequentially, so there is no concurrent writer
+    * in the gate), overridable via GRAFT_Q54_CENTROIDS_DIR for checkouts
+    * whose verify step runs elsewhere. */
+  private[queries] val TrainedCentroidsPath: String =
+    sys.env.getOrElse("GRAFT_Q54_CENTROIDS_DIR",
+      new java.io.File("target/q54_centroids").getAbsolutePath)
 
   /** Shared IVF search plan over a normed corpus `n` (vec_id, v, nrm) and
     * broadcast centroids `cents` (c_id, cv, cn): nearest-cell assignment
@@ -69,15 +74,18 @@ object Similarity {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(round(cosine(col("v"), col("cv"), col("nrm"), col("cn")), 6).desc,
         col("c_id").asc)
-    val assigned = n.crossJoin(broadcast(cents))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
-      .persist(MEMORY_AND_DISK)
-    val qs = n.filter(col("vec_id") % QUERY_MOD === 0)
-      .crossJoin(broadcast(cents))
+    // ONE centroid-assignment pass (crossJoin + window) serves both sides
+    // of the probe join: rn=1 rows partition the corpus into cells, and
+    // the query rows' rn<=nprobe cells are their probe targets. Persisted
+    // because both derivations consume it in the same action.
+    val ranked = n.crossJoin(broadcast(cents))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("c_id"), col("v"), col("nrm"), col("rn"))
+      .persist(MEMORY_AND_DISK)
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
+    val qs = ranked.filter(col("vec_id") % QUERY_MOD === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("c_id").as("qcell"))
     val wRank = Window.partitionBy(col("q_id"))
@@ -93,7 +101,7 @@ object Similarity {
       .filter(col("rank") <= TOPK)
       .select(col("q_id"), col("rank"), col("neighbor"), col("cosine"))
       .orderBy(col("q_id"), col("rank")))
-    assigned.unpersist(blocking = false)
+    ranked.unpersist(blocking = false)
     result
   }
 

@@ -64,13 +64,19 @@ object Charts {
       w: Int = 880, h: Int = 480): Array[Byte] = {
     require(labels.length == values.length && labels.nonEmpty,
       "labels/values must be same-length and non-empty")
-    val (img, g) = canvas(w, h)
+    // every row needs a few pixels or integer rowH collapses to 0 and
+    // bars overdraw at the top — grow the canvas with the label count
+    // instead (charts render small aggregated relations, so this stays
+    // bounded in practice)
+    val minRowH = 12
+    val hEff = math.max(h, labels.length * minRowH + 2 * Margin)
+    val (img, g) = canvas(w, hEff)
     title(g, chartTitle, w)
     val lo = math.min(0.0, values.min)
     val hi = math.max(0.0, values.max)
     val span = math.max(hi - lo, 1e-12)
     val plotW = w - 2 * Margin
-    val plotH = h - 2 * Margin
+    val plotH = hEff - 2 * Margin
     def x(v: Double): Int = Margin + ((v - lo) / span * plotW).round.toInt
     val rowH = plotH / labels.length
     val barH = math.max(4, (rowH * 0.6).toInt)

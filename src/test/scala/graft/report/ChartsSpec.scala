@@ -33,6 +33,22 @@ class ChartsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     red.toDouble / blue should (be > 1.5 and be < 2.5)
   }
 
+  test("hBarChart: canvas grows with the label count — every row keeps a " +
+    "visible stride (no rowH=0 overdraw past ~360 labels)") {
+    val n = 500
+    val labels = (1 to n).map(i => s"label_$i")
+    val values = (1 to n).map(_.toDouble)
+    val img = decode(Charts.hBarChart(labels, values, "many rows"))
+    img.getHeight should be >= n * 12 // one ≥12px row per label
+    // top and bottom rows both land on canvas: red bar pixels exist in
+    // the first and last row bands (overdraw would stack them all at top)
+    def bandHasRed(y0: Int, y1: Int): Boolean =
+      (y0 until y1).exists(y => (0 until img.getWidth)
+        .exists(x => img.getRGB(x, y) == Charts.Red.getRGB))
+    bandHasRed(30, 90) shouldBe true // first row lands just under Margin=60
+    bandHasRed(img.getHeight - 90, img.getHeight - 30) shouldBe true
+  }
+
   test("groupedBarChart: one color per series, taller value → more pixels") {
     val bytes = Charts.groupedBarChart(
       Seq("feb", "may"),
