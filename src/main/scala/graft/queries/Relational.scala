@@ -20,7 +20,7 @@ object Relational {
   /** Exact money arithmetic: accumulate in DECIMAL(18,2)-derived types so the
     * sum is identical regardless of partial-aggregation order, then cast to
     * double for a stable cross-engine representation. */
-  private def revenueExpr: Column =
+  private[queries] def revenueExpr: Column =
     round(
       sum(col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))

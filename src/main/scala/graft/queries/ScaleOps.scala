@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables.table
+import graft.operators.SkewJoin
+
+/** Cluster-scale operator demonstrations: the techniques the 100 TB
+  * deployment leans on when the defaults stop being enough — explicit
+  * skew salting for joins AQE cannot rescue, semi-join reduction via
+  * Bloom prefilters, and grouping-sets aggregation. Each is oracle-gated
+  * by proving the optimized plan returns EXACTLY the rows of its plain
+  * equivalent (the optimization must be invisible in the result).
+  */
+object ScaleOps {
+
+  val defs: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q55: SKEW-SALTED SHUFFLE JOIN (graft.operators.SkewJoin). The
+    // scenario: a fact⋈dim equi-join whose dim is too large to broadcast
+    // at scale (modeled with an explicit SHUFFLE_HASH hint) and whose
+    // fact key is hot. The salted plan joins on (key, salt) with the dim
+    // replicated salt-factor× — a hot key's rows spread over `factor`
+    // reducers instead of landing on one straggler task. The salt is
+    // deterministic (xxhash64 of the fact row, not rand()) so stage
+    // retries stay exactly-once; it cancels out of the result, which is
+    // what the oracle pins: salted ≡ the plain three-way join. The
+    // hot-key spread itself is pinned by SkewSaltingSpec on a 95%-one-key
+    // fixture, and PlanSpec pins the ShuffledHashJoin-on-(key,salt) shape.
+    Q("q55_skew_salted_join",
+      oracle = Some("""
+        SELECT n_name,
+               count(*) AS n_items,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name"""),
+      run = (spark, dir) => {
+        val fact = table(spark, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        // dim: supplier labeled with its nation (broadcast snowflake arm),
+        // then hinted SHUFFLE_HASH — the "too big to broadcast" scenario
+        // salting exists for. The hint binds to the nearest enclosing
+        // join, i.e. the salted fact⋈dim, not the inner supplier⋈nation.
+        val dim = table(spark, dir, "supplier")
+          .join(broadcast(table(spark, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))
+          .hint("shuffle_hash")
+        SkewJoin.salted(fact, "l_suppkey", dim, "s_suppkey", factor = 8)
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_items"),
+            Relational.revenueExpr.as("revenue"))
+          .orderBy(col("n_name"))
+      })
+  )
+}

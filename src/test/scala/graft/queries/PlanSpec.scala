@@ -48,6 +48,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     plan("q11_join_anti") should include("LeftAnti")
   }
 
+  test("q55: salted skew join is a ShuffledHashJoin keyed on (key, salt); " +
+    "the inner dim-labeling join stays broadcast") {
+    val p = plan("q55_skew_salted_join")
+    p should include("ShuffledHashJoin")  // the hinted, salted fact⋈dim
+    p should include("BroadcastHashJoin") // supplier⋈nation snowflake arm
+    p should include(graft.operators.SkewJoin.SaltCol) // salt is a join key
+    p should not include "SortMergeJoin"
+  }
+
   test("q01: aggregation is partial (map-side) before the exchange") {
     val p = plan("q01_share_of_voice")
     p should include("HashAggregate")
