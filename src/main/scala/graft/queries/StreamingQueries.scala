@@ -187,6 +187,55 @@ object StreamingQueries {
       }),
 
     // ------------------------------------------------------------------
+    // q56: STREAM-STREAM INTERVAL JOIN (attribution shape) — see the
+    // in-body comment.
+    Q("q56_stream_stream_join",
+      oracle = Some("""
+        SELECT v.user_id AS user_id,
+               count(*) AS n_pairs,
+               round(CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS attributed_value
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 12 HOUR
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        GROUP BY 1
+        ORDER BY 1"""),
+      run = (spark, dir) => {
+        // STREAM-STREAM INTERVAL JOIN (attribution shape): each view
+        // matched to the same user's purchases within the following 12
+        // hours, both sides watermarked so the join state is bounded —
+        // Spark derives each side's state horizon from the watermark ±
+        // the interval bounds and evicts buffered rows past it. Inner
+        // join in append mode emits matches as both sides arrive (no
+        // watermark wait), so the result is batch-equivalent, which is
+        // exactly what the oracle's batch interval self-join pins. At
+        // 100 TB this is the plan that replaces "join two firehoses by
+        // key within a time budget" — state scales with the watermark
+        // horizon × per-user rate, never with stream length.
+        val views = eventsStream(spark, dir)
+          .filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .withWatermark("v_ts", "1 hour")
+        val purchases = eventsStream(spark, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+          .withWatermark("p_ts", "1 hour")
+        val pairs = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 12 HOURS"))
+          .select(col("v_user"), col("p_value"))
+        runToMemorySink(spark, "stream_ssjoin_", "append", pairs) {
+          _.groupBy(col("v_user").as("user_id"))
+            .agg(count(lit(1)).as("n_pairs"),
+              round(sum(col("p_value").cast("decimal(18,2)")).cast("double"), 2)
+                .as("attributed_value"))
+            .orderBy(col("user_id"))
+        }
+      }),
+
+    // ------------------------------------------------------------------
     // q53: STREAMING EXACT DEDUP with watermark-bounded state
     // (dropDuplicatesWithinWatermark): the input stream is deliberately
     // DOUBLED (union of two file sources over the same events), the
