@@ -14,12 +14,30 @@ class RegistrySpec extends AnyFunSuite with Matchers {
     all(names) should fullyMatch regex "q\\d{2}_[a-z0-9_]+"
   }
 
-  test("54 queries registered, 51 with oracles") {
-    Registry.all.length shouldBe 54
-    Registry.oracles.size shouldBe 51
-    // the three no-oracle queries are exactly the ML/sketch ones
-    (Registry.queries.keySet -- Registry.oracles.keySet) shouldBe
+  test("every registered query has an oracle, except the declared no-oracle set") {
+    // Counts are derived from the registry itself so that adding an
+    // oracle-gated query can never re-break this spec; the only pinned
+    // invariant is the irreducible no-oracle set (ML internals + sketch).
+    val noOracle = Registry.queries.keySet -- Registry.oracles.keySet
+    noOracle shouldBe
       Set("q28_lr_coefficients", "q29_tfidf_bigrams", "q30_approx_distinct")
+    Registry.oracles.size shouldBe (Registry.all.length - noOracle.size)
+  }
+
+  test("every registered query is documented in COVERAGE.md") {
+    // new String(bytes, UTF_8) replaces malformed sequences instead of
+    // throwing like Source.fromFile under a non-UTF-8 default charset
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("COVERAGE.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // COVERAGE.md cites queries by their qNN id (e.g. "q51"), not the full
+    // registry name — require the id with a non-digit boundary after it so
+    // "q55" is not satisfied by a mention of "q556"
+    Registry.all.map(_.name.take(3)).foreach { id =>
+      withClue(s"COVERAGE.md has no mention of $id: ") {
+        s"(?<![0-9a-z])$id(?![0-9])".r.findFirstIn(text).isDefined shouldBe true
+      }
+    }
   }
 
   test("oracle SQL references only known testdata tables") {
