@@ -57,7 +57,26 @@ object SkewJoin {
     * Both key columns survive in the output (like a plain inner join);
     * the salt columns do not. */
   def salted(fact: DataFrame, factKey: String, dim: DataFrame,
-      dimKey: String, factor: Int): DataFrame = {
+      dimKey: String, factor: Int): DataFrame =
+    saltedJoin(fact, factKey, dim, dimKey, factor, "inner")
+
+  /** LEFT OUTER salted join: every fact row exists exactly once on the
+    * probe side with exactly one salt, and the dim copy carrying that
+    * salt holds the full dim key set — so an unmatched fact row is
+    * emitted exactly once (with nulls), and a matched one once per
+    * matching dim row: row-for-row the plain left join. */
+  def saltedLeft(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, factor: Int): DataFrame =
+    saltedJoin(fact, factKey, dim, dimKey, factor, "left")
+
+  /** LEFT SEMI salted join (existence filter): fact rows whose key
+    * appears in dim, each exactly once; no dim columns in the output. */
+  def saltedSemi(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, factor: Int): DataFrame =
+    saltedJoin(fact, factKey, dim, dimKey, factor, "left_semi")
+
+  private def saltedJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, factor: Int, joinType: String): DataFrame = {
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
     val saltedFact = fact.withColumn(SaltCol, rowSalt(fact, factor))
     // explode a literal 0..factor-1 array: `factor` copies of every dim
@@ -66,7 +85,48 @@ object SkewJoin {
       explode(array((0 until factor).map(i => lit(i.toLong)): _*)))
     saltedFact.join(replicatedDim,
         saltedFact(factKey) === replicatedDim(dimKey) &&
-          saltedFact(SaltCol) === replicatedDim(SaltCol))
+          saltedFact(SaltCol) === replicatedDim(SaltCol),
+        joinType)
       .drop(SaltCol)
   }
+
+  /** Derive the salt factor from the fact key histogram instead of a
+    * caller guess: the skew multiplier `m = hottest key count / mean key
+    * count` says how many times hotter than average the worst key is —
+    * splitting it `m` ways flattens the reducer histogram back to the
+    * uniform case. Rounded up to the next power of two (partitioner-
+    * friendly, and over- rather than under-spreads), capped at
+    * `maxFactor` (dim replication is the price), and 1 — no salting —
+    * when `m <= 2` (AQE absorbs mild skew for free; replication would
+    * cost more than the imbalance).
+    *
+    * Cost: one pass over `fact` with map-side combine (one row per
+    * distinct key per task reaches the shuffle) plus a scalar agg. For
+    * very-high-cardinality keys pass `sampleFraction < 1` — the
+    * histogram is sampled with a FIXED seed so the factor (a plan
+    * parameter) stays deterministic across retries and re-plans. */
+  def autoFactor(fact: DataFrame, factKey: String, maxFactor: Int = 64,
+      sampleFraction: Double = 1.0): Int = {
+    require(maxFactor >= 1, s"maxFactor must be >= 1, got $maxFactor")
+    val keyed = if (sampleFraction < 1.0)
+      fact.sample(withReplacement = false, sampleFraction, seed = 42L)
+    else fact
+    val row = keyed.groupBy(col(factKey)).count()
+      .agg(max(col("count")).as("hot"), avg(col("count")).as("mean"))
+      .head()
+    if (row.isNullAt(0) || row.getDouble(1) <= 0.0) 1
+    else {
+      val m = row.getLong(0) / row.getDouble(1)
+      if (m <= 2.0) 1
+      else math.min(maxFactor,
+        Integer.highestOneBit(math.ceil(m).toInt - 1) * 2).max(1)
+    }
+  }
+
+  /** `salted` with the factor measured from the data (see autoFactor). */
+  def saltedAuto(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, maxFactor: Int = 64,
+      sampleFraction: Double = 1.0): DataFrame =
+    salted(fact, factKey, dim, dimKey,
+      autoFactor(fact, factKey, maxFactor, sampleFraction))
 }

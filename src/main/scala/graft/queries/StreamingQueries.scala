@@ -30,7 +30,12 @@ object StreamingQueries {
   private def withStreamPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
+    // 1, not a handful: every micro-batch opens+commits every state store
+    // instance (stream-stream joins keep FOUR per partition), and each
+    // commit is a file write+fsync into the checkpoint — at this state
+    // cardinality (dozens of groups) partitions are pure fixed overhead.
+    // On a cluster this is the knob sized to state volume, not input.
+    spark.conf.set(key, "1")
     try body finally spark.conf.set(key, prev)
   }
 
@@ -61,8 +66,16 @@ object StreamingQueries {
     * available (including the watermark-advance no-data batch that
     * append-mode emission needs) then stop on its own — awaitTermination
     * replaces the processAllAvailable poll+stop pair. */
+  /** `noDataBatch = false` skips the watermark-advance no-data micro-batch
+    * (measured ~0.3-0.7 s each: a full trigger of planning + WAL + state
+    * commits that emits zero rows). Only valid for queries whose SINK rows
+    * are all produced by data batches — dedup and inner stream-stream
+    * joins emit on arrival; the no-data batch exists solely to EVICT state,
+    * which a run-to-completion query discards with the checkpoint anyway.
+    * Append-mode windowed aggregations (q49) MUST keep it: their emission
+    * rule is "watermark passed the window end", which only fires there. */
   private def runToMemorySink(spark: SparkSession, prefix: String,
-      mode: String, streamed: DataFrame)(
+      mode: String, streamed: DataFrame, noDataBatch: Boolean = true)(
       finish: DataFrame => DataFrame): DataFrame = {
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     // the checkpoint (offset/commit WAL + state store files) for these
@@ -82,11 +95,16 @@ object StreamingQueries {
         shm.getUsableSpace >= 4L * 1024 * 1024 * 1024)
       Some(s"/dev/shm/graft_ckpt/$sink") else None
     val q = withStreamPartitions(spark) {
-      val w = streamed.writeStream.format("memory").queryName(sink)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .outputMode(mode)
-      ckpt.foreach(w.option("checkpointLocation", _))
-      w.start()
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNoData = spark.conf.get(noDataKey)
+      spark.conf.set(noDataKey, noDataBatch.toString)
+      try {
+        val w = streamed.writeStream.format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode(mode)
+        ckpt.foreach(w.option("checkpointLocation", _))
+        w.start()
+      } finally spark.conf.set(noDataKey, prevNoData)
     }
     try q.awaitTermination() finally {
       q.stop()
@@ -94,7 +112,10 @@ object StreamingQueries {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(c))
       }
     }
-    try Q.localized(finish(spark.table(sink)))
+    // the finish agg/sort runs over the (small, driver-local) sink table:
+    // at session partitioning it pays 32 task launches per exchange for
+    // a few thousand rows — scope it down with the same knob
+    try withStreamPartitions(spark)(Q.localized(finish(spark.table(sink))))
     finally spark.catalog.dropTempView(sink)
   }
 
@@ -226,7 +247,10 @@ object StreamingQueries {
             col("p_ts") >= col("v_ts") &&
             col("p_ts") <= col("v_ts") + expr("INTERVAL 12 HOURS"))
           .select(col("v_user"), col("p_value"))
-        runToMemorySink(spark, "stream_ssjoin_", "append", pairs) {
+        // inner-join append emits every match in the data batch that
+        // completes it; the no-data batch would only evict state
+        runToMemorySink(spark, "stream_ssjoin_", "append", pairs,
+            noDataBatch = false) {
           _.groupBy(col("v_user").as("user_id"))
             .agg(count(lit(1)).as("n_pairs"),
               round(sum(col("p_value").cast("decimal(18,2)")).cast("double"), 2)
@@ -237,8 +261,10 @@ object StreamingQueries {
 
     // ------------------------------------------------------------------
     // q53: STREAMING EXACT DEDUP with watermark-bounded state
-    // (dropDuplicatesWithinWatermark): the input stream is deliberately
-    // DOUBLED (union of two file sources over the same events), the
+    // (dropDuplicatesWithinWatermark): every input event is deliberately
+    // delivered TWICE (duplicate-delivery modeled in-plan via a 2-way
+    // explode — one file source, so the stream pays one file log and one
+    // scan instead of the union-of-two-sources it previously ran), the
     // operator emits each event_id once, and the sink's per-type counts
     // hash-match the batch distinct counts. State is bounded by the
     // 1-hour watermark — the producer-retry/at-least-once-ingest dedup
@@ -250,12 +276,16 @@ object StreamingQueries {
         FROM events
         GROUP BY event_type
         ORDER BY event_type"""),
+      // dedup emits each first occurrence in the batch it arrives; the
+      // no-data batch would only evict expired state
       run = (spark, dir) => runToMemorySink(spark, "stream_dedup_",
         "append",
-        eventsStream(spark, dir).unionByName(eventsStream(spark, dir))
+        eventsStream(spark, dir)
+          .withColumn("delivery", explode(array(lit(1), lit(2))))
+          .drop("delivery")
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
-          .select(col("event_id"), col("event_type"))) {
+          .select(col("event_id"), col("event_type")), noDataBatch = false) {
         _.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
           .orderBy(col("event_type"))
       })

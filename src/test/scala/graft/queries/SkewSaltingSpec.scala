@@ -48,6 +48,66 @@ class SkewSaltingSpec extends AnyFunSuite with Matchers with SparkTestSession {
       b.map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("autoFactor: measures the skew multiplier from the key histogram") {
+    // same 95%-one-key fixture: 6 distinct keys, hot key 5.7x the mean
+    // count -> next power of two is 8
+    val fact = spark.range(50000)
+      .select(col("id"),
+        when(col("id") % 20 =!= 0, 7L).otherwise(col("id") % 100).as("k"))
+    SkewJoin.autoFactor(fact, "k") should be >= 8
+    SkewJoin.autoFactor(fact, "k") shouldBe 8
+
+    // uniform keys: multiplier ~1 -> no salting (factor 1)
+    val uniform = spark.range(50000).select((col("id") % 100).as("k"))
+    SkewJoin.autoFactor(uniform, "k") shouldBe 1
+
+    // maxFactor caps the spread even under extreme skew
+    val extreme = spark.range(50000).select(
+      when(col("id") < 49900, 1L).otherwise(col("id")).as("k"))
+    SkewJoin.autoFactor(extreme, "k", maxFactor = 16) shouldBe 16
+
+    // sampled histogram is deterministic (fixed seed) and still finds
+    // the hot key
+    SkewJoin.autoFactor(fact, "k", sampleFraction = 0.2) shouldBe
+      SkewJoin.autoFactor(fact, "k", sampleFraction = 0.2)
+    SkewJoin.autoFactor(fact, "k", sampleFraction = 0.2) should be >= 4
+
+    // empty relation: degenerate, no salting
+    SkewJoin.autoFactor(fact.filter(col("k") < 0), "k") shouldBe 1
+  }
+
+  test("saltedLeft equals plain left join, unmatched fact rows exactly once") {
+    // fact keys 0..9; dim holds only 0..4 -> half the fact is unmatched
+    val fact = spark.range(1000).select(col("id"), (col("id") % 10).as("k"))
+    val dim = spark.range(5)
+      .select(col("id").as("dk"), concat(lit("d"), col("id")).as("tag"))
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "k", "dk", "tag").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) "" else r.getString(3)))
+        .sorted.toSeq
+
+    val salted = SkewJoin.saltedLeft(fact, "k", dim, "dk", factor = 4)
+    val plain = fact.join(dim, col("k") === col("dk"), "left")
+    norm(salted) shouldBe norm(plain)
+    salted.columns should not contain SkewJoin.SaltCol
+    // every fact row present: matched once per dim row, unmatched once
+    salted.count() shouldBe 1000L
+    salted.filter(col("dk").isNull).count() shouldBe 500L
+  }
+
+  test("saltedSemi equals plain left-semi join") {
+    val fact = spark.range(1000).select(col("id"), (col("id") % 10).as("k"))
+    val dim = spark.range(5).select(col("id").as("dk"))
+    val salted = SkewJoin.saltedSemi(fact, "k", dim, "dk", factor = 4)
+    val plain = fact.join(dim, col("k") === col("dk"), "left_semi")
+    salted.columns.toSeq shouldBe Seq("id", "k")
+    salted.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq shouldBe
+      plain.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+  }
+
   test("salted join output carries no salt column and keeps both key columns") {
     val fact = spark.range(100).select(col("id"), (col("id") % 10).as("k"))
     val dim = spark.range(10).select(col("id").as("dk"), lit("x").as("tag"))
