@@ -41,9 +41,13 @@ import org.apache.spark.sql.functions._
   * one WARN for the file and appends one queryable sentinel row
   * (`warcType` = [[TruncatedType]]) so ingestion QA can count lossy
   * segments relationally — `records.filter($"warcType" === TruncatedType)`
-  * — instead of grepping executor logs. The only remaining silent-loss
-  * window is a corrupt Content-Length that lands the resync scan inside
-  * a payload whose text itself contains `WARC/`. */
+  * — instead of grepping executor logs. A resync candidate is VALIDATED
+  * before it is believed (version line + mandatory WARC-Type + a sane
+  * Content-Length), so a corrupt length that lands the scan inside a
+  * payload whose text contains `WARC/` yields no garbage records: the
+  * false candidate's bytes are pushed back and re-scanned, and every
+  * rejected candidate is counted into the sentinel row's body
+  * (`resyncs=N`). */
 object Warc {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.io.Warc")
@@ -108,15 +112,23 @@ object Warc {
       // as a task failure — but record WHY the stream ended so the loss
       // can be surfaced (`lossReason` drives the sentinel row below)
       private var lossReason: String = null
+      /** Candidate `WARC/` markers rejected by header validation — each is
+        * a corrupt record boundary the scan skipped past. */
+      private var resyncs = 0
       private def markLoss(reason: => String): Unit =
         if (lossReason == null) lossReason = reason
+      // pushback buffer: a rejected candidate header block is pushed back
+      // so the scan re-inspects its bytes (the real next record may start
+      // inside what was consumed as a false header). Capacity bounds at
+      // one header block — nested rejections free the bytes they re-read.
+      private val pin = new java.io.PushbackInputStream(in, MaxHeaderBytes + 16)
       private def rd(): Int =
-        try in.read() catch {
+        try pin.read() catch {
           case e: java.io.IOException =>
             markLoss(s"I/O error mid-stream (${e.getClass.getSimpleName})"); -1
         }
       private def rd(buf: Array[Byte], off: Int, len: Int): Int =
-        try in.read(buf, off, len) catch {
+        try pin.read(buf, off, len) catch {
           case e: java.io.IOException =>
             markLoss(s"I/O error mid-stream (${e.getClass.getSimpleName})"); -1
         }
@@ -124,10 +136,13 @@ object Warc {
       private var sentinelEmitted = false
       private def fetch(): Option[WarcRecord] = advance() match {
         case some @ Some(_) => some
-        case None if lossReason != null && !sentinelEmitted =>
+        case None if (lossReason != null || resyncs > 0) && !sentinelEmitted =>
           sentinelEmitted = true
-          log.warn(s"WARC $file: $lossReason — remainder of segment dropped")
-          Some(WarcRecord(file, TruncatedType, "", -1, "", lossReason))
+          val msg = (Option(lossReason).map(_ + " — remainder of segment dropped") ++
+            (if (resyncs > 0) Some(s"resyncs=$resyncs corrupt record " +
+              "boundaries skipped") else None)).mkString("; ")
+          log.warn(s"WARC $file: $msg")
+          Some(WarcRecord(file, TruncatedType, "", -1, "", msg))
         case None => None
       }
 
@@ -141,28 +156,43 @@ object Warc {
         else readHeaderBlock() match {
           case None => // EOF (or oversized block) inside a started header
             markLoss("record header cut off by EOF"); None
-          case Some(header) =>
+          case Some(blockBytes) => // includes the trailing \r\n\r\n
+            val header = new String(blockBytes, 0, blockBytes.length - 4,
+              StandardCharsets.UTF_8)
             val headers = parseHeaders("WARC/" + header)
-            headers.get("content-length").flatMap(_.trim.toLongOption)
-              .filter(_ >= 0) match {
-              case None => advance() // corrupt length: resync
-              case Some(len) if len > MaxRecordBytes =>
-                skipFully(len) // oversized: stream past, drop
-                advance()
-              case Some(len) =>
-                val payload = readFully(len.toInt)
-                if (payload.length < len) { // truncated tail
-                  markLoss(s"record payload cut off by EOF " +
-                    s"(${payload.length} of $len bytes)")
-                  None
-                } else {
-                  val warcType = headers.getOrElse("warc-type", "")
-                  val uri = headers.getOrElse("warc-target-uri", "")
-                  val (status, ctype, body) =
-                    if (warcType == "response") parseHttp(payload)
-                    else (-1, "", new String(payload, StandardCharsets.UTF_8))
-                  Some(WarcRecord(file, warcType, uri, status, ctype, body))
-                }
+            // STRICT validation before believing the candidate: a real
+            // record start has a version after `WARC/`, a WARC-Type, and
+            // a sane Content-Length. Anything else (e.g. the literal
+            // bytes `WARC/` inside a payload the scan landed in after a
+            // corrupt length) is a false boundary: push its block back
+            // and keep scanning INSIDE it — the real next record may
+            // start anywhere in what was just consumed.
+            val versionOk = header.takeWhile(c => c != '\r' && c != '\n')
+              .matches("\\d+(\\.\\d+)?")
+            val len = headers.get("content-length")
+              .flatMap(_.trim.toLongOption).filter(_ >= 0)
+            if (!versionOk || !headers.contains("warc-type") || len.isEmpty) {
+              resyncs += 1
+              pin.unread(blockBytes)
+              advance()
+            } else if (len.get > MaxRecordBytes) {
+              skipFully(len.get) // oversized: stream past, drop
+              advance()
+            } else {
+              val n = len.get
+              val payload = readFully(n.toInt)
+              if (payload.length < n) { // truncated tail
+                markLoss(s"record payload cut off by EOF " +
+                  s"(${payload.length} of $n bytes)")
+                None
+              } else {
+                val warcType = headers.getOrElse("warc-type", "")
+                val uri = headers.getOrElse("warc-target-uri", "")
+                val (status, ctype, body) =
+                  if (warcType == "response") parseHttp(payload)
+                  else (-1, "", new String(payload, StandardCharsets.UTF_8))
+                Some(WarcRecord(file, warcType, uri, status, ctype, body))
+              }
             }
         }
 
@@ -182,8 +212,11 @@ object Warc {
       }
 
       /** Read the rest of the header block (after `WARC/`) up to and
-        * excluding the double CRLF. None on EOF/oversized. */
-      private def readHeaderBlock(): Option[String] = {
+        * INCLUDING the double CRLF, as raw bytes (the block must be
+        * re-scannable byte-exact if validation rejects it — a UTF-8
+        * decode round-trip would corrupt binary garbage). None on
+        * EOF/oversized. */
+      private def readHeaderBlock(): Option[Array[Byte]] = {
         val buf = new java.io.ByteArrayOutputStream(512)
         var tail = 0 // how much of \r\n\r\n we've seen
         var b = rd()
@@ -195,10 +228,7 @@ object Warc {
             case _ => 0
           }
           buf.write(b)
-          if (tail == 4) {
-            val all = buf.toByteArray
-            return Some(new String(all, 0, all.length - 4, StandardCharsets.UTF_8))
-          }
+          if (tail == 4) return Some(buf.toByteArray)
           b = rd()
         }
         None

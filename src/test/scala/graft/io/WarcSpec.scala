@@ -90,9 +90,62 @@ class WarcSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .getBytes(StandardCharsets.UTF_8)
     val bytes = good1 ++ garbage ++ badLen ++ good2
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/seg.warc"), bytes)
-    val uris = Warc.records(spark, s"$dir/seg.warc").collect()
-      .map(_.targetUri).sorted
-    uris shouldBe Array("http://g.example/1", "http://g.example/2")
+    val (sentinels, real) = Warc.records(spark, s"$dir/seg.warc").collect()
+      .partition(_.warcType == Warc.TruncatedType)
+    real.map(_.targetUri).sorted shouldBe
+      Array("http://g.example/1", "http://g.example/2")
+    // the skipped boundary is surfaced, not silent: one sentinel carrying
+    // the resync count
+    sentinels.length shouldBe 1
+    sentinels.head.body should include("resyncs=1")
+  }
+
+  test("WARC/ literal inside a record payload is not a record boundary") {
+    // normal parse: payloads are consumed by length, so an embedded
+    // WARC/ is never even scanned
+    val dir = java.nio.file.Files.createTempDirectory("warcembed_").toString
+    val tricky = record("response", "http://t.example/1",
+      httpPayload(200, "text/html",
+        "<html><body>the spec string WARC/1.0\r\n\r\nlooks like a header" +
+          "\r\nWARC-Type: response\r\n\r\nbut is text</body></html>")) ++
+      record("response", "http://t.example/2", httpPayload(200, "text/html", html2))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/seg.warc"), tricky)
+    val recs = Warc.records(spark, s"$dir/seg.warc").collect()
+    recs.map(_.warcType).toSet shouldBe Set("response")
+    recs.map(_.targetUri).sorted shouldBe
+      Array("http://t.example/1", "http://t.example/2")
+    recs.find(_.targetUri == "http://t.example/1").get.body should
+      include("WARC/1.0")
+  }
+
+  test("corrupt Content-Length landing the resync inside a WARC/-bearing " +
+    "payload emits no garbage records and counts the resyncs") {
+    // the r5-documented silent-loss window: a bad length forces a rescan
+    // that lands inside the NEXT record's payload, whose text contains
+    // `WARC/` followed by header-ish lines. Strict validation must reject
+    // those candidates (no version line / no sane Content-Length), push
+    // their bytes back, and still find the real record after.
+    val dir = java.nio.file.Files.createTempDirectory("warcfalse_").toString
+    val badLen = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://bad.example/\r\nContent-Length: -7\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    // unlength-ed payload the rescan will walk through, containing two
+    // false markers: one pure text, one with header-shaped lines but no
+    // Content-Length
+    val decoy = ("decoy text WARC/9.9 mid-sentence and a header-shaped\r\n" +
+      "WARC/1.0\r\nWARC-Type: response\r\nNo-Length: here\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val good = record("response", "http://real.example/1",
+      httpPayload(200, "text/html", html1))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/seg.warc"),
+      badLen ++ decoy ++ good)
+    val (sentinels, real) = Warc.records(spark, s"$dir/seg.warc").collect()
+      .partition(_.warcType == Warc.TruncatedType)
+    real.map(_.targetUri).toSeq shouldBe Seq("http://real.example/1")
+    real.head.body shouldBe html1
+    sentinels.length shouldBe 1
+    // bad length + two rejected decoy markers
+    sentinels.head.body should include("resyncs=3")
   }
 
   test("scan is narrow: no shuffle anywhere in the records plan") {
