@@ -11,9 +11,10 @@ import graft.queries.Registry
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Star-schema revenue rollup: broadcast snowflake dims, one shuffle. */
+    * The signature ETL chain (parse → dedup-by-key → report agg) as one
+    * oracle-gated job — see graft.queries.EtlPipeline (q57). */
   def entry(spark: SparkSession): DataFrame =
-    Registry.queries("q09_join_star")(spark, "/root/testdata/sf0.001")
+    Registry.queries("q57_etl_report")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -39,7 +39,8 @@ object Registry {
   lazy val all: Seq[Q] =
     Relational.defs ++ WindowQueries.defs ++ Dedup.defs ++
       Similarity.defs ++ TextAnalysis.defs ++ Multimodal.defs ++
-      StreamingQueries.defs ++ MlQueries.defs ++ ScaleOps.defs
+      StreamingQueries.defs ++ MlQueries.defs ++ ScaleOps.defs ++
+      EtlPipeline.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
