@@ -57,6 +57,20 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should not include "SortMergeJoin"
   }
 
+  test("q57: flagship ETL chain — dedup rank pushed map-side, partial aggs, " +
+    "narrow parse stage") {
+    val p = Registry.queries("q57_etl_report")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // dedup-by-key: Catalyst pushes a partial top-1-per-key
+    // (WindowGroupLimit) BELOW the dedup shuffle — the map-side-combine
+    // analog for row_number, so duplicate-heavy keys never flood the wire
+    "WindowGroupLimit".r.findAllIn(p).length should be >= 2 // partial + final
+    p should include regex "hashpartitioning\\(dedup_key"
+    // report agg partial-aggregates before its exchange
+    "HashAggregate".r.findAllIn(p).length should be >= 2
+    p should not include "CartesianProduct"
+  }
+
   test("q01: aggregation is partial (map-side) before the exchange") {
     val p = plan("q01_share_of_voice")
     p should include("HashAggregate")
