@@ -260,6 +260,81 @@ object StreamingQueries {
       }),
 
     // ------------------------------------------------------------------
+    // q58: STREAM-STREAM LEFT OUTER INTERVAL JOIN — q56's production
+    // completion: views with NO purchase in the window must also come
+    // out (null-extended) so the pipeline can count non-converting
+    // impressions. Outer semantics in streaming are watermark-driven:
+    // the null-extended row for a view is emitted only when its state is
+    // EVICTED — when the global watermark proves no future purchase can
+    // match it (wm > v_ts + 12h; Spark derives the eviction bound from
+    // the join's time condition). Matched pairs still emit on arrival.
+    // The oracle replays both rules in batch SQL: all matched pairs,
+    // plus unmatched views whose window end is strictly below the final
+    // watermark (ms-floored min of the two sides' max event time, minus
+    // the 1h delay — the same construction q49 pins for aggregations).
+    // Views not yet evictable and unmatched are emitted by NEITHER side.
+    // This query NEEDS the no-data batch (eviction fires there).
+    Q("q58_stream_outer_join",
+      oracle = Some("""
+        WITH m AS (
+          SELECT least(
+            (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+              WHERE event_type = 'view'),
+            (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+              WHERE event_type = 'purchase')) - 3600000000 AS wm_us),
+        pairs AS (
+          SELECT v.user_id, p.value
+          FROM events v JOIN events p
+            ON v.user_id = p.user_id
+           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 12 HOUR
+          WHERE v.event_type = 'view' AND p.event_type = 'purchase'),
+        evicted_unmatched AS (
+          SELECT v.user_id, CAST(NULL AS DOUBLE) AS value
+          FROM events v, m
+          WHERE v.event_type = 'view'
+            AND NOT EXISTS (
+              SELECT 1 FROM events p
+              WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+                AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 12 HOUR)
+            AND epoch_us(v.ts + INTERVAL 12 HOUR) < wm_us),
+        unioned AS (
+          SELECT * FROM pairs UNION ALL SELECT * FROM evicted_unmatched)
+        SELECT user_id,
+               count(*) AS n_rows,
+               count(value) AS n_matched,
+               round(CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0)
+                     AS DOUBLE), 2) AS attributed_value
+        FROM unioned
+        GROUP BY 1
+        ORDER BY 1"""),
+      run = (spark, dir) => {
+        val views = eventsStream(spark, dir)
+          .filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .withWatermark("v_ts", "1 hour")
+        val purchases = eventsStream(spark, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 12 HOURS"),
+          "leftOuter")
+          .select(col("v_user"), col("p_value"))
+        runToMemorySink(spark, "stream_souter_", "append", joined) {
+          _.groupBy(col("v_user").as("user_id"))
+            .agg(count(lit(1)).as("n_rows"),
+              count(col("p_value")).as("n_matched"),
+              round(coalesce(sum(col("p_value").cast("decimal(18,2)")),
+                lit(0).cast("decimal(18,2)")).cast("double"), 2)
+                .as("attributed_value"))
+            .orderBy(col("user_id"))
+        }
+      }),
+
+    // ------------------------------------------------------------------
     // q53: STREAMING EXACT DEDUP with watermark-bounded state
     // (dropDuplicatesWithinWatermark): every input event is deliberately
     // delivered TWICE (duplicate-delivery modeled in-plan via a 2-way
