@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-mix construction: a 100 TB corpus
+  * is mixed by KEEPING a per-stratum fraction of documents ("50% of en,
+  * 25% of de, 10% of the rest"), and that decision must be a pure
+  * function of the ROW — not `rand()`:
+  *  - stage retries and speculative tasks re-evaluate the predicate and
+  *    must keep the same rows (the repartition(rand)-correctness failure
+  *    class, same reasoning as [[SkewJoin]]'s deterministic salt);
+  *  - re-runs over the same snapshot must produce the same training set
+  *    (reproducibility is a data-governance requirement, not a nicety);
+  *  - the sample must be verifiable by ANY engine replaying the rule —
+  *    which is exactly how the q59 DuckDB oracle gates it.
+  *
+  * Mechanism: md5 of the key column's string form, first 6 hex digits
+  * (24 uniform bits) reduced mod `Buckets`; a row survives iff its
+  * bucket falls below `fraction × Buckets` for its stratum. md5 is
+  * bit-identical across engines (unlike xxhash64, which only Spark
+  * exposes), making the predicate replayable in plain ANSI-ish SQL.
+  * The filter is narrow, codegen'd, and shuffle-free — sampling 100 TB
+  * costs one scan. */
+object Sampling {
+
+  /** Bucket granularity: fractions resolve to 1/10000ths. */
+  val Buckets = 10000
+
+  /** Deterministic bucket in [0, Buckets) from the key's string form. */
+  def hashBucket(key: Column): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long"),
+      lit(Buckets.toLong))
+
+  /** Keep rows whose key-bucket falls below their stratum's fraction.
+    * `fractions` maps stratum value → keep fraction in [0,1]; strata not
+    * listed keep `default`. */
+  def stratified(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0,1]")
+    val quota = fractions.foldLeft(lit((default * Buckets).toLong)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit((f * Buckets).toLong))
+          .otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < quota)
+  }
+}

@@ -55,6 +55,30 @@ object ScaleOps {
           .agg(count(lit(1)).as("n_items"),
             Relational.revenueExpr.as("revenue"))
           .orderBy(col("n_name"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q59: DETERMINISTIC STRATIFIED SAMPLING (graft.operators.Sampling) —
+    // the training-mix primitive: keep 50% of en docs, 25% of de, 10% of
+    // everything else, as a pure function of the row (md5 bucket of the
+    // key), NOT rand(). Retry-safe, reproducible, and replayable by any
+    // engine — which is the point of the oracle: DuckDB re-derives the
+    // exact same sample from the same rule. The filter is narrow and
+    // codegen'd; sampling 100 TB costs one scan, no shuffle.
+    Q("q59_stratified_sample",
+      oracle = Some("""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+               % 10000)
+              < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
+        ORDER BY doc_id"""),
+      run = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"))
+        graft.operators.Sampling.stratified(docs, "doc_id", "lang",
+            Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
+          .orderBy(col("doc_id"))
       })
   )
 }
