@@ -65,6 +65,48 @@ object EtlPipeline {
             round(avg(col("has_spark")) * 100, 1).as("pct_spark"),
             countDistinct(col("source")).as("n_sources"))
           .orderBy(col("lang"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q60: TOKEN-BUDGET SHARD PACKING — the sequence-packing primitive of
+    // an LLM training pipeline: documents are laid out in a deterministic
+    // order (doc_id within lang) and cut into contiguous shards of ~1000
+    // tokens by cumulative token count; shard id = how many full budgets
+    // precede the document's start. Pure window arithmetic — no UDF, no
+    // driver loop — so the layout is reproducible and engine-replayable.
+    // Scale shape: one shuffle on the packing partition key (lang here;
+    // (source, day) on a real corpus), then WindowExec streams the
+    // running sum per partition; the shard summary is one more tiny agg.
+    // Packing 100 TB is one window pass.
+    Q("q60_shard_packing",
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+          FROM documents),
+        packed AS (
+          SELECT lang, n_tokens,
+                 CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                   / 1000.0) AS BIGINT) AS shard
+          FROM toks)
+        SELECT lang, shard,
+               count(*) AS n_docs,
+               sum(n_tokens) AS shard_tokens
+        FROM packed
+        GROUP BY lang, shard
+        ORDER BY lang, shard"""),
+      run = (spark, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).as("n_tokens"))
+          .withColumn("shard",
+            floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 1000.0))
+          .groupBy(col("lang"), col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("shard_tokens"))
+          .orderBy(col("lang"), col("shard"))
       })
   )
 }
