@@ -54,4 +54,58 @@ class StreamStreamJoinSpec extends AnyFunSuite with Matchers with SparkTestSessi
       spark.catalog.dropTempView(sink)
     }
   }
+
+  test("LEFT OUTER interval join across batches: matches emit on arrival, " +
+    "unmatched rows null-extend exactly once at watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+
+    val v = views.toDF().toDF("v_user", "v_ts", "view_id")
+      .withWatermark("v_ts", "10 minutes")
+    val p = purchases.toDF().toDF("p_user", "p_ts", "purchase_id")
+      .withWatermark("p_ts", "10 minutes")
+    // each view matched to purchases within the following hour
+    val joined = v.join(p,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("view_id"), col("purchase_id"))
+
+    val sink = "ssoj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table(sink).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+
+      // batch 1: two views, no purchases yet — view 900 will convert,
+      // view 901 never will
+      views.addData((1L, ts(0), 900L), (2L, ts(0), 901L))
+      q.processAllAvailable()
+      // batch 2: the converting purchase arrives LATER than the view
+      // (cross-batch match — the buffered view state must find it)
+      purchases.addData((1L, ts(30), 100L))
+      q.processAllAvailable()
+      rows() should contain(900L -> 100L)
+      // 901 is unmatched but NOT yet evictable: no null row may leak early
+      rows() should not contain (901L -> -1L)
+
+      // batch 3: advance both watermarks past ts(0)+1h+10min so 901's
+      // match window provably closed — eviction emits its null row
+      views.addData((9L, ts(150), 999L))
+      purchases.addData((9L, ts(150), 500L))
+      q.processAllAvailable()
+      rows() should contain(901L -> -1L)
+      // the converting view never null-extends, and nothing duplicates
+      rows().count(_._1 == 900L) shouldBe 1
+      rows().count(_._1 == 901L) shouldBe 1
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(sink)
+    }
+  }
 }
