@@ -34,8 +34,11 @@ object StreamingQueries {
     // instance (stream-stream joins keep FOUR per partition), and each
     // commit is a file write+fsync into the checkpoint — at this state
     // cardinality (dozens of groups) partitions are pure fixed overhead.
-    // On a cluster this is the knob sized to state volume, not input.
-    spark.conf.set(key, "1")
+    // This is the knob sized to STATE VOLUME, not input: the 10× ScaleUp
+    // replica (1M-row dedup/join state) measurably prefers 4 — override
+    // via GRAFT_STREAM_PARTITIONS there and on any real deployment.
+    spark.conf.set(key,
+      sys.env.getOrElse("GRAFT_STREAM_PARTITIONS", "1"))
     try body finally spark.conf.set(key, prev)
   }
 
