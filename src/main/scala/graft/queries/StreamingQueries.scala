@@ -263,6 +263,37 @@ object StreamingQueries {
       }),
 
     // ------------------------------------------------------------------
+    // q61: STREAM-STATIC ENRICHMENT JOIN — the most common production
+    // streaming join: each event enriched against a broadcast dimension
+    // (here nation, keyed by user_id mod 25). Stateless — no watermark,
+    // no join state; the static side is broadcast and probed per
+    // micro-batch, so at 100 TB/day the stream side never shuffles for
+    // the enrichment. The windowless grouped agg then runs in complete
+    // mode over tiny (25-row) state.
+    Q("q61_stream_static_join",
+      oracle = Some("""
+        SELECT n_name,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        FROM events JOIN nation ON user_id % 25 = n_nationkey
+        GROUP BY 1
+        ORDER BY 1"""),
+      run = (spark, dir) => {
+        val dim = broadcast(graft.io.Tables.table(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name")))
+        runToMemorySink(spark, "stream_enrich_", "complete",
+          eventsStream(spark, dir)
+            .join(dim, pmod(col("user_id"), lit(25L)) === col("n_nationkey"))
+            .groupBy(col("n_name"))
+            .agg(count(lit(1)).as("n_events"),
+              round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+                .as("total_value"))) {
+          _.select(col("n_name"), col("n_events"), col("total_value"))
+            .orderBy(col("n_name"))
+        }
+      }),
+
+    // ------------------------------------------------------------------
     // q58: STREAM-STREAM LEFT OUTER INTERVAL JOIN — q56's production
     // completion: views with NO purchase in the window must also come
     // out (null-extended) so the pipeline can count non-converting
