@@ -68,8 +68,9 @@ object StreamingQueries {
     * the production batch-over-stream discipline: process everything
     * available (including the watermark-advance no-data batch that
     * append-mode emission needs) then stop on its own — awaitTermination
-    * replaces the processAllAvailable poll+stop pair. */
-  /** `noDataBatch = false` skips the watermark-advance no-data micro-batch
+    * replaces the processAllAvailable poll+stop pair.
+    *
+    * `noDataBatch = false` skips the watermark-advance no-data micro-batch
     * (measured ~0.3-0.7 s each: a full trigger of planning + WAL + state
     * commits that emits zero rows). Only valid for queries whose SINK rows
     * are all produced by data batches — dedup and inner stream-stream
