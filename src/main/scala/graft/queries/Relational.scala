@@ -543,6 +543,41 @@ object Relational {
           .groupBy(col("n_name"))
           .agg(count(lit(1)).as("n_customers"))
           .orderBy(col("n_name"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q63: CUBE aggregation — all four (lang, source) grouping
+    // combinations in ONE pass over `documents`. Complements q31's
+    // ROLLUP: a corpus dashboard (per-lang, per-source, per-cell, grand
+    // total) computed without four separate scans. Spark expands the
+    // grouping sets map-side and partial-aggregates each, so at 100 TB
+    // the input is still read once and the shuffle carries only the
+    // (tiny) expanded group keys.
+    Q("q63_cube",
+      oracle = Some("""
+        SELECT CAST(grouping(lang)*2 + grouping(source) AS BIGINT) AS grp_id,
+               CASE WHEN grouping(lang) = 1 THEN 'ALL' ELSE lang END AS lang_g,
+               CASE WHEN grouping(source) = 1 THEN 'ALL' ELSE source END AS source_g,
+               count(*) AS n_docs,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM documents
+        GROUP BY CUBE (lang, source)
+        ORDER BY grp_id, lang_g, source_g"""),
+      run = (spark, dir) => {
+        table(spark, dir, "documents")
+          .cube(col("lang"), col("source"))
+          .agg(
+            (grouping(col("lang")) * 2 + grouping(col("source")))
+              .cast("long").as("grp_id"),
+            when(grouping(col("lang")) === 1, "ALL")
+              .otherwise(col("lang")).as("lang_g"),
+            when(grouping(col("source")) === 1, "ALL")
+              .otherwise(col("source")).as("source_g"),
+            count(lit(1)).as("n_docs"),
+            round(avg(col("n_chars")), 2).as("avg_chars"))
+          .select(col("grp_id"), col("lang_g"), col("source_g"),
+            col("n_docs"), col("avg_chars"))
+          .orderBy(col("grp_id"), col("lang_g"), col("source_g"))
       })
   )
 }

@@ -299,6 +299,128 @@ object Similarity {
           .select(col("c_id"), col("cv"))
           .withColumn("cn", l2norm(col("cv")))
         ivfSearch(normed(spark, dir), cents, nprobe = 2)
+      }),
+
+    // ------------------------------------------------------------------
+    // q64: INT8 SCALAR QUANTIZATION of the embedding column — the 4×
+    // storage/bandwidth cut an ANN index applies before it ever computes
+    // a distance. Symmetric per-vector scheme: q[d] = round(v[d] * 127 /
+    // max|v|). One narrow codegen'd projection, NO shuffle (the ORDER BY
+    // is presentation only; at 100 TB the quantized column is written
+    // straight back partition-by-partition). The oracle replays the
+    // identical arithmetic and the md5-of-joined-values fingerprint pins
+    // EVERY quantized component exactly, not just aggregates of them.
+    Q("q64_embedding_quantize",
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        m AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS amax
+          FROM e),
+        q AS (
+          SELECT vec_id, amax,
+                 list_transform(v, x -> CAST(round((x * 127.0) / amax)
+                                             AS BIGINT)) AS qv
+          FROM m WHERE amax > 0)
+        SELECT vec_id,
+               round(amax, 6) AS max_abs_r,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               md5(array_to_string(qv, ',')) AS q_md5
+        FROM q
+        ORDER BY vec_id"""),
+      run = (spark, dir) => {
+        table(spark, dir, "embeddings")
+          .select(col("vec_id"),
+            toDoubleArray(col("embedding")).as("v"))
+          .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+          .where(col("amax") > 0)
+          .withColumn("qv",
+            expr("transform(v, x -> CAST(round((x * 127.0D) / amax, 0) AS BIGINT))"))
+          .select(col("vec_id"),
+            round(col("amax"), 6).as("max_abs_r"),
+            expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+              .as("q_sum"),
+            md5(expr("array_join(transform(qv, x -> CAST(x AS STRING)), ',')"))
+              .as("q_md5"))
+          .orderBy(col("vec_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q65: RANDOM-HYPERPLANE LSH BUCKETING (SimHash for dense vectors) —
+    // the O(n) scale path for embedding near-dup candidate generation:
+    // bit b of a vector's signature is sign(v · h_b) for a fixed random
+    // hyperplane h_b, so cosine-similar vectors collide with probability
+    // 1 − θ/π per bit. The hyperplanes are DETERMINISTIC (±1 components
+    // derived from md5(bit_dim), generated once on the driver, shipped
+    // as literals) so engine and oracle score the exact same planes —
+    // the same replayability discipline as q54's materialized centroids
+    // and q59's md5 sampling. One narrow scan computes all 8 bits (8
+    // codegen'd dot products against literal arrays — no explode, no
+    // join), then the only shuffle is the tiny signature histogram.
+    // Bucket-internal verification reuses the q21/q17 pair-join shape.
+    // Sign decisions compare round(dot, 6) so the two engines' identical
+    // left-to-right accumulation (see VectorFns) can never straddle zero
+    // on a last-ulp difference.
+    Q("q65_hyperplane_lsh",
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        hp AS ($hyperplaneSqlUnion),
+        bits AS (
+          SELECT vec_id, bit,
+                 CASE WHEN round(list_sum(list_transform(
+                        range(1, len(v) + 1), i -> v[i] * signs[i])), 6) >= 0
+                      THEN CAST(1 AS BIGINT) << bit
+                      ELSE CAST(0 AS BIGINT) END AS bitval
+          FROM e CROSS JOIN hp),
+        sig AS (
+          SELECT vec_id, CAST(sum(bitval) AS BIGINT) AS signature
+          FROM bits GROUP BY vec_id)
+        SELECT signature, count(*) AS n_vecs
+        FROM sig GROUP BY signature
+        ORDER BY signature"""),
+      run = (spark, dir) => {
+        val sig = hyperplanes.zipWithIndex.map { case (signs, b) =>
+          when(round(dot(col("v"), typedLit(signs.toSeq)), 6) >= 0,
+            lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        table(spark, dir, "embeddings")
+          .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+          .select(col("vec_id"), sig.as("signature"))
+          .groupBy(col("signature"))
+          .agg(count(lit(1)).as("n_vecs"))
+          .orderBy(col("signature"))
       })
   )
+
+  /** q65's fixed hyperplanes: LSH_BITS planes of ±1 components over the
+    * 64-dim embedding space, component (b, d) = +1 iff the top nibble of
+    * md5("b_d") < 8 — an unbiased deterministic coin both engines can
+    * reproduce (the oracle receives the planes as literals generated from
+    * this same definition). ±1 components (vs gaussians) preserve the
+    * sign-agreement LSH property and keep the dot products exact-friendly. */
+  // lazy + literal-typed constants: referenced from the `defs` initializer
+  // above (plain vals declared after it would still be 0/null during
+  // <clinit>; `final val` literals are compile-time constants)
+  private final val LSH_BITS = 8
+  private final val EMBED_DIM = 64
+  private[queries] lazy val hyperplanes: Array[Array[Double]] =
+    Array.tabulate(LSH_BITS) { b =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(EMBED_DIM) { d =>
+        val h = md.digest(s"${b}_${d}".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+      }
+    }
+
+  private def hyperplaneSqlUnion: String =
+    hyperplanes.zipWithIndex.map { case (signs, b) =>
+      val lst = signs.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+      s"SELECT $b AS bit, CAST([$lst] AS DOUBLE[]) AS signs"
+    }.mkString("\n          UNION ALL ")
 }

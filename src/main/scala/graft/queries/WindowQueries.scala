@@ -342,6 +342,99 @@ object WindowQueries {
             unix_micros(col("session_window.end")).as("session_end_us"),
             col("n_events"))
           .orderBy(col("user_id"), col("session_start_us"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q62: ORDERED FUNNEL (signup → click → purchase). The sequential
+    // dependency ("first click AFTER the user's first signup") is what
+    // separates this from plain conditional counting: each stage's
+    // timestamp is the min over events strictly later than the previous
+    // stage's. Implemented as three unordered min-over-user windows —
+    // all three share the user_id partitioning, so Catalyst plans ONE
+    // exchange and evaluates the windows back to back in the same stage
+    // (pinned by PlanSpec). The alternative (three filtered aggregations
+    // re-joined on user_id) shuffles three times at 100 TB; this shape
+    // shuffles the events table once, and the per-user final reduce is a
+    // partial-agg'd groupBy over already-colocated rows.
+    Q("q62_funnel",
+      oracle = Some("""
+        WITH t AS (
+          SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        s AS (
+          SELECT user_id, min(tus) AS signup_us
+          FROM t WHERE event_type = 'signup' GROUP BY user_id),
+        c AS (
+          SELECT t.user_id, min(tus) AS click_us
+          FROM t JOIN s USING (user_id)
+          WHERE event_type = 'click' AND tus > signup_us GROUP BY t.user_id),
+        p AS (
+          SELECT t.user_id, min(tus) AS purchase_us
+          FROM t JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND tus > click_us GROUP BY t.user_id)
+        SELECT (SELECT count(DISTINCT user_id) FROM t) AS n_users,
+               (SELECT count(*) FROM s) AS n_signup,
+               (SELECT count(*) FROM c) AS n_click,
+               (SELECT count(*) FROM p) AS n_purchase,
+               (SELECT round(avg(purchase_us - signup_us) / 1000000.0, 2)
+                FROM p JOIN s USING (user_id)) AS avg_conv_secs"""),
+      run = (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+        val staged = table(spark, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"))
+          .withColumn("signup_us",
+            min(when(col("event_type") === "signup", col("tus"))).over(w))
+          .withColumn("click_us",
+            min(when(col("event_type") === "click" &&
+              col("tus") > col("signup_us"), col("tus"))).over(w))
+          .withColumn("purchase_us",
+            min(when(col("event_type") === "purchase" &&
+              col("tus") > col("click_us"), col("tus"))).over(w))
+        // windowed columns are constant per user: collapse to one row per
+        // user (no extra shuffle — rows are already user_id-partitioned),
+        // then a single global reduce for the funnel counts
+        staged
+          .groupBy(col("user_id"))
+          .agg(max(col("signup_us")).as("signup_us"),
+            max(col("click_us")).as("click_us"),
+            max(col("purchase_us")).as("purchase_us"))
+          .agg(count(lit(1)).as("n_users"),
+            count(col("signup_us")).as("n_signup"),
+            count(col("click_us")).as("n_click"),
+            count(col("purchase_us")).as("n_purchase"),
+            round(avg(col("purchase_us") - col("signup_us")) / 1000000.0, 2)
+              .as("avg_conv_secs"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q66: EVENT-TRANSITION MINING (first-order Markov counts) — the
+    // sequence statistic a behavioral/training-data pipeline computes to
+    // model "what follows what". lag(event_type) over the per-user
+    // timeline, then count (prev, next) pairs. One shuffle on user_id
+    // for the window sort; the pair count is a 25-key partial-agg'd
+    // groupBy. The window order key includes event_id so same-microsecond
+    // events have a total deterministic order on both engines.
+    Q("q66_transitions",
+      oracle = Some("""
+        WITH s AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev
+          FROM events)
+        SELECT prev, event_type AS next, count(*) AS n
+        FROM s WHERE prev IS NOT NULL
+        GROUP BY prev, next
+        ORDER BY prev, next"""),
+      run = (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        table(spark, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .where(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("prev"), col("next"))
       })
   )
 }

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+/** Behavioral invariants for the round-7 corpus/sequence operators
+  * (q62 funnel, q63 cube, q64 int8 quantization, q65 hyperplane LSH,
+  * q66 transition mining). The DuckDB oracle pins cross-engine value
+  * equality; these specs pin the SEMANTIC properties the oracle alone
+  * can't express — monotonicity, conservation, reconstruction bounds,
+  * partitioning invariance. */
+class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  test("q62: funnel stage counts are monotone non-increasing") {
+    val r = Registry.queries("q62_funnel")(spark, sf0001).collect().head
+    val (users, signup, click, purchase) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    users should be >= signup
+    signup should be >= click
+    click should be >= purchase
+    purchase should be > 0L // fixture has complete funnels
+  }
+
+  test("q66: transition counts conserve events — every event except each " +
+    "user's first is exactly one (prev, next) pair") {
+    val events = graft.io.Tables.table(spark, sf0001, "events")
+    val nEvents = events.count()
+    val nUsers = events.select(col("user_id")).distinct().count()
+    val total = Registry.queries("q66_transitions")(spark, sf0001)
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    total shouldBe (nEvents - nUsers)
+  }
+
+  test("q63: cube's grand-total row equals the table count; per-lang slice sums to it") {
+    val rows = Registry.queries("q63_cube")(spark, sf0001).collect()
+    val nDocs = graft.io.Tables.table(spark, sf0001, "documents").count()
+    val grand = rows.filter(r => r.getString(1) == "ALL" && r.getString(2) == "ALL")
+    grand should have length 1
+    grand.head.getLong(3) shouldBe nDocs
+    // grp_id 1 = lang kept, source aggregated out: sums to the total
+    rows.filter(_.getLong(0) == 1L).map(_.getLong(3)).sum shouldBe nDocs
+  }
+
+  test("q64: int8 quantization reconstructs within half a quantization step") {
+    // |v[d] - q[d]*scale| <= scale/2 where scale = amax/127 — the defining
+    // property of symmetric round-to-nearest quantization
+    val bad = graft.io.Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .where(col("amax") > 0)
+      .withColumn("maxerr", expr(
+        """array_max(transform(v,
+          |  x -> abs(x - round((x * 127.0D) / amax, 0) * amax / 127.0D)))""".stripMargin))
+      .where(col("maxerr") > col("amax") / 127.0 / 2.0 * 1.0000001)
+      .count()
+    bad shouldBe 0L
+  }
+
+  test("q64: quantized range is within [-127, 127]") {
+    val r = Registry.queries("q64_embedding_quantize")(spark, sf0001)
+    // q_md5 pins the exact components cross-engine; here re-derive the
+    // component range from the same arithmetic
+    val range = graft.io.Tables.table(spark, sf0001, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .where(col("amax") > 0)
+      .select(
+        expr("array_min(transform(v, x -> round((x * 127.0D) / amax, 0)))").as("lo"),
+        expr("array_max(transform(v, x -> round((x * 127.0D) / amax, 0)))").as("hi"))
+      .agg(min(col("lo")), max(col("hi"))).collect().head
+    range.getDouble(0) should be >= -127.0
+    range.getDouble(1) should be <= 127.0
+    r.count() should be > 0L
+  }
+
+  test("q65: signatures are deterministic and partitioning-invariant") {
+    val emb = graft.io.Tables.table(spark, sf0001, "embeddings")
+    def histogram(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val sig = Similarity.hyperplanes.zipWithIndex.map { case (signs, b) =>
+        when(round(graft.functions.VectorFns.dot(
+          col("v"), typedLit(signs.toSeq)), 6) >= 0, lit(1L << b))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(sig.as("s")).groupBy("s").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val h1 = histogram(emb)
+    val h2 = histogram(emb.repartition(7, col("vec_id")))
+    h1 shouldBe h2
+    h1.values.sum shouldBe emb.count()
+  }
+
+  test("q65: an exact duplicate vector lands in the same bucket (candidate recall)") {
+    import spark.implicits._
+    val base = graft.io.Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(5)
+    val dup = base.withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val sig = Similarity.hyperplanes.zipWithIndex.map { case (signs, b) =>
+      when(round(graft.functions.VectorFns.dot(
+        col("v"), typedLit(signs.toSeq)), 6) >= 0, lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = base.union(dup)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), sig.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs.filter(_._1 < 1000000L).foreach { case (id, s) =>
+      sigs(id + 1000000L) shouldBe s
+    }
+  }
+
+  test("q65: hyperplanes are balanced ±1 (md5 coin is unbiased enough) and fixed") {
+    val hp = Similarity.hyperplanes
+    hp.length shouldBe 8
+    all(hp.map(_.length)) shouldBe 64
+    // regenerating gives the identical planes (pure function of md5)
+    val again = Similarity.hyperplanes
+    hp.zip(again).foreach { case (a, b) => a.toSeq shouldBe b.toSeq }
+    // each plane is a genuine mix of signs, not degenerate
+    hp.foreach { plane =>
+      val pos = plane.count(_ > 0)
+      pos should be > 16
+      pos should be < 48
+    }
+  }
+}

@@ -90,6 +90,51 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include("WindowGroupLimit")
   }
 
+  test("q62: funnel's three stage-windows share ONE user_id shuffle") {
+    // the sequential funnel is three min-over-user windows with the same
+    // partitioning — Catalyst must plan a single hashpartitioning
+    // exchange feeding all three Window operators (the global funnel
+    // reduce after them is a SinglePartition exchange, not a hash one)
+    val p = Registry.queries("q62_funnel")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    p should include regex "hashpartitioning\\(user_id"
+    "Window".r.findAllIn(p).length should be >= 3
+  }
+
+  test("q66: transition mining is one window shuffle + one partial-agg'd pair count") {
+    val p = Registry.queries("q66_transitions")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 2 // window + pair groupBy
+    "HashAggregate".r.findAllIn(p).length should be >= 2          // partial before exchange
+  }
+
+  test("q63: cube expands grouping sets in one pass (Expand + partial aggs, one scan)") {
+    val p = Registry.queries("q63_cube")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should include("Expand")
+    "HashAggregate".r.findAllIn(p).length should be >= 2
+    "Scan parquet".r.findAllIn(p).length shouldBe 1
+  }
+
+  test("q64: quantization is a pure narrow projection — no hash shuffle, pruned scan") {
+    val p = Registry.queries("q64_embedding_quantize")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0 // only the ORDER BY range exchange
+    val f = Registry.queries("q64_embedding_quantize")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    f should include regex "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"
+  }
+
+  test("q65: LSH signatures computed scan-side — only the signature histogram shuffles") {
+    val p = Registry.queries("q65_hyperplane_lsh")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    p should include regex "hashpartitioning\\(signature"
+    "HashAggregate".r.findAllIn(p).length should be >= 2 // partial histogram map-side
+    p should not include "CartesianProduct"               // planes are literals, not a join
+  }
+
   test("q33: as-of join is one union + one hash shuffle — no range-join explosion") {
     val p = Registry.queries("q33_asof_join")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
