@@ -46,4 +46,50 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol)) < quota)
   }
+
+  /** TEMPERATURE-FLATTENED mixture rates (the multilingual-corpus
+    * resampling rule: stratum weight ∝ n^α with α < 1 upsamples rare
+    * strata relative to proportional). For a total keep fraction K, the
+    * per-stratum keep rate is
+    *   r_s = K · n_tot · n_s^α / Σ_t n_t^α / n_s
+    * expressed as an integer bucket threshold in [0, Buckets]. α is
+    * pinned to 0.5 so the weight is sqrt(n) — sqrt is correctly-rounded
+    * IEEE on every engine, which keeps the threshold arithmetic (and so
+    * the sampled set) bit-identically replayable by a SQL oracle; a
+    * general pow(n, α) is not. Returns (stratum, n_docs, thr); one
+    * groupBy over the corpus. Rates above 1 (tiny strata the formula
+    * over-asks) cap at Buckets — the stratum is kept whole. */
+  def temperatureThresholds(df: DataFrame, strataCol: String,
+      keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0,1]")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(
+      sum(col("n_docs")).cast("double").as("n_tot"),
+      sum(sqrt(col("n_docs").cast("double"))).as("wsum"))
+    // 1-row aggregate stitch (same shape as the TextAnalysis corpus
+    // constants): broadcast-cross-joins a single row, never a shuffle
+    counts.crossJoin(broadcast(totals))
+      .select(col(strataCol), col("n_docs"),
+        // floor, NOT a double→long cast: Spark's cast truncates while
+        // DuckDB's rounds — floor is the one conversion both agree on
+        least(
+          floor(lit(keepFraction) * col("n_tot")
+            * sqrt(col("n_docs").cast("double"))
+            / col("wsum") / col("n_docs").cast("double")
+            * lit(Buckets.toDouble)),
+          lit(Buckets.toLong)).as("thr"))
+  }
+
+  /** Filter `df` to its temperature-flattened sample: broadcast the
+    * per-stratum thresholds, keep rows whose md5 bucket falls under
+    * their stratum's. Two single passes over the corpus (histogram,
+    * filter) — no data-scale shuffle at any size. */
+  def temperatureMix(df: DataFrame, keyCol: String, strataCol: String,
+      keepFraction: Double): DataFrame = {
+    val thr = temperatureThresholds(df, strataCol, keepFraction)
+      .withColumnRenamed(strataCol, "__stratum")
+    df.join(broadcast(thr), df(strataCol) === col("__stratum"))
+      .filter(hashBucket(col(keyCol)) < col("thr"))
+      .drop("__stratum", "n_docs", "thr")
+  }
 }

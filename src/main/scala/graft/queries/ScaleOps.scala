@@ -79,6 +79,58 @@ object ScaleOps {
         graft.operators.Sampling.stratified(docs, "doc_id", "lang",
             Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
           .orderBy(col("doc_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q68: TEMPERATURE-FLATTENED TRAINING MIX (Sampling
+    // .temperatureThresholds / temperatureMix) — where q59's rates are
+    // GIVEN, here they are DERIVED from the corpus itself: stratum
+    // weight ∝ sqrt(n_lang) (α = 0.5), so rare languages are upsampled
+    // relative to proportional — the standard multilingual-pretraining
+    // rebalance. The rule stays a pure function of (row, corpus
+    // histogram): one groupBy for the histogram, thresholds broadcast
+    // back, md5-bucket filter — two single passes at any scale, no
+    // data-scale shuffle. sqrt (correctly-rounded IEEE) and floor keep
+    // the thresholds bit-identical cross-engine, which is what lets the
+    // oracle re-derive the exact sample; a pow(n, α) weight would not be.
+    Q("q68_temperature_mix",
+      oracle = Some("""
+        WITH counts AS (
+          SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        tot AS (
+          SELECT CAST(sum(n_docs) AS DOUBLE) AS n_tot,
+                 sum(sqrt(CAST(n_docs AS DOUBLE))) AS wsum
+          FROM counts),
+        rates AS (
+          SELECT lang, n_docs,
+                 least(CAST(floor(0.3 * n_tot * sqrt(CAST(n_docs AS DOUBLE))
+                                  / wsum / CAST(n_docs AS DOUBLE) * 10000.0)
+                            AS BIGINT),
+                       10000) AS thr
+          FROM counts, tot),
+        kept AS (
+          SELECT d.lang, count(*) AS n_kept
+          FROM documents d JOIN rates r ON d.lang = r.lang
+          WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                      AS BIGINT) % 10000) < r.thr
+          GROUP BY d.lang)
+        SELECT r.lang, r.n_docs, r.thr, coalesce(k.n_kept, 0) AS n_kept
+        FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+        ORDER BY r.lang"""),
+      run = (spark, dir) => {
+        import graft.operators.Sampling
+        val docs = table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"))
+        val rates = Sampling.temperatureThresholds(docs, "lang", 0.3)
+        val kept = docs
+          .join(broadcast(rates.select(col("lang"), col("thr"))), Seq("lang"))
+          .filter(Sampling.hashBucket(col("doc_id")) < col("thr"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"))
+        rates.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("thr"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy(col("lang"))
       })
   )
 }

@@ -366,10 +366,83 @@ object Similarity {
     // on a last-ulp difference.
     Q("q65_hyperplane_lsh",
       oracle = Some(s"""
-        WITH e AS (
-          SELECT vec_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings),
+        $normedCte,
+        $signatureCte
+        SELECT signature, count(*) AS n_vecs
+        FROM sig GROUP BY signature
+        ORDER BY signature"""),
+      run = (spark, dir) => {
+        table(spark, dir, "embeddings")
+          .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+          .select(col("vec_id"), signatureCol.as("signature"))
+          .groupBy(col("signature"))
+          .agg(count(lit(1)).as("n_vecs"))
+          .orderBy(col("signature"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q67: LSH-BUCKETED NEAR-DUP, END TO END — q65's bucketing composed
+    // with in-bucket cosine verification: candidate pairs are vectors
+    // sharing a full 8-bit signature, scored exactly, kept at the q21
+    // threshold. This is the embedding twin of q17's MinHash-LSH→verify
+    // pipeline and the O(n)-candidates scale path q21's label-blocking
+    // stands in for: the self-join is an EQUI-join on the signature (no
+    // cartesian — PlanSpec), pair volume is Σ bucket² with bucket sizes
+    // driven to O(1) by widening LSH_BITS ~ log2(n) as the corpus grows,
+    // and the verify cost is proportional to candidates, not to n².
+    // LSH recall is probabilistic by design (sign-agreement per bit) —
+    // CorpusOpsSpec pins soundness (every emitted pair re-scores above
+    // threshold; exact duplicates always collide); the oracle pins that
+    // both engines emit the exact same pair set.
+    Q("q67_lsh_neardup",
+      oracle = Some(s"""
+        $normedCte,
+        $signatureCte,
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM sig a JOIN sig b
+            ON a.signature = b.signature AND a.vec_id < b.vec_id),
+        scored AS (
+          SELECT id_a, id_b,
+                 round(list_sum(list_transform(range(1, len(na.v) + 1),
+                        i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm), 4) AS cosine
+          FROM cand
+          JOIN n na ON id_a = na.vec_id
+          JOIN n nb ON id_b = nb.vec_id)
+        SELECT id_a, id_b, cosine FROM scored
+        WHERE cosine >= $NEARDUP_COS
+        ORDER BY id_a, id_b"""),
+      run = (spark, dir) => {
+        val sigd = normed(spark, dir)
+          .select(col("vec_id"), col("v"), col("nrm"),
+            signatureCol.as("signature"))
+        val a = sigd.select(col("signature"), col("vec_id").as("id_a"),
+          col("v").as("va"), col("nrm").as("na"))
+        val b = sigd.select(col("signature"), col("vec_id").as("id_b"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        a.join(b, Seq("signature"))
+          .where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(cosine(col("va"), col("vb"), col("na"), col("nb")), 4)
+              .as("cosine"))
+          .where(col("cosine") >= NEARDUP_COS)
+          .orderBy(col("id_a"), col("id_b"))
+      })
+  )
+
+  /** The q65/q67 signature as a Column over a double-array column `v`:
+    * bit b set iff round(v · h_b, 6) ≥ 0 — eight codegen'd dot products
+    * against the literal planes, summed into one BIGINT. */
+  private[queries] def signatureCol: org.apache.spark.sql.Column =
+    hyperplanes.zipWithIndex.map { case (signs, b) =>
+      when(round(dot(col("v"), typedLit(signs.toSeq)), 6) >= 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SQL twin of [[signatureCol]], appended after `normedCte` (consumes
+    * its `n(vec_id, v, nrm)`): `hp` planes → per-bit signs → `sig(vec_id,
+    * signature)`. */
+  private def signatureCte: String = s"""
         hp AS ($hyperplaneSqlUnion),
         bits AS (
           SELECT vec_id, bit,
@@ -377,26 +450,10 @@ object Similarity {
                         range(1, len(v) + 1), i -> v[i] * signs[i])), 6) >= 0
                       THEN CAST(1 AS BIGINT) << bit
                       ELSE CAST(0 AS BIGINT) END AS bitval
-          FROM e CROSS JOIN hp),
+          FROM n CROSS JOIN hp),
         sig AS (
           SELECT vec_id, CAST(sum(bitval) AS BIGINT) AS signature
-          FROM bits GROUP BY vec_id)
-        SELECT signature, count(*) AS n_vecs
-        FROM sig GROUP BY signature
-        ORDER BY signature"""),
-      run = (spark, dir) => {
-        val sig = hyperplanes.zipWithIndex.map { case (signs, b) =>
-          when(round(dot(col("v"), typedLit(signs.toSeq)), 6) >= 0,
-            lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        table(spark, dir, "embeddings")
-          .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-          .select(col("vec_id"), sig.as("signature"))
-          .groupBy(col("signature"))
-          .agg(count(lit(1)).as("n_vecs"))
-          .orderBy(col("signature"))
-      })
-  )
+          FROM bits GROUP BY vec_id)"""
 
   /** q65's fixed hyperplanes: LSH_BITS planes of ±1 components over the
     * 64-dim embedding space, component (b, d) = +1 iff the top nibble of

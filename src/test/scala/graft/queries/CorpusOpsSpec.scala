@@ -113,6 +113,77 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("q67: LSH near-dup is SOUND — every emitted pair is a genuine " +
+    "above-threshold pair of the brute-force set") {
+    val lsh = Registry.queries("q67_lsh_neardup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force all-pairs at the same threshold (sf0.001 is tiny)
+    import graft.functions.VectorFns._
+    val n = graft.io.Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val a = n.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val all = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb"), col("na"), col("nb")), 4).as("c"))
+      .where(col("c") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh.subsetOf(all) shouldBe true
+    lsh should not be empty
+  }
+
+  test("q67: exact duplicates always collide and are always emitted") {
+    val base = graft.io.Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(3)
+    val dup = base.withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val sigd = base.union(dup)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), Similarity.signatureCol.as("s"))
+    val pairs = sigd.as("a").join(sigd.as("b"),
+        col("a.s") === col("b.s") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.collect().map(_.getLong(0)).foreach { id =>
+      pairs should contain((id, id + 1000000L))
+    }
+  }
+
+  test("q68: temperature thresholds flatten the mixture — rarer strata " +
+    "get strictly higher keep rates; caps at the bucket ceiling") {
+    val rows = Registry.queries("q68_temperature_mix")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.length should be >= 2
+    // sort by corpus count: thr must be non-increasing as n_docs grows
+    val byCount = rows.sortBy(_._2)
+    byCount.sliding(2).foreach { case Array((_, n1, t1, _), (_, n2, t2, _)) =>
+      if (n1 < n2) t1 should be >= t2
+    }
+    all(rows.map(_._3)) should be <= 10000L
+    // every stratum keeps something, nothing keeps more than it has
+    rows.foreach { case (_, n, _, kept) =>
+      kept should be > 0L
+      kept should be <= n
+    }
+  }
+
+  test("q68: temperatureMix is deterministic and matches its own threshold replay") {
+    import graft.operators.Sampling
+    val docs = graft.io.Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"))
+    val once = Sampling.temperatureMix(docs, "doc_id", "lang", 0.3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val again = Sampling.temperatureMix(
+        docs.repartition(5, col("doc_id")), "doc_id", "lang", 0.3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    once shouldBe again
+    // overall keep volume lands near the requested fraction (md5 buckets
+    // are uniform; sf0.001 is small so allow a generous band)
+    val total = docs.count().toDouble
+    once.size.toDouble should be > total * 0.15
+    once.size.toDouble should be < total * 0.45
+  }
+
   test("q65: hyperplanes are balanced ±1 (md5 coin is unbiased enough) and fixed") {
     val hp = Similarity.hyperplanes
     hp.length shouldBe 8

@@ -135,6 +135,23 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should not include "CartesianProduct"               // planes are literals, not a join
   }
 
+  test("q67: LSH near-dup candidates come from an EQUI-join on the signature — " +
+    "no cartesian, no nested loop") {
+    val p = Registry.queries("q67_lsh_neardup")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include regex "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+  }
+
+  test("q68: temperature-mix thresholds broadcast back to the corpus — the " +
+    "document side never hash-shuffles for the sampling filter") {
+    val p = Registry.queries("q68_temperature_mix")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("q33: as-of join is one union + one hash shuffle — no range-join explosion") {
     val p = Registry.queries("q33_asof_join")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
