@@ -54,8 +54,12 @@ object TextDedup {
     * candidate contributes one row per pair instead of df² self-join
     * rows. Returns (jaccard relation with RAW double scores, persisted
     * intermediates for the caller to unpersist). */
-  private[graft] def verifiedJaccardPlan(sh: DataFrame, pairs: DataFrame,
-      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+  /** Per-pair shingle-set overlap stats (doc_a, doc_b, na, nb, n_inter)
+    * for a candidate pair set, pair-driven (cost ∝ |pairs| × shingles per
+    * doc, independent of shingle document frequency). The common core
+    * under Jaccard (symmetric) and containment (asymmetric) scoring. */
+  private[graft] def pairOverlapPlan(sh: DataFrame,
+      pairs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").distinct()
@@ -68,15 +72,22 @@ object TextDedup {
         col("doc_b") === col("xb.doc_id") && col("sa") === col("xb.s"),
         "left_semi")
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    val j = col("n_inter").cast("double") /
-      (col("na") + col("nb") - col("n_inter")).cast("double")
     val result = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+    (result, Seq(shc))
+  }
+
+  private[graft] def verifiedJaccardPlan(sh: DataFrame, pairs: DataFrame,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+    val (overlap, cached) = pairOverlapPlan(sh, pairs)
+    val j = col("n_inter").cast("double") /
+      (col("na") + col("nb") - col("n_inter")).cast("double")
+    val result = overlap
       .withColumn("jaccard", j)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    (result, Seq(shc))
+    (result, cached)
   }
 
   /** Verified near-duplicate pairs (id_a < id_b, jaccard >= threshold):

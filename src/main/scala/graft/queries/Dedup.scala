@@ -43,6 +43,7 @@ object Dedup {
   private val NUM_BANDS = 4
   private val JACCARD_MIN = 0.5
   private val NGRAM_JACCARD_MIN = 0.4
+  private val CONTAIN_MIN = 0.5
   private val SIM_BITS = 32
   private val HAMMING_MAX = 3
 
@@ -98,6 +99,35 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b")))
     cached.foreach(_.unpersist(blocking = false))
     result
+  }
+
+  /** Oracle fragment shared by q35/q69: rare-shingle-blocked candidate
+    * pairs from the `sh` shingle-list relation (df ∈ [2,5] blocking). */
+  private val rareBlockedPairsCte =
+    """ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        rare AS (
+          SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+        occ AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM occ a JOIN occ b ON a.s = b.s AND a.doc_id < b.doc_id)"""
+
+  /** Spark twin of [[rareBlockedPairsCte]]: candidate pairs sharing a
+    * document-frequency-[2,5] shingle. df on DISTINCT (doc, shingle)
+    * occurrences — countDistinct, not a pre-distinct of the whole
+    * relation (one shuffle, partial agg; the 100 TB form is the same
+    * plan). Caller persists/unpersists the returned pairs. */
+  private def rareBlockedPairs(sh: DataFrame): DataFrame = {
+    val rare = sh.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df").between(2, 5))
+      .select(col("s"))
+    val occ = sh.join(rare, "s").select(col("doc_id"), col("s")).distinct()
+    occ.as("a")
+      .join(occ.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Oracle fragment: Jaccard + threshold over `pairs(doc_a, doc_b)` and
@@ -310,33 +340,57 @@ object Dedup {
     Q("q35_ngram_jaccard",
       oracle = Some(s"""
         $shinglesCte,
-        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        rare AS (
-          SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
-        occ AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM occ a JOIN occ b ON a.s = b.s AND a.doc_id < b.doc_id)
+        $rareBlockedPairsCte
         ${jaccardSelectSql(NGRAM_JACCARD_MIN)}"""),
       run = (spark, dir) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val sh = shingleRows(spark, dir).persist(MEMORY_AND_DISK)
-        // df on DISTINCT (doc, shingle) occurrences — countDistinct here
-        // rather than a pre-distinct of the whole relation (one shuffle,
-        // partial agg; the 100 TB form is the same plan)
-        val rare = sh.groupBy(col("s"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-          .filter(col("df").between(2, 5))
-          .select(col("s"))
-        val occ = sh.join(rare, "s").select(col("doc_id"), col("s")).distinct()
-        val pairs = occ.as("a")
-          .join(occ.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-          .persist(MEMORY_AND_DISK)
+        val pairs = rareBlockedPairs(sh).persist(MEMORY_AND_DISK)
         val result = verifiedJaccard(sh, pairs, NGRAM_JACCARD_MIN)
         Seq(sh, pairs).foreach(_.unpersist(blocking = false))
+        result
+      }),
+
+    // ------------------------------------------------------------------
+    // q69: SHINGLE CONTAINMENT (asymmetric overlap) — quote/copy
+    // detection: containment C(A→B) = |S(A)∩S(B)| / |S(A)| flags a short
+    // document living inside a long one, which symmetric Jaccard
+    // structurally misses (the union term drowns the small side). The
+    // candidate generation reuses q35's rare-shingle blocking and the
+    // overlap counting reuses the pair-driven TextDedup.pairOverlapPlan
+    // core (cost ∝ candidates, never all-pairs) — only the scoring rule
+    // differs, so the scale properties are q35's.
+    Q("q69_containment",
+      oracle = Some(s"""
+        $shinglesCte,
+        $rareBlockedPairsCte
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(sa.sh), 4)
+                 AS cont_a,
+               round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(sb.sh), 4)
+                 AS cont_b
+        FROM pairs
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+        WHERE greatest(
+                len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(sa.sh),
+                len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(sb.sh))
+              >= $CONTAIN_MIN
+        ORDER BY doc_a, doc_b"""),
+      run = (spark, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val sh = shingleRows(spark, dir).persist(MEMORY_AND_DISK)
+        val pairs = rareBlockedPairs(sh).persist(MEMORY_AND_DISK)
+        val (overlap, cached) =
+          graft.dedup.TextDedup.pairOverlapPlan(sh, pairs)
+        val ca = col("n_inter").cast("double") / col("na").cast("double")
+        val cb = col("n_inter").cast("double") / col("nb").cast("double")
+        val result = Q.localized(overlap
+          .filter(greatest(ca, cb) >= CONTAIN_MIN)
+          .select(col("doc_a"), col("doc_b"),
+            round(ca, 4).as("cont_a"), round(cb, 4).as("cont_b"))
+          .orderBy(col("doc_a"), col("doc_b")))
+        (Seq(sh, pairs) ++ cached).foreach(_.unpersist(blocking = false))
         result
       }),
 

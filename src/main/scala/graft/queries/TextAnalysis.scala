@@ -120,6 +120,62 @@ object TextAnalysis {
       }),
 
     // ------------------------------------------------------------------
+    // q70: ROBUST OUTLIER STATISTICS per language — median + MAD (median
+    // absolute deviation), the length-anomaly screen a cleaning pipeline
+    // runs before clipping: a doc is an outlier iff |len − median| >
+    // 3·1.4826·MAD (1.4826 scales MAD to σ under normality; MAD's 50%
+    // breakdown point shrugs off the very outliers a mean/stddev screen
+    // is corrupted by). Two grouped exact percentiles with the medians
+    // broadcast back between them — per-group medians are tiny relations
+    // at any corpus size; the percentiles themselves swap to
+    // approx_percentile at 100 TB exactly as q34 documents. Cross-engine:
+    // Spark percentile() ≡ DuckDB quantile_cont interpolation (q34), the
+    // floor(x·100+0.5)/100 rounding is the q23 construction, and the
+    // outlier threshold compares unrounded doubles built with identical
+    // operation order on both engines.
+    Q("q70_mad_outliers",
+      oracle = Some("""
+        WITH docs AS (
+          SELECT lang, CAST(n_chars AS DOUBLE) AS x FROM documents),
+        med AS (
+          SELECT lang, quantile_cont(x, 0.5) AS med FROM docs GROUP BY lang),
+        dev AS (
+          SELECT d.lang, abs(x - med) AS adev
+          FROM docs d JOIN med USING (lang)),
+        mad AS (
+          SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang),
+        outl AS (
+          SELECT dv.lang,
+                 count(*) FILTER (WHERE adev > 3.0 * 1.4826 * mad) AS n_outliers
+          FROM dev dv JOIN mad USING (lang) GROUP BY dv.lang)
+        SELECT m.lang,
+               floor(m.med * 100 + 0.5) / 100 AS med_chars,
+               floor(a.mad * 100 + 0.5) / 100 AS mad_chars,
+               o.n_outliers
+        FROM med m JOIN mad a USING (lang) JOIN outl o USING (lang)
+        ORDER BY m.lang"""),
+      run = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+          .select(col("lang"), col("n_chars").cast("double").as("x"))
+        val med = docs.groupBy(col("lang"))
+          .agg(percentile(col("x"), lit(0.5)).as("med"))
+        val dev = docs.join(broadcast(med), "lang")
+          .select(col("lang"), abs(col("x") - col("med")).as("adev"))
+        val mad = dev.groupBy(col("lang"))
+          .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+        val outl = dev.join(broadcast(mad), "lang")
+          .groupBy(col("lang"))
+          .agg(count(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1))
+            .as("n_outliers"))
+        med.join(mad, "lang").join(outl, "lang")
+          .select(col("lang"),
+            (floor(col("med") * 100 + 0.5) / 100).as("med_chars"),
+            (floor(col("mad") * 100 + 0.5) / 100).as("mad_chars"),
+            col("n_outliers"))
+          .orderBy(col("lang"))
+      }),
+
+    // ------------------------------------------------------------------
     // q24: corpus token statistics in one job. countDistinct here is
     // exact (contract); the 100 TB path swaps in approx_count_distinct
     // (HLL, fixed memory) — see q30_approx_distinct.

@@ -184,6 +184,49 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     once.size.toDouble should be < total * 0.45
   }
 
+  test("q69: containment catches a short doc embedded in a long one " +
+    "where symmetric Jaccard structurally cannot") {
+    import spark.implicits._
+    val small = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val big = small + " " + (31 to 300).map(i => s"pad$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val sh = graft.dedup.TextDedup.shingleRows(docs, "doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val (overlap, cached) = graft.dedup.TextDedup.pairOverlapPlan(sh, pairs)
+    val r = overlap.collect().head
+    val (na, nb, ni) = (r.getAs[Long]("na"), r.getAs[Long]("nb"),
+      r.getAs[Long]("n_inter"))
+    cached.foreach(_.unpersist(blocking = false))
+    val jaccard = ni.toDouble / (na + nb - ni)
+    val contA = ni.toDouble / na
+    contA shouldBe 1.0 // every shingle of the small doc is in the big one
+    jaccard should be < 0.4 // the q35 threshold would have missed it
+  }
+
+  test("q70: MAD is robust — an extreme injected outlier is flagged and " +
+    "barely moves the statistics") {
+    import spark.implicits._
+    val base = (1 to 99).map(i => ("en", 100.0 + (i % 11))) // lengths 100..110
+    val poisoned = base :+ (("en", 1e7))
+    def stats(rows: Seq[(String, Double)]) = {
+      val df = rows.toDF("lang", "x")
+      val med = df.groupBy("lang").agg(percentile(col("x"), lit(0.5)).as("med"))
+      val dev = df.join(med, "lang").select(col("lang"),
+        abs(col("x") - col("med")).as("adev"), col("med"))
+      val mad = dev.groupBy("lang").agg(percentile(col("adev"), lit(0.5)).as("mad"),
+        first(col("med")).as("med"))
+      val r = mad.collect().head
+      val m = r.getAs[Double]("med"); val d = r.getAs[Double]("mad")
+      val out = dev.filter(col("adev") > lit(3.0) * lit(1.4826) * lit(d)).count()
+      (m, d, out)
+    }
+    val (medClean, madClean, _) = stats(base)
+    val (medPois, madPois, outPois) = stats(poisoned)
+    outPois shouldBe 1L // exactly the injected point
+    math.abs(medPois - medClean) should be <= 1.0
+    math.abs(madPois - madClean) should be <= 1.0
+  }
+
   test("q65: hyperplanes are balanced ±1 (md5 coin is unbiased enough) and fixed") {
     val hp = Similarity.hyperplanes
     hp.length shouldBe 8
