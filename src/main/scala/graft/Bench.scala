@@ -33,7 +33,14 @@ object Bench {
     // the driver, which treats `failed` as the failure signal.
     final case class R(min: Either[String, Double], median: Double,
         flaky: Option[String])
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q35_ngram_jaccard,q69_containment restricts
+    // the run for isolation work; the JSON records whatever actually ran
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
         try {
@@ -41,6 +48,12 @@ object Bench {
           Right((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable => Left(e.getClass.getSimpleName + ": " + e.getMessage)
+        } finally {
+          // queries own (and release) their persists; anything still
+          // cached here is a leak that would tax LATER queries' memory —
+          // measured: the 10× suite inflated late heavy queries ~4× from
+          // accumulated storage/GC debt. Outside the timed region.
+          spark.catalog.clearCache()
         }
       }
       val attempts = Seq.fill(runs)(once())
