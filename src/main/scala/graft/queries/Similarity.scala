@@ -60,6 +60,12 @@ object Similarity {
     sys.env.getOrElse("GRAFT_Q54_CENTROIDS_DIR",
       new java.io.File("target/q54_centroids").getAbsolutePath)
 
+  /** q71's materialized LSH index location (same cwd/env discipline as
+    * [[TrainedCentroidsPath]]). */
+  private[queries] val LshIndexPath: String =
+    sys.env.getOrElse("GRAFT_Q71_INDEX_DIR",
+      new java.io.File("target/q71_lsh_index").getAbsolutePath)
+
   /** Shared IVF search plan over a normed corpus `n` (vec_id, v, nrm) and
     * broadcast centroids `cents` (c_id, cv, cn): nearest-cell assignment
     * (6dp-rounded cosine, c_id tie-break — engine-independent), queries =
@@ -427,6 +433,68 @@ object Similarity {
               .as("cosine"))
           .where(col("cosine") >= NEARDUP_COS)
           .orderBy(col("id_a"), col("id_b"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q71: MATERIALIZED LSH INDEX + PARTITION-PRUNED PROBE — the serving
+    // path of ANN at rest: the corpus is written ONCE as a parquet index
+    // hive-partitioned by the top nibble of the LSH signature, and a
+    // probe then reads ONLY its own bucket's directory — planning-time
+    // partition pruning (PlanSpec pins PartitionFilters on sig_hi), so
+    // probe I/O is corpus_size/16 regardless of corpus size, the same
+    // mechanics that make a date-partitioned lake cheap to slice. The
+    // probe vector (vec_id 0) is one driver-collected row shipped back
+    // as literals — the q20 broadcast-the-small-side discipline taken to
+    // its 1-row extreme. The oracle is artifact-free: the signature is a
+    // pure function of the embedding (q65), so DuckDB re-derives buckets
+    // directly from `embeddings` and must land on the exact same top-k —
+    // proving the materialized index changed nothing but the I/O.
+    Q("q71_lsh_index_probe",
+      oracle = Some(s"""
+        $normedCte,
+        $signatureCte,
+        probe AS (
+          SELECT n.v AS pv, n.nrm AS pn, s.signature >> 4 AS ph
+          FROM n JOIN sig s ON n.vec_id = s.vec_id
+          WHERE n.vec_id = 0),
+        scored AS (
+          SELECT n.vec_id AS neighbor,
+                 round(list_sum(list_transform(range(1, len(v) + 1),
+                        i -> v[i] * pv[i])) / (nrm * pn), 4) AS cosine
+          FROM n JOIN sig s ON n.vec_id = s.vec_id CROSS JOIN probe
+          WHERE (s.signature >> 4) = ph AND n.vec_id <> 0)
+        SELECT CAST(row_number() OVER (ORDER BY cosine DESC, neighbor)
+                    AS BIGINT) AS rank,
+               neighbor, cosine
+        FROM scored
+        QUALIFY rank <= $TOPK
+        ORDER BY rank"""),
+      run = (spark, dir) => {
+        val sigd = normed(spark, dir)
+          .select(col("vec_id"), col("v"), col("nrm"),
+            shiftright(signatureCol, 4).as("sig_hi"))
+        sigd.write.mode("overwrite").partitionBy("sig_hi")
+          .parquet(LshIndexPath)
+        val idx = spark.read.parquet(LshIndexPath)
+        // the probe: ONE row to the driver, shipped back as literals so
+        // the bucket filter is a literal the planner can prune on
+        val p = sigd.filter(col("vec_id") === 0)
+          .select(col("v"), col("nrm"), col("sig_hi"))
+          .collect().head
+        val pv = p.getSeq[Double](0).toSeq
+        val pn = p.getDouble(1)
+        val ph = p.getLong(2)
+        val scored = idx
+          .where(col("sig_hi") === lit(ph) && col("vec_id") =!= 0)
+          .select(col("vec_id").as("neighbor"),
+            round(dot(col("v"), typedLit(pv)) / (col("nrm") * lit(pn)), 4)
+              .as("cosine"))
+        val w = Window.orderBy(col("cosine").desc, col("neighbor"))
+        scored
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= TOPK)
+          .select(col("rank"), col("neighbor"), col("cosine"))
+          .orderBy(col("rank"))
       })
   )
 

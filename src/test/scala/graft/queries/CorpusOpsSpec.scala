@@ -227,6 +227,23 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     math.abs(madPois - madClean) should be <= 1.0
   }
 
+  test("q71: every probe result shares the probe vector's index bucket, " +
+    "ranks are contiguous from 1, cosines non-increasing") {
+    val rows = Registry.queries("q71_lsh_index_probe")(spark, sf0001).collect()
+    rows.map(_.getLong(0)).toSeq shouldBe (1L to rows.length)
+    val cosines = rows.map(_.getDouble(2)).toSeq
+    cosines.sliding(2).foreach {
+      case Seq(a, b) => a should be >= b
+      case _ =>
+    }
+    // bucket agreement: recompute signatures for probe + neighbors
+    val sigs = graft.io.Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), Similarity.signatureCol.as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) >> 4)).toMap
+    rows.map(_.getLong(1)).foreach { nb => sigs(nb) shouldBe sigs(0L) }
+  }
+
   test("q65: hyperplanes are balanced ±1 (md5 coin is unbiased enough) and fixed") {
     val hp = Similarity.hyperplanes
     hp.length shouldBe 8

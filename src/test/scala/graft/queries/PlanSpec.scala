@@ -152,6 +152,12 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should not include "CartesianProduct"
   }
 
+  test("q71: the LSH index probe is PARTITION-PRUNED — the scan carries a " +
+    "sig_hi partition filter, so probe I/O is one bucket, not the corpus") {
+    val p = plan("q71_lsh_index_probe")
+    p should include regex "PartitionFilters:.*sig_hi"
+  }
+
   test("q33: as-of join is one union + one hash shuffle — no range-join explosion") {
     val p = Registry.queries("q33_asof_join")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
