@@ -107,6 +107,64 @@ object EtlPipeline {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("shard_tokens"))
           .orderBy(col("lang"), col("shard"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q72: SNAPSHOT DIFF (CDC-style change detection) — the lakehouse
+    // primitive behind incremental reprocessing: given two snapshots of
+    // a corpus, classify every key as added / removed / changed / same
+    // by FULL OUTER join on the key comparing content hashes, so
+    // downstream stages re-run only on the delta. The two snapshots are
+    // derived deterministically from `documents` (v1 drops the top md5
+    // decile — those become ADDED in v2; v2 drops the bottom decile —
+    // REMOVED; one middle decile gets its text rewritten — CHANGED), so
+    // both engines construct identical inputs and the oracle pins the
+    // whole classification. Scale shape: the join shuffles only (key,
+    // 32-byte md5) — never the payload — and on a bucketed lake the
+    // exchange disappears entirely (BucketingSpec); the status rollup is
+    // a 4-key partial agg.
+    Q("q72_snapshot_diff",
+      oracle = Some("""
+        WITH b AS (
+          SELECT doc_id, text,
+                 (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                       AS BIGINT) % 10) AS dec
+          FROM documents),
+        v1 AS (
+          SELECT doc_id, md5(text) AS h FROM b WHERE dec < 9),
+        v2 AS (
+          SELECT doc_id,
+                 md5(CASE WHEN dec = 5 THEN text || ' [rev2]' ELSE text END) AS h
+          FROM b WHERE dec >= 1),
+        diff AS (
+          SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                      WHEN v2.doc_id IS NULL THEN 'removed'
+                      WHEN v1.h <> v2.h THEN 'changed'
+                      ELSE 'same' END AS status
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        SELECT status, count(*) AS n
+        FROM diff GROUP BY status
+        ORDER BY status"""),
+      run = (spark, dir) => {
+        val b = table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+              16, 10).cast("long"), lit(10L)).as("dec"))
+        val v1 = b.where(col("dec") < 9)
+          .select(col("doc_id").as("id1"), md5(col("text")).as("h1"))
+        val v2 = b.where(col("dec") >= 1)
+          .select(col("doc_id").as("id2"),
+            md5(when(col("dec") === 5, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text"))).as("h2"))
+        v1.join(v2, col("id1") === col("id2"), "full_outer")
+          .select(
+            when(col("id1").isNull, "added")
+              .when(col("id2").isNull, "removed")
+              .when(col("h1") =!= col("h2"), "changed")
+              .otherwise("same").as("status"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("status"))
       })
   )
 }

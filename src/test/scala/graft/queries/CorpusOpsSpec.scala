@@ -244,6 +244,22 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     rows.map(_.getLong(1)).foreach { nb => sigs(nb) shouldBe sigs(0L) }
   }
 
+  test("q72: diff statuses conserve the two snapshot populations exactly") {
+    val rows = Registry.queries("q72_snapshot_diff")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dec = graft.operators.Sampling.hashBucket(col("doc_id")) % 10
+    val docs = graft.io.Tables.table(spark, sf0001, "documents")
+    val v1 = docs.where(dec < 9).count()
+    val v2 = docs.where(dec >= 1).count()
+    rows("removed") shouldBe docs.where(dec === 0).count()
+    rows("added") shouldBe docs.where(dec === 9).count()
+    rows("changed") shouldBe docs.where(dec === 5).count()
+    // everything in both snapshots is either changed or same
+    rows("changed") + rows("same") shouldBe docs.where(dec >= 1 && dec < 9).count()
+    rows.values.sum shouldBe (v1 + v2 -
+      docs.where(dec >= 1 && dec < 9).count()) // |v1 ∪ v2|
+  }
+
   test("q65: hyperplanes are balanced ±1 (md5 coin is unbiased enough) and fixed") {
     val hp = Similarity.hyperplanes
     hp.length shouldBe 8

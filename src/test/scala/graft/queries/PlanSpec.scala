@@ -158,6 +158,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include regex "PartitionFilters:.*sig_hi"
   }
 
+  test("q72: snapshot diff is a FULL OUTER equi-join shipping (key, hash) " +
+    "only, with a partial-agg'd status rollup") {
+    val p = Registry.queries("q72_snapshot_diff")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should include("FullOuter")
+    p should not include "CartesianProduct"
+    "HashAggregate".r.findAllIn(p).length should be >= 2
+  }
+
   test("q33: as-of join is one union + one hash shuffle — no range-join explosion") {
     val p = Registry.queries("q33_asof_join")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
