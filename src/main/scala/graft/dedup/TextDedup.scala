@@ -110,6 +110,34 @@ object TextDedup {
     out
   }
 
+  /** Containment pairs (id_a < id_b): asymmetric shingle overlap —
+    * cont_a = |A∩B|/|A|, cont_b = |A∩B|/|B| — kept when EITHER direction
+    * reaches `threshold`. Catches a short document embedded in a long
+    * one, which [[nearDuplicatePairs]]' symmetric Jaccard structurally
+    * misses (the union term drowns the small side); the quote/copy
+    * detector of the dedup family (q69). Candidates come from the same
+    * MinHash LSH banding, so cost is ∝ candidates, never all-pairs —
+    * note LSH recall is tuned to Jaccard, so for aggressive containment
+    * mining at low Jaccard pair df-blocking (q69's rare-shingle scheme)
+    * or a smaller band width is the production knob. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 8,
+      mat: Materializer = Materializer.Local): DataFrame = {
+    require(numHashes % 2 == 0, "numHashes must be even (r=2 banding)")
+    val sh = shingleRows(df, idCol, textCol).persist(MEMORY_AND_DISK)
+    val cand = lshCandidates(sh, numHashes).persist(MEMORY_AND_DISK)
+    val (overlap, cached) = pairOverlapPlan(sh, cand)
+    val ca = col("n_inter").cast("double") / col("na").cast("double")
+    val cb = col("n_inter").cast("double") / col("nb").cast("double")
+    val result = overlap
+      .filter(greatest(ca, cb) >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        ca.as("cont_a"), cb.as("cont_b"))
+    val out = mat(result)
+    (Seq(sh, cand) ++ cached).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** The un-materialized plan behind [[nearDuplicatePairs]], plus the
     * intermediates it persisted (caller must unpersist after acting on
     * the result). Exposed so PlanSpec can assert the physical shape,
@@ -119,6 +147,16 @@ object TextDedup {
       numHashes: Int = 8): (DataFrame, Seq[DataFrame]) = {
     require(numHashes % 2 == 0, "numHashes must be even (r=2 banding)")
     val sh = shingleRows(df, idCol, textCol).persist(MEMORY_AND_DISK)
+    val cand = lshCandidates(sh, numHashes).persist(MEMORY_AND_DISK)
+    val (result, verifyCached) = verifiedJaccardPlan(sh, cand, threshold)
+    (result, Seq(sh, cand) ++ verifyCached)
+  }
+
+  /** MinHash r=2-band LSH candidate pairs (doc_a < doc_b, distinct) from
+    * a shingle relation: per-doc signatures via one partial-agg groupBy,
+    * band keys, bucket equi-join. Shared by the Jaccard and containment
+    * paths. */
+  private[graft] def lshCandidates(sh: DataFrame, numHashes: Int): DataFrame = {
     val mins = (1 to numHashes).map(k =>
       min(md5(concat(lit(s"$k|"), col("s")))).as(s"mh$k"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -126,15 +164,12 @@ object TextDedup {
     val banded = sig.select(col("doc_id"),
       posexplode(array((1 to numHashes / 2).map(bandKey): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bk"))
-    val cand = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .persist(MEMORY_AND_DISK)
-    val (result, verifyCached) = verifiedJaccardPlan(sh, cand, threshold)
-    (result, Seq(sh, cand) ++ verifyCached)
   }
 
   /** Collapse near-duplicate pairs into clusters by iterative min-label

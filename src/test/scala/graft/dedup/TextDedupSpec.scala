@@ -35,6 +35,23 @@ class TextDedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
     pairs.flatMap(p => Set(p._1, p._2)) should not contain 6L
   }
 
+  test("containmentPairs: a document embedded in a longer one is caught at a " +
+    "containment threshold its symmetric Jaccard could never reach") {
+    import spark.implicits._
+    val small = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val big = small + " " + (1 to 12).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(10L -> small, 20L -> big, 30L -> "unrelated words entirely alone")
+      .toDF("doc_id", "text")
+    // jaccard(small, big) ~= 28/40 = 0.7 -- inside LSH reach, but a 0.9
+    // symmetric threshold misses it; containment of the small side is 1.0
+    TextDedup.nearDuplicatePairs(docs, "doc_id", "text", 0.9).count() shouldBe 0L
+    val cont = TextDedup.containmentPairs(docs, "doc_id", "text", 0.95)
+      .collect()
+    cont.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((10L, 20L))
+    cont.head.getDouble(2) shouldBe 1.0 // every small-doc shingle is in big
+    cont.head.getDouble(3) should be < 0.95 // the asymmetry, recorded
+  }
+
   test("clusters: connected components converge to min id") {
     import spark.implicits._
     // a path 10-11, 11-12 plus an isolated pair 20-21: label propagation
