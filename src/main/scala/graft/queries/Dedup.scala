@@ -448,6 +448,78 @@ object Dedup {
           survivors.select(col("doc_id")).orderBy(col("doc_id")))
         survivors.unpersist(blocking = false)
         result
+      }),
+
+    // ------------------------------------------------------------------
+    // q73: GRAPH STATISTICS of the verified near-dup pair graph — the
+    // QA pass a dedup deployment runs before clustering: the degree
+    // histogram exposes boilerplate hubs (a doc near-duplicating
+    // hundreds of others usually means template text the shingler should
+    // have excluded) and the triangle count measures clique-ness (real
+    // duplicate groups are transitive; a triangle-free pair set suggests
+    // threshold noise). Edges are canonical (doc_a < doc_b), so
+    // triangles enumerate exactly once as (a<b)⋈(b<c)⋈(a<c) — two
+    // equi-joins, no direction dedup. On a heavy graph the join is
+    // bounded by Σ per-node deg² within clusters; dedup graphs are
+    // near-cliques of bounded size, the pathological hub is exactly what
+    // the degree histogram surfaces for exclusion. Reuses the q17 pair
+    // pipeline verbatim (library call on the Spark side, shared CTEs in
+    // the oracle).
+    Q("q73_graph_stats",
+      oracle = Some(s"""
+        $shinglesCte,
+        $lshPairsCte,
+        vp AS (
+          SELECT doc_a, doc_b
+          FROM pairs
+          JOIN sh sa ON sa.doc_id = doc_a
+          JOIN sh sb ON sb.doc_id = doc_b
+          WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                >= $JACCARD_MIN),
+        deg AS (
+          SELECT node, count(*) AS degree FROM (
+            SELECT doc_a AS node FROM vp
+            UNION ALL SELECT doc_b FROM vp)
+          GROUP BY node),
+        stats AS (
+          SELECT 'deg_' || CAST(degree AS VARCHAR) AS stat,
+                 count(*) AS value
+          FROM deg GROUP BY degree
+          UNION ALL
+          SELECT 'triangles', count(*)
+          FROM vp e1
+          JOIN vp e2 ON e1.doc_b = e2.doc_a
+          JOIN vp e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+          UNION ALL SELECT 'nodes', count(*) FROM deg
+          UNION ALL SELECT 'edges', count(*) FROM vp)
+        SELECT stat, CAST(value AS BIGINT) AS value FROM stats
+        ORDER BY stat"""),
+      run = (spark, dir) => {
+        val pairs = graft.dedup.TextDedup.nearDuplicatePairs(
+          table(spark, dir, "documents"), "doc_id", "text", JACCARD_MIN)
+        val e = pairs.select(col("doc_a"), col("doc_b"))
+        val deg = e.select(col("doc_a").as("node"))
+          .unionAll(e.select(col("doc_b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("value"))
+          .select(concat(lit("deg_"), col("degree").cast("string")).as("stat"),
+            col("value"))
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+          .join(e.as("e3"),
+            col("e3.doc_a") === col("e1.doc_a") &&
+              col("e3.doc_b") === col("e2.doc_b"))
+          .agg(count(lit(1)).as("value"))
+          .select(lit("triangles").as("stat"), col("value"))
+        val base = deg.agg(count(lit(1)).as("value"))
+          .select(lit("nodes").as("stat"), col("value"))
+          .unionAll(e.agg(count(lit(1)).as("value"))
+            .select(lit("edges").as("stat"), col("value")))
+        val result = Q.localized(
+          hist.unionAll(tri).unionAll(base).orderBy(col("stat")))
+        pairs.unpersist(blocking = false)
+        result
       })
   )
 }

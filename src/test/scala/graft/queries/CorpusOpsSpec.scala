@@ -260,6 +260,26 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
       docs.where(dec >= 1 && dec < 9).count()) // |v1 ∪ v2|
   }
 
+  test("q73: a planted 4-clique of duplicates yields K4 graph stats " +
+    "(6 edges, 4 nodes of degree 3, 4 triangles)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q73fix").toString
+    val dup = "the very same duplicated document body repeated verbatim " +
+      "across four doc ids to form a clique in the pair graph"
+    val docs = Seq(
+      1L -> dup, 2L -> dup, 3L -> dup, 4L -> dup,
+      5L -> "an unrelated island document about something else entirely",
+      6L -> "another disconnected text mentioning only itself"
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val stats = Registry.queries("q73_graph_stats")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    stats("edges") shouldBe 6L
+    stats("nodes") shouldBe 4L
+    stats("deg_3") shouldBe 4L
+    stats("triangles") shouldBe 4L
+  }
+
   test("q65: hyperplanes are balanced ±1 (md5 coin is unbiased enough) and fixed") {
     val hp = Similarity.hyperplanes
     hp.length shouldBe 8
