@@ -131,6 +131,56 @@ object ScaleOps {
           .select(col("lang"), col("n_docs"), col("thr"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"))
           .orderBy(col("lang"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q75: WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis
+    // A-ES): each row gets key = -ln(u)/w with u a uniform derived from
+    // its md5 bucket and w its weight (n_chars: longer docs more likely
+    // sampled); the k smallest keys ARE a weighted sample without
+    // replacement. One narrow scan + TakeOrderedAndProject — the
+    // distributed one-pass answer to "give me 20 docs biased by length",
+    // no per-stratum quotas needed (contrast q59/q68, which sample by
+    // RATE). Deterministic u (not rand()) keeps it retry-safe and
+    // engine-replayable; ln on the same doubles agrees bit-for-bit
+    // across engines in practice (the q48 idf precedent), and the
+    // emitted key is rounded to 8dp with doc_id tie-breaks everywhere.
+    Q("q75_weighted_sample",
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, n_chars,
+                 (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                       AS BIGINT) % 10000 + 0.5) / 10000.0 AS u
+          FROM documents WHERE n_chars > 0),
+        k AS (
+          SELECT doc_id, n_chars,
+                 -ln(u) / CAST(n_chars AS DOUBLE) AS key
+          FROM d)
+        SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS rank,
+               doc_id, n_chars, round(key, 8) AS key_r
+        FROM k
+        QUALIFY rank <= 20
+        ORDER BY rank"""),
+      run = (spark, dir) => {
+        import graft.operators.Sampling
+        val u = (Sampling.hashBucket(col("doc_id")).cast("double") + lit(0.5)) /
+          lit(Sampling.Buckets.toDouble)
+        // top-k FIRST (TakeOrderedAndProject — per-partition heaps, no
+        // global sort), then rank the 20 survivors with a trivial window
+        val top = table(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .where(col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars"),
+            (-log(u) / col("n_chars").cast("double")).as("key"))
+          .orderBy(col("key"), col("doc_id"))
+          .limit(20)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("key"), col("doc_id"))
+        top
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("rank"), col("doc_id"), col("n_chars"),
+            round(col("key"), 8).as("key_r"))
+          .orderBy(col("rank"))
       })
   )
 }

@@ -435,6 +435,43 @@ object WindowQueries {
           .groupBy(col("prev"), col("event_type").as("next"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("prev"), col("next"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q74: RANGE-frame trailing window — per event, the count and value
+    // sum over the PRECEDING HOUR of the same user's activity. The frame
+    // is bounded by the ORDER VALUE (epoch micros), not a row count —
+    // the semantic q13's ROWS frame cannot express (events are not
+    // equally spaced) and the building block of rate limiting, rolling
+    // MAU, and burst detection. Same single user_id shuffle as every
+    // window here; WindowExec advances two pointers over the sorted
+    // partition, so the frame costs O(rows), not O(rows × width). Ties
+    // in tus are FRAME-inclusive on both engines (RANGE includes all
+    // peers of the current value) — deterministic without a tie-break in
+    // the frame itself; the output order key still carries event_id.
+    Q("q74_range_frame",
+      oracle = Some("""
+        WITH t AS (
+          SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events)
+        SELECT user_id, event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+                 AS sum_1h
+        FROM t
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id"""),
+      run = (spark, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        table(spark, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"),
+            col("value").cast("decimal(18,2)").as("v"))
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            round(sum(col("v")).over(w).cast("double"), 2).as("sum_1h"))
+          .orderBy(col("user_id"), col("event_id"))
       })
   )
 }

@@ -280,6 +280,45 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     stats("triangles") shouldBe 4L
   }
 
+  test("q74: trailing-hour frame matches a brute-force recomputation per user") {
+    val rows = Registry.queries("q74_range_frame")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val events = graft.io.Tables.table(spark, sf0001, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = events.groupBy(_._1)
+    byUser.foreach { case (uid, evs) =>
+      evs.foreach { case (_, eid, tus) =>
+        val expected = evs.count(e => e._3 >= tus - 3600000000L && e._3 <= tus)
+        withClue(s"user $uid event $eid: ") {
+          rows((uid, eid)) shouldBe expected.toLong
+        }
+      }
+    }
+  }
+
+  test("q75: the sample is exactly the 20 globally smallest A-ES keys, " +
+    "and heavier docs get smaller keys for the same uniform") {
+    val got = Registry.queries("q75_weighted_sample")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    got.map(_._1).toSeq shouldBe (1L to 20L)
+    // brute force: recompute every key and take the 20 smallest
+    val all = graft.io.Tables.table(spark, sf0001, "documents")
+      .where(col("n_chars") > 0)
+      .select(col("doc_id"),
+        ((graft.operators.Sampling.hashBucket(col("doc_id")).cast("double") +
+          lit(0.5)) / 10000.0).as("u"),
+        col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), -math.log(r.getDouble(1)) / r.getLong(2)))
+    val expect = all.sortBy(t => (t._2, t._1)).take(20).map(_._1).toSeq
+    got.map(_._2).toSeq shouldBe expect
+    // the weight actually biases: key is decreasing in w for fixed u
+    val k1 = -math.log(0.25) / 100.0
+    val k2 = -math.log(0.25) / 1000.0
+    k2 should be < k1
+  }
+
   test("q65: hyperplanes are balanced ±1 (md5 coin is unbiased enough) and fixed") {
     val hp = Similarity.hyperplanes
     hp.length shouldBe 8

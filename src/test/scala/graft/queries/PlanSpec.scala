@@ -167,6 +167,21 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     "HashAggregate".r.findAllIn(p).length should be >= 2
   }
 
+  test("q74: the RANGE frame costs the one user_id window shuffle — no extra") {
+    val p = Registry.queries("q74_range_frame")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    p should include regex "hashpartitioning\\(user_id"
+  }
+
+  test("q75: weighted sampling is TakeOrderedAndProject — per-partition " +
+    "heaps, no global sort, no pre-shuffle") {
+    val p = Registry.queries("q75_weighted_sample")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should include("TakeOrderedAndProject")
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
+  }
+
   test("q33: as-of join is one union + one hash shuffle — no range-join explosion") {
     val p = Registry.queries("q33_asof_join")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
