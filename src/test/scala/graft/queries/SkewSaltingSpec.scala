@@ -48,6 +48,44 @@ class SkewSaltingSpec extends AnyFunSuite with Matchers with SparkTestSession {
       b.map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("AQE skew-join splits the hot partition at runtime on the unsalted " +
+    "sort-merge path (the built-in complement to explicit salting)") {
+    // force tiny thresholds so the toy fixture's hot key is "skewed" to
+    // AQE, and forbid broadcast so the join stays sort-merge
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = spark.range(200000)
+        .select(col("id"),
+          when(col("id") % 20 =!= 0, 7L).otherwise(col("id") % 100).as("k"),
+          md5(col("id").cast("string")).as("pad"))
+      val dim = spark.range(100).select(col("id").as("dk"))
+      // global agg (not keyed by k): a groupBy on the join key would
+      // REQUIRE the join's hash partitioning downstream, and AQE then
+      // correctly refuses to skew-split (the split breaks that
+      // guarantee) — itself part of the semantics pinned here
+      val joined = fact.join(dim.hint("merge"), col("k") === col("dk"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect() // run so AQE replans
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("skew=true")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("autoFactor: measures the skew multiplier from the key histogram") {
     // same 95%-one-key fixture: 6 distinct keys, hot key 5.7x the mean
     // count -> next power of two is 8
