@@ -398,6 +398,54 @@ object StreamingQueries {
           .select(col("event_id"), col("event_type")), noDataBatch = false) {
         _.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
           .orderBy(col("event_type"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q76: ARBITRARY KEYED STATE under the oracle gate — the per-user
+    // funnel FSM (graft.streaming.StatefulFunnel, flatMapGroupsWithState)
+    // run as a real streaming query over the events stream, stage
+    // completions counted at the sink. The built-in-stateful queries
+    // (q27-q61) cover windows/dedup/joins; this is the
+    // custom-state-machine rung — three longs of state per user, emission
+    // the moment a stage completes. The oracle replays the batch funnel
+    // derivation (q62's CTEs): the single-file AvailableNow batch
+    // preserves per-user event-time order inside the fold (advance()
+    // sorts each batch), so FSM counts ≡ batch counts exactly — the same
+    // equivalence StatefulFunnelSpec pins cross-batch on MemoryStream.
+    Q("q76_stream_funnel",
+      oracle = Some("""
+        WITH t AS (
+          SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        s AS (
+          SELECT user_id, min(tus) AS signup_us
+          FROM t WHERE event_type = 'signup' GROUP BY user_id),
+        c AS (
+          SELECT t.user_id, min(tus) AS click_us
+          FROM t JOIN s USING (user_id)
+          WHERE event_type = 'click' AND tus > signup_us GROUP BY t.user_id),
+        p AS (
+          SELECT t.user_id, min(tus) AS purchase_us
+          FROM t JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND tus > click_us GROUP BY t.user_id)
+        SELECT stage, n_users FROM (
+          SELECT 'signup' AS stage, (SELECT count(*) FROM s) AS n_users
+          UNION ALL SELECT 'click', (SELECT count(*) FROM c)
+          UNION ALL SELECT 'purchase', (SELECT count(*) FROM p))
+        ORDER BY stage"""),
+      // stage completions emit on data batches only (NoTimeout state)
+      run = (spark, dir) => {
+        import spark.implicits._
+        val stream = eventsStream(spark, dir)
+          .select(col("user_id").as("userId"),
+            col("event_type").as("eventType"),
+            unix_micros(col("ts")).as("tus"))
+          .as[graft.streaming.StatefulFunnel.Event]
+        runToMemorySink(spark, "stream_funnel_", "append",
+          graft.streaming.StatefulFunnel.track(spark, stream).toDF(),
+          noDataBatch = false) {
+          _.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+            .orderBy(col("stage"))
+        }
       })
   )
 }
