@@ -91,7 +91,7 @@ object EtlPipeline {
           FROM toks)
         SELECT lang, shard,
                count(*) AS n_docs,
-               sum(n_tokens) AS shard_tokens
+               CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
         FROM packed
         GROUP BY lang, shard
         ORDER BY lang, shard"""),
