@@ -13,8 +13,31 @@ object Bench {
     // back to 3 instead of crashing the capture before any query runs.
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
-    val startedAtMs = System.currentTimeMillis()
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // Refuse to start hot: four of five official captures were
+    // load-flagged because the capture began while a co-tenant build was
+    // still running. Poll loadavg (30 s period, up to 10 min) until it
+    // drops under the warning bar before the warmup query touches Spark.
+    // SPARK_GRAFT_BENCH_NOWAIT=1 skips the wait (intentionally-loaded
+    // hosts / CI); either way the JSON still self-flags via load_warning,
+    // which samples loadavg AFTER this gate.
+    val noWait = sys.env.get("SPARK_GRAFT_BENCH_NOWAIT").contains("1")
+    if (!noWait) {
+      val deadlineNs = System.nanoTime() + 10L * 60 * 1000L * 1000000L
+      var load = osBean.getSystemLoadAverage
+      while (load > 2.0 && System.nanoTime() < deadlineNs) {
+        System.err.println(
+          f"BENCH: host hot (loadavg $load%.2f > 2.0) — waiting 30 s " +
+            "(SPARK_GRAFT_BENCH_NOWAIT=1 to skip)")
+        Thread.sleep(30000)
+        load = osBean.getSystemLoadAverage
+      }
+      if (load > 2.0)
+        System.err.println(
+          f"BENCH: still hot after 10 min (loadavg $load%.2f) — " +
+            "proceeding; capture will be load_warning-flagged")
+    }
+    val startedAtMs = System.currentTimeMillis()
     val loadavgStart = osBean.getSystemLoadAverage // -1.0 if unavailable
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
