@@ -150,6 +150,31 @@ object VectorSearch {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Idempotent codebook materialization: [[trainCodebook]] + parquet
+    * write, but ONLY when `path` holds no codebook built for this
+    * `cacheKey` (corpus identity + row count is the intended staleness
+    * key) — otherwise the artifact is reused in place. The key is
+    * recorded in a `_graft_cache_key` sidecar INSIDE the dir (written
+    * after the parquet, so a crash mid-write leaves no key and the next
+    * call retrains; parquet globs skip `_`-prefixed files). Returns true
+    * when a (re)train happened. Single-writer per path — callers either
+    * use a per-process-unique path or document their serialization.
+    * Output columns: (c_id BIGINT, cv ARRAY<DOUBLE>), single file (a
+    * codebook is k × dim doubles — always tiny). */
+  def ensureCodebook(train: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int, path: String, cacheKey: String): Boolean = {
+    val keyFile = java.nio.file.Paths.get(path, "_graft_cache_key")
+    val hit = java.nio.file.Files.exists(keyFile) &&
+      new String(java.nio.file.Files.readAllBytes(keyFile), "UTF-8") == cacheKey
+    if (!hit) {
+      val codebook = trainCodebook(train, idCol, vecCol, k, maxIter)
+        .select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+      codebook.coalesce(1).write.mode("overwrite").parquet(path)
+      java.nio.file.Files.write(keyFile, cacheKey.getBytes("UTF-8"))
+    }
+    !hit
+  }
+
   /** Load-and-search helper over the testdata embeddings table. */
   def searchTestdata(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val emb = graft.io.Tables.table(spark, sfDir, "embeddings")

@@ -85,4 +85,27 @@ class VectorSearchSpec extends AnyFunSuite with Matchers with SparkTestSession {
     VectorSearch.searchTestdata(spark, sf0001, 3)
       .groupBy("q_id").count().collect().foreach(_.getLong(1) shouldBe 3L)
   }
+
+  test("ensureCodebook: fits on miss, reuses on hit, refits on a changed cache key") {
+    val dir = java.nio.file.Files.createTempDirectory("cbk").toString + "/cb"
+    // miss: trains and writes (c_id, cv) + the key sidecar
+    VectorSearch.ensureCodebook(emb, "vec_id", "embedding",
+      k = 4, maxIter = 2, path = dir, cacheKey = "sfA|100") shouldBe true
+    val first = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    first.keySet shouldBe (0L until 4L).toSet
+    // hit: same key — no retrain, artifact bytes untouched
+    val mtime = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified()).max
+    VectorSearch.ensureCodebook(emb, "vec_id", "embedding",
+      k = 4, maxIter = 2, path = dir, cacheKey = "sfA|100") shouldBe false
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.lastModified()).max shouldBe mtime
+    // changed key (different corpus identity/count): refit
+    VectorSearch.ensureCodebook(emb, "vec_id", "embedding",
+      k = 4, maxIter = 2, path = dir, cacheKey = "sfA|101") shouldBe true
+    // the refit codebook is readable and k-sized either way
+    spark.read.parquet(dir).count() shouldBe 4L
+  }
 }
