@@ -432,7 +432,12 @@ object StreamingQueries {
           UNION ALL SELECT 'click', (SELECT count(*) FROM c)
           UNION ALL SELECT 'purchase', (SELECT count(*) FROM p))
         ORDER BY stage"""),
-      // stage completions emit on data batches only (NoTimeout state)
+      // production wiring: trackEvicting (watermark + EventTimeTimeout
+      // state eviction). The gate output is identical to the NoTimeout
+      // tracker — the single AvailableNow batch runs no timeout batch
+      // (noDataBatch = false), and the three-stage finalizer frame
+      // ignores `abandoned` records by construction — so the oracle pins
+      // completed-funnel counts while the state bound holds at scale.
       run = (spark, dir) => {
         import spark.implicits._
         val stream = eventsStream(spark, dir)
@@ -441,9 +446,17 @@ object StreamingQueries {
             unix_micros(col("ts")).as("tus"))
           .as[graft.streaming.StatefulFunnel.Event]
         runToMemorySink(spark, "stream_funnel_", "append",
-          graft.streaming.StatefulFunnel.track(spark, stream).toDF(),
-          noDataBatch = false) {
-          _.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+          graft.streaming.StatefulFunnel.trackEvicting(spark, stream).toDF(),
+          noDataBatch = false) { sink =>
+          // left-join the sink counts onto a literal three-stage frame:
+          // the oracle's UNION ALL always emits all three stages (counts
+          // possibly 0), so a corpus with zero completions of a stage
+          // must still produce its row rather than fail on row count
+          val stages = Seq("signup", "click", "purchase").toDF("stage")
+          stages.join(
+              sink.groupBy(col("stage")).agg(count(lit(1)).as("n")),
+              Seq("stage"), "left")
+            .select(col("stage"), coalesce(col("n"), lit(0L)).as("n_users"))
             .orderBy(col("stage"))
         }
       })

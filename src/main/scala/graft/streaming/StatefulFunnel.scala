@@ -60,15 +60,77 @@ object StatefulFunnel {
     out.result().iterator
   }
 
-  /** Wire the FSM over an event stream. No timeout: funnel state is three
-    * longs and a completed funnel stops growing; production deployments
-    * add EventTimeTimeout eviction for abandoned users if key cardinality
-    * is unbounded. */
+  /** Wire the FSM over an event stream with NO eviction — for bounded key
+    * cardinality (a backfill, a test fixture). At unbounded cardinality
+    * use [[trackEvicting]]: per-user state is only three longs, but three
+    * longs × forever × every user ever seen is still growth without
+    * bound. */
   def track(spark: SparkSession, events: Dataset[Event]): Dataset[StageCompletion] = {
     import spark.implicits._
     events
       .groupByKey(_.userId)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(advance)
+  }
+
+  /** The last completed stage's event time, or -1 when none. */
+  private def lastStageUs(s: FunnelState): Long =
+    math.max(s.signupUs, math.max(s.clickUs, s.purchaseUs))
+
+  /** [[advance]] plus state eviction: on EventTimeTimeout, drop the user's
+    * state — emitting one terminal `abandoned` record (timestamped at the
+    * last completed stage) iff the user ENTERED the funnel (signed up) but
+    * never finished it, so the funnel report can count non-converters.
+    * Users who never signed up evict silently (they never entered), and
+    * completed funnels evict silently (nothing was abandoned). On data,
+    * the fold schedules/refreshes the timeout `abandonAfterUs` past the
+    * user's last completed stage — each stage completion pushes the
+    * deadline out, the definition of "abandoned N hours into the funnel".
+    * The timeout timestamp is clamped above the current watermark (Spark
+    * rejects a deadline the watermark has already passed — a user whose
+    * deadline expired mid-batch evicts at the next watermark tick). */
+  def advanceEvicting(abandonAfterUs: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[FunnelState]): Iterator[StageCompletion] = {
+    if (state.hasTimedOut) {
+      val s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+      state.remove()
+      if (s.signupUs >= 0 && s.purchaseUs < 0)
+        Iterator.single(StageCompletion(userId, "abandoned", lastStageUs(s)))
+      else Iterator.empty
+    } else {
+      val out = advance(userId, events, state)
+      val baseMs = math.max(lastStageUs(state.get) / 1000L, 0L)
+      state.setTimeoutTimestamp(
+        math.max(baseMs + abandonAfterUs / 1000L,
+          state.getCurrentWatermarkMs() + 1L))
+      out
+    }
+  }
+
+  /** Production wiring of the FSM: watermarked event time +
+    * EventTimeTimeout so total state is O(users active within the
+    * abandonment horizon), not O(users ever seen) — the unbounded-key
+    * requirement of any 100 TB-scale funnel. Emits the same
+    * StageCompletion records as [[track]] for completed stages (eviction
+    * cannot affect a completed funnel — StatefulFunnelSpec pins it) plus
+    * one `abandoned` record per evicted non-converter. Late events below
+    * the watermark are subject to the standard stateful-operator
+    * contract: after a user's eviction, a replayed prehistoric event
+    * would re-enter them fresh — bound by `watermarkDelay` exactly as in
+    * every watermark-bounded operator in this engine. */
+  def trackEvicting(spark: SparkSession, events: Dataset[Event],
+      watermarkDelay: String = "1 hour",
+      abandonAfterUs: Long = 4L * 3600 * 1000000L): Dataset[StageCompletion] = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import spark.implicits._
+    events
+      .withColumn("eventTime", timestamp_micros(col("tus")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        advanceEvicting(abandonAfterUs))
   }
 }

@@ -79,6 +79,62 @@ class StatefulFunnelSpec extends AnyFunSuite with Matchers with SparkTestSession
     } finally q.stop()
   }
 
+  test("pure fold: timeout evicts — abandoned iff entered but not completed") {
+    // mid-funnel user: abandoned record at the last completed stage
+    val mid = new TestState(Some(FunnelState(mus(1), mus(3), -1L))) {
+      override def hasTimedOut: Boolean = true
+    }
+    val out = advanceEvicting(mus(60))(1L, Iterator.empty, mid).toSeq
+    out shouldBe Seq(StageCompletion(1L, "abandoned", mus(3)))
+    mid.updated shouldBe None // state removed
+    // completed funnel: silent eviction
+    val done = new TestState(Some(FunnelState(mus(1), mus(2), mus(3)))) {
+      override def hasTimedOut: Boolean = true
+    }
+    advanceEvicting(mus(60))(2L, Iterator.empty, done).toSeq shouldBe empty
+    done.updated shouldBe None
+    // never signed up (click-only state): silent eviction, no abandoned
+    val never = new TestState(Some(FunnelState(-1L, -1L, -1L))) {
+      override def hasTimedOut: Boolean = true
+    }
+    advanceEvicting(mus(60))(3L, Iterator.empty, never).toSeq shouldBe empty
+    never.updated shouldBe None
+  }
+
+  test("streaming eviction: a stalled funnel emits `abandoned` across batches; " +
+    "a completed funnel is unaffected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sink = "funnel_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // 10-minute watermark delay, 30-minute abandonment horizon
+    val q = trackEvicting(spark, input.toDS(),
+        watermarkDelay = "10 minutes", abandonAfterUs = mus(30)).writeStream
+      .format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // user 1 signs up at t=60min and stalls; user 2 completes by t=64min
+      input.addData(
+        Event(1L, "signup", mus(60)),
+        Event(2L, "signup", mus(60)), Event(2L, "click", mus(62)),
+        Event(2L, "purchase", mus(64)))
+      q.processAllAvailable()
+      // advance event time far past user 1's 90-min deadline; the
+      // watermark moves at end-of-batch, the timeout fires on the next
+      // (no-data or data) batch
+      input.addData(Event(9L, "signup", mus(300)))
+      q.processAllAvailable()
+      input.addData(Event(9L, "click", mus(301)))
+      q.processAllAvailable()
+      val rows = spark.table(sink).as[StageCompletion].collect()
+      rows.filter(r => r.userId == 1L && r.stage == "abandoned") shouldBe
+        Seq(StageCompletion(1L, "abandoned", mus(60)))
+      // completed funnels never abandon; eviction changed none of their output
+      rows.filter(_.userId == 2L).map(_.stage).sorted shouldBe
+        Seq("click", "purchase", "signup")
+      rows.filter(r => r.userId == 2L && r.stage == "abandoned") shouldBe empty
+    } finally q.stop()
+  }
+
   test("equivalence: on the in-order testdata feed, FSM stage counts equal " +
     "the q62 batch funnel") {
     import spark.implicits._
