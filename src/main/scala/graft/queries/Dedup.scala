@@ -46,6 +46,10 @@ object Dedup {
   private val CONTAIN_MIN = 0.5
   private val SIM_BITS = 32
   private val HAMMING_MAX = 3
+  // q73: nodes above this degree are excluded from triangle enumeration
+  // (the join is Σ deg² — a boilerplate hub, exactly what the degree
+  // histogram exists to surface, would otherwise quadratic-blow it)
+  private[queries] val TRIANGLE_DEGREE_CAP = 1000
 
   /** (doc_id, shingle) rows — NOT deduplicated (see callers: MinHash is
     * min-over-multiset so it needs no distinct; Jaccard dedups only the
@@ -459,12 +463,14 @@ object Dedup {
     // duplicate groups are transitive; a triangle-free pair set suggests
     // threshold noise). Edges are canonical (doc_a < doc_b), so
     // triangles enumerate exactly once as (a<b)⋈(b<c)⋈(a<c) — two
-    // equi-joins, no direction dedup. On a heavy graph the join is
-    // bounded by Σ per-node deg² within clusters; dedup graphs are
-    // near-cliques of bounded size, the pathological hub is exactly what
-    // the degree histogram surfaces for exclusion. Reuses the q17 pair
-    // pipeline verbatim (library call on the Spark side, shared CTEs in
-    // the oracle).
+    // equi-joins, no direction dedup. The join is Σ per-node deg², so
+    // nodes above TRIANGLE_DEGREE_CAP are excluded from the enumeration
+    // (and counted in the `excluded_hubs` row): a boilerplate hub —
+    // exactly what this query exists to detect — can inflate the row
+    // count it reports but can never quadratic-blow the plan that
+    // reports it (GraphStatsSpec pins this on a synthetic 10k-star).
+    // Reuses the q17 pair pipeline verbatim (library call on the Spark
+    // side, shared CTEs in the oracle).
     Q("q73_graph_stats",
       oracle = Some(s"""
         $shinglesCte,
@@ -482,44 +488,72 @@ object Dedup {
             SELECT doc_a AS node FROM vp
             UNION ALL SELECT doc_b FROM vp)
           GROUP BY node),
+        hubs AS (SELECT node FROM deg WHERE degree > $TRIANGLE_DEGREE_CAP),
+        etri AS (
+          SELECT doc_a, doc_b FROM vp
+          WHERE doc_a NOT IN (SELECT node FROM hubs)
+            AND doc_b NOT IN (SELECT node FROM hubs)),
         stats AS (
           SELECT 'deg_' || CAST(degree AS VARCHAR) AS stat,
                  count(*) AS value
           FROM deg GROUP BY degree
           UNION ALL
           SELECT 'triangles', count(*)
-          FROM vp e1
-          JOIN vp e2 ON e1.doc_b = e2.doc_a
-          JOIN vp e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+          FROM etri e1
+          JOIN etri e2 ON e1.doc_b = e2.doc_a
+          JOIN etri e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
           UNION ALL SELECT 'nodes', count(*) FROM deg
-          UNION ALL SELECT 'edges', count(*) FROM vp)
+          UNION ALL SELECT 'edges', count(*) FROM vp
+          UNION ALL SELECT 'excluded_hubs', count(*) FROM hubs)
         SELECT stat, CAST(value AS BIGINT) AS value FROM stats
         ORDER BY stat"""),
       run = (spark, dir) => {
         val pairs = graft.dedup.TextDedup.nearDuplicatePairs(
           table(spark, dir, "documents"), "doc_id", "text", JACCARD_MIN)
-        val e = pairs.select(col("doc_a"), col("doc_b"))
-        val deg = e.select(col("doc_a").as("node"))
-          .unionAll(e.select(col("doc_b").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-        val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("value"))
-          .select(concat(lit("deg_"), col("degree").cast("string")).as("stat"),
-            col("value"))
-        val tri = e.as("e1")
-          .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
-          .join(e.as("e3"),
-            col("e3.doc_a") === col("e1.doc_a") &&
-              col("e3.doc_b") === col("e2.doc_b"))
-          .agg(count(lit(1)).as("value"))
-          .select(lit("triangles").as("stat"), col("value"))
-        val base = deg.agg(count(lit(1)).as("value"))
-          .select(lit("nodes").as("stat"), col("value"))
-          .unionAll(e.agg(count(lit(1)).as("value"))
-            .select(lit("edges").as("stat"), col("value")))
         val result = Q.localized(
-          hist.unionAll(tri).unionAll(base).orderBy(col("stat")))
+          graphStats(pairs.select(col("doc_a"), col("doc_b")),
+            TRIANGLE_DEGREE_CAP).orderBy(col("stat")))
         pairs.unpersist(blocking = false)
         result
       })
   )
+
+  /** q73's stat block over a canonical (doc_a < doc_b) edge relation:
+    * degree histogram (`deg_<d>` rows — hubs INCLUDED, surfacing them is
+    * the histogram's job), `nodes`, `edges`, `excluded_hubs` (nodes with
+    * degree > `degreeCap`), and `triangles` counted over the hub-free
+    * edge subset only. The cap bounds the triangle join at Σ deg² ≤
+    * n·cap² no matter how pathological the boilerplate hub — the hub's
+    * own edges are anti-joined out (broadcast: the hub set is tiny by
+    * construction) before the two-equi-join enumeration. Extracted from
+    * the q73 body so GraphStatsSpec can drive it with a synthetic
+    * 10k-degree star directly. */
+  private[graft] def graphStats(e: DataFrame, degreeCap: Long): DataFrame = {
+    val deg = e.select(col("doc_a").as("node"))
+      .unionAll(e.select(col("doc_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("value"))
+      .select(concat(lit("deg_"), col("degree").cast("string")).as("stat"),
+        col("value"))
+    val hubs = deg.filter(col("degree") > degreeCap).select(col("node"))
+    val eTri = e
+      .join(broadcast(hubs.withColumnRenamed("node", "doc_a")),
+        Seq("doc_a"), "left_anti")
+      .join(broadcast(hubs.withColumnRenamed("node", "doc_b")),
+        Seq("doc_b"), "left_anti")
+    val tri = eTri.as("e1")
+      .join(eTri.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(eTri.as("e3"),
+        col("e3.doc_a") === col("e1.doc_a") &&
+          col("e3.doc_b") === col("e2.doc_b"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("triangles").as("stat"), col("value"))
+    val base = deg.agg(count(lit(1)).as("value"))
+      .select(lit("nodes").as("stat"), col("value"))
+      .unionAll(e.agg(count(lit(1)).as("value"))
+        .select(lit("edges").as("stat"), col("value")))
+      .unionAll(hubs.agg(count(lit(1)).as("value"))
+        .select(lit("excluded_hubs").as("stat"), col("value")))
+    hist.unionAll(tri).unionAll(base)
+  }
 }
