@@ -58,11 +58,19 @@ object Sampling {
     * the sampled set) bit-identically replayable by a SQL oracle; a
     * general pow(n, α) is not. Returns (stratum, n_docs, thr); one
     * groupBy over the corpus. Rates above 1 (tiny strata the formula
-    * over-asks) cap at Buckets — the stratum is kept whole. */
+    * over-asks) cap at Buckets — the stratum is kept whole.
+    *
+    * NULL policy: rows with a NULL stratum are excluded from BOTH the
+    * histogram and the sample (a training-mix stratum must be known; an
+    * unknown-language document belongs in a cleanup pass, not a mixture
+    * weight). Excluding them here keeps the realized keep-fraction exact
+    * — previously they inflated n_tot/wsum while [[temperatureMix]]'s
+    * equality join silently dropped them, undershooting keepFraction. */
   def temperatureThresholds(df: DataFrame, strataCol: String,
       keepFraction: Double): DataFrame = {
     require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0,1]")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
     val totals = counts.agg(
       sum(col("n_docs")).cast("double").as("n_tot"),
       sum(sqrt(col("n_docs").cast("double"))).as("wsum"))
@@ -83,7 +91,9 @@ object Sampling {
   /** Filter `df` to its temperature-flattened sample: broadcast the
     * per-stratum thresholds, keep rows whose md5 bucket falls under
     * their stratum's. Two single passes over the corpus (histogram,
-    * filter) — no data-scale shuffle at any size. */
+    * filter) — no data-scale shuffle at any size. NULL-stratum rows are
+    * excluded (see [[temperatureThresholds]]'s NULL policy; the inner
+    * join enforces it). */
   def temperatureMix(df: DataFrame, keyCol: String, strataCol: String,
       keepFraction: Double): DataFrame = {
     val thr = temperatureThresholds(df, strataCol, keepFraction)

@@ -58,6 +58,49 @@ object ScaleOps {
       }),
 
     // ------------------------------------------------------------------
+    // q77: SKEW-SALTED LEFT OUTER JOIN — q55's shape under left-outer
+    // semantics, the subtle case of the salting rewrite: an unmatched
+    // fact row must be null-extended EXACTLY ONCE. That holds because
+    // each fact row exists once on the probe side with exactly one
+    // (deterministic) salt, and the dim replica carrying that salt holds
+    // the full dim key set — so "no match in my salt's replica" ⇔ "no
+    // match at all". A third of the suppliers are dropped from the dim
+    // so the null-extension path actually carries rows (TPC-H
+    // referential integrity would otherwise make LEFT ≡ INNER here);
+    // the NULL n_name group's n_items counts exactly the orphaned
+    // lineitems, pinned value-for-value against the plain left join.
+    // Spec-proven since r7 (SkewSaltingSpec); under the driver's hash
+    // gate from r8. PlanSpec pins the ShuffledHashJoin-on-(key, salt).
+    Q("q77_skew_salted_left",
+      oracle = Some("""
+        SELECT n_name,
+               count(*) AS n_items,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+        FROM lineitem LEFT JOIN (
+          SELECT s_suppkey, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          WHERE s_suppkey % 3 <> 0) d
+        ON l_suppkey = d.s_suppkey
+        GROUP BY n_name
+        ORDER BY n_name"""),
+      run = (spark, dir) => {
+        val fact = table(spark, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        val dim = table(spark, dir, "supplier")
+          .join(broadcast(table(spark, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .where(col("s_suppkey") % 3 =!= 0)
+          .select(col("s_suppkey"), col("n_name"))
+          .hint("shuffle_hash")
+        SkewJoin.saltedLeft(fact, "l_suppkey", dim, "s_suppkey", factor = 8)
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_items"),
+            Relational.revenueExpr.as("revenue"))
+          .orderBy(col("n_name"))
+      }),
+
+    // ------------------------------------------------------------------
     // q59: DETERMINISTIC STRATIFIED SAMPLING (graft.operators.Sampling) —
     // the training-mix primitive: keep 50% of en docs, 25% of de, 10% of
     // everything else, as a pure function of the row (md5 bucket of the
@@ -96,7 +139,8 @@ object ScaleOps {
     Q("q68_temperature_mix",
       oracle = Some("""
         WITH counts AS (
-          SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+          SELECT lang, count(*) AS n_docs FROM documents
+          WHERE lang IS NOT NULL GROUP BY lang),
         tot AS (
           SELECT CAST(sum(n_docs) AS DOUBLE) AS n_tot,
                  sum(sqrt(CAST(n_docs AS DOUBLE))) AS wsum

@@ -57,6 +57,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should not include "SortMergeJoin"
   }
 
+  test("q77: salted LEFT join keeps the (key, salt) ShuffledHashJoin shape " +
+    "with LeftOuter semantics") {
+    val p = plan("q77_skew_salted_left")
+    p should include("ShuffledHashJoin")
+    p should include("LeftOuter")
+    p should include(graft.operators.SkewJoin.SaltCol)
+    p should not include "SortMergeJoin"
+  }
+
   test("q57: flagship ETL chain — dedup rank pushed map-side, partial aggs, " +
     "narrow parse stage") {
     val p = Registry.queries("q57_etl_report")(spark, sf0001)
