@@ -6,11 +6,13 @@ import graft.io.Tables
 import graft.queries.Q
 
 /** The reference's whole batch flow as ONE runnable job (SURVEY §3):
-  * raw GKG JSON export → core parquet → ml-features parquet → markdown
-  * summary report. Replaces build_datasets.py (pandas ETL) +
+  * raw GKG JSON export → core parquet → ml-features parquet → the four
+  * markdown reports (summary / network / theme / entity-sentiment) →
+  * both published PNG graphs. Replaces build_datasets.py (pandas ETL) +
   * transform_pandas_friendly_to_spark_friendly.py (the ns-timestamp fixup
   * — unnecessary here, we write µs) + the report scripts, distributed end
-  * to end.
+  * to end. GdeltPipelineSpec runs the whole chain from raw JSONL in one
+  * test and asserts the full artifact set.
   *
   * Usage: runMain graft.gdelt.GdeltPipeline <rawJson|rawJsonl> <outDir>
   */
@@ -30,6 +32,12 @@ object GdeltPipeline {
     val model = GdeltMl.weekClassifier(mlBack)
     graft.report.Markdown.write(s"$outDir/summary_report.md",
       GdeltReport.summary(coreBack, stats, model))
+    graft.report.Markdown.write(s"$outDir/network_report.md",
+      GdeltReport.network(coreBack))
+    graft.report.Markdown.write(s"$outDir/theme_report.md",
+      GdeltReport.themes(coreBack))
+    graft.report.Markdown.write(s"$outDir/entity_sentiment_report.md",
+      GdeltReport.entitySentiment(coreBack))
     GdeltGraphs.writeShareOfVoiceStats(stats, s"$outDir/graph_share_of_voice.png")
     GdeltGraphs.writeFeatureImportanceModel(model,
       s"$outDir/graph_feature_importance.png")

@@ -38,6 +38,54 @@ object GdeltReport {
     ).mkString("\n\n")
   }
 
+  /** The network-report shape: per-company top sources and top partner
+    * organizations (reference gdelt/scripts/network_analysis.py:82-127). */
+  def network(core: DataFrame): String = Seq(
+    "# NETWORK ANALYSIS",
+    Markdown.section("Top Google sources",
+      GdeltAnalysis.topSources(core, "k_google", "Google")),
+    Markdown.section("Top OpenAI sources",
+      GdeltAnalysis.topSources(core, "k_openai", "OpenAI")),
+    Markdown.section("Top Google partners",
+      GdeltAnalysis.topPartners(core, "k_google", "Google",
+        GdeltAnalysis.ignoreGoogle)),
+    Markdown.section("Top OpenAI partners",
+      GdeltAnalysis.topPartners(core, "k_openai", "OpenAI",
+        GdeltAnalysis.ignoreOpenai))
+  ).mkString("\n\n")
+
+  /** The theme-report shape: per-company dominant themes plus the
+    * regularized theme-bag model's most discriminative coefficients in
+    * both directions (reference S3-scripts/.../theme_ml_job.py:86-135 —
+    * the pandas top-8-per-direction slice done in-engine). */
+  def themes(core: DataFrame, topCoefficients: Int = 8): String = {
+    // vocabulary-sized aggregate (≤1000 rows by construction): safe to
+    // collect once and slice both directions driver-side
+    val coef = GdeltMl.themeModel(core).collect()
+    def tbl(rows: Array[org.apache.spark.sql.Row]) =
+      "| theme | score |\n| --- | --- |\n" + rows
+        .map(r => f"| ${r.getString(0)} | ${r.getDouble(1)}%+.4f |")
+        .mkString("\n")
+    Seq(
+      "# THEME ANALYSIS",
+      Markdown.section("Top Google themes",
+        GdeltAnalysis.topThemes(core, "k_google", "Google")),
+      Markdown.section("Top OpenAI themes",
+        GdeltAnalysis.topThemes(core, "k_openai", "OpenAI")),
+      s"## Most positive theme coefficients\n\n${tbl(coef.take(topCoefficients))}",
+      s"## Most negative theme coefficients\n\n${
+        tbl(coef.takeRight(topCoefficients).reverse)}"
+    ).mkString("\n\n")
+  }
+
+  /** The entity-sentiment-report shape: stacked per-company average tone
+    * by week (reference gdelt/scripts/sentiment_analysis.py:48-62). */
+  def entitySentiment(core: DataFrame): String = Seq(
+    "# ENTITY SENTIMENT",
+    Markdown.section("Average tone by company and week",
+      GdeltAnalysis.entitySentiment(core))
+  ).mkString("\n\n")
+
   /** Render and write to disk (driver-side, post-collect). */
   def write(core: DataFrame, features: DataFrame, path: String): Unit =
     Markdown.write(path, summary(core, features))
