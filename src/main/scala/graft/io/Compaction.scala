@@ -19,25 +19,36 @@ import org.apache.spark.sql.SparkSession
   *    sizes mirror input distribution and parallelism of the write
   *    itself is capped at the target file count.
   *
-  * Returns the output file count. */
+  * Returns the ACTUAL output file count (counted from dstDir after the
+  * write — with `shuffle = false`, coalesce cannot RAISE parallelism, so
+  * the computed target can exceed what a narrow input produces). */
 object Compaction {
 
   val DefaultTargetBytes: Long = 128L * 1024 * 1024
 
-  /** Total bytes of data files under `dir` (recursive, dotfiles and
+  /** (bytes, files) of data files under `dir` (recursive, dotfiles and
     * _SUCCESS markers excluded). */
-  def dataBytes(spark: SparkSession, dir: String): Long = {
+  private def dataStats(spark: SparkSession, dir: String): (Long, Int) = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(path, true)
     var total = 0L
+    var files = 0
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        total += f.getLen
+        files += 1
+      }
     }
-    total
+    (total, files)
   }
+
+  /** Total bytes of data files under `dir` (recursive, dotfiles and
+    * _SUCCESS markers excluded). */
+  def dataBytes(spark: SparkSession, dir: String): Long =
+    dataStats(spark, dir)._1
 
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
       targetBytes: Long = DefaultTargetBytes,
@@ -48,6 +59,6 @@ object Compaction {
     val df = spark.read.parquet(srcDir)
     val sized = if (shuffle) df.repartition(parts) else df.coalesce(parts)
     sized.write.mode("overwrite").parquet(dstDir)
-    parts
+    dataStats(spark, dstDir)._2
   }
 }
