@@ -60,8 +60,12 @@ object GdeltReport {
     * the pandas top-8-per-direction slice done in-engine). */
   def themes(core: DataFrame, topCoefficients: Int = 8): String = {
     // vocabulary-sized aggregate (≤1000 rows by construction): safe to
-    // collect once and slice both directions driver-side
+    // collect once and slice both directions driver-side. The two
+    // slices are clamped to half the vocabulary so they never overlap —
+    // a small vocabulary (< 2×topCoefficients terms) must not print the
+    // same coefficient under both headings.
     val coef = GdeltMl.themeModel(core).collect()
+    val n = math.min(topCoefficients, coef.length / 2)
     def tbl(rows: Array[org.apache.spark.sql.Row]) =
       "| theme | score |\n| --- | --- |\n" + rows
         .map(r => f"| ${r.getString(0)} | ${r.getDouble(1)}%+.4f |")
@@ -72,9 +76,8 @@ object GdeltReport {
         GdeltAnalysis.topThemes(core, "k_google", "Google")),
       Markdown.section("Top OpenAI themes",
         GdeltAnalysis.topThemes(core, "k_openai", "OpenAI")),
-      s"## Most positive theme coefficients\n\n${tbl(coef.take(topCoefficients))}",
-      s"## Most negative theme coefficients\n\n${
-        tbl(coef.takeRight(topCoefficients).reverse)}"
+      s"## Most positive theme coefficients\n\n${tbl(coef.take(n))}",
+      s"## Most negative theme coefficients\n\n${tbl(coef.takeRight(n).reverse)}"
     ).mkString("\n\n")
   }
 

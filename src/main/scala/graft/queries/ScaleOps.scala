@@ -72,8 +72,12 @@ object ScaleOps {
     // Spec-proven since r7 (SkewSaltingSpec); under the driver's hash
     // gate from r8. PlanSpec pins the ShuffledHashJoin-on-(key, salt).
     Q("q77_skew_salted_left",
+      // the orphan group's key is coalesced to a sentinel (the q33
+      // convention): NULL result values are not totally orderable by the
+      // gate's row sort, and the whole point of this query is that the
+      // NULL-extended group EXISTS — name it explicitly instead
       oracle = Some("""
-        SELECT n_name,
+        SELECT coalesce(n_name, '(no supplier)') AS n_name,
                count(*) AS n_items,
                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
                               (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
@@ -82,7 +86,7 @@ object ScaleOps {
           FROM supplier JOIN nation ON s_nationkey = n_nationkey
           WHERE s_suppkey % 3 <> 0) d
         ON l_suppkey = d.s_suppkey
-        GROUP BY n_name
+        GROUP BY 1
         ORDER BY n_name"""),
       run = (spark, dir) => {
         val fact = table(spark, dir, "lineitem")
@@ -94,7 +98,7 @@ object ScaleOps {
           .select(col("s_suppkey"), col("n_name"))
           .hint("shuffle_hash")
         SkewJoin.saltedLeft(fact, "l_suppkey", dim, "s_suppkey", factor = 8)
-          .groupBy(col("n_name"))
+          .groupBy(coalesce(col("n_name"), lit("(no supplier)")).as("n_name"))
           .agg(count(lit(1)).as("n_items"),
             Relational.revenueExpr.as("revenue"))
           .orderBy(col("n_name"))

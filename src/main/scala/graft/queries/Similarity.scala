@@ -46,6 +46,12 @@ object Similarity {
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
       FROM e)"""
 
+  // per-process memo of q54's (testdata dir → cache key): the corpus
+  // count can't change under a live process, so only the first
+  // invocation pays the count job
+  private val q54KeyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** One token per JVM: the q54/q71 artifact paths are unique per
     * PROCESS, so two concurrent invocations on the same checkout (Bench
     * and Verify, say) each write and read their own directory — an
@@ -84,9 +90,12 @@ object Similarity {
       f.delete(): Unit
     }
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
-    for (prefix <- Seq("q54_centroids-", "q71_lsh_index-");
+    // token-suffixed dirs from previous processes, plus the legacy
+    // un-suffixed names earlier rounds wrote at the fixed path
+    for (prefix <- Seq("q54_centroids", "q71_lsh_index");
          dir <- Option(new java.io.File("target").listFiles()).getOrElse(Array.empty)
-         if dir.getName.startsWith(prefix) && dir.lastModified() < cutoff)
+         if (dir.getName == prefix || dir.getName.startsWith(prefix + "-")) &&
+           dir.lastModified() < cutoff)
       try rm(dir) catch { case _: Exception => () }
   }
 
@@ -318,10 +327,15 @@ object Similarity {
         // cell geometry) and 5 Lloyd iterations (a coarse quantizer needs
         // rough cells, not convergence — recall is nprobe's job). The
         // oracle is immune to training variation either way: it replays
-        // the MATERIALIZED centroids, whatever they are.
+        // the MATERIALIZED centroids, whatever they are. The count in
+        // the key is memoized per (process, dir): within a process the
+        // testdata dir is immutable by the same argument that makes the
+        // per-process artifact path safe, so steady-state runs skip even
+        // the count job.
         graft.similarity.VectorSearch.ensureCodebook(
           emb.sample(0.2, 42L), "vec_id", "embedding", k = 8, maxIter = 5,
-          path = TrainedCentroidsPath, cacheKey = s"$dir|${emb.count()}")
+          path = TrainedCentroidsPath,
+          cacheKey = q54KeyCache.computeIfAbsent(dir, d => s"$d|${emb.count()}"))
         // search over the PERSISTED centroids (the exact doubles the
         // oracle reads), not the in-memory ones
         val cents = spark.read.parquet(TrainedCentroidsPath)

@@ -433,11 +433,14 @@ object StreamingQueries {
           UNION ALL SELECT 'purchase', (SELECT count(*) FROM p))
         ORDER BY stage"""),
       // production wiring: trackEvicting (watermark + EventTimeTimeout
-      // state eviction). The gate output is identical to the NoTimeout
-      // tracker — the single AvailableNow batch runs no timeout batch
-      // (noDataBatch = false), and the three-stage finalizer frame
-      // ignores `abandoned` records by construction — so the oracle pins
-      // completed-funnel counts while the state bound holds at scale.
+      // state eviction). The abandonment horizon is set to a YEAR — far
+      // beyond the events table's event-time span — so the batch-oracle
+      // equivalence holds under ANY micro-batch layout, not just the
+      // single AvailableNow batch this run happens to produce (were the
+      // horizon shorter than the data's span, a batch split could evict
+      // a slow user's state before their completion arrived and the
+      // sink would undershoot the oracle). The three-stage finalizer
+      // frame ignores `abandoned` records by construction either way.
       run = (spark, dir) => {
         import spark.implicits._
         val stream = eventsStream(spark, dir)
@@ -446,7 +449,8 @@ object StreamingQueries {
             unix_micros(col("ts")).as("tus"))
           .as[graft.streaming.StatefulFunnel.Event]
         runToMemorySink(spark, "stream_funnel_", "append",
-          graft.streaming.StatefulFunnel.trackEvicting(spark, stream).toDF(),
+          graft.streaming.StatefulFunnel.trackEvicting(spark, stream,
+            abandonAfterUs = 365L * 24 * 3600 * 1000000L).toDF(),
           noDataBatch = false) { sink =>
           // left-join the sink counts onto a literal three-stage frame:
           // the oracle's UNION ALL always emits all three stages (counts

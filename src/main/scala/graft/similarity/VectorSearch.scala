@@ -163,14 +163,25 @@ object VectorSearch {
     * codebook is k × dim doubles — always tiny). */
   def ensureCodebook(train: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIter: Int, path: String, cacheKey: String): Boolean = {
+    // the training parameters are part of the staleness key — a caller
+    // that bumps k must never silently reuse old-k geometry
+    val fullKey = s"$cacheKey|k=$k|maxIter=$maxIter"
     val keyFile = java.nio.file.Paths.get(path, "_graft_cache_key")
     val hit = java.nio.file.Files.exists(keyFile) &&
-      new String(java.nio.file.Files.readAllBytes(keyFile), "UTF-8") == cacheKey
+      new String(java.nio.file.Files.readAllBytes(keyFile), "UTF-8") == fullKey
     if (!hit) {
       val codebook = trainCodebook(train, idCol, vecCol, k, maxIter)
         .select(col(idCol).as("c_id"), col(vecCol).as("cv"))
       codebook.coalesce(1).write.mode("overwrite").parquet(path)
-      java.nio.file.Files.write(keyFile, cacheKey.getBytes("UTF-8"))
+      java.nio.file.Files.write(keyFile, fullKey.getBytes("UTF-8"))
+    } else {
+      // refresh the artifact's mtime on every reuse so age-based
+      // cleanup (the per-process sweep in graft.queries.Similarity)
+      // never reaps a directory a live process is still reading
+      try java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(path),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: Exception => () }
     }
     !hit
   }
