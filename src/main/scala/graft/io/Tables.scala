@@ -146,4 +146,32 @@ object Tables {
     * coalesce(1); only sane for small result tables, never for data tables). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** CSV SOURCE with an explicit schema and PERMISSIVE corrupt-record
+    * capture — the ingestion contract for third-party feeds at scale: a
+    * malformed row must neither kill the job (FAILFAST would, on row one
+    * of file 40,000) nor silently vanish (DROPMALFORMED); it parses to
+    * nulls with the raw line preserved in `_corrupt_record`, so a
+    * quarantine sink can keep it for re-ingestion (`df.filter($"_corrupt_
+    * record".isNotNull)`). Header-aware; schema is BY POSITION under
+    * PERMISSIVE like every Spark CSV read — feeds that reorder columns
+    * need a header-driven projection upstream. */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .csv(path)
+
+  /** ORC interop (the Hive-warehouse default format): same footer-schema
+    * discipline as parquet; reads get the vectorized ORC reader and the
+    * same pushdown/pruning Catalyst gives the parquet source. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

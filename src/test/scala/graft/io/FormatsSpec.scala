@@ -18,8 +18,8 @@ class FormatsSpec extends AnyFunSuite with Matchers with SparkTestSession {
 
   test("ORC round-trip preserves values and supports predicate pushdown") {
     val dir = Files.createTempDirectory("graft-orc").toString + "/orders_orc"
-    orders.write.mode("overwrite").orc(dir)
-    val back = spark.read.orc(dir)
+    Tables.writeOrc(orders, dir)
+    val back = Tables.readOrc(spark, dir)
     back.count() shouldBe orders.count()
     val a = back.agg(round(sum(col("o_totalprice").cast("decimal(18,2)"))
       .cast("double"), 2)).collect().head.getDouble(0)
@@ -49,5 +49,33 @@ class FormatsSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .schema(orders.schema).csv(dir)
     back.count() shouldBe 100
     back.schema shouldBe orders.schema
+  }
+
+  test("Tables.readCsv quarantines malformed rows instead of dropping or crashing") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-csvq")
+    val csv =
+      """id,qty,price
+        |1,5,10.50
+        |2,not_a_number,3.25
+        |3,7,not_a_price
+        |4,2,99.99""".stripMargin
+    Files.write(dir.resolve("feed.csv"), csv.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType),
+      StructField("price", DoubleType)))
+    val df = Tables.readCsv(spark, dir.toString, schema)
+      .cache() // _corrupt_record requires referencing the full row
+    // every physical row survives: clean rows parse, bad rows quarantine
+    df.count() shouldBe 4
+    val bad = df.filter(col("_corrupt_record").isNotNull).collect()
+    bad.map(_.getAs[String]("_corrupt_record")).sorted shouldBe
+      Array("2,not_a_number,3.25", "3,7,not_a_price")
+    // malformed CELLS null out; intact cells of the same row still parse
+    bad.find(_.getLong(0) == 2L).get.isNullAt(1) shouldBe true
+    val good = df.filter(col("_corrupt_record").isNull)
+    good.count() shouldBe 2
+    good.agg(round(sum(col("price")), 2)).collect().head.getDouble(0) shouldBe 110.49
+    df.unpersist()
   }
 }
