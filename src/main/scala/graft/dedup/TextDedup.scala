@@ -157,19 +157,85 @@ object TextDedup {
     * band keys, bucket equi-join. Shared by the Jaccard and containment
     * paths. */
   private[graft] def lshCandidates(sh: DataFrame, numHashes: Int): DataFrame = {
-    val mins = (1 to numHashes).map(k =>
-      min(md5(concat(lit(s"$k|"), col("s")))).as(s"mh$k"))
-    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    def bandKey(b: Int): Column = md5(concat(col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")))
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((1 to numHashes / 2).map(bandKey): _*)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bk"))
+    val banded = bandedSignatures(sh, numHashes)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** (doc_id, band, bk) band-key rows of a shingle relation: per-doc
+    * MinHash signatures via one partial-agg groupBy, r=2 band keys.
+    * Shared by the self-join ([[lshCandidates]]) and cross-relation
+    * ([[crossLshCandidates]]) bucket joins. */
+  private def bandedSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (1 to numHashes).map(k =>
+      min(md5(concat(lit(s"$k|"), col("s")))).as(s"mh$k"))
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    def bandKey(b: Int): Column = md5(concat(col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")))
+    sig.select(col("doc_id"),
+      posexplode(array((1 to numHashes / 2).map(bandKey): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bk"))
+  }
+
+  /** LSH candidates ACROSS two shingle relations (doc_a from A, doc_b
+    * from B; never within a side) — the incremental-dedup probe shape:
+    * only cross buckets join, so a batch's candidate volume is bounded
+    * by its own bucket occupancy regardless of corpus-internal
+    * duplication. */
+  private[graft] def crossLshCandidates(shA: DataFrame, shB: DataFrame,
+      numHashes: Int): DataFrame =
+    bandedSignatures(shA, numHashes).as("a")
+      .join(bandedSignatures(shB, numHashes).as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** INCREMENTAL dedup — the daily-ingest shape: drop from `batch` every
+    * document that (1) exactly duplicates an earlier batch document
+    * (deterministic min-id survivor), (2) exactly duplicates any corpus
+    * document (anti-join on the 32-byte content hash — the shuffle never
+    * carries text), or (3) NEARLY duplicates a corpus document (MinHash
+    * LSH candidates across the two sides, pair-driven Jaccard >=
+    * `threshold`). Returns the surviving batch rows.
+    *
+    * The corpus is never compared against ITSELF — its internal
+    * duplicates are settled history — so per-ingest work is bounded by
+    * the batch's shingles and its cross-candidates, not by corpus².
+    * In production the corpus-side signatures/bands are a precomputed
+    * materialized index (the q71 discipline); here they derive on the
+    * fly from the corpus relation. Ids must be unique ACROSS both
+    * inputs. Null-text batch rows survive (nothing to compare),
+    * mirroring [[deduplicate]]; near-duplication WITHIN the batch is out
+    * of scope — compose [[deduplicate]] over the batch first when one
+    * ingest can near-duplicate itself. */
+  def incrementalDeduplicate(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      numHashes: Int = 8, mat: Materializer = Materializer.Local): DataFrame = {
+    require(numHashes % 2 == 0, "numHashes must be even (r=2 banding)")
+    import org.apache.spark.sql.expressions.Window
+    // (1) exact within batch: min-id survivor per content hash
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    val bx = batch.filter(col(textCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .unionByName(batch.filter(col(textCol).isNull))
+    // (2) exact vs corpus: hash-only anti-join
+    val corpusHashes = corpus.filter(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("__ch")).distinct()
+    val bxx = bx.join(corpusHashes, md5(bx(textCol)) === col("__ch"), "left_anti")
+      .persist(MEMORY_AND_DISK)
+    // (3) near vs corpus: cross-banded candidates, pair-driven verify
+    val shB = shingleRows(bxx, idCol, textCol).persist(MEMORY_AND_DISK)
+    val shC = shingleRows(corpus, idCol, textCol).persist(MEMORY_AND_DISK)
+    val pairs = crossLshCandidates(shB, shC, numHashes).persist(MEMORY_AND_DISK)
+    val (jac, cached) = verifiedJaccardPlan(shB.union(shC), pairs, threshold)
+    val dupIds = jac.select(col("doc_a").as(idCol)).distinct()
+    val out = mat(bxx.join(dupIds, Seq(idCol), "left_anti"))
+    (Seq(bxx, shB, shC, pairs) ++ cached).foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Collapse near-duplicate pairs into clusters by iterative min-label

@@ -515,6 +515,81 @@ object Dedup {
             TRIANGLE_DEGREE_CAP).orderBy(col("stat")))
         pairs.unpersist(blocking = false)
         result
+      }),
+
+    // ------------------------------------------------------------------
+    // q78: INCREMENTAL DEDUP (TextDedup.incrementalDeduplicate) — the
+    // daily-ingest shape q52's from-scratch pipeline does NOT cover: a
+    // new batch is deduplicated AGAINST an existing corpus (exact via
+    // hash anti-join, near via cross-side LSH banding + pair-driven
+    // Jaccard) without ever comparing the corpus to itself, so
+    // per-ingest cost is bounded by the batch's candidates no matter how
+    // large (or internally duplicated) the historical corpus is. The
+    // corpus/batch split derives deterministically from the md5 decile
+    // of doc_id (the q72 construction), so both engines build identical
+    // inputs and the oracle pins the surviving batch ids exactly.
+    Q("q78_incremental_dedup",
+      oracle = Some(s"""
+        WITH b0 AS (
+          SELECT doc_id, text,
+                 (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                       AS BIGINT) % 10) AS dec
+          FROM documents),
+        corpus AS (SELECT doc_id, text FROM b0 WHERE dec < 8),
+        batch AS (SELECT doc_id, text FROM b0 WHERE dec >= 8),
+        bx AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM batch WHERE text IS NOT NULL) WHERE rn = 1
+          UNION ALL
+          SELECT doc_id, text FROM batch WHERE text IS NULL),
+        bxx AS (
+          SELECT doc_id, text FROM bx
+          WHERE text IS NULL OR md5(text) NOT IN
+            (SELECT md5(text) FROM corpus WHERE text IS NOT NULL)),
+        tb AS (SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM bxx),
+        shb AS (SELECT doc_id, ${TextFns.sql.shingles3} AS sh
+                FROM tb WHERE len(tk) >= 3),
+        tc AS (SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM corpus),
+        shc AS (SELECT doc_id, ${TextFns.sql.shingles3} AS sh
+                FROM tc WHERE len(tk) >= 3),
+        sigb AS (SELECT doc_id, $minhashSigSqlCols FROM shb),
+        sigc AS (SELECT doc_id, $minhashSigSqlCols FROM shc),
+        bndb AS (
+          SELECT doc_id, b.band AS band,
+                 CASE b.band ${(1 to NUM_BANDS).map(b => s"WHEN $b THEN ${bandKeySql(b)}").mkString(" ")} END AS bk
+          FROM sigb, (VALUES ${(1 to NUM_BANDS).map(b => s"($b)").mkString(", ")}) b(band)),
+        bndc AS (
+          SELECT doc_id, b.band AS band,
+                 CASE b.band ${(1 to NUM_BANDS).map(b => s"WHEN $b THEN ${bandKeySql(b)}").mkString(" ")} END AS bk
+          FROM sigc, (VALUES ${(1 to NUM_BANDS).map(b => s"($b)").mkString(", ")}) b(band)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+          FROM bndb a JOIN bndc c ON a.band = c.band AND a.bk = c.bk),
+        dup AS (
+          SELECT DISTINCT doc_a AS doc_id
+          FROM pairs
+          JOIN shb sa ON sa.doc_id = doc_a
+          JOIN shc sb ON sb.doc_id = doc_b
+          WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                >= $JACCARD_MIN)
+        SELECT doc_id FROM bxx
+        WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        ORDER BY doc_id"""),
+      run = (spark, dir) => {
+        val b0 = table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+              16, 10).cast("long"), lit(10L)).as("dec"))
+        val corpus = b0.where(col("dec") < 8).select(col("doc_id"), col("text"))
+        val batch = b0.where(col("dec") >= 8).select(col("doc_id"), col("text"))
+        val surv = graft.dedup.TextDedup.incrementalDeduplicate(
+          corpus, batch, "doc_id", "text", JACCARD_MIN)
+        val result = Q.localized(surv.select(col("doc_id")).orderBy(col("doc_id")))
+        surv.unpersist(blocking = false)
+        result
       })
   )
 

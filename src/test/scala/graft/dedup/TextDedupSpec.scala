@@ -27,6 +27,32 @@ class TextDedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
     survivors shouldBe Array(1L, 3L, 4L, 5L, 6L)
   }
 
+  test("incrementalDeduplicate: batch deduped against the corpus, corpus never " +
+    "against itself") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    // corpus is INTERNALLY duplicated (settled history — must not matter)
+    val hist = Seq(
+      1L -> base,
+      2L -> base,
+      3L -> "completely different text about spark query engines and shuffles today"
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> base, // exact dup of corpus 1/2: dropped
+      11L -> (base + " extra trailing words here"), // near-dup of corpus: dropped
+      12L -> "a genuinely fresh document about streaming watermarks and state stores",
+      13L -> "a genuinely fresh document about streaming watermarks and state stores", // in-batch exact dup of 12: dropped
+      14L -> "short one", // < 3 tokens of shingle material: survives on exact checks alone
+      15L -> (null: String) // null text: survives (nothing to compare)
+    ).toDF("doc_id", "text")
+    val out = TextDedup.incrementalDeduplicate(hist, batch, "doc_id", "text", 0.5)
+    out.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(12L, 14L, 15L)
+    // survivors keep their full rows, not just ids
+    out.columns should contain allOf ("doc_id", "text")
+  }
+
   test("nearDuplicatePairs: catches exact and fuzzy matches, none across topics") {
     val pairs = TextDedup.nearDuplicatePairs(corpus, "doc_id", "text", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
