@@ -214,6 +214,21 @@ object TextDedup {
   def incrementalDeduplicate(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.5,
       numHashes: Int = 8, mat: Materializer = Materializer.Local): DataFrame = {
+    val (result, cached) =
+      incrementalDeduplicatePlan(corpus, batch, idCol, textCol, threshold, numHashes)
+    val out = mat(result)
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** The un-materialized plan behind [[incrementalDeduplicate]], plus its
+    * persisted intermediates (caller unpersists after acting on the
+    * result). Exposed so PlanSpec can assert the anti-join cascade, which
+    * the mat() cut in the public API hides. */
+  private[graft] def incrementalDeduplicatePlan(corpus: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 8): (DataFrame, Seq[DataFrame]) = {
     require(numHashes % 2 == 0, "numHashes must be even (r=2 banding)")
     import org.apache.spark.sql.expressions.Window
     // (1) exact within batch: min-id survivor per content hash
@@ -233,9 +248,8 @@ object TextDedup {
     val pairs = crossLshCandidates(shB, shC, numHashes).persist(MEMORY_AND_DISK)
     val (jac, cached) = verifiedJaccardPlan(shB.union(shC), pairs, threshold)
     val dupIds = jac.select(col("doc_a").as(idCol)).distinct()
-    val out = mat(bxx.join(dupIds, Seq(idCol), "left_anti"))
-    (Seq(bxx, shB, shC, pairs) ++ cached).foreach(_.unpersist(blocking = false))
-    out
+    val result = bxx.join(dupIds, Seq(idCol), "left_anti")
+    (result, Seq(bxx, shB, shC, pairs) ++ cached)
   }
 
   /** Collapse near-duplicate pairs into clusters by iterative min-label

@@ -66,6 +66,21 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should not include "SortMergeJoin"
   }
 
+  test("q78 (library plan): incremental dedup is anti-join cascades + an equi " +
+    "bucket join — no cartesian (the query's mat() cut hides this shape)") {
+    import spark.implicits._
+    val corpus = Seq(1L -> "alpha beta gamma delta epsilon zeta").toDF("doc_id", "text")
+    val batch = Seq(10L -> "alpha beta gamma delta epsilon eta").toDF("doc_id", "text")
+    val (result, cached) = graft.dedup.TextDedup
+      .incrementalDeduplicatePlan(corpus, batch, "doc_id", "text", 0.5)
+    val p = result.queryExecution.explainString(ExplainMode.fromString("simple"))
+    cached.foreach(_.unpersist(blocking = false))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // exact-vs-corpus hash drop and the final dup-id drop are anti-joins
+    "LeftAnti".r.findAllIn(p).length should be >= 2
+  }
+
   test("q57: flagship ETL chain — dedup rank pushed map-side, partial aggs, " +
     "narrow parse stage") {
     val p = Registry.queries("q57_etl_report")(spark, sf0001)
