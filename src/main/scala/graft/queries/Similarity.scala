@@ -91,8 +91,10 @@ object Similarity {
     }
     val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     // token-suffixed dirs from previous processes, plus the legacy
-    // un-suffixed names earlier rounds wrote at the fixed path
-    for (prefix <- Seq("q54_centroids", "q71_lsh_index");
+    // un-suffixed names earlier rounds wrote at the fixed path; also
+    // covers q78's per-process dedup index (same discipline, built in
+    // graft.queries.Dedup)
+    for (prefix <- Seq("q54_centroids", "q71_lsh_index", "q78_dedup_index");
          dir <- Option(new java.io.File("target").listFiles()).getOrElse(Array.empty)
          if (dir.getName == prefix || dir.getName.startsWith(prefix + "-")) &&
            dir.lastModified() < cutoff)

@@ -53,6 +53,34 @@ class TextDedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
     out.columns should contain allOf ("doc_id", "text")
   }
 
+  test("incrementalDeduplicateIndexed: a materialized index changes nothing but the I/O") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val hist = Seq(1L -> base,
+      3L -> "completely different text about spark query engines and shuffles today"
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> base,
+      11L -> (base + " extra trailing words here"),
+      12L -> "a genuinely fresh document about streaming watermarks and state stores"
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("dedup_idx").toString + "/ix"
+    TextDedup.buildDedupIndex(hist, "doc_id", "text", idx)
+    // the artifact holds the three corpus-side tables
+    Seq("hashes", "bands", "shingles").foreach { t =>
+      spark.read.parquet(s"$idx/$t").count() should be > 0L
+    }
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val indexed = ids(TextDedup.incrementalDeduplicateIndexed(
+      idx, batch, "doc_id", "text", 0.5))
+    val derived = ids(TextDedup.incrementalDeduplicate(
+      hist, batch, "doc_id", "text", 0.5))
+    indexed shouldBe derived
+    indexed shouldBe Seq(12L)
+  }
+
   test("nearDuplicatePairs: catches exact and fuzzy matches, none across topics") {
     val pairs = TextDedup.nearDuplicatePairs(corpus, "doc_id", "text", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
