@@ -29,6 +29,9 @@ object Similarity {
   // the synthetic vectors have no planted duplicates (max within-label
   // cosine ≈ 0.47 at sf0.01) — 0.35 surfaces the genuinely correlated tail
   private val NEARDUP_COS = 0.35
+  // q79 dedups at a looser cut so the pair graph is big enough (18 pairs
+  // at sf0.01) to exercise clustering + survivor election under the gate
+  private val EMBED_DEDUP_COS = 0.30
 
   private def normed(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
@@ -534,8 +537,91 @@ object Similarity {
           .where(col("rank") <= TOPK)
           .select(col("rank"), col("neighbor"), col("cosine"))
           .orderBy(col("rank"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q79: EMBEDDING DEDUP, END TO END — q67's LSH-bucketed pair
+    // generation composed with connected-components clustering and
+    // deterministic survivor election: the embedding-space twin of q52's
+    // text fuzzy-dedup pipeline, and the full "embedding-cosine
+    // near-dup" dedup mode (pairs alone don't dedup anything — transitive
+    // groups must collapse to ONE survivor or a 3-way duplicate family
+    // keeps 2 copies). The Spark side runs TextDedup.clusters (the
+    // pointer-jumping min-label CC loop q52 already hash-gates on text
+    // pairs) over the q67 pair set at a looser threshold; the oracle
+    // replays the clustering as a recursive min-reachable-id fixpoint.
+    // Output is one row per clustered vector — (vec_id, cluster_id,
+    // survivor) — so the gate pins the exact component labels, not just
+    // the drop set. Scale shape: candidates are Σ bucket² (never n²),
+    // CC rounds are O(log chain) with lineage cuts, and nothing but
+    // (id, id) pairs ever shuffles after the verify.
+    Q("q79_embedding_dedup",
+      oracle = Some(s"""
+        ${normedCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        $signatureCte,
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM sig a JOIN sig b
+            ON a.signature = b.signature AND a.vec_id < b.vec_id),
+        vp AS (
+          SELECT id_a, id_b
+          FROM cand
+          JOIN n na ON id_a = na.vec_id
+          JOIN n nb ON id_b = nb.vec_id
+          WHERE round(list_sum(list_transform(range(1, len(na.v) + 1),
+                  i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm), 4)
+                >= $EMBED_DEDUP_COS),
+        nodes AS (SELECT id_a AS id FROM vp UNION SELECT id_b FROM vp),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM vp
+          UNION SELECT id_b, id_a FROM vp),
+        reach AS (
+          SELECT id, id AS label FROM nodes
+          UNION
+          SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON r.id = e.src),
+        cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+        SELECT id AS vec_id, cluster_id,
+               CAST(CASE WHEN cluster_id = id THEN 1 ELSE 0 END AS BIGINT)
+                 AS survivor
+        FROM cl
+        ORDER BY vec_id"""),
+      run = (spark, dir) => {
+        val cl = embeddingDedup(
+          table(spark, dir, "embeddings")
+            .select(col("vec_id"), toDoubleArray(col("embedding")).as("v")),
+          EMBED_DEDUP_COS)
+        val result = Q.localized(cl.orderBy(col("vec_id")))
+        cl.unpersist(blocking = false)
+        result
       })
   )
+
+  /** q79's pipeline as a callable: LSH-bucketed candidate pairs over
+    * `(vec_id, v)` vectors, exact cosine verify at `threshold`,
+    * connected-components clustering, survivor = min vec_id per
+    * component. Returns `(vec_id, cluster_id, survivor)` for every
+    * vector that belongs to a near-dup component (isolated vectors are
+    * implicitly their own survivors and are not emitted). */
+  private[queries] def embeddingDedup(vectors: DataFrame,
+      threshold: Double): DataFrame = {
+    val sigd = vectors
+      .withColumn("nrm", l2norm(col("v")))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        signatureCol.as("signature"))
+    val a = sigd.select(col("signature"), col("vec_id").as("doc_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = sigd.select(col("signature"), col("vec_id").as("doc_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("signature"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(round(cosine(col("va"), col("vb"), col("na"), col("nb")), 4)
+        >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    graft.dedup.TextDedup.clusters(pairs)
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        when(col("cluster_id") === col("id"), 1L).otherwise(0L)
+          .as("survivor"))
+  }
 
   /** The q65/q67 signature as a Column over a double-array column `v`:
     * bit b set iff round(v · h_b, 6) ≥ 0 — eight codegen'd dot products

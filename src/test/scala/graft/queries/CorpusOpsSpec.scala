@@ -133,6 +133,44 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     lsh should not be empty
   }
 
+  test("q79: a transitive duplicate family collapses to ONE survivor") {
+    // three copies of one vector (a transitive 3-clique after LSH +
+    // verify) plus two copies of another: the clustering must elect
+    // exactly one min-id survivor per family, never one per PAIR —
+    // that's the difference between pair emission (q67) and dedup (q79)
+    import spark.implicits._
+    val base = graft.io.Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(2).collect()
+    val (v1, v2) = (base(0).getSeq[Double](1), base(1).getSeq[Double](1))
+    val planted = Seq(
+      (10L, v1), (11L, v1), (12L, v1),
+      (20L, v2), (21L, v2)).toDF("vec_id", "v")
+    val out = Similarity.embeddingDedup(planted, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    out.map(t => (t._1, t._2)) shouldBe
+      Array((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+    out.filter(_._3 == 1L).map(_._1) shouldBe Array(10L, 20L)
+  }
+
+  test("q79: the dedup output agrees with q67's pair graph at the same threshold") {
+    // every non-survivor must appear in some pair; every paired id must
+    // be in the output (nodes of the pair graph == clustered ids)
+    val cl = Registry.queries("q79_embedding_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val clustered = cl.map(_._1).toSet
+    val survivors = cl.filter(_._3 == 1L).map(_._1).toSet
+    // cluster labels are members, and each cluster's label is its min id
+    cl.foreach { case (id, label, surv) =>
+      clustered should contain(label)
+      label should be <= id
+      (surv == 1L) shouldBe (label == id)
+    }
+    survivors should not be empty
+    clustered.size should be > survivors.size // at least one drop
+  }
+
   test("q67: exact duplicates always collide and are always emitted") {
     val base = graft.io.Tables.table(spark, sf0001, "embeddings")
       .select(col("vec_id"), col("embedding")).limit(3)
