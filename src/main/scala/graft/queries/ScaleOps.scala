@@ -229,6 +229,65 @@ object ScaleOps {
           .select(col("rank"), col("doc_id"), col("n_chars"),
             round(col("key"), 8).as("key_r"))
           .orderBy(col("rank"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q80: Z-ORDER CLUSTERING LAYOUT (graft.layout.ZOrder) — the
+    // lakehouse file-layout op (Delta OPTIMIZE ZORDER / Iceberg sort
+    // orders): each row's (l_partkey, l_suppkey) is min/max-scaled onto
+    // a 1024² grid and bit-interleaved into a Morton z-value; the top 6
+    // z-bits assign one of 64 files. The output is each file's row count
+    // and per-dimension [min, max] — exactly the footer statistics a
+    // parquet reader prunes on, so the gate pins that both engines
+    // produce the identical physical layout AND its pruning stats. The
+    // win this buys (a 2-D box predicate touches ~2 of 64 z-files vs all
+    // 64 of a linearly-laid table) is measured by ZOrderSpec, including
+    // through a real parquet write. Plan shape: one tiny bounds agg
+    // broadcast back (1-row stitch, never a shuffle), pure shift/and
+    // arithmetic inside codegen, and the single groupBy(file_id) —
+    // laying out 100 TB is one pass plus the write's range exchange.
+    Q("q80_zorder_layout",
+      oracle = Some({
+        import graft.layout.ZOrder.{sqlInterleave, sqlScale}
+        s"""
+        WITH b AS (
+          SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+                 min(l_suppkey) AS mny, max(l_suppkey) AS mxy
+          FROM lineitem),
+        s AS (
+          SELECT l_partkey, l_suppkey,
+                 ${sqlScale("l_partkey", "mnx", "mxx", 10)} AS sx,
+                 ${sqlScale("l_suppkey", "mny", "mxy", 10)} AS sy
+          FROM lineitem CROSS JOIN b),
+        z AS (
+          SELECT l_partkey, l_suppkey,
+                 ${sqlInterleave("sx", "sy", 10)} AS zv
+          FROM s)
+        SELECT CAST(zv >> 14 AS BIGINT) AS file_id,
+               count(*) AS n_rows,
+               min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+               min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        FROM z
+        GROUP BY file_id
+        ORDER BY file_id"""
+      }),
+      run = (spark, dir) => {
+        import graft.layout.ZOrder
+        val li = table(spark, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
+        val bounds = li.agg(
+          min(col("l_partkey")).as("mnx"), max(col("l_partkey")).as("mxx"),
+          min(col("l_suppkey")).as("mny"), max(col("l_suppkey")).as("mxy"))
+        li.crossJoin(broadcast(bounds))
+          .withColumn("zv",
+            ZOrder.zValue(col("l_partkey"), col("l_suppkey"), 10))
+          .groupBy(shiftright(col("zv"), 14).as("file_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_partkey")).as("min_part"),
+            max(col("l_partkey")).as("max_part"),
+            min(col("l_suppkey")).as("min_supp"),
+            max(col("l_suppkey")).as("max_supp"))
+          .orderBy(col("file_id"))
       })
   )
 }
