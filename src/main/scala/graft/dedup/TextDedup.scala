@@ -278,6 +278,23 @@ object TextDedup {
     sh.unpersist(blocking = false)
   }
 
+  /** Append `docs` (typically a batch's dedup SURVIVORS) to a
+    * [[buildDedupIndex]] artifact, so the NEXT increment also dedups
+    * against them — the growing-corpus half of the ingest loop
+    * (StreamingIncrementalDedupSpec drives it from foreachBatch).
+    * Parquet append only; same single-writer-per-dir contract. */
+  def appendToDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, numHashes: Int = 8): Unit = {
+    require(numHashes % 2 == 0, "numHashes must be even (r=2 banding)")
+    docs.filter(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("__ch")).distinct()
+      .write.mode("append").parquet(s"$dir/hashes")
+    val sh = shingleRows(docs, idCol, textCol).persist(MEMORY_AND_DISK)
+    sh.write.mode("append").parquet(s"$dir/shingles")
+    bandedSignatures(sh, numHashes).write.mode("append").parquet(s"$dir/bands")
+    sh.unpersist(blocking = false)
+  }
+
   /** [[incrementalDeduplicate]] against a [[buildDedupIndex]] artifact:
     * identical semantics and results (TextDedupSpec pins the equality),
     * but the corpus side is READ, not derived — steady-state ingest cost
