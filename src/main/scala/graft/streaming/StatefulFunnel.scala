@@ -40,9 +40,21 @@ object StatefulFunnel {
     * streaming harness. */
   def advance(userId: Long, events: Iterator[Event],
       state: GroupState[FunnelState]): Iterator[StageCompletion] = {
-    var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+    val (s, out) = foldEvents(userId,
+      state.getOption.getOrElse(FunnelState(-1L, -1L, -1L)), events.toSeq)
+    state.update(s)
+    out.iterator
+  }
+
+  /** The stage machine itself, independent of any state API — shared by
+    * the v1 ([[advance]], flatMapGroupsWithState) and v2
+    * (graft.streaming.TwsFunnel, transformWithState) wirings so the two
+    * cannot drift. */
+  private[streaming] def foldEvents(userId: Long, s0: FunnelState,
+      events: Seq[Event]): (FunnelState, Seq[StageCompletion]) = {
+    var s = s0
     val out = Seq.newBuilder[StageCompletion]
-    events.toSeq.sortBy(e => (e.tus, e.eventType)).foreach { e =>
+    events.sortBy(e => (e.tus, e.eventType)).foreach { e =>
       e.eventType match {
         case "signup" if s.signupUs < 0 =>
           s = s.copy(signupUs = e.tus)
@@ -56,8 +68,7 @@ object StatefulFunnel {
         case _ => // stage already reached, out of order, or irrelevant type
       }
     }
-    state.update(s)
-    out.result().iterator
+    (s, out.result())
   }
 
   /** Wire the FSM over an event stream with NO eviction — for bounded key
@@ -74,7 +85,7 @@ object StatefulFunnel {
   }
 
   /** The last completed stage's event time, or -1 when none. */
-  private def lastStageUs(s: FunnelState): Long =
+  private[streaming] def lastStageUs(s: FunnelState): Long =
     math.max(s.signupUs, math.max(s.clickUs, s.purchaseUs))
 
   /** [[advance]] plus state eviction: on EventTimeTimeout, drop the user's
