@@ -331,6 +331,65 @@ object TextDedup {
       mat: Materializer = Materializer.Local): DataFrame =
     clustersWithRounds(pairs, maxIter, mat)._1
 
+  /** Broadcast-size gate for [[clustersAuto]]'s local fast path: 2^20
+    * edges ≈ 16 MB of id pairs — the same order as Spark's own
+    * broadcast-join threshold, and far above any realistic verified
+    * near-dup pair count short of a pathological corpus. */
+  val ClustersLocalLimit: Long = 1L << 20
+
+  /** [[clusters]] with a size-gated LOCAL fast path. A verified near-dup
+    * pair graph is almost always broadcast-sized relative to its corpus
+    * (pair count ~ dup rate × corpus, and the verify already ran), and
+    * a multi-round distributed fixpoint over a few thousand edges is
+    * pure scheduler overhead — each round costs jobs, shuffles and
+    * persists to move labels no bigger than a task's closure. So: count
+    * the pairs (one job over the already-persisted verify output); at
+    * most `localLimit` edges, collect the LONG id pairs and run
+    * union-find with path compression on the driver (O(E α(E)), the
+    * root kept at the component min so labels are IDENTICAL to the
+    * distributed min-label fixpoint — spec-pinned), returning a plain
+    * local-relation DataFrame; above the limit, run the distributed
+    * [[clusters]] loop unchanged. The gate, not the caller, decides —
+    * the same plan scales from a 290-edge sf0.1 graph to a 100 TB
+    * corpus whose pair graph genuinely outgrows one machine. */
+  def clustersAuto(pairs: DataFrame, maxIter: Int = 50,
+      mat: Materializer = Materializer.Local,
+      localLimit: Long = ClustersLocalLimit): DataFrame = {
+    val p = pairs.persist(MEMORY_AND_DISK)
+    val n = p.count()
+    if (n > localLimit) clusters(p, maxIter, mat)
+    else {
+      val edges = p
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .collect()
+      p.unpersist(blocking = false)
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x0 // path compression
+        while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      edges.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union-by-min keeps every root at its component's min id —
+        // the distributed loop's exact fixpoint
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val spark = pairs.sparkSession
+      import scala.jdk.CollectionConverters._
+      val rows = parent.keySet().asScala.toSeq
+        .map(id => (id.longValue(), find(id.longValue())))
+      import spark.implicits._
+      rows.toDF("id", "cluster_id")
+    }
+  }
+
   /** Rounds between eager mat() plan cuts in the CC loop: the label
     * relation is referenced up to 4× by each round's plan, so the
     * logical tree grows ~4^k between cuts — k=4 bounds analysis at a few
@@ -440,7 +499,7 @@ object TextDedup {
     val exactKept = exact(df, idCol, textCol)
       .persist(MEMORY_AND_DISK)
     val pairs = nearDuplicatePairs(exactKept, idCol, textCol, threshold, mat = mat)
-    val cl = clusters(pairs, mat = mat)
+    val cl = clustersAuto(pairs, mat = mat)
     val losers = cl.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     val out = mat(exactKept.join(losers, Seq(idCol), "left_anti"))

@@ -617,7 +617,7 @@ object Similarity {
       .where(round(cosine(col("va"), col("vb"), col("na"), col("nb")), 4)
         >= threshold)
       .select(col("doc_a"), col("doc_b"))
-    graft.dedup.TextDedup.clusters(pairs)
+    graft.dedup.TextDedup.clustersAuto(pairs)
       .select(col("id").as("vec_id"), col("cluster_id"),
         when(col("cluster_id") === col("id"), 1L).otherwise(0L)
           .as("survivor"))

@@ -121,6 +121,26 @@ class TextDedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
     cl(21L) shouldBe 20L
   }
 
+  test("clustersAuto: local union-find labels EXACTLY equal the distributed fixpoint") {
+    import spark.implicits._
+    // chain + clique + isolated pair — every shape the label rules cover;
+    // also out-of-order unions (larger root attached first) so the
+    // union-by-min path is actually exercised
+    val pairs = Seq(
+      (5L, 6L), (6L, 7L), (7L, 8L),           // chain, min in front
+      (33L, 31L), (32L, 33L), (31L, 32L),     // clique given shuffled
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = m(TextDedup.clustersAuto(pairs)) // far under the gate
+    val dist = m(TextDedup.clustersAuto(pairs, localLimit = 0L)) // forced distributed
+    local shouldBe dist
+    local(8L) shouldBe 5L
+    local(31L) shouldBe 31L
+    local(33L) shouldBe 31L
+    local(21L) shouldBe 20L
+  }
+
   test("pointer jumping: fewer rounds than plain propagation on a chain") {
     import spark.implicits._
     // a pure chain 0-1-2-...-23 is the worst case for plain min-label

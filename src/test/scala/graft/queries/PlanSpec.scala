@@ -182,6 +182,27 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include regex "PartitionFilters:.*sig_hi"
   }
 
+  test("q79: embedding-dedup candidates are the q67 signature EQUI-join — " +
+    "no cartesian anywhere in pairs or clustering") {
+    // the pair plan, pre-clustering (clusters() iterates jobs; pin the
+    // single-job candidate+verify shape the loop consumes)
+    val p = Registry.queries("q79_embedding_dedup")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q80: z-order layout is one scan + a broadcast 1-row bounds stitch — " +
+    "the only hash exchange is the final file_id rollup") {
+    val p = Registry.queries("q80_zorder_layout")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the bounds stitch must be a broadcast nested-loop over ONE row,
+    // never a shuffle of the fact side against it
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+  }
+
   test("q72: snapshot diff is a FULL OUTER equi-join shipping (key, hash) " +
     "only, with a partial-agg'd status rollup") {
     val p = Registry.queries("q72_snapshot_diff")(spark, sf0001)
