@@ -357,8 +357,13 @@ object TextDedup {
       localLimit: Long = ClustersLocalLimit): DataFrame = {
     val p = pairs.persist(MEMORY_AND_DISK)
     val n = p.count()
-    if (n > localLimit) clusters(p, maxIter, mat)
-    else {
+    if (n > localLimit) {
+      // clusters() materializes its result through mat() before
+      // returning, so the gate's persist can be released immediately
+      val r = clusters(p, maxIter, mat)
+      p.unpersist(blocking = false)
+      r
+    } else {
       val edges = p
         .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
         .collect()
