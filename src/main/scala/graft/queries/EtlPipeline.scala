@@ -165,6 +165,98 @@ object EtlPipeline {
           .groupBy(col("status"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("status"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q81: the TRAINING-DATA PREP CHAIN end to end under one oracle —
+    // the four already-gated primitives composed the way a pretraining
+    // corpus is actually built: quality filter (q23's score, cut at the
+    // corpus median 0.33) → exact dedup (q15's min-id survivor; a no-op
+    // on this synthetic corpus and gated anyway — composition must not
+    // depend on the data having duplicates) → deterministic stratified
+    // sample (q59's md5-bucket rule: en 50%, de 25%, else 10%) → token-
+    // budget shard packing (q60's single window pass). The value over
+    // the piecewise gates is the COMPOSITION: each stage consumes the
+    // previous stage's exact output, so a subtle contract break between
+    // stages (a dropped column, a reordered tie, a double-counted token)
+    // shows up as a hash mismatch here even when every piece passes
+    // alone. Scale shape: narrow derive (no shuffle), one hash shuffle
+    // for the dedup groupBy, a codegen'd sampling filter (no shuffle),
+    // one window shuffle on lang for packing, one final partial-agg'd
+    // rollup — prepping 100 TB is four passes, two of them shuffle-free.
+    Q("q81_corpus_prep",
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang, text, ${graft.functions.TextFns.sql.tokens} AS tk
+          FROM documents WHERE text IS NOT NULL),
+        f AS (
+          SELECT doc_id, lang, text,
+                 len(tk) AS n_toks,
+                 ${TextAnalysis.markerCountSql(TextAnalysis.enStop)} AS n_stop,
+                 len(list_distinct(tk)) AS n_distinct
+          FROM toks WHERE len(tk) > 0),
+        kept AS (
+          SELECT doc_id, lang, text, n_toks
+          FROM f
+          WHERE floor((0.3 * least(n_toks / 100.0, 1.0) +
+                       0.4 * (n_stop * 1.0 / n_toks) +
+                       0.3 * (n_distinct * 1.0 / n_toks)) * 10000 + 0.5) / 10000
+                >= 0.33),
+        surv AS (
+          SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        samp AS (
+          SELECT k.doc_id, k.lang, k.n_toks
+          FROM kept k JOIN surv USING (doc_id)
+          WHERE (CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 6))
+                   AS BIGINT) % 10000)
+                < CASE k.lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                              ELSE 1000 END),
+        packed AS (
+          SELECT lang, n_toks,
+                 CAST(floor((sum(n_toks) OVER (PARTITION BY lang
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_toks) / 1000.0) AS BIGINT) AS shard
+          FROM samp)
+        SELECT lang, shard,
+               count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS shard_tokens
+        FROM packed
+        GROUP BY lang, shard
+        ORDER BY lang, shard"""),
+      run = (spark, dir) => {
+        import graft.functions.TextFns
+        val f = table(spark, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("lang"), col("text"),
+            TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) > 0)
+          .select(col("doc_id"), col("lang"), col("text"),
+            size(col("tk")).cast("long").as("n_toks"),
+            TextAnalysis.markerCount(col("tk"), TextAnalysis.enStop).as("n_stop"),
+            size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
+        val raw = lit(0.3) * least(col("n_toks") / 100.0, lit(1.0)) +
+          lit(0.4) * (col("n_stop") * lit(1.0) / col("n_toks")) +
+          lit(0.3) * (col("n_distinct") * lit(1.0) / col("n_toks"))
+        val kept = f
+          .filter(floor(raw * 10000 + 0.5) / 10000 >= 0.33)
+          .select(col("doc_id"), col("lang"), col("text"), col("n_toks"))
+        val surv = kept.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .drop("__h")
+        val samp = graft.operators.Sampling.stratified(
+            kept.join(surv, Seq("doc_id"), "left_semi"),
+            "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
+          .select(col("doc_id"), col("lang"), col("n_toks"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        samp
+          .withColumn("shard",
+            floor((sum(col("n_toks")).over(w) - col("n_toks")) / 1000.0))
+          .groupBy(col("lang"), col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("shard_tokens"))
+          .orderBy(col("lang"), col("shard"))
       })
   )
 }

@@ -14,12 +14,12 @@ import graft.io.Tables.table
 object TextAnalysis {
 
   private val markers: Seq[(String, Seq[String])] = TextFns.langMarkers
-  private val enStop: Seq[String] = TextFns.enStopSample
+  private[queries] val enStop: Seq[String] = TextFns.enStopSample
 
-  private def markerCount(toks: Column, words: Seq[String]): Column =
+  private[queries] def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
 
-  private def markerCountSql(words: Seq[String]): String =
+  private[queries] def markerCountSql(words: Seq[String]): String =
     s"len(list_filter(tk, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   /** q46 oracle prefix: exploded distinct 3-shingles (raw strings; the

@@ -133,6 +133,24 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     lsh should not be empty
   }
 
+  test("q81: shards are contiguous per lang; an over-budget shard means one oversized doc") {
+    val rows = Registry.queries("q81_corpus_prep")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows should not be empty
+    rows.groupBy(_._1).foreach { case (_, shards) =>
+      // shard ids are 0..max with no gaps (cumulative packing can't skip)
+      shards.map(_._2).sorted.toSeq shouldBe (0L until shards.length.toLong)
+      shards.foreach { case (_, _, nDocs, tokens) =>
+        nDocs should be >= 1L
+        // a shard over the 1000-token budget is only possible when a
+        // single document alone overflows it — packing never appends to
+        // a shard whose budget is already spent
+        if (tokens > 1000L + 200L) nDocs shouldBe 1L
+      }
+    }
+  }
+
   test("q79: a transitive duplicate family collapses to ONE survivor") {
     // three copies of one vector (a transitive 3-clique after LSH +
     // verify) plus two copies of another: the clustering must elect
