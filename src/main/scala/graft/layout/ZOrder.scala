@@ -24,11 +24,22 @@ object ZOrder {
     * `sx` lands at position 2i, bit i of `sy` at 2i+1 — the Morton
     * z-value. Pure arithmetic (shift/and/add) so it stays inside
     * whole-stage codegen. */
-  def interleave(sx: Column, sy: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(sx, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(sy, i).bitwiseAND(lit(1L)), 2 * i + 1)
+  def interleave(sx: Column, sy: Column, bits: Int): Column =
+    interleaveN(Seq(sx, sy), bits)
+
+  /** N-dimensional Morton interleave: bit i of dimension d lands at
+    * position i·N + d (N=2 reduces to [[interleave]]'s even/odd split).
+    * Real lakehouse layouts z-order 2-4 columns; total bits N·`bits`
+    * must stay under 63. */
+  def interleaveN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.length
+    require(n >= 2, s"need at least 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 62,
+      s"n*bits must be in [2,62], got $n*$bits")
+    (0 until bits).flatMap { i =>
+      dims.zipWithIndex.map { case (c, d) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + d)
+      }
     }.reduce(_ + _)
   }
 
@@ -36,9 +47,17 @@ object ZOrder {
     * sub-expressions `sx`/`sy`) — lets an external ANSI engine replay
     * the exact layout, which is how q80's oracle pins it. */
   def sqlInterleave(sx: String, sy: String, bits: Int): String =
-    (0 until bits).map { i =>
-      s"((($sx >> $i) & 1) << ${2 * i}) + ((($sy >> $i) & 1) << ${2 * i + 1})"
+    sqlInterleaveN(Seq(sx, sy), bits)
+
+  /** SQL twin of [[interleaveN]]. */
+  def sqlInterleaveN(dims: Seq[String], bits: Int): String = {
+    val n = dims.length
+    (0 until bits).flatMap { i =>
+      dims.zipWithIndex.map { case (c, d) =>
+        s"((($c >> $i) & 1) << ${i * n + d})"
+      }
     }.mkString(" + ")
+  }
 
   /** Min/max-scale a numeric column onto the integer grid [0, 2^bits):
     * `floor((c - mn) * 2^bits / (mx - mn + 1))`. The +1 keeps the max

@@ -37,6 +37,27 @@ class ZOrderSpec extends AnyFunSuite with Matchers with SparkTestSession {
     got((0L, 63L)) shouldBe 0xaaaL
   }
 
+  test("interleaveN: 3-D matches a bit-by-bit reference; 2-D equals interleave") {
+    import spark.implicits._
+    def ref3(x: Long, y: Long, z: Long, bits: Int): Long =
+      (0 until bits).map { i =>
+        (((x >> i) & 1L) << (3 * i)) | (((y >> i) & 1L) << (3 * i + 1)) |
+          (((z >> i) & 1L) << (3 * i + 2))
+      }.sum
+    val cases = for (x <- 0L until 8L; y <- 0L until 8L; z <- 0L until 8L)
+      yield (x, y, z)
+    val got = cases.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        ZOrder.interleaveN(Seq(col("x"), col("y"), col("z")), 3).as("m3"),
+        ZOrder.interleaveN(Seq(col("x"), col("y")), 3).as("m2"),
+        ZOrder.interleave(col("x"), col("y"), 3).as("m2ref"))
+      .collect()
+    got.foreach { r =>
+      r.getLong(3) shouldBe ref3(r.getLong(0), r.getLong(1), r.getLong(2), 3)
+      r.getLong(4) shouldBe r.getLong(5) // N=2 ≡ the 2-D special case
+    }
+  }
+
   test("scale maps bounds onto [0, 2^bits) inclusively") {
     import spark.implicits._
     val df = Seq(0L, 1L, 999L, 1999L).toDF("x")
