@@ -166,17 +166,38 @@ object TextDedup {
       .distinct()
   }
 
-  /** (doc_id, band, bk) band-key rows of a shingle relation: per-doc
-    * MinHash signatures via one partial-agg groupBy, r=2 band keys.
+  /** (doc_id, mh1..mhN) MinHash signatures of a shingle relation via one
+    * partial-agg groupBy, double-hashed (graft.functions.TextFns: g_k =
+    * h1 + k·h2 from ONE md5 per shingle row — 1 digest instead of
+    * numHashes, and the agg state is N longs, not N 32-char strings).
+    * The two-step select keeps the md5 in its own projection so it is
+    * computed once per row (CollapseProject declines to inline a
+    * non-cheap alias used twice). Single signature definition for
+    * Dedup's q16 and every banding path. */
+  private[graft] def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    import graft.functions.TextFns
+    val hp = sh.select(col("doc_id"), md5(col("s")).as("m"))
+      .select(col("doc_id"),
+        TextFns.hash56(col("m"), 1).as("h1"), TextFns.hash56(col("m"), 15).as("h2"))
+    val mins = (1 to numHashes).map(k =>
+      min(col("h1") + lit(k.toLong) * col("h2")).as(s"mh$k"))
+    hp.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** r=2 band key over a signature: md5 of the two member hashes'
+    * decimal renderings, '|'-separated (unambiguous, and BIGINT→VARCHAR
+    * renders identically on Spark and DuckDB). */
+  private[graft] def bandKeyCol(b: Int): Column =
+    md5(concat(col(s"mh${2 * b - 1}").cast("string"), lit("|"),
+      col(s"mh${2 * b}").cast("string")))
+
+  /** (doc_id, band, bk) band-key rows of a shingle relation.
     * Shared by the self-join ([[lshCandidates]]) and cross-relation
     * ([[crossLshCandidates]]) bucket joins. */
   private def bandedSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val mins = (1 to numHashes).map(k =>
-      min(md5(concat(lit(s"$k|"), col("s")))).as(s"mh$k"))
-    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    def bandKey(b: Int): Column = md5(concat(col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")))
+    val sig = minhashSignatures(sh, numHashes)
     sig.select(col("doc_id"),
-      posexplode(array((1 to numHashes / 2).map(bandKey): _*)))
+      posexplode(array((1 to numHashes / 2).map(bandKeyCol): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bk"))
   }
 

@@ -38,12 +38,31 @@ object TextFns {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** One MinHash band value: lexicographic min of salted md5 over the
-    * shingle set. md5 with a per-band salt is a valid independent hash
-    * family, and — being a plain string min — is engine-portable.
+  /** 56-bit integer hash half: hex chars [off, off+14) of an md5 HEX
+    * column parsed as an unsigned integer. Offsets 1 and 15 split one
+    * digest into two independent 56-bit values — the base pair of the
+    * double-hashed MinHash family below. 14 hex chars = 56 bits keeps
+    * h1 + k·h2 for k ≤ 127 inside a signed 64-bit long (no overflow,
+    * and DuckDB BIGINT arithmetic errors on overflow rather than
+    * wrapping, so staying clear of the edge is a portability
+    * requirement, not just hygiene). */
+  def hash56(md5HexCol: Column, off: Int): Column =
+    conv(substring(md5HexCol, off, 14), 16, 10).cast("long")
+
+  /** One MinHash value (k-th hash function) over a shingle ARRAY via
+    * Kirsch-Mitzenmacher double hashing: g_k = h1 + k·h2 from ONE md5
+    * per element instead of one digest per element per hash function —
+    * 8× fewer digests for the standard 8-hash signature, and the min
+    * runs over longs, not 32-char strings (smaller agg state, cheaper
+    * compares). A valid independent family for MinHash-style use, and
+    * engine-portable: DuckDB replays it with substr + hex-cast
+    * arithmetic ([[sql.minhashFromMd5List]]).
     * Returns null on an empty shingle array (array_min of empty). */
   def minhashBand(shingleCol: Column, band: Int): Column =
-    array_min(transform(shingleCol, s => md5(concat(lit(s"$band|"), s))))
+    array_min(transform(shingleCol, s => {
+      val m = md5(s)
+      hash56(m, 1) + lit(band.toLong) * hash56(m, 15)
+    }))
 
   /** 16-bit SimHash over the token multiset (frequency-weighted): bit j is
     * set when the majority of tokens have an odd j-th md5 hex digit.
@@ -86,8 +105,20 @@ object TextFns {
       "list_distinct(list_transform(range(1, len(tk) - 1), " +
         "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))"
 
+    /** 56-bit hash half of an md5 hex expression (DuckDB hex-cast form
+      * of [[TextFns.hash56]]). */
+    def hash56(md5HexExpr: String, off: Int): String =
+      s"CAST(('0x' || substr($md5HexExpr, $off, 14)) AS BIGINT)"
+
     def minhashBand(shingleCol: String, band: Int): String =
-      s"list_min(list_transform($shingleCol, s -> md5(concat('$band|', s))))"
+      s"list_min(list_transform($shingleCol, s -> " +
+        s"${hash56("md5(s)", 1)} + $band * ${hash56("md5(s)", 15)}))"
+
+    /** Same family over a PRE-HASHED md5-hex list column — the oracle's
+      * efficient form (one md5 per element shared by every band). */
+    def minhashFromMd5List(md5ListCol: String, band: Int): String =
+      s"list_min(list_transform($md5ListCol, m -> " +
+        s"${hash56("m", 1)} + $band * ${hash56("m", 15)}))"
 
     def simhash16(md5ListCol: String): String =
       (0 until 16).map { j =>

@@ -22,7 +22,10 @@ import graft.io.Tables.table
   *    paid a full shuffle+sort of every token row); slice/zip/concat_ws
   *    all stay inside whole-stage codegen;
   *  - MinHash signatures come from a partial-agg groupBy (map-side
-  *    combine); shuffle rows are (doc_id, 8×32B), never documents;
+  *    combine) over DOUBLE-HASHED values — one md5 per shingle row split
+  *    into two 56-bit halves, g_k = h1 + k·h2 (Kirsch-Mitzenmacher), so
+  *    the 8-hash signature costs 1 digest instead of 8 and the agg state
+  *    is 8 longs; shuffle rows are (doc_id, 8×8B), never documents;
   *  - LSH bands use r=2 rows per band (bucket key = md5(mh_i‖mh_j)), so
   *    two docs collide on a band with probability jaccard² — this keeps
   *    candidate counts near-linear on corpora with heavy shared
@@ -71,21 +74,27 @@ object Dedup {
           SELECT doc_id, ${TextFns.sql.shingles3} AS sh
           FROM toks WHERE len(tk) >= 3)"""
 
-  /** MinHash signature: 8 salted-md5 mins via one partial-agg groupBy.
+  /** MinHash signature: 8 double-hashed mins via one partial-agg groupBy
     * (min over the distinct set == min over the multiset, so no dedup is
-    * needed on this path.) */
-  private def minhashSigFrom(sh: DataFrame): DataFrame = {
-    val mins = (1 to NUM_HASHES).map(k =>
-      min(md5(concat(lit(s"$k|"), col("s")))).as(s"mh$k"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
+    * needed on this path). Single definition with the library banding
+    * path: graft.dedup.TextDedup.minhashSignatures — ONE md5 per shingle
+    * row, g_k = h1 + k·h2 (see TextFns.hash56). */
+  private def minhashSigFrom(sh: DataFrame): DataFrame =
+    graft.dedup.TextDedup.minhashSignatures(sh, NUM_HASHES)
 
   private def minhashSig(spark: SparkSession, dir: String): DataFrame =
     minhashSigFrom(shingleRows(spark, dir))
 
+  /** Oracle CTE: per-doc md5 list of the shingle-list relation `src` —
+    * hashes each shingle ONCE, shared by all 8 minhash columns (the
+    * engine's digest-sharing, mirrored so the oracle is an honest
+    * replay, not a strawman). */
+  private def md5ListCte(name: String, src: String): String =
+    s"$name AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hl FROM $src)"
+
   private def minhashSigSqlCols: String =
-    (1 to NUM_HASHES).map(k => TextFns.sql.minhashBand("sh", k) + s" AS mh$k")
-      .mkString(", ")
+    (1 to NUM_HASHES).map(k =>
+      TextFns.sql.minhashFromMd5List("hl", k) + s" AS mh$k").mkString(", ")
 
   /** Jaccard for a given candidate pair set (doc_a < doc_b, distinct) via
     * PAIR-DRIVEN co-shingle counting — the shared
@@ -149,19 +158,22 @@ object Dedup {
               >= $minJaccard
         ORDER BY doc_a, doc_b"""
 
-  /** r=2 banding: band b key = md5(mh_{2b-1} ‖ mh_{2b}). */
+  /** r=2 banding: band b key = md5(mh_{2b-1} ‖ '|' ‖ mh_{2b}), the two
+    * BIGINT hashes rendered as decimal strings (identical on both
+    * engines). Single definition: TextDedup.bandKeyCol. */
   private def bandKey(b: Int): org.apache.spark.sql.Column =
-    md5(concat(col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")))
+    graft.dedup.TextDedup.bandKeyCol(b)
 
   private def bandKeySql(b: Int): String =
-    s"md5(concat(mh${2 * b - 1}, mh${2 * b}))"
+    s"md5(concat(CAST(mh${2 * b - 1} AS VARCHAR), '|', CAST(mh${2 * b} AS VARCHAR)))"
 
   /** Oracle fragment shared by q17/q52: LSH candidate pairs from the
     * shingle-list relation `sh` — signatures, r=2 banding, bucket join.
     * Single source of truth so the two oracles cannot diverge. */
   private def lshPairsCte: String =
-    s"""sig AS (
-          SELECT doc_id, $minhashSigSqlCols FROM sh),
+    s"""${md5ListCte("hx", "sh")},
+        sig AS (
+          SELECT doc_id, $minhashSigSqlCols FROM hx),
         banded AS (
           SELECT doc_id, b.band AS band,
                  CASE b.band ${(1 to NUM_BANDS).map(b => s"WHEN $b THEN ${bandKeySql(b)}").mkString(" ")} END AS bk
@@ -234,9 +246,10 @@ object Dedup {
     // q16: MinHash signatures (8 salted-md5 min-hashes per doc).
     Q("q16_minhash_signatures",
       oracle = Some(s"""
-        $shinglesCte
+        $shinglesCte,
+        ${md5ListCte("hx", "sh")}
         SELECT doc_id, $minhashSigSqlCols
-        FROM sh
+        FROM hx
         ORDER BY doc_id"""),
       run = (spark, dir) => minhashSig(spark, dir).orderBy(col("doc_id"))),
 
@@ -561,8 +574,10 @@ object Dedup {
         tc AS (SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM corpus),
         shc AS (SELECT doc_id, ${TextFns.sql.shingles3} AS sh
                 FROM tc WHERE len(tk) >= 3),
-        sigb AS (SELECT doc_id, $minhashSigSqlCols FROM shb),
-        sigc AS (SELECT doc_id, $minhashSigSqlCols FROM shc),
+        ${md5ListCte("hxb", "shb")},
+        ${md5ListCte("hxc", "shc")},
+        sigb AS (SELECT doc_id, $minhashSigSqlCols FROM hxb),
+        sigc AS (SELECT doc_id, $minhashSigSqlCols FROM hxc),
         bndb AS (
           SELECT doc_id, b.band AS band,
                  CASE b.band ${(1 to NUM_BANDS).map(b => s"WHEN $b THEN ${bandKeySql(b)}").mkString(" ")} END AS bk

@@ -211,9 +211,13 @@ class TextDedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
       text.split("\\s+").filter(_.nonEmpty).sliding(3)
         .filter(_.length == 3).map(_.mkString(" ")).toSet
     val sh = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    def h56(hex: String, off: Int): Long =
+      java.lang.Long.parseLong(hex.substring(off, off + 14), 16)
     def bands(s: Set[String]): Seq[String] = {
-      val mh = (1 to 8).map(k => s.map(x => md5hex(s"$k|$x")).min)
-      (1 to 4).map(b => md5hex(mh(2 * b - 2) + mh(2 * b - 1)))
+      val mh = (1 to 8).map(k => s.map { x =>
+        val m = md5hex(x); h56(m, 0) + k * h56(m, 14)
+      }.min)
+      (1 to 4).map(b => md5hex(s"${mh(2 * b - 2)}|${mh(2 * b - 1)}"))
     }
     val bandKeys = sh.view.mapValues(bands).toMap
     val ids = docs.map(_._1).sorted
