@@ -403,6 +403,195 @@ object TextAnalysis {
         table(spark, dir, "documents")
           .select(explode(TextFns.tokens(col("text"))).as("token"))
           .agg(approx_count_distinct(col("token"), 0.01).as("approx_distinct_tokens"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q82: REPETITION QUALITY METRICS — the Gopher repetition rules (Rae
+    // et al. 2021 §A1.1) at token-n-gram granularity (this corpus has no
+    // newlines, so the line-level variants are degenerate; the n-gram
+    // family is the line-independent half of the rule set):
+    //   top2_frac / top3_frac — fraction of the document's characters
+    //     claimed by its single most frequent 2-gram / 3-gram
+    //     (occurrences × gram chars / total token chars);
+    //   dup5_frac — fraction of 5-gram OCCURRENCES whose 5-gram occurs
+    //     more than once in the document;
+    //   repetitive — 1 when any metric exceeds its Gopher-ish threshold
+    //     (0.20 / 0.18 / 0.30), the drop flag a cleaning pipeline acts on.
+    // Scale shape: three explode → partial-agg groupBy(doc_id, gram)
+    // passes (shuffle rows are gram-keyed, map-side combined), rank-1-
+    // per-doc via a WindowGroupLimit-pushable row_number, and doc-keyed
+    // stitch joins. Nothing is quadratic in document length; no UDFs.
+    // Determinism: tie-break the top gram by (count DESC, gram ASC);
+    // fracs use the q23 floor(x*1e4+0.5)/1e4 construction with identical
+    // operation order on both engines; the repetitive flag compares the
+    // ROUNDED fracs so an engine can't disagree at an ulp boundary.
+    Q("q82_repetition_metrics",
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
+        base AS (
+          SELECT doc_id, tk,
+                 list_sum(list_transform(tk, t -> len(t))) + len(tk) - 1 AS totc
+          FROM toks WHERE len(tk) >= 5),
+        g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                 i -> concat_ws(' ', tk[i], tk[i+1]))) AS g FROM base),
+        g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g FROM base),
+        g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) AS g
+               FROM base),
+        c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+        c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+        t2 AS (SELECT doc_id, g, c FROM (
+                 SELECT doc_id, g, c, row_number() OVER
+                   (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c2)
+               WHERE rn = 1),
+        t3 AS (SELECT doc_id, g, c FROM (
+                 SELECT doc_id, g, c, row_number() OVER
+                   (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c3)
+               WHERE rn = 1),
+        d5 AS (SELECT doc_id, sum(c) AS n5,
+                      sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5
+               FROM c5 GROUP BY doc_id),
+        m AS (
+          SELECT b.doc_id,
+                 t2.g AS top2,
+                 floor(((t2.c * len(t2.g)) * 1.0 / b.totc) * 10000 + 0.5) / 10000
+                   AS top2_frac,
+                 floor(((t3.c * len(t3.g)) * 1.0 / b.totc) * 10000 + 0.5) / 10000
+                   AS top3_frac,
+                 floor((d5.dup5 * 1.0 / d5.n5) * 10000 + 0.5) / 10000
+                   AS dup5_frac
+          FROM base b
+          JOIN t2 ON t2.doc_id = b.doc_id
+          JOIN t3 ON t3.doc_id = b.doc_id
+          JOIN d5 ON d5.doc_id = b.doc_id)
+        SELECT doc_id, top2, top2_frac, top3_frac, dup5_frac,
+               CAST(CASE WHEN top2_frac > 0.20 OR top3_frac > 0.18
+                           OR dup5_frac > 0.30 THEN 1 ELSE 0 END AS BIGINT)
+                 AS repetitive
+        FROM m ORDER BY doc_id"""),
+      run = (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val base = table(spark, dir, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 5)
+          .select(col("doc_id"), col("tk"),
+            length(concat_ws(" ", col("tk"))).cast("long").as("totc"))
+          .persist(MEMORY_AND_DISK)
+        // n-gram OCCURRENCES (not distinct) via the shuffle-free
+        // slice+zip construction shared with the dedup shingles
+        def gramRows(n: Int): org.apache.spark.sql.DataFrame = {
+          val len = greatest(size(col("tk")) - (n - 1), lit(0))
+          val z = arrays_zip((0 until n).map(k =>
+            slice(col("tk"), lit(k + 1), len)): _*)
+          base.select(col("doc_id"), explode(z).as("z"))
+            .select(col("doc_id"), concat_ws(" ",
+              (0 until n).map(k => col("z").getField(s"$k")): _*).as("g"))
+        }
+        def counts(n: Int) =
+          gramRows(n).groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("c").desc, col("g").asc)
+        def top(n: Int) = counts(n)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("doc_id"), col("g"), col("c"))
+        val d5 = counts(5).groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n5"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup5"))
+        def frac4(x: Column): Column = floor(x * 10000 + 0.5) / 10000
+        val m = base.select(col("doc_id"), col("totc"))
+          .join(top(2).select(col("doc_id"), col("g").as("g2"), col("c").as("c2")), "doc_id")
+          .join(top(3).select(col("doc_id"), col("g").as("g3"), col("c").as("c3")), "doc_id")
+          .join(d5, "doc_id")
+          .select(col("doc_id"), col("g2").as("top2"),
+            frac4((col("c2") * length(col("g2"))) * lit(1.0) / col("totc")).as("top2_frac"),
+            frac4((col("c3") * length(col("g3"))) * lit(1.0) / col("totc")).as("top3_frac"),
+            frac4(col("dup5") * lit(1.0) / col("n5")).as("dup5_frac"))
+        val result = Q.localized(m.select(col("doc_id"), col("top2"),
+          col("top2_frac"), col("top3_frac"), col("dup5_frac"),
+          when(col("top2_frac") > 0.20 || col("top3_frac") > 0.18 ||
+            col("dup5_frac") > 0.30, 1L).otherwise(0L).as("repetitive"))
+          .orderBy(col("doc_id")))
+        base.unpersist(blocking = false)
+        result
+      }),
+
+    // ------------------------------------------------------------------
+    // q83: BIGRAM-LM QUALITY SCORE — the CCNet-style "perplexity filter"
+    // in relational form: train a bigram language model on the corpus
+    // (c(w1,w2) counts; conditional p = c(w1,w2) / Σ_w2 c(w1,w2)), then
+    // score every document by its mean log-probability per bigram
+    // occurrence. Low scores = statistically unusual text (garbage,
+    // wrong-language, mangled encodings) — the bottom-k here is the drop
+    // candidate list. Output: 20 lowest-scoring docs.
+    // Scale shape: ONE gram-keyed partial-agg pass trains the model; the
+    // denominator derives from the model itself (sum by w1 — model-sized,
+    // not corpus-sized); scoring is two hash joins keyed on (gram, w1) —
+    // all shuffle rows are grams + counts, never documents. At 100 TB the
+    // production knob is model pruning (df >= K, rare bigrams → <unk>),
+    // which only shrinks these joins.
+    // Determinism: per-occurrence log-probs are snapped to integer
+    // micro-nats (floor(ln·1e6 + 0.5)) so per-doc sums are exact and
+    // order-independent on both engines; the mean then rounds to 4dp with
+    // identical operation order. (ln of a small-integer ratio is the one
+    // place the engines' libm could differ by an ulp; the 1e6 snap leaves
+    // 10 orders of magnitude of slack before that could surface at 4dp.)
+    Q("q83_bigram_lm_score",
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
+        occ AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                   i -> concat_ws(' ', tk[i], tk[i+1]))) AS g,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1
+          FROM toks WHERE len(tk) >= 2),
+        model AS (SELECT w1, g, count(*) AS c12 FROM occ GROUP BY w1, g),
+        starts AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY w1),
+        scored AS (
+          SELECT o.doc_id,
+                 floor(ln(m.c12 * 1.0 / s.c1) * 1000000 + 0.5) AS micro
+          FROM occ o
+          JOIN model m ON o.g = m.g AND o.w1 = m.w1
+          JOIN starts s ON o.w1 = s.w1),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_bigrams, sum(micro) AS s
+          FROM scored GROUP BY doc_id)
+        SELECT doc_id, n_bigrams,
+               floor((s * 1.0 / n_bigrams) / 100.0 + 0.5) / 10000 AS avg_logp
+        FROM per_doc
+        ORDER BY avg_logp, doc_id
+        LIMIT 20"""),
+      run = (spark, dir) => {
+        val occ = table(spark, dir, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(arrays_zip(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1))).as("z"))
+          .select(col("doc_id"),
+            concat_ws(" ", col("z").getField("0"), col("z").getField("1")).as("g"),
+            col("z").getField("0").as("w1"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val model = occ.groupBy(col("w1"), col("g")).agg(count(lit(1)).as("c12"))
+        val starts = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val scored = occ
+          .join(model, Seq("g", "w1"))
+          .join(starts, Seq("w1"))
+          .select(col("doc_id"),
+            floor(log(col("c12") * lit(1.0) / col("c1")) * 1000000 + 0.5).as("micro"))
+        val perDoc = scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("s"))
+        val result = Q.localized(perDoc
+          .select(col("doc_id"), col("n_bigrams"),
+            (floor((col("s") * lit(1.0) / col("n_bigrams")) / 100.0 + 0.5) / 10000)
+              .as("avg_logp"))
+          .orderBy(col("avg_logp"), col("doc_id"))
+          .limit(20))
+        occ.unpersist(blocking = false)
+        result
       })
   )
 }
