@@ -375,6 +375,54 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     k2 should be < k1
   }
 
+  test("q82: a planted token-spam doc is flagged repetitive; a fully " +
+    "distinct doc is not, and its top gram tie-breaks lexicographically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q82fix").toString
+    // the distinct doc must be long enough that ONE trigram is an honestly
+    // small char fraction — the thresholds are corpus rules, and a
+    // 10-token doc genuinely trips them (any trigram is ~30% of it)
+    Seq(
+      1L -> Seq.fill(10)("spam").mkString(" "),
+      2L -> (1 to 30).map(i => f"a$i%02d").mkString(" ")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("q82_repetition_metrics")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5))).toMap
+    val (top2Spam, t2s, t3s, d5s, flagSpam) = rows(1L)
+    top2Spam shouldBe "spam spam"
+    d5s shouldBe 1.0 // every 5-gram occurrence duplicates
+    flagSpam shouldBe 1L
+    val (top2Dist, t2d, t3d, d5d, flagDist) = rows(2L)
+    top2Dist shouldBe "a01 a02" // all counts 1 -> smallest gram wins
+    d5d shouldBe 0.0
+    flagDist shouldBe 0L
+    t2s should be > t2d
+    t3s should be > t3d
+  }
+
+  test("q83: the statistically unusual doc scores lowest; identical docs " +
+    "score identically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q83fix").toString
+    val common = "the cat sat on the mat"
+    Seq(1L -> common, 2L -> common, 3L -> common,
+      9L -> "the zebra jumped over the volcano")
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("q83_bigram_lm_score")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows should have length 4
+    // bottom-k is ordered ascending: the novel-bigram doc is first
+    rows.head._1 shouldBe 9L
+    // the three identical docs share one score and tie-break by id
+    rows.drop(1).map(_._1).toSeq shouldBe Seq(1L, 2L, 3L)
+    rows.drop(1).map(_._3).distinct should have length 1
+    rows.head._3 should be < rows(1)._3
+  }
+
   test("q65: hyperplanes are balanced ±1 (md5 coin is unbiased enough) and fixed") {
     val hp = Similarity.hyperplanes
     hp.length shouldBe 8
