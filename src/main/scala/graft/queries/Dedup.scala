@@ -607,6 +607,78 @@ object Dedup {
         val result = Q.localized(surv.select(col("doc_id")).orderBy(col("doc_id")))
         surv.unpersist(blocking = false)
         result
+      }),
+
+    // ------------------------------------------------------------------
+    // q84: SUB-DOCUMENT (chunk-level) DEDUP — the C4/CCNet "line-level"
+    // dedup the document-level family (q15/q17/q52) cannot express:
+    // repeated boilerplate SPANS are removed from otherwise-unique
+    // documents instead of dropping whole documents. The unit here is a
+    // fixed 10-token chunk (the corpus has no newlines; a real corpus
+    // would split on '\n' — the plan is identical). Rule, C4-style: of
+    // all occurrences of a chunk value across the corpus, only the
+    // canonical one (min doc_id, then min chunk_no) survives; every
+    // other occurrence is cut, and each document is re-assembled from
+    // its surviving chunks in order. Output pins the rewrite per doc:
+    // chunk counts plus md5 of the re-assembled text.
+    // Scale shape: chunking is narrow (slice/array_join inside codegen —
+    // no per-token explode; one occurrence row per ~10 tokens); the
+    // canonical-occurrence choice is ONE window over md5(chunk) — the
+    // shuffle carries (32B hash, two ids, one ~60B chunk payload), and
+    // the chunk must move anyway for re-assembly; the rebuild is one
+    // more shuffle back to doc_id. Two shuffles total, both hash-
+    // partitioned, no self-join — cutting boilerplate from 100 TB costs
+    // two passes.
+    Q("q84_chunk_dedup",
+      oracle = Some(s"""
+        WITH tkq84 AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk
+          FROM documents WHERE text IS NOT NULL),
+        occ AS (
+          SELECT doc_id, ix.i AS chunk_no,
+                 array_to_string(tk[(ix.i * 10 + 1):(ix.i * 10 + 10)], ' ')
+                   AS chunk
+          FROM tkq84, LATERAL (
+            SELECT unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT)))
+              AS i) ix
+          WHERE len(tk) > 0),
+        marked AS (
+          SELECT doc_id, chunk_no, chunk,
+                 row_number() OVER (PARTITION BY md5(chunk)
+                   ORDER BY doc_id, chunk_no) AS rn
+          FROM occ)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed,
+               md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                 ORDER BY chunk_no), '')) AS text_hash
+        FROM marked GROUP BY doc_id ORDER BY doc_id"""),
+      run = (spark, dir) => {
+        val tk = table(spark, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) > 0)
+        // one row per 10-token chunk, built by slice (codegen), not by
+        // exploding tokens: 10× fewer rows leave this stage
+        val occ = tk.select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0L), ceil(size(col("tk")) / 10.0) - 1),
+              i => array_join(
+                slice(col("tk"), (i * 10 + 1).cast("int"), lit(10)), " "))))
+          .toDF("doc_id", "chunk_no", "chunk")
+        val canon = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("chunk")))
+          .orderBy(col("doc_id"), col("chunk_no"))
+        occ.withColumn("rn", row_number().over(canon))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+            md5(array_join(transform(
+              array_sort(collect_list(
+                when(col("rn") === 1, struct(col("chunk_no"), col("chunk"))))),
+              x => x.getField("chunk")), " ")).as("text_hash"))
+          .orderBy(col("doc_id"))
       })
   )
 

@@ -58,4 +58,35 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
       ids.map(sig).distinct.length shouldBe 1
     }
   }
+
+  test("q84: a planted boilerplate chunk is cut everywhere except its " +
+    "canonical (min doc_id) occurrence; documents re-assemble in order") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = java.nio.file.Files.createTempDirectory("q84fix").toString
+    val boiler = (1 to 10).map(i => f"b$i%02d").mkString(" ") // chunk A
+    val unique = (1 to 10).map(i => f"c$i%02d").mkString(" ") // chunk B
+    val other = (1 to 10).map(i => f"d$i%02d").mkString(" ")  // chunk D
+    val short15 = (1 to 15).map(i => f"e$i%02d").mkString(" ")
+    Seq(
+      1L -> s"$boiler $unique",  // canonical home of the boilerplate
+      2L -> s"$boiler $other",   // loses chunk A, keeps chunk D
+      3L -> boiler,              // entirely boilerplate -> emptied
+      4L -> short15              // 15 tokens -> 2 chunks, last one short
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val run = Registry.queries("q84_chunk_dedup")
+    val rows = run(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    rows(1L) shouldBe ((2L, 0L, md5hex(s"$boiler $unique")))
+    rows(2L) shouldBe ((2L, 1L, md5hex(other)))
+    rows(3L) shouldBe ((1L, 1L, md5hex("")))
+    rows(4L) shouldBe ((2L, 0L, md5hex(short15)))
+    // deterministic under re-execution (canonical rule is a total order)
+    run(spark, dir).collect().map(_.toSeq).toSeq shouldBe
+      rows.toSeq.sortBy(_._1).map { case (id, (a, b, c)) => Seq(id, a, b, c) }
+  }
 }
