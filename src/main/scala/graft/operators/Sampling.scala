@@ -88,6 +88,37 @@ object Sampling {
           lit(Buckets.toLong)).as("thr"))
   }
 
+  /** Deterministic TRAIN/VAL/TEST split: every row is assigned exactly one
+    * split label as a pure function of its key's md5 bucket — the
+    * dataset-governance primitive behind every training run (the split must
+    * survive retries, re-runs, engine changes, and INCREMENTAL growth: a
+    * document that was `test` yesterday must still be `test` after today's
+    * ingest appends rows, which rules out row_number()-style quantile
+    * splits that reshuffle labels as the corpus grows).
+    *
+    * `splits` is an ordered list of (label, fraction); fractions must sum
+    * to 1 (within bucket granularity). Buckets partition [0, 10000) into
+    * consecutive ranges in list order, so the assignment is also trivially
+    * replayable by a SQL oracle as a CASE over the same cumulative cuts.
+    * One narrow codegen'd projection — splitting 100 TB costs one scan,
+    * no shuffle, and emits no copy of the data (the label column IS the
+    * split; downstream readers filter on it). */
+  def hashSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0), "fractions must be positive")
+    val cuts = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + (f * Buckets).toLong
+    }.tail
+    require(cuts.last == Buckets.toLong,
+      s"fractions must sum to 1 (cumulative buckets ${cuts.last} != $Buckets)")
+    val b = hashBucket(col(keyCol))
+    val assign = splits.init.zip(cuts.init).foldRight(lit(splits.last._1)) {
+      case (((label, _), cut), rest) => when(b < cut, lit(label)).otherwise(rest)
+    }
+    df.withColumn(splitCol, assign)
+  }
+
   /** Filter `df` to its temperature-flattened sample: broadcast the
     * per-stratum thresholds, keep rows whose md5 bucket falls under
     * their stratum's. Two single passes over the corpus (histogram,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFns
 import graft.io.Tables.table
 import graft.operators.SkewJoin
 
@@ -288,6 +289,47 @@ object ScaleOps {
             min(col("l_suppkey")).as("min_supp"),
             max(col("l_suppkey")).as("max_supp"))
           .orderBy(col("file_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q85: DETERMINISTIC TRAIN/VAL/TEST SPLIT MANIFEST (Sampling
+    // .hashSplit) — the governance op every training run starts from:
+    // 90/5/5 assignment as a pure function of md5(doc_id), so the split
+    // survives retries, re-runs, engine swaps, AND corpus growth (a doc
+    // keeps its split forever as ingest appends rows — the property
+    // row_number()-quantile splits lack). The emitted manifest is the
+    // per-(split, lang) doc and token census a run records for
+    // reproducibility. Scale shape: one narrow codegen'd scan (bucket +
+    // CASE + token count), one partial-agg shuffle over ≤ 3·|langs|
+    // groups — splitting 100 TB is scan-bound, no data copy (the label
+    // column IS the split).
+    Q("q85_hash_split",
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT CASE
+                   WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                         AS BIGINT) % 10000) < 9000 THEN 'train'
+                   WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                         AS BIGINT) % 10000) < 9500 THEN 'val'
+                   ELSE 'test' END AS split,
+                 lang,
+                 len(${TextFns.sql.tokens}) AS n_tok
+          FROM documents)
+        SELECT split, lang, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM t
+        GROUP BY split, lang
+        ORDER BY split, lang"""),
+      run = (spark, dir) => {
+        import graft.operators.Sampling
+        val docs = table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+        Sampling.hashSplit(docs, "doc_id",
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .orderBy(col("split"), col("lang"))
       })
   )
 }

@@ -592,6 +592,146 @@ object TextAnalysis {
           .limit(20))
         occ.unpersist(blocking = false)
         result
+      }),
+
+    // ------------------------------------------------------------------
+    // q86: TOKENIZER FERTILITY BY PREDICTED LANGUAGE — the
+    // tokenizer-economics census behind multilingual mixture design:
+    // how many BPE-ish subword tokens a language costs per whitespace
+    // word (fertility) and per character, keyed by the q22 language-ID
+    // prediction (composing two verified ops — langid voting and the q37
+    // subword proxy — into the per-language table a mixture designer
+    // actually reads: high-fertility languages consume more of a fixed
+    // token budget per word, so their doc-count share under-states their
+    // compute share). Determinism: all sums are exact integers; the two
+    // ratios are computed once from the sums with identical op order and
+    // floor-snapped to 4dp. Scale shape: one narrow codegen'd scan
+    // (marker votes + two regexp counts + length), one partial-agg
+    // shuffle over ≤ 5 language groups.
+    Q("q86_tokenizer_fertility",
+      oracle = Some {
+        val scores = markers.map { case (l, ws) =>
+          s"${markerCountSql(ws)} AS s_$l"
+        }.mkString(", ")
+        s"""
+        WITH toks AS (
+          SELECT doc_id, length(text) AS n_chars_t, ${TextFns.sql.tokens} AS tk,
+                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))
+                   AS n_bpe
+          FROM documents),
+        scored AS (
+          SELECT doc_id, n_chars_t, n_bpe, len(tk) AS n_ws, $scores FROM toks),
+        pred AS (
+          SELECT CASE
+            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+            WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+            WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+            WHEN s_de > 0 THEN 'de'
+            ELSE 'unknown' END AS pred_lang,
+            n_chars_t, n_bpe, n_ws
+          FROM scored WHERE n_ws > 0),
+        agg AS (
+          SELECT pred_lang, count(*) AS n_docs,
+                 CAST(sum(n_bpe) AS BIGINT) AS bpe_total,
+                 CAST(sum(n_ws) AS BIGINT) AS ws_total,
+                 CAST(sum(n_chars_t) AS BIGINT) AS chars_total
+          FROM pred GROUP BY pred_lang)
+        SELECT pred_lang, n_docs, bpe_total, ws_total,
+               floor(bpe_total * 1.0 / ws_total * 10000 + 0.5) / 10000
+                 AS fertility,
+               floor(bpe_total * 1.0 / chars_total * 10000 + 0.5) / 10000
+                 AS bpe_per_char
+        FROM agg ORDER BY pred_lang"""
+      },
+      run = (spark, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        val scored = table(spark, dir, "documents")
+          .select(Seq(
+            length(col("text")).cast("long").as("n_chars_t"),
+            size(regexp_extract_all(lower(col("text")),
+              lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"),
+            size(toks).cast("long").as("n_ws")) ++
+            markers.map { case (l, ws) => markerCount(toks, ws).as(s"s_$l") }: _*)
+        val pred =
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_de") && col("s_en") > 0, "en")
+            .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de") &&
+              col("s_es") > 0, "es")
+            .when(col("s_fr") >= col("s_de") && col("s_fr") > 0, "fr")
+            .when(col("s_de") > 0, "de")
+            .otherwise("unknown")
+        scored.filter(col("n_ws") > 0)
+          .select(pred.as("pred_lang"),
+            col("n_chars_t"), col("n_bpe"), col("n_ws"))
+          .groupBy(col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bpe")).as("bpe_total"),
+            sum(col("n_ws")).as("ws_total"),
+            sum(col("n_chars_t")).as("chars_total"))
+          .select(col("pred_lang"), col("n_docs"),
+            col("bpe_total"), col("ws_total"),
+            (floor(col("bpe_total") * lit(1.0) / col("ws_total") * 10000 + 0.5)
+              / 10000).as("fertility"),
+            (floor(col("bpe_total") * lit(1.0) / col("chars_total") * 10000 + 0.5)
+              / 10000).as("bpe_per_char"))
+          .orderBy(col("pred_lang"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q87: TOKEN-ENTROPY REPETITION SCREEN — per-document unigram token
+    // entropy H = ln(n) − (Σ_types c·ln c)/n in nats, the
+    // information-theoretic repetition signal that complements q82's
+    // pattern rules (Gopher's gram fractions catch REPEATED SPANS;
+    // entropy catches low-diversity text with no dominant span — tag
+    // soup, keyword stuffing, template residue). Low-entropy docs are
+    // drop candidates; the `low_diversity` flag applies the threshold
+    // to the ROUNDED value so engines cannot split at an ulp.
+    // Determinism (the q83 snapping discipline): each type's c·ln(c)
+    // term floor-snaps to integer micro-nats, per-doc sums are exact
+    // integers (order-independent under any partial-agg schedule), and
+    // the final H computes once with identical op order, floored to 4dp.
+    // Scale shape: one (doc_id, token)-keyed partial-agg pass, one
+    // doc-keyed agg — shuffle rows are (doc, type, count), never text.
+    Q("q87_token_entropy",
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
+        ex AS (
+          SELECT doc_id, unnest(tk) AS token FROM toks WHERE len(tk) > 0),
+        tf AS (
+          SELECT doc_id, token, count(*) AS c FROM ex GROUP BY doc_id, token),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 count(*) AS n_types,
+                 CAST(sum(floor(c * ln(c) * 1000000 + 0.5)) AS BIGINT) AS s
+          FROM tf GROUP BY doc_id),
+        scored AS (
+          SELECT doc_id, n_tokens, n_types,
+                 floor((ln(n_tokens) - (s / 1000000.0) / n_tokens) * 10000 + 0.5)
+                   / 10000 AS entropy_nats
+          FROM per_doc)
+        SELECT doc_id, n_tokens, n_types, entropy_nats,
+               CASE WHEN entropy_nats < 2.0 THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS low_diversity
+        FROM scored ORDER BY doc_id"""),
+      run = (spark, dir) => {
+        val tf = table(spark, dir, "documents")
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("c"))
+        val perDoc = tf.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(floor(col("c") * log(col("c")) * 1000000 + 0.5)).as("s"))
+        perDoc
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            (floor((log(col("n_tokens")) -
+              (col("s") / lit(1000000.0)) / col("n_tokens")) * 10000 + 0.5)
+              / 10000).as("entropy_nats"))
+          .withColumn("low_diversity",
+            when(col("entropy_nats") < 2.0, lit(1L)).otherwise(lit(0L)))
+          .orderBy(col("doc_id"))
       })
   )
 }

@@ -55,4 +55,33 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .queryExecution.executedPlan.toString
     plan should not include "Exchange"
   }
+
+  test("hashSplit: every row gets exactly one label, near its fraction, " +
+    "and labels are STABLE as the corpus grows") {
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val small = Sampling.hashSplit(corpus.limit(5000), "id", splits)
+      .select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = Sampling.hashSplit(corpus, "id", splits)
+      .select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    full should have size 20000 // total: every row labeled exactly once
+    val shares = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    shares("train").toDouble / 20000 shouldBe 0.9 +- 0.02
+    shares("val").toDouble / 20000 shouldBe 0.05 +- 0.02
+    shares("test").toDouble / 20000 shouldBe 0.05 +- 0.02
+    // growth stability: the 5000-row prefix's labels are unchanged in the
+    // 20000-row corpus — the property quantile-based splits lack
+    small.foreach { case (id, s) => full(id) shouldBe s }
+  }
+
+  test("hashSplit: plan is a narrow projection (no shuffle); bad fractions rejected") {
+    val plan = Sampling.hashSplit(corpus, "id",
+      Seq("a" -> 0.5, "b" -> 0.5)).queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.hashSplit(corpus, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.hashSplit(corpus, "id", Seq("a" -> 1.0))
+  }
 }

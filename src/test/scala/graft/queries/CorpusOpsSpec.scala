@@ -423,6 +423,57 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     rows.head._3 should be < rows(1)._3
   }
 
+  test("q85: the split manifest partitions the corpus — doc and token " +
+    "totals conserve, and every (split, lang) group is one of the 3 labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q85fix").toString
+    val docs = (0L until 100L).map(i =>
+      (i, s"tok${i % 7} alpha beta", if (i % 3 == 0) "de" else "en"))
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("q85_hash_split")(spark, dir).collect()
+    rows.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")) shouldBe true
+    rows.map(_.getLong(2)).sum shouldBe 100L       // every doc exactly once
+    rows.map(_.getLong(3)).sum shouldBe 300L       // 3 tokens per doc conserve
+    // re-running assigns identical groups (pure function of the row)
+    Registry.queries("q85_hash_split")(spark, dir).collect() shouldBe rows
+  }
+
+  test("q86: fertility is exact on planted docs — subword splits of 'x9' " +
+    "cost extra BPE tokens; language keys off the marker vote") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q86fix").toString
+    Seq(
+      1L -> "The and of to in",       // 5 en markers, 5 ws = 5 bpe tokens
+      2L -> "der die und x9 ein"      // de markers; "x9" -> "x","9": 6 bpe
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("q86_tokenizer_fertility")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    rows("en") shouldBe ((1L, 5L, 5L, 1.0, 0.3125))   // 5/16 chars
+    rows("de") shouldBe ((1L, 6L, 5L, 1.2, 0.3333))   // 6/18 chars
+  }
+
+  test("q87: entropy is 0 for a one-token-type doc (flagged), ln(n) for an " +
+    "all-distinct doc, and the mixed case matches the closed form") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q87fix").toString
+    Seq(
+      1L -> Seq.fill(4)("spam").mkString(" "),  // H = 0
+      2L -> ('a' to 'i').map(_.toString).mkString(" "), // H = ln 9 ≈ 2.1972
+      3L -> "x x y"                             // H = ln3 - (2 ln2)/3
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("q87_token_entropy")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    rows(1L) shouldBe ((4L, 1L, 0.0, 1L))
+    rows(2L) shouldBe ((9L, 9L, 2.1972, 0L))   // floor(ln(9)·1e4+.5)/1e4
+    rows(3L) shouldBe ((3L, 2L, 0.6365, 1L))   // micro-nat-snapped closed form
+  }
+
   test("q65: hyperplanes are balanced ±1 (md5 coin is unbiased enough) and fixed") {
     val hp = Similarity.hyperplanes
     hp.length shouldBe 8
