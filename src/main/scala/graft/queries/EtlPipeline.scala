@@ -257,6 +257,81 @@ object EtlPipeline {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_toks")).as("shard_tokens"))
           .orderBy(col("lang"), col("shard"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q88: STRIDE-SCHEDULED TRAINING ORDER — the step after q60's shard
+    // packing: in what ORDER does the training run read the shards?
+    // Reading sources sequentially (all of lang A, then all of B) skews
+    // the gradient distribution over time; the standard fix is a
+    // deterministic proportional interleave. Each lang's k-th shard gets
+    // the stride midpoint fin = (k + 0.5) / n_shards_lang — the WFQ
+    // virtual-time construction — and the global order sorts by
+    // (fin, lang, shard): every lang's shards spread evenly through the
+    // epoch whatever its size, reproducibly, with no RNG. Output: the
+    // first 40 manifest positions with running token totals.
+    // Scale shape: the interleave operates on SHARDS, not documents —
+    // the manifest is corpus_tokens/budget rows (production budgets are
+    // GB-scale, keeping it small at 100 TB); weights derive from a tiny
+    // per-lang count broadcast back; the LIMIT-40 head is a
+    // TakeOrderedAndProject (per-partition heaps), and the running sum
+    // windows over only those 40 rows (the prefix property makes it
+    // equal to the full-order cumulative). The fin ratio is
+    // small-integer IEEE division — bit-identical on both engines — and
+    // exact ties (same fin across langs) break by (lang, shard).
+    Q("q88_shard_interleave",
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+          FROM documents),
+        packed AS (
+          SELECT lang, n_tokens,
+                 CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                   / 1000.0) AS BIGINT) AS shard
+          FROM toks),
+        shards AS (
+          SELECT lang, shard, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+          FROM packed GROUP BY lang, shard),
+        wts AS (SELECT lang, count(*) AS n_shards FROM shards GROUP BY lang),
+        keyed AS (
+          SELECT s.lang, s.shard, s.shard_tokens,
+                 (s.shard + 0.5) / w.n_shards AS fin
+          FROM shards s JOIN wts w ON s.lang = w.lang)
+        SELECT CAST(row_number() OVER (ORDER BY fin, lang, shard) AS BIGINT)
+                 AS position,
+               lang, shard, shard_tokens,
+               CAST(sum(shard_tokens) OVER (ORDER BY fin, lang, shard
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_tokens,
+               floor(fin * 100000000 + 0.5) / 100000000 AS fin_r
+        FROM keyed
+        QUALIFY position <= 40
+        ORDER BY position"""),
+      run = (spark, dir) => {
+        val wPack = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val shards = table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).as("n_tokens"))
+          .withColumn("shard",
+            floor((sum(col("n_tokens")).over(wPack) - col("n_tokens")) / 1000.0))
+          .groupBy(col("lang"), col("shard"))
+          .agg(sum(col("n_tokens")).as("shard_tokens"))
+        val wts = shards.groupBy(col("lang")).agg(count(lit(1)).as("n_shards"))
+        val top = shards.join(broadcast(wts), Seq("lang"))
+          .withColumn("fin", (col("shard") + lit(0.5)) / col("n_shards"))
+          .orderBy(col("fin"), col("lang"), col("shard"))
+          .limit(40)
+        val wOrd = Window.orderBy(col("fin"), col("lang"), col("shard"))
+        top
+          .withColumn("position", row_number().over(wOrd).cast("long"))
+          .withColumn("cum_tokens", sum(col("shard_tokens")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("position"), col("lang"), col("shard"),
+            col("shard_tokens"), col("cum_tokens"),
+            (floor(col("fin") * 100000000 + 0.5) / 100000000).as("fin_r"))
+          .orderBy(col("position"))
       })
   )
 }

@@ -474,6 +474,27 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     rows(3L) shouldBe ((3L, 2L, 0.6365, 1L))   // micro-nat-snapped closed form
   }
 
+  test("q88: a small lang's shard interleaves INSIDE the big lang's run " +
+    "at its stride midpoint, and running token totals accumulate in order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q88fix").toString
+    val w500 = Seq.fill(500)("w").mkString(" ")
+    // lang a: 6×500-token docs -> 3 shards of 1000; lang b: 2×500 -> 1 shard
+    ((1L to 6L).map(i => (i, w500, "a")) ++
+      Seq((11L, w500, "b"), (12L, w500, "b")))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("q88_shard_interleave")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    // fins: a = 1/6, 3/6, 5/6; b = 1/2 (ties with a's shard 1 -> lang order)
+    rows shouldBe Array(
+      (1L, "a", 0L, 1000L),
+      (2L, "a", 1L, 2000L),
+      (3L, "b", 0L, 3000L),
+      (4L, "a", 2L, 4000L))
+  }
+
   test("q65: hyperplanes are balanced ±1 (md5 coin is unbiased enough) and fixed") {
     val hp = Similarity.hyperplanes
     hp.length shouldBe 8
