@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{SpaceSavingAgg, TextFns}
 import graft.io.Tables.table
 
 /** Text-analysis suite for training-data pipelines: language-ID (stopword
@@ -732,6 +732,55 @@ object TextAnalysis {
           .withColumn("low_diversity",
             when(col("entropy_nats") < 2.0, lit(1L)).otherwise(lit(0L)))
           .orderBy(col("doc_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q89: HEAVY HITTERS VIA SKETCH-THEN-VERIFY — the q46-Bloom contract
+    // applied to frequency: a SpaceSaving sketch (graft.functions
+    // .SpaceSavingAgg, fixed-memory, mergeable, no false negatives above
+    // n/capacity) nominates ≤ 512 candidate tokens; only those are
+    // exactly recounted and ranked. The final top-20 is EXACT — which is
+    // why the DuckDB oracle can hash-gate it with a plain GROUP BY — but
+    // the engine path never shuffles the full vocabulary: the sketch's
+    // partial buffers combine map-side (≤ 512 entries per partition
+    // regardless of distinct-key count) and the recount shuffles only
+    // candidate tokens. At web-scale vocabularies (billions of distinct
+    // tokens/URLs/n-grams at 100 TB) that is the difference between a
+    // bounded shuffle and a full-vocabulary exchange. A sketch false
+    // negative would break the oracle match, so the driver's gate also
+    // pins the sketch's containment guarantee on real data.
+    Q("q89_heavy_hitters",
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
+        ex AS (SELECT unnest(tk) AS token FROM toks),
+        cnt AS (SELECT token, count(*) AS n FROM ex GROUP BY token)
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+                 AS rank,
+               token, n
+        FROM cnt ORDER BY n DESC, token LIMIT 20"""),
+      run = (spark, dir) => {
+        import org.apache.spark.sql.Encoders
+        val tokens = table(spark, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("token"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ss = udaf(new SpaceSavingAgg.SpaceSaving(512), Encoders.STRING)
+        // ≤ 512 candidate strings — a legit driver-side literal ship
+        // (the q71 precedent); at 100 TB the persist becomes a re-scan
+        val cands = tokens.agg(ss(col("token")).as("hh"))
+          .select(explode(col("hh")).as("it"))
+          .select(col("it.item")).collect().map(_.getString(0)).toSeq
+        val exact = tokens.where(col("token").isin(cands: _*))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(20)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))
+        val res = Q.localized(exact
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("rank"), col("token"), col("n"))
+          .orderBy(col("rank")))
+        tokens.unpersist(blocking = false)
+        res
       })
   )
 }
