@@ -227,6 +227,38 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
   }
 
+  test("q85: the hash split is a narrow projection — exactly one hash " +
+    "shuffle (the manifest agg), partial aggregation before it") {
+    val p = Registry.queries("q85_hash_split")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    p should include("partial_count")
+  }
+
+  test("q86: fertility is one scan + one ≤5-group hash shuffle") {
+    val p = Registry.queries("q86_tokenizer_fertility")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    p should include("partial_sum")
+  }
+
+  test("q87: entropy shuffles (doc, type) counts then per-doc sums — two " +
+    "hash exchanges, both behind partial aggregation, text never shuffled") {
+    val p = Registry.queries("q87_token_entropy")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 2
+    p should include("partial_count")
+  }
+
+  test("q88: the manifest head is TakeOrderedAndProject over the shard " +
+    "relation — no cartesian, weights broadcast") {
+    val p = Registry.queries("q88_shard_interleave")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("q33: as-of join is one union + one hash shuffle — no range-join explosion") {
     val p = Registry.queries("q33_asof_join")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
