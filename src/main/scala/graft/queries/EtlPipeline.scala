@@ -332,6 +332,77 @@ object EtlPipeline {
             col("shard_tokens"), col("cum_tokens"),
             (floor(col("fin") * 100000000 + 0.5) / 100000000).as("fin_r"))
           .orderBy(col("position"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q90: INCREMENTAL SHARD PACKING — the append-only twin of q60: a
+    // daily batch joins an ALREADY-PACKED corpus without repacking it.
+    // Yesterday's shards are immutable (their ids are burned into
+    // manifests, checkpoints, and data-loader state); the batch
+    // continues each lang's layout from its token total T_L: a batch doc
+    // whose cumulative start is s lands in shard floor((T_L + s)/1000).
+    // The corpus split is the deterministic md5 80/20 rule (the q72
+    // convention) so both engines derive identical corpus/batch sides.
+    // Output: the batch's per-(lang, shard) manifest delta, flagging
+    // shards that CONTINUE an existing partial shard (shard·1000 < T_L)
+    // versus newly opened ones.
+    // Scale shape: T_L per lang comes from yesterday's MANIFEST — a
+    // shard-count-sized aggregate (here re-derived from `documents` so
+    // the oracle is artifact-free), broadcast to the batch; the batch
+    // pays one window pass over ITSELF only. Appending a day to a
+    // 100 TB corpus costs O(batch), not O(corpus) — the property that
+    // makes daily packing feasible at all.
+    Q("q90_incremental_packing",
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+                 (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                       AS BIGINT) % 10000) AS b
+          FROM documents),
+        corp AS (
+          SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t_l
+          FROM toks WHERE b < 8000 GROUP BY lang),
+        batch AS (
+          SELECT doc_id, lang, n_tokens FROM toks WHERE b >= 8000),
+        packed AS (
+          SELECT bt.lang, bt.n_tokens, coalesce(c.t_l, 0) AS t_l,
+                 CAST(floor((coalesce(c.t_l, 0)
+                   + sum(bt.n_tokens) OVER (PARTITION BY bt.lang
+                       ORDER BY bt.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - bt.n_tokens) / 1000.0) AS BIGINT) AS shard
+          FROM batch bt LEFT JOIN corp c ON bt.lang = c.lang)
+        SELECT lang, shard,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS new_tokens,
+               CASE WHEN shard * 1000 < t_l THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS continues_existing
+        FROM packed
+        GROUP BY lang, shard, t_l
+        ORDER BY lang, shard"""),
+      run = (spark, dir) => {
+        import graft.operators.Sampling
+        val toks = table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).as("n_tokens"),
+            Sampling.hashBucket(col("doc_id")).as("b"))
+        val corp = toks.where(col("b") < 8000)
+          .groupBy(col("lang")).agg(sum(col("n_tokens")).as("t_l"))
+        val wBatch = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        toks.where(col("b") >= 8000)
+          .join(broadcast(corp), Seq("lang"), "left")
+          .withColumn("t_l", coalesce(col("t_l"), lit(0L)))
+          .withColumn("shard",
+            floor((col("t_l") + sum(col("n_tokens")).over(wBatch)
+              - col("n_tokens")) / 1000.0))
+          .groupBy(col("lang"), col("shard"), col("t_l"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("new_tokens"))
+          .select(col("lang"), col("shard"), col("n_docs"), col("new_tokens"),
+            when(col("shard") * 1000 < col("t_l"), lit(1L)).otherwise(lit(0L))
+              .as("continues_existing"))
+          .orderBy(col("lang"), col("shard"))
       })
   )
 }

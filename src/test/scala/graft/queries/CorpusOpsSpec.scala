@@ -495,6 +495,41 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
       (4L, "a", 2L, 4000L))
   }
 
+  test("q90: incremental packing continues each lang's layout exactly at " +
+    "floor(T_L/1000), shards are contiguous, and batch tokens conserve") {
+    import graft.operators.Sampling
+    val F = org.apache.spark.sql.functions
+    val toks = graft.io.Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"),
+        F.size(F.split(col("text"), " ")).cast("long").as("n"),
+        Sampling.hashBucket(col("doc_id")).as("b"))
+    // independent derivation of yesterday's totals and the batch volume
+    val tl = toks.where(col("b") < 8000).groupBy("lang").agg(sum("n").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchTok = toks.where(col("b") >= 8000).groupBy("lang").agg(sum("n").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Registry.queries("q90_incremental_packing")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val shards = rs.map(_._2).sorted
+      val t = tl.getOrElse(lang, 0L)
+      withClue(s"$lang: ") {
+        // first batch shard is exactly the corpus boundary shard
+        assert(shards.head == t / 1000)
+        // contiguous range, no holes
+        shards shouldBe (shards.head to shards.last)
+        // the boundary shard continues iff the corpus left it part-filled
+        rs.find(_._2 == shards.head).get._4 shouldBe (if (t % 1000 > 0) 1L else 0L)
+        // later shards never carry the continuation flag
+        rs.filter(_._2 > shards.head).map(_._4).distinct.toSeq should
+          (be(Seq(0L)) or be(Seq.empty))
+        // token conservation: manifest delta sums to the batch volume
+        assert(rs.map(_._3).sum == batchTok(lang))
+      }
+    }
+    rows.length should be > 0
+  }
+
   test("q65: hyperplanes are balanced ±1 (md5 coin is unbiased enough) and fixed") {
     val hp = Similarity.hyperplanes
     hp.length shouldBe 8
