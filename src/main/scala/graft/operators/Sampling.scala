@@ -102,9 +102,18 @@ object Sampling {
     * replayable by a SQL oracle as a CASE over the same cumulative cuts.
     * One narrow codegen'd projection — splitting 100 TB costs one scan,
     * no shuffle, and emits no copy of the data (the label column IS the
-    * split; downstream readers filter on it). */
+    * split; downstream readers filter on it).
+    *
+    * The split draws from its OWN hash domain (`domain` is prefixed into
+    * the digest input), NOT the raw key bucket [[stratified]] and
+    * [[temperatureMix]] use. This keeps the two decisions independent
+    * when composed on the same key: with a shared domain, a 30% sample
+    * (buckets < 3000) would have an EMPTY `test` split (buckets ≥ 9500)
+    * — every hash-derived decision in a pipeline must consume its own
+    * uniform, exactly like independent RNG streams. */
   def hashSplit(df: DataFrame, keyCol: String,
-      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+      splits: Seq[(String, Double)], splitCol: String = "split",
+      domain: String = "split"): DataFrame = {
     require(splits.size >= 2, "need at least two splits")
     require(splits.forall(_._2 > 0), "fractions must be positive")
     val cuts = splits.scanLeft(0L) { case (acc, (_, f)) =>
@@ -112,7 +121,7 @@ object Sampling {
     }.tail
     require(cuts.last == Buckets.toLong,
       s"fractions must sum to 1 (cumulative buckets ${cuts.last} != $Buckets)")
-    val b = hashBucket(col(keyCol))
+    val b = hashBucket(concat(lit(domain + "|"), col(keyCol).cast("string")))
     val assign = splits.init.zip(cuts.init).foldRight(lit(splits.last._1)) {
       case (((label, _), cut), rest) => when(b < cut, lit(label)).otherwise(rest)
     }

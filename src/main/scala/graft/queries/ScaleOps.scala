@@ -299,17 +299,20 @@ object ScaleOps {
     // keeps its split forever as ingest appends rows — the property
     // row_number()-quantile splits lack). The emitted manifest is the
     // per-(split, lang) doc and token census a run records for
-    // reproducibility. Scale shape: one narrow codegen'd scan (bucket +
-    // CASE + token count), one partial-agg shuffle over ≤ 3·|langs|
-    // groups — splitting 100 TB is scan-bound, no data copy (the label
-    // column IS the split).
+    // reproducibility. The split hashes its OWN domain ('split|' || key
+    // — Sampling.hashSplit), independent of the raw-key bucket the
+    // stratified/temperature samplers draw, so split and sample compose
+    // without correlation. Scale shape: one narrow codegen'd scan
+    // (bucket + CASE + token count), one partial-agg shuffle over
+    // ≤ 3·|langs| groups — splitting 100 TB is scan-bound, no data copy
+    // (the label column IS the split).
     Q("q85_hash_split",
       oracle = Some(s"""
         WITH t AS (
           SELECT CASE
-                   WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                   WHEN (CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 6))
                          AS BIGINT) % 10000) < 9000 THEN 'train'
-                   WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                   WHEN (CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 6))
                          AS BIGINT) % 10000) < 9500 THEN 'val'
                    ELSE 'test' END AS split,
                  lang,

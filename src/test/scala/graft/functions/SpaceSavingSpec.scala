@@ -54,6 +54,37 @@ class SpaceSavingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     got.length should be <= 64
   }
 
+  test("property: guarantees hold under every merge-tree shape — linear " +
+    "fold, balanced tree, and skewed splits, across seeds (pure JVM)") {
+    val agg = new SpaceSavingAgg.SpaceSaving(32)
+    def sketchOf(items: Seq[String]): SpaceSavingAgg.Buf =
+      items.foldLeft(agg.zero)(agg.reduce)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val heavy = (0 until 3).flatMap(i => Seq.fill(200)(s"h$i"))
+      val noise = (0 until 2000).map(i => s"n${seed}_$i")
+      val stream = rnd.shuffle(heavy ++ noise)
+      // three merge shapes over the same stream
+      val chunks = stream.grouped(97).map(sketchOf).toSeq
+      val linear = chunks.reduceLeft(agg.merge)
+      val balanced = chunks.reduceRight(agg.merge)
+      val skewed = agg.merge(sketchOf(stream.take(13)), sketchOf(stream.drop(13)))
+      for ((buf, shape) <- Seq(linear -> "linear", balanced -> "balanced",
+          skewed -> "skewed")) {
+        val out = agg.finish(buf).map(i => i.item -> i).toMap
+        withClue(s"seed=$seed shape=$shape: ") {
+          // n/m = 2600/32 ≈ 81 < 200: heavies always survive, bounds hold
+          (0 until 3).foreach { i =>
+            out.contains(s"h$i") shouldBe true
+            out(s"h$i").count should be >= 200L
+            (out(s"h$i").count - out(s"h$i").err) should be <= 200L
+          }
+          out.size should be <= 32
+        }
+      }
+    }
+  }
+
   test("result content is independent of partitioning for sub-capacity vocab") {
     import spark.implicits._
     val df = Seq.tabulate(2000)(i => s"w${i % 11}").toDF("token")

@@ -75,6 +75,22 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     small.foreach { case (id, s) => full(id) shouldBe s }
   }
 
+  test("hashSplit draws from its own hash domain: composing with stratified " +
+    "sampling on the SAME key keeps every split populated proportionally") {
+    // with a shared domain this would be structurally empty: a 30% sample
+    // keeps buckets < 3000 while 'test' would be buckets >= 9500
+    val sampled = Sampling.stratified(corpus, "id", "lang",
+      Map("en" -> 0.3, "de" -> 0.3, "zh" -> 0.3))
+    val split = Sampling.hashSplit(sampled, "id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val n = split.count().toDouble
+    val shares = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    shares("test") shouldBe 0.05 +- 0.02
+    shares("val") shouldBe 0.05 +- 0.02
+    shares("train") shouldBe 0.9 +- 0.03
+  }
+
   test("hashSplit: plan is a narrow projection (no shuffle); bad fractions rejected") {
     val plan = Sampling.hashSplit(corpus, "id",
       Seq("a" -> 0.5, "b" -> 0.5)).queryExecution.executedPlan.toString
