@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -403,6 +404,114 @@ object EtlPipeline {
             when(col("shard") * 1000 < col("t_l"), lit(1L)).otherwise(lit(0L))
               .as("continues_existing"))
           .orderBy(col("lang"), col("shard"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q91: PIPELINE ATTRITION REPORT — the observability view every
+    // corpus-prep run records: how many documents each stage of the q81
+    // chain drops (raw → tokenizable → quality ≥ 0.33 → exact-dedup
+    // survivor → stratified sample), with per-stage retained% against
+    // raw. The stage rules are BYTE-IDENTICAL to q81's (same snap, same
+    // survivor election, same sampling quotas) so this report and the
+    // q81 output can never disagree about what the pipeline did.
+    // Scale shape: stages 0-2 are conditional sums in ONE narrow scan
+    // (flags, no data movement); stage 3 is the chain's one dedup
+    // shuffle on md5(text); stage 4 is the shuffle-free sampling filter.
+    // The five report rows are literal-stitched from three 1-row
+    // aggregates (broadcast cross joins — never a data-scale join).
+    Q("q91_attrition_report",
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang, text,
+                 ${graft.functions.TextFns.sql.tokens} AS tk
+          FROM documents),
+        g AS (
+          SELECT doc_id, lang, text, tk,
+                 CASE WHEN text IS NOT NULL AND len(tk) > 0
+                      THEN 1 ELSE 0 END AS ok1,
+                 CASE WHEN text IS NOT NULL AND len(tk) > 0 AND
+                   floor((0.3 * least(len(tk) / 100.0, 1.0) +
+                          0.4 * (${TextAnalysis.markerCountSql(TextAnalysis.enStop)}
+                                 * 1.0 / len(tk)) +
+                          0.3 * (len(list_distinct(tk)) * 1.0 / len(tk)))
+                         * 10000 + 0.5) / 10000 >= 0.33
+                      THEN 1 ELSE 0 END AS ok2
+          FROM toks),
+        c012 AS (
+          SELECT count(*) AS c0, CAST(sum(ok1) AS BIGINT) AS c1,
+                 CAST(sum(ok2) AS BIGINT) AS c2
+          FROM g),
+        surv AS (
+          SELECT min(doc_id) AS doc_id FROM g WHERE ok2 = 1 GROUP BY md5(text)),
+        c3t AS (SELECT count(*) AS c3 FROM surv),
+        samp AS (
+          SELECT g.doc_id FROM g JOIN surv USING (doc_id)
+          WHERE (CAST(('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 6))
+                   AS BIGINT) % 10000)
+                < CASE g.lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                              ELSE 1000 END),
+        c4t AS (SELECT count(*) AS c4 FROM samp),
+        c AS (SELECT * FROM c012, c3t, c4t)
+        SELECT * FROM (
+          SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+                 c0 AS n_docs, CAST(0 AS BIGINT) AS dropped,
+                 round(c0 * 100.0 / c0, 2) AS retained_pct FROM c
+          UNION ALL SELECT 1, 'tokenized', c1, c0 - c1,
+                 round(c1 * 100.0 / c0, 2) FROM c
+          UNION ALL SELECT 2, 'quality', c2, c1 - c2,
+                 round(c2 * 100.0 / c0, 2) FROM c
+          UNION ALL SELECT 3, 'dedup', c3, c2 - c3,
+                 round(c3 * 100.0 / c0, 2) FROM c
+          UNION ALL SELECT 4, 'sampled', c4, c3 - c4,
+                 round(c4 * 100.0 / c0, 2) FROM c)
+        ORDER BY stage"""),
+      run = (spark, dir) => {
+        import graft.functions.TextFns
+        val nTk = size(col("tk"))
+        val score = lit(0.3) * least(nTk / lit(100.0), lit(1.0)) +
+          lit(0.4) * (TextAnalysis.markerCount(col("tk"), TextAnalysis.enStop)
+            * lit(1.0) / nTk) +
+          lit(0.3) * (size(array_distinct(col("tk"))).cast("long")
+            * lit(1.0) / nTk)
+        val g = table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            TextFns.tokens(col("text")).as("tk"))
+          .withColumn("ok1",
+            when(col("text").isNotNull && nTk > 0, 1L).otherwise(0L))
+          .withColumn("ok2",
+            when(col("text").isNotNull && nTk > 0 &&
+              floor(score * 10000 + 0.5) / 10000 >= 0.33, 1L).otherwise(0L))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c012 = g.agg(count(lit(1)).as("c0"),
+          sum(col("ok1")).as("c1"), sum(col("ok2")).as("c2"))
+        val surv = g.filter(col("ok2") === 1)
+          .groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id")).drop("__h")
+        val c3t = surv.agg(count(lit(1)).as("c3"))
+        val samp = graft.operators.Sampling.stratified(
+          g.filter(col("ok2") === 1).join(surv, Seq("doc_id"), "left_semi"),
+          "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
+        val c4t = samp.agg(count(lit(1)).as("c4"))
+        def st(i: Long, nm: String, n: Column, prev: Column) =
+          struct(lit(i).as("stage"), lit(nm).as("stage_name"),
+            n.cast("long").as("n_docs"),
+            (prev - n).cast("long").as("dropped"),
+            round(n * lit(100.0) / col("c0"), 2).as("retained_pct"))
+        val res = Q.localized(c012.crossJoin(c3t).crossJoin(c4t)
+          .select(explode(array(
+            st(0L, "raw", col("c0"), col("c0")),
+            st(1L, "tokenized", col("c1"), col("c0")),
+            st(2L, "quality", col("c2"), col("c1")),
+            st(3L, "dedup", col("c3"), col("c2")),
+            st(4L, "sampled", col("c4"), col("c3")))).as("r"))
+          .select(col("r.stage").as("stage"),
+            col("r.stage_name").as("stage_name"),
+            col("r.n_docs").as("n_docs"),
+            col("r.dropped").as("dropped"),
+            col("r.retained_pct").as("retained_pct"))
+          .orderBy(col("stage")))
+        g.unpersist(blocking = false)
+        res
       })
   )
 }

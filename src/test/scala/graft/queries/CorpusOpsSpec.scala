@@ -530,6 +530,24 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     rows.length should be > 0
   }
 
+  test("q91: stage counts are monotone, drops reconcile exactly, and the " +
+    "sampled stage agrees with q81's packed doc total (shared rules)") {
+    val rows = Registry.queries("q91_attrition_report")(spark, sf0001).collect()
+    rows.length shouldBe 5
+    val n = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (1L to 4L).foreach(i => assert(n(i) <= n(i - 1)))
+    rows.foreach { r =>
+      val expected = if (r.getLong(0) == 0L) 0L else n(r.getLong(0) - 1) - n(r.getLong(0))
+      assert(r.getLong(3) == expected, s"stage ${r.getLong(0)} dropped")
+    }
+    // the report and the pipeline output derive from byte-identical rules —
+    // they can never disagree about how many docs survived to packing
+    val q81docs = Registry.queries("q81_corpus_prep")(spark, sf0001)
+      .collect().map(_.getLong(2)).sum
+    assert(n(4L) == q81docs)
+    n(0L) should be > 0L
+  }
+
   test("q65: hyperplanes are balanced ±1 (md5 coin is unbiased enough) and fixed") {
     val hp = Similarity.hyperplanes
     hp.length shouldBe 8
