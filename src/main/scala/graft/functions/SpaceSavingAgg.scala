@@ -33,13 +33,16 @@ import org.apache.spark.sql.expressions.Aggregator
 object SpaceSavingAgg {
 
   final case class Item(item: String, count: Long, err: Long)
-  final case class Buf(sum: Seq[Item], pending: Seq[String])
+  /** `npend` mirrors `pending.size` so the per-row compaction check is
+    * O(1) — `Seq.length` on the prepend-built list is an O(n) scan, which
+    * would make the hot `reduce` path O(capacity) per input row. */
+  final case class Buf(sum: Seq[Item], pending: Seq[String], npend: Int)
 
   final class SpaceSaving(capacity: Int)
       extends Aggregator[String, Buf, Seq[Item]] {
     require(capacity > 0, "capacity must be positive")
 
-    override def zero: Buf = Buf(Seq.empty, Seq.empty)
+    override def zero: Buf = Buf(Seq.empty, Seq.empty, 0)
 
     private def compact(buf: Buf): Buf = {
       if (buf.pending.isEmpty) buf
@@ -58,14 +61,14 @@ object SpaceSavingAgg {
               m(t) = (mc + 1, mc) // inherit the evicted slot's upper bound
           }
         }
-        Buf(m.toSeq.map { case (k, (c, e)) => Item(k, c, e) }, Seq.empty)
+        Buf(m.toSeq.map { case (k, (c, e)) => Item(k, c, e) }, Seq.empty, 0)
       }
     }
 
     override def reduce(buf: Buf, item: String): Buf = {
       val p = item +: buf.pending
-      if (p.length >= capacity) compact(Buf(buf.sum, p))
-      else Buf(buf.sum, p)
+      if (buf.npend + 1 >= capacity) compact(Buf(buf.sum, p, buf.npend + 1))
+      else Buf(buf.sum, p, buf.npend + 1)
     }
 
     override def merge(a: Buf, b: Buf): Buf = {
@@ -82,7 +85,7 @@ object SpaceSavingAgg {
         val (c2, e2) = mb.get(k).map(i => (i.count, i.err)).getOrElse((minB, minB))
         Item(k, c1 + c2, e1 + e2)
       }
-      Buf(merged.sortBy(i => (-i.count, i.item)).take(capacity), Seq.empty)
+      Buf(merged.sortBy(i => (-i.count, i.item)).take(capacity), Seq.empty, 0)
     }
 
     override def finish(buf: Buf): Seq[Item] =

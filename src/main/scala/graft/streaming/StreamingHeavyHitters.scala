@@ -55,7 +55,7 @@ object StreamingHeavyHitters {
       // finish() compacts; storing the compacted form keeps the state
       // row at ≤ capacity entries regardless of batch size
       val items = agg.finish(folded)
-      st.update(SpaceSavingAgg.Buf(items, Seq.empty))
+      st.update(SpaceSavingAgg.Buf(items, Seq.empty, 0))
       val n = (if (seq.exists()) seq.get() else 0L) + 1L
       seq.update(n)
       items.iterator.map(i => Summary(bucket, n, i.item, i.count, i.err))
