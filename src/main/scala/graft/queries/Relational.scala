@@ -578,6 +578,59 @@ object Relational {
           .select(col("grp_id"), col("lang_g"), col("source_g"),
             col("n_docs"), col("avg_chars"))
           .orderBy(col("grp_id"), col("lang_g"), col("source_g"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q95: GROUPING SETS — the asymmetric multi-level report rollup and
+    // cube can't express: exactly the four groupings a dashboard needs
+    // ((priority, year), (priority), (year), ()) in ONE pass, nothing
+    // more — a cube over the same columns would also compute nothing
+    // extra here, but the point of GROUPING SETS is choosing the set
+    // list freely (drop a grouping and the plan shrinks with it).
+    // Same determinism conventions as q63: grouping-bit grp_id,
+    // 'ALL'/-1 sentinels so every output column is non-null and totally
+    // orderable, money as DECIMAL(18,2)-accumulated doubles.
+    // Scale shape: Spark expands grouping sets BEFORE the aggregate
+    // (one Expand + one partial-agg'd hash shuffle keyed on the
+    // grouping id + keys) — cost scales with |sets| × input, all
+    // map-side combined; no per-set rescan of the table.
+    Q("q95_grouping_sets",
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_orderpriority AS pri,
+                 CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 o_totalprice
+          FROM orders)
+        SELECT CAST(grouping(pri) * 2 + grouping(yr) AS BIGINT) AS grp_id,
+               CASE WHEN grouping(pri) = 1 THEN 'ALL' ELSE pri END AS pri_g,
+               CASE WHEN grouping(yr) = 1 THEN CAST(-1 AS BIGINT)
+                    ELSE yr END AS yr_g,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS total_price
+        FROM o
+        GROUP BY GROUPING SETS ((pri, yr), (pri), (yr), ())
+        ORDER BY grp_id, pri_g, yr_g"""),
+      run = (spark, dir) => {
+        val pri = col("pri")
+        val yr = col("yr")
+        table(spark, dir, "orders")
+          .select(col("o_orderpriority").as("pri"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            col("o_totalprice"))
+          .groupingSets(
+            Seq(Seq(pri, yr), Seq(pri), Seq(yr), Seq.empty),
+            pri, yr)
+          .agg(
+            (grouping(pri) * 2 + grouping(yr)).cast("long").as("grp_id"),
+            when(grouping(pri) === 1, "ALL").otherwise(pri).as("pri_g"),
+            when(grouping(yr) === 1, -1L).otherwise(yr).as("yr_g"),
+            count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("total_price"))
+          .select(col("grp_id"), col("pri_g"), col("yr_g"),
+            col("n_orders"), col("total_price"))
+          .orderBy(col("grp_id"), col("pri_g"), col("yr_g"))
       })
   )
 }

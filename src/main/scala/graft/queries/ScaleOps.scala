@@ -15,6 +15,24 @@ import graft.operators.SkewJoin
   */
 object ScaleOps {
 
+  /** Per-process suffix for q92's bucketed-table names and storage (the
+    * q54/q71 artifact discipline: concurrent Bench and Verify on one
+    * checkout must never read each other's half-written lake). */
+  private val runToken: String =
+    java.util.UUID.randomUUID().toString.filterNot(_ == '-').take(8)
+
+  private def q92LakeDir: String =
+    new java.io.File(s"target/q92_lake-$runToken").getAbsolutePath
+
+  /** Short stable tag for an sf directory, so one process can hold
+    * bucketed tables for several scale factors side by side (specs at
+    * sf0.001 and a Verify at sf0.01 share the session catalog). */
+  private def dirTag(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+    d.take(4).map("%02x".format(_)).mkString
+  }
+
   val defs: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -333,6 +351,65 @@ object ScaleOps {
           .groupBy(col("split"), col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
           .orderBy(col("split"), col("lang"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q92: BUCKETED CO-LOCATED JOIN — the lake-layout answer to the
+    // biggest recurring cost at 100 TB: the fact⋈fact shuffle. Both
+    // sides are written ONCE as bucketed tables (`bucketBy(16, key)` +
+    // `sortBy`, the Spark-native hive-bucketing layout); every
+    // subsequent join on the bucket key reads bucket i against bucket i
+    // directly — NO Exchange on either side, at any scale, because
+    // co-partitioning is a property of the STORAGE, not of the query.
+    // This is the production pattern for fact tables joined daily:
+    // pay one bucketed write, then every downstream join is
+    // shuffle-free forever. The oracle pins the layout's invisibility:
+    // the bucketed join must return exactly what the plain join
+    // returns. PlanSpec pins the plan half: SortMergeJoin with zero
+    // hash exchanges below the aggregation.
+    // The write is per-process + per-sfDir (q54/q71 artifact
+    // discipline) and idempotent within a process — Bench's repeated
+    // runs re-join without re-writing, so the measured cost converges
+    // to the join itself, exactly like production.
+    Q("q92_bucketed_join",
+      oracle = Some("""
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               count(*) AS n_items,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+                 AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority, o_year
+        ORDER BY o_orderpriority, o_year"""),
+      run = (spark, dir) => {
+        val tag = dirTag(dir)
+        val lTab = s"graft_q92_lineitem_${runToken}_$tag"
+        val oTab = s"graft_q92_orders_${runToken}_$tag"
+        if (!spark.catalog.tableExists(lTab)) {
+          table(spark, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+            .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"$q92LakeDir/$tag/lineitem")
+            .mode("overwrite").saveAsTable(lTab)
+        }
+        if (!spark.catalog.tableExists(oTab)) {
+          table(spark, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+            .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"$q92LakeDir/$tag/orders")
+            .mode("overwrite").saveAsTable(oTab)
+        }
+        // hint("merge") keeps the small side from broadcasting at test
+        // scale — the point is the co-located SortMergeJoin the layout
+        // buys, which is what survives when neither side fits in memory
+        spark.table(lTab).hint("merge")
+          .join(spark.table(oTab), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(count(lit(1)).as("n_items"),
+            Relational.revenueExpr.as("revenue"))
+          .orderBy(col("o_orderpriority"), col("o_year"))
       })
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SpaceSavingAgg, TextFns}
@@ -21,6 +21,65 @@ object TextAnalysis {
 
   private[queries] def markerCountSql(words: Seq[String]): String =
     s"len(list_filter(tk, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** q83/q94 shared construction: the bigram LM score per document —
+    * (doc_id, n_bigrams, avg_logp 4dp-snapped). Returns the persisted
+    * bigram-occurrence relation (caller unpersists when done) and the
+    * per-doc score frame. See q83's Scaladoc for the snapping
+    * discipline and scale shape. */
+  private def bigramPerDoc(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val occ = table(spark, dir, "documents")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("z"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("z").getField("0"), col("z").getField("1")).as("g"),
+        col("z").getField("0").as("w1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = occ.groupBy(col("w1"), col("g")).agg(count(lit(1)).as("c12"))
+    val starts = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val scored = occ
+      .join(model, Seq("g", "w1"))
+      .join(starts, Seq("w1"))
+      .select(col("doc_id"),
+        floor(log(col("c12") * lit(1.0) / col("c1")) * 1000000 + 0.5).as("micro"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor((col("s") * lit(1.0) / col("n_bigrams")) / 100.0 + 0.5) / 10000)
+          .as("avg_logp"))
+    (occ, perDoc)
+  }
+
+  /** q83/q94 shared oracle CTE chain, ending in `sc(doc_id, n_bigrams,
+    * avg_logp)` — the DuckDB twin of [[bigramPerDoc]], kept as ONE
+    * string so the two gates can never drift apart. */
+  private def bigramScoreCtes: String = s"""
+        WITH toks AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
+        occ AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                   i -> concat_ws(' ', tk[i], tk[i+1]))) AS g,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1
+          FROM toks WHERE len(tk) >= 2),
+        model AS (SELECT w1, g, count(*) AS c12 FROM occ GROUP BY w1, g),
+        starts AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY w1),
+        scored AS (
+          SELECT o.doc_id,
+                 floor(ln(m.c12 * 1.0 / s.c1) * 1000000 + 0.5) AS micro
+          FROM occ o
+          JOIN model m ON o.g = m.g AND o.w1 = m.w1
+          JOIN starts s ON o.w1 = s.w1),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_bigrams, sum(micro) AS s
+          FROM scored GROUP BY doc_id),
+        sc AS (
+          SELECT doc_id, n_bigrams,
+                 floor((s * 1.0 / n_bigrams) / 100.0 + 0.5) / 10000 AS avg_logp
+          FROM per_doc)"""
 
   /** q46 oracle prefix: exploded distinct 3-shingles (raw strings; the
     * Spark side compares md5(shingle) keys — membership is identical). */
@@ -541,53 +600,14 @@ object TextAnalysis {
     // 10 orders of magnitude of slack before that could surface at 4dp.)
     Q("q83_bigram_lm_score",
       oracle = Some(s"""
-        WITH toks AS (
-          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
-        occ AS (
-          SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-                   i -> concat_ws(' ', tk[i], tk[i+1]))) AS g,
-                 unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1
-          FROM toks WHERE len(tk) >= 2),
-        model AS (SELECT w1, g, count(*) AS c12 FROM occ GROUP BY w1, g),
-        starts AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY w1),
-        scored AS (
-          SELECT o.doc_id,
-                 floor(ln(m.c12 * 1.0 / s.c1) * 1000000 + 0.5) AS micro
-          FROM occ o
-          JOIN model m ON o.g = m.g AND o.w1 = m.w1
-          JOIN starts s ON o.w1 = s.w1),
-        per_doc AS (
-          SELECT doc_id, count(*) AS n_bigrams, sum(micro) AS s
-          FROM scored GROUP BY doc_id)
-        SELECT doc_id, n_bigrams,
-               floor((s * 1.0 / n_bigrams) / 100.0 + 0.5) / 10000 AS avg_logp
-        FROM per_doc
+        $bigramScoreCtes
+        SELECT doc_id, n_bigrams, avg_logp
+        FROM sc
         ORDER BY avg_logp, doc_id
         LIMIT 20"""),
       run = (spark, dir) => {
-        val occ = table(spark, dir, "documents")
-          .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 2)
-          .select(col("doc_id"), explode(arrays_zip(
-            slice(col("tk"), lit(1), size(col("tk")) - 1),
-            slice(col("tk"), lit(2), size(col("tk")) - 1))).as("z"))
-          .select(col("doc_id"),
-            concat_ws(" ", col("z").getField("0"), col("z").getField("1")).as("g"),
-            col("z").getField("0").as("w1"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val model = occ.groupBy(col("w1"), col("g")).agg(count(lit(1)).as("c12"))
-        val starts = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-        val scored = occ
-          .join(model, Seq("g", "w1"))
-          .join(starts, Seq("w1"))
-          .select(col("doc_id"),
-            floor(log(col("c12") * lit(1.0) / col("c1")) * 1000000 + 0.5).as("micro"))
-        val perDoc = scored.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("s"))
+        val (occ, perDoc) = bigramPerDoc(spark, dir)
         val result = Q.localized(perDoc
-          .select(col("doc_id"), col("n_bigrams"),
-            (floor((col("s") * lit(1.0) / col("n_bigrams")) / 100.0 + 0.5) / 10000)
-              .as("avg_logp"))
           .orderBy(col("avg_logp"), col("doc_id"))
           .limit(20))
         occ.unpersist(blocking = false)
@@ -781,6 +801,94 @@ object TextAnalysis {
           .orderBy(col("rank")))
         tokens.unpersist(blocking = false)
         res
+      }),
+
+    // ------------------------------------------------------------------
+    // q94: PERPLEXITY-TERTILE BUCKETING — the CCNet corpus partition:
+    // score every document with the q83 bigram LM, then split the corpus
+    // into head / middle / tail thirds by score (head = most probable =
+    // cleanest text; tail = the drop-or-demote candidates). Mixture
+    // designers sample the thirds at different rates, so the bucket
+    // BOUNDARIES must be reproducible — they are derived from exact
+    // counts over the 4dp-SNAPPED scores, not from an approximate
+    // quantile: tertile cut t1 = the smallest score whose cumulative doc
+    // count reaches ceil(n/3) (t2 at ceil(2n/3)), ties inclusive, so the
+    // cut is a pure function of the score distribution on both engines.
+    // Scale shape: scoring is q83's model-sized joins; the CDF
+    // aggregates per DISTINCT snapped score (a model-sized relation —
+    // 4dp snapping bounds it at ~10⁵ values regardless of corpus size),
+    // its running sum is a single-partition window over that tiny
+    // relation, and the two thresholds broadcast back for the final
+    // bucket-by-comparison pass. ceil(k/3) is floor((k+2)/3.0) on both
+    // engines — exact in doubles far past any real doc count.
+    Q("q94_perplexity_buckets",
+      oracle = Some(s"""
+        $bigramScoreCtes,
+        nn AS (SELECT count(*) AS n FROM sc),
+        dist AS (SELECT avg_logp, count(*) AS c FROM sc GROUP BY avg_logp),
+        cdf AS (
+          SELECT avg_logp, sum(c) OVER (ORDER BY avg_logp
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM dist),
+        th AS (
+          SELECT min(CASE WHEN cum >= floor((n + 2) / 3.0)
+                          THEN avg_logp END) AS t1,
+                 min(CASE WHEN cum >= floor((2 * n + 2) / 3.0)
+                          THEN avg_logp END) AS t2
+          FROM cdf, nn)
+        SELECT CASE WHEN avg_logp <= t1 THEN 'tail'
+                    WHEN avg_logp <= t2 THEN 'middle'
+                    ELSE 'head' END AS bucket,
+               count(*) AS n_docs,
+               CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams_total,
+               min(avg_logp) AS min_logp,
+               max(avg_logp) AS max_logp
+        FROM sc, th
+        GROUP BY bucket
+        ORDER BY bucket"""),
+      run = (spark, dir) => {
+        val (plan, cached) = perplexityBucketsPlan(spark, dir)
+        val res = Q.localized(plan)
+        cached.foreach(_.unpersist(blocking = false))
+        res
       })
   )
+
+  /** q94's pipeline pre-localization (the q78 pattern: PlanSpec needs the
+    * real shape, which `Q.localized`'s collect would otherwise hide).
+    * Returns the 3-row bucket report plan plus the persisted handles the
+    * caller must unpersist after materializing. */
+  private[queries] def perplexityBucketsPlan(
+      spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val (occ, perDoc0) = bigramPerDoc(spark, dir)
+    val perDoc = perDoc0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nn = perDoc.agg(count(lit(1)).as("n"))
+    // running count over DISTINCT snapped scores — model-sized, so
+    // the single-partition window is deliberate, not an oversight
+    val wCdf = Window.orderBy(col("avg_logp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = perDoc.groupBy(col("avg_logp")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCdf))
+    val th = cdf.crossJoin(nn) // 1-row stitch
+      .agg(
+        min(when(col("cum") >= floor((col("n") + 2) / lit(3.0)),
+          col("avg_logp"))).as("t1"),
+        min(when(col("cum") >= floor((col("n") * 2 + 2) / lit(3.0)),
+          col("avg_logp"))).as("t2"))
+    val plan = perDoc.crossJoin(broadcast(th))
+      .select(
+        when(col("avg_logp") <= col("t1"), "tail")
+          .when(col("avg_logp") <= col("t2"), "middle")
+          .otherwise("head").as("bucket"),
+        col("n_bigrams"), col("avg_logp"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams_total"),
+        min(col("avg_logp")).as("min_logp"),
+        max(col("avg_logp")).as("max_logp"))
+      .orderBy(col("bucket"))
+    (plan, Seq(perDoc, occ))
+  }
 }

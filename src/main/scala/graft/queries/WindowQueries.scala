@@ -472,6 +472,62 @@ object WindowQueries {
             count(lit(1)).over(w).as("n_1h"),
             round(sum(col("v")).over(w).cast("double"), 2).as("sum_1h"))
           .orderBy(col("user_id"), col("event_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q93: SCD2 INTERVAL CONSTRUCTION — collapse a change-log into
+    // slowly-changing-dimension type-2 validity intervals: each user's
+    // event stream, ordered by (ts, event_id), becomes one row per RUN of
+    // consecutive equal states [valid_from, valid_to) with valid_to =
+    // the next run's start (NULL while current) — the standard
+    // lag-change-flag → running-sum version-number → group construction
+    // every warehouse dimension load performs. The gate keeps a
+    // deterministic user subset (user_id % 41) so interval rows stay
+    // reviewable; the rules are subset-independent.
+    // Scale shape: one user-keyed shuffle carries the CHANGE-DETECTION
+    // window and the per-run aggregation together (same partitioning,
+    // Catalyst reuses the exchange); the second window (lead over runs)
+    // shuffles only INTERVAL rows — change-run-sized, orders of
+    // magnitude below event count at 100 TB. Timestamps travel as epoch
+    // micros (the events-table ns rule); the open interval is a real
+    // NULL (the q58 outer-join precedent) plus an is_current flag.
+    Q("q93_scd2_intervals",
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+          FROM events WHERE user_id % 41 = 0),
+        f AS (
+          SELECT *, CASE WHEN lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY us, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+          FROM e),
+        v AS (
+          SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS ver
+          FROM f),
+        runs AS (
+          SELECT user_id, ver, event_type,
+                 min(us) AS valid_from, count(*) AS n_events
+          FROM v GROUP BY user_id, ver, event_type)
+        SELECT user_id, ver, event_type, valid_from,
+               lead(valid_from) OVER
+                 (PARTITION BY user_id ORDER BY ver) AS valid_to,
+               CASE WHEN lead(valid_from) OVER
+                 (PARTITION BY user_id ORDER BY ver) IS NULL
+                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 AS is_current,
+               n_events
+        FROM runs
+        ORDER BY user_id, ver"""),
+      run = (spark, dir) => {
+        val log = table(spark, dir, "events")
+          .where(col("user_id") % 41 === 0)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        graft.operators.Scd2
+          .intervals(log, "user_id", "event_type", "us", "event_id")
+          .orderBy(col("user_id"), col("ver"))
       })
   )
 }

@@ -548,6 +548,48 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     n(0L) should be > 0L
   }
 
+  test("q94: tertile buckets partition the scored corpus with ordered, " +
+    "non-overlapping score ranges and near-third sizes") {
+    val rows = Registry.queries("q94_perplexity_buckets")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    rows.keySet shouldBe Set("head", "middle", "tail")
+    val (nH, minH, _) = rows("head")
+    val (nM, minM, maxM) = rows("middle")
+    val (nT, minT, maxT) = rows("tail")
+    val n = nH + nM + nT
+    // score ranges are ordered and disjoint: tail < middle < head
+    minT should be <= maxT
+    maxT should be < minM
+    maxM should be < minH
+    // cut at ceil(n/3) ties-inclusive: tail reaches at least a third;
+    // head (the ELSE bucket) can only lose docs to ties, never gain
+    nT should be >= (n + 2) / 3
+    nH should be <= (n + 2) / 3
+    Seq(nH, nM, nT).foreach(_ should be > 0L)
+  }
+
+  test("q93: the SCD2 gate subset is internally consistent — versions " +
+    "are dense per user and intervals chain without gaps") {
+    val rows = Registry.queries("q93_scd2_intervals")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5)))
+    rows should not be empty
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.map(_._2) shouldBe (1L to sorted.length.toLong)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => a._4 shouldBe Some(b._3) // valid_to = next from
+        case _           => ()
+      }
+      sorted.last._4 shouldBe None // open interval…
+      sorted.last._5 shouldBe 1L   // …flagged current
+      sorted.init.foreach(_._5 shouldBe 0L)
+    }
+  }
+
   test("q65: hyperplanes are balanced ±1 (md5 coin is unbiased enough) and fixed") {
     val hp = Similarity.hyperplanes
     hp.length shouldBe 8

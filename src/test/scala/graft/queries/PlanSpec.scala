@@ -342,6 +342,47 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include regex "user_id.*bucket|bucket.*user_id" // the band key
   }
 
+  test("q92: bucketed co-located join — SortMergeJoin with ZERO hash " +
+    "exchanges below the aggregation (co-partitioning comes from storage)") {
+    // no collect(): with AQE finalized, explainString prints Final AND
+    // Initial plans and every exchange would count twice
+    val df = Registry.queries("q92_bucketed_join")(spark, sf0001)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should include("SortMergeJoin")
+    // the ONLY hash exchange is the 35-group aggregation above the join;
+    // both join inputs read bucket-aligned, shuffle-free
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    val formatted = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    formatted should include("Bucketed: true")
+  }
+
+  test("q93: SCD2 — change-window, run-aggregation and lead-window all " +
+    "ride ONE user-keyed exchange (subset-partitioning reuse)") {
+    val df = Registry.queries("q93_scd2_intervals")(spark, sf0001)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    p should not include "CartesianProduct"
+  }
+
+  test("q94 (library plan): tertile thresholds broadcast back — no " +
+    "cartesian; the 1-row stitch is a broadcast (Q.localized hides this)") {
+    val (df, cached) = TextAnalysis.perplexityBucketsPlan(spark, sf0001)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    cached.foreach(_.unpersist(blocking = false))
+    p should not include "CartesianProduct"
+    p should include("BroadcastNestedLoopJoin") // the 1-row threshold stitch
+  }
+
+  test("q95: grouping sets compile to one Expand + one partially-aggregated " +
+    "exchange — not a per-set rescan") {
+    val df = Registry.queries("q95_grouping_sets")(spark, sf0001)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should include("Expand")
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    p should include("partial_count")
+  }
+
   test("relational suite stays inside whole-stage codegen (no UDF breaks)") {
     Seq("q01_share_of_voice", "q05_having_min_support", "q06_predicates",
       "q08_join_broadcast").foreach { q =>

@@ -47,6 +47,8 @@ class RegistrySpec extends AnyFunSuite with Matchers {
       val cleaned = sql.replaceAll("\\s+", " ")
         // EXTRACT(unit FROM col) is not a relation reference
         .replaceAll("(?i)EXTRACT\\s*\\([^)]*\\)", "")
+        // IS [NOT] DISTINCT FROM is a predicate, not a relation reference
+        .replaceAll("(?i)IS\\s+(?:NOT\\s+)?DISTINCT\\s+FROM", "<>")
       tableLike.findAllMatchIn(cleaned).map(_.group(1).toLowerCase).foreach { t =>
         withClue(s"$name references '$t': ") {
           // CTE aliases and subselects are fine; read_parquet is q54's
