@@ -463,6 +463,78 @@ object StreamingQueries {
             .select(col("stage"), coalesce(col("n"), lit(0L)).as("n_users"))
             .orderBy(col("stage"))
         }
+      }),
+
+    // ------------------------------------------------------------------
+    // q96: STREAMING HEAVY HITTERS UNDER THE GATE — the q89
+    // sketch-then-verify contract moved onto an unbounded stream: the
+    // token feed runs through graft.streaming.StreamingHeavyHitters
+    // (SpaceSaving as transformWithState keyed state — total state
+    // FIXED at buckets × capacity however many distinct tokens flow by),
+    // the FINAL per-bucket summaries (max update-seq per bucket)
+    // nominate candidates, and only those are exactly recounted batch-
+    // side via a broadcast semi-join — no driver-side candidate ship at
+    // all, improving on q89's collect. The result is EXACT top-20, which
+    // is why plain GROUP-BY SQL can hash-gate a sketch-driven streaming
+    // pipeline: SpaceSaving's no-false-negative guarantee holds at
+    // bucket granularity (floor n_bucket/512) ACROSS micro-batches —
+    // cross-batch accumulation is the property StreamingHeavyHittersSpec
+    // pins, and the driver's gate pins it again on real data.
+    Q("q96_stream_heavy_hitters",
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${graft.functions.TextFns.sql.tokens} AS tk
+          FROM documents),
+        ex AS (SELECT unnest(tk) AS token FROM toks),
+        cnt AS (SELECT token, count(*) AS n FROM ex GROUP BY token)
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+                 AS rank,
+               token, n
+        FROM cnt ORDER BY n DESC, token LIMIT 20"""),
+      run = (spark, dir) => {
+        import spark.implicits._
+        // transformWithState requires the RocksDB state store provider;
+        // scope it to this query and restore (the TwsFunnel discipline)
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = spark.conf.getOption(provKey)
+        spark.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val docSchema = rawSchemaCache.getOrElseUpdate(s"$dir#documents",
+            spark.read.parquet(s"$dir/documents.parquet").schema)
+          val tokens = spark.readStream.schema(docSchema)
+            .parquet(s"$dir/documents.parque*")
+            .select(explode(
+              graft.functions.TextFns.tokens(col("text"))).as("token"))
+            .as[String]
+          runToMemorySink(spark, "stream_hh_", "update",
+            graft.streaming.StreamingHeavyHitters
+              .track(spark, tokens, buckets = 8, capacity = 512).toDF(),
+            noDataBatch = false) { sink =>
+            // current global answer = each bucket's max-seq summary
+            val wB = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("bucket"))
+            val cands = sink
+              .withColumn("mx", max(col("seq")).over(wB))
+              .where(col("seq") === col("mx"))
+              .select(col("item").as("token")).distinct()
+            val exact = graft.io.Tables.table(spark, dir, "documents")
+              .select(explode(
+                graft.functions.TextFns.tokens(col("text"))).as("token"))
+              .join(broadcast(cands), Seq("token"), "left_semi")
+              .groupBy(col("token")).agg(count(lit(1)).as("n"))
+              .orderBy(col("n").desc, col("token")).limit(20)
+            val wR = org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("token"))
+            exact
+              .withColumn("rank", row_number().over(wR).cast("long"))
+              .select(col("rank"), col("token"), col("n"))
+              .orderBy(col("rank"))
+          }
+        } finally prevProv match {
+          case Some(v) => spark.conf.set(provKey, v)
+          case None => spark.conf.unset(provKey)
+        }
       })
   )
 }
