@@ -512,6 +512,65 @@ object EtlPipeline {
           .orderBy(col("stage")))
         g.unpersist(blocking = false)
         res
+      }),
+
+    // ------------------------------------------------------------------
+    // q98: INCREMENTAL AGGREGATE REFRESH — the materialized-view delta
+    // maintenance every daily pipeline runs: yesterday's per-(lang,
+    // source) census EXISTS (here re-derived from the md5 80/20 corpus
+    // side, the q90 artifact-free convention); today's batch is
+    // aggregated ALONE and algebraically MERGED in (full-outer on the
+    // group keys, counts and sums add, derived metrics recompute from
+    // the merged sums). The oracle is the invisibility contract at its
+    // purest: a plain GROUP BY over the WHOLE corpus — merge(existing,
+    // delta) must be indistinguishable from recompute(full), which is
+    // exactly the algebraic property (commutative-monoid aggregates)
+    // that makes incremental refresh sound. avg is NOT merged — it
+    // re-derives from merged sum/count, the rule that keeps derived
+    // metrics refreshable.
+    // Scale shape: at production the existing side is yesterday's
+    // MANIFEST (group-count-sized, broadcastable); the refresh costs
+    // O(batch + groups), never O(corpus) — the q90 property applied to
+    // aggregation. Both sides partial-aggregate before their one
+    // group-keyed shuffle; the merge join is group-keyed and tiny.
+    Q("q98_incremental_agg",
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang, source,
+                 len(${graft.functions.TextFns.sql.tokens}) AS n_tok
+          FROM documents)
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               floor(sum(n_tok) * 1.0 / count(*) * 100 + 0.5) / 100
+                 AS avg_tokens
+        FROM toks
+        GROUP BY lang, source
+        ORDER BY lang, source"""),
+      run = (spark, dir) => {
+        import graft.functions.TextFns
+        import graft.operators.Sampling
+        val toks = table(spark, dir, "documents")
+          .select(col("lang"), col("source"),
+            size(TextFns.tokens(col("text"))).cast("long").as("n_tok"),
+            Sampling.hashBucket(col("doc_id")).as("b"))
+        def census(side: org.apache.spark.sql.DataFrame) = side
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("s"))
+        val existing = census(toks.where(col("b") < 8000))
+          .withColumnsRenamed(Map("n" -> "n0", "s" -> "s0"))
+        val delta = census(toks.where(col("b") >= 8000))
+          .withColumnsRenamed(Map("n" -> "n1", "s" -> "s1"))
+        existing.join(delta, Seq("lang", "source"), "full_outer")
+          .select(col("lang"), col("source"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
+              .as("n_docs"),
+            (coalesce(col("s0"), lit(0L)) + coalesce(col("s1"), lit(0L)))
+              .as("n_tokens"))
+          .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+            (floor(col("n_tokens") * lit(1.0) / col("n_docs") * 100 + 0.5)
+              / 100).as("avg_tokens"))
+          .orderBy(col("lang"), col("source"))
       })
   )
 }

@@ -410,6 +410,60 @@ object ScaleOps {
           .agg(count(lit(1)).as("n_items"),
             Relational.revenueExpr.as("revenue"))
           .orderBy(col("o_orderpriority"), col("o_year"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q97: DYNAMIC PARTITION PRUNING — the OTHER storage-layout join
+    // optimization (q92 eliminates the shuffle; this eliminates the
+    // SCAN): the fact table is laid out partitioned by ship year, the
+    // dim side is a filtered relation whose qualifying keys are only
+    // known at RUN time, and Catalyst's DPP turns the dim's broadcast
+    // into a partition filter on the fact scan — the fact reads ONLY
+    // the 3 qualifying year directories out of 7, before a single fact
+    // row is deserialized. This is the TPC-DS date-dim star-join
+    // pattern, the single biggest scan saver at 100 TB (a 7-year corpus
+    // queried for 3 years pays 3/7 of the I/O, automatically, for every
+    // such query forever). The oracle pins invisibility (pruned ≡
+    // unpruned semantics); PlanSpec pins the dynamicpruning expression
+    // in the fact's PartitionFilters.
+    // Per-process + per-sfDir layout write, idempotent (q92 discipline).
+    Q("q97_dynamic_pruning",
+      oracle = Some("""
+        WITH d AS (
+          SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+        f AS (
+          SELECT CAST(year(l_shipdate) AS BIGINT) AS l_shipyear,
+                 l_extendedprice, l_discount
+          FROM lineitem)
+        SELECT l_shipyear,
+               count(*) AS n_items,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                              (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+                 AS revenue
+        FROM f JOIN d ON f.l_shipyear = d.yr
+        GROUP BY l_shipyear
+        ORDER BY l_shipyear"""),
+      run = (spark, dir) => {
+        val path = s"$q92LakeDir/${dirTag(dir)}/lineitem_by_year"
+        if (!new java.io.File(path).isDirectory) {
+          table(spark, dir, "lineitem")
+            .select(col("l_extendedprice"), col("l_discount"),
+              year(col("l_shipdate")).cast("long").as("l_shipyear"))
+            .write.partitionBy("l_shipyear").mode("overwrite").parquet(path)
+        }
+        val fact = spark.read.parquet(path)
+          .select(col("l_shipyear").cast("long").as("l_shipyear"),
+            col("l_extendedprice"), col("l_discount"))
+        val dim = table(spark, dir, "orders")
+          .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(year(col("o_orderdate")).cast("long").as("yr"))
+          .distinct()
+        fact.join(dim, col("l_shipyear") === col("yr"))
+          .groupBy(col("l_shipyear"))
+          .agg(count(lit(1)).as("n_items"),
+            Relational.revenueExpr.as("revenue"))
+          .orderBy(col("l_shipyear"))
       })
   )
 }

@@ -528,6 +528,57 @@ object WindowQueries {
         graft.operators.Scd2
           .intervals(log, "user_id", "event_type", "us", "event_id")
           .orderBy(col("user_id"), col("ver"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q99: TIME-SERIES GAP FILL — densify each entity's daily activity
+    // series over ITS OWN [first_day, last_day] span, zero-filling the
+    // missing days with an is_gap marker: the prerequisite for every
+    // window/trend computation downstream (a moving average over a
+    // sparse series silently skips the zeros that should drag it down).
+    // The calendar is GENERATED per entity with sequence() + explode —
+    // never a global calendar cross-joined against all entities, so the
+    // row count is Σ per-entity spans, the exact output size, and the
+    // fill join is (entity, day)-keyed. Gate keeps the user_id % 29
+    // subset (the q93 reviewability convention); days travel as DATE
+    // per the Q-contract timestamp rule.
+    Q("q99_gap_fill",
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS DATE) AS d
+          FROM events WHERE user_id % 29 = 0),
+        daily AS (
+          SELECT user_id, d, count(*) AS n FROM e GROUP BY user_id, d),
+        span AS (
+          SELECT user_id, min(d) AS dmin, max(d) AS dmax
+          FROM e GROUP BY user_id),
+        cal AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(CAST(dmin AS TIMESTAMP),
+                   CAST(dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+          FROM span)
+        SELECT c.user_id, c.d,
+               coalesce(n, CAST(0 AS BIGINT)) AS n_events,
+               CASE WHEN n IS NULL THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS is_gap
+        FROM cal c LEFT JOIN daily USING (user_id, d)
+        ORDER BY user_id, d"""),
+      run = (spark, dir) => {
+        val e = table(spark, dir, "events")
+          .where(col("user_id") % 29 === 0)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val daily = e.groupBy(col("user_id"), col("d"))
+          .agg(count(lit(1)).as("n"))
+        val cal = e.groupBy(col("user_id"))
+          .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+          .select(col("user_id"),
+            explode(sequence(col("dmin"), col("dmax"),
+              expr("interval 1 day"))).as("d"))
+        cal.join(daily, Seq("user_id", "d"), "left")
+          .select(col("user_id"), col("d"),
+            coalesce(col("n"), lit(0L)).as("n_events"),
+            when(col("n").isNull, 1L).otherwise(0L).as("is_gap"))
+          .orderBy(col("user_id"), col("d"))
       })
   )
 }

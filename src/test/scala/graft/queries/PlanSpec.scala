@@ -383,6 +383,32 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include("partial_count")
   }
 
+  test("q97: the dim filter becomes a DYNAMIC partition filter on the " +
+    "fact scan — partitions prune at run time, before any fact row reads") {
+    val df = Registry.queries("q97_dynamic_pruning")(spark, sf0001)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should include("dynamicpruning")
+    p should include regex "PartitionFilters: \\[.*dynamicpruning"
+  }
+
+  test("q98: incremental refresh — both censuses partial-aggregate, the " +
+    "merge is a group-keyed full-outer, no data-scale join") {
+    val df = Registry.queries("q98_incremental_agg")(spark, sf0001)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should include("FullOuter")
+    p should include("partial_count")
+    p should not include "CartesianProduct"
+  }
+
+  test("q99: gap fill generates per-entity calendars (explode after a " +
+    "grouped span agg) — no global-calendar cartesian") {
+    val df = Registry.queries("q99_gap_fill")(spark, sf0001)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should include("Generate explode")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("relational suite stays inside whole-stage codegen (no UDF breaks)") {
     Seq("q01_share_of_voice", "q05_having_min_support", "q06_predicates",
       "q08_join_broadcast").foreach { q =>
