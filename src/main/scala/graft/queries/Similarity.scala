@@ -593,8 +593,106 @@ object Similarity {
         val result = Q.localized(cl.orderBy(col("vec_id")))
         cl.unpersist(blocking = false)
         result
+      }),
+
+    // ------------------------------------------------------------------
+    // q100: SEMANTIC DEDUP, CLUSTER-BLOCKED (the SemDeDup construction,
+    // Abbas et al. 2023): q79 blocks near-dup candidates by LSH
+    // signature; this blocks by IVF CELL — assign every vector to its
+    // nearest coarse centroid (the q36 deterministic codebook), then
+    // compare ONLY within a cell and drop every vector that has a
+    // higher-priority (lower vec_id) cell-mate above the cosine cut.
+    // The two blockings fail differently (LSH misses pairs that hash
+    // apart; cells miss pairs straddling a centroid boundary), which is
+    // why production pipelines run SemDeDup as a separate pass — and
+    // why this engine carries both.
+    // Determinism: assignment ranks 6dp-rounded cosines with a c_id
+    // tie-break (the q36 rule); the dominated-drop rule is a pure
+    // function of (cell, vec_id order, cosine cut) — no RNG, no
+    // iteration order. Output: the per-cell census a dedup run reports.
+    // Scale shape: the codebook broadcasts (k vectors); assignment is
+    // one broadcast pass over the corpus; the pairwise stage shuffles
+    // on c_id and is quadratic only WITHIN a cell — k grows with the
+    // corpus so cell size (n/k) stays bounded, the SemDeDup contract.
+    // No driver-side anything; summary rows = k.
+    Q("q100_semantic_dedup",
+      oracle = Some(s"""
+        $normedCte,
+        cents AS (
+          SELECT vec_id AS c_id, v AS cv, nrm AS cn
+          FROM n WHERE vec_id % $CENTROID_MOD = 0),
+        assigned AS (
+          SELECT vec_id, c_id FROM (
+            SELECT n.vec_id, c_id,
+                   row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn), 6) DESC,
+                              c_id) AS rn
+            FROM n, cents)
+          WHERE rn = 1),
+        m AS (
+          SELECT n.vec_id, v, nrm, c_id FROM n JOIN assigned USING (vec_id)),
+        dom AS (
+          SELECT DISTINCT b.vec_id
+          FROM m a JOIN m b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+          WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $NEARDUP_COS)
+        SELECT c_id,
+               count(*) AS n_vectors,
+               CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dropped,
+               CAST(count(*) - sum(CASE WHEN d.vec_id IS NOT NULL THEN 1
+                 ELSE 0 END) AS BIGINT) AS n_survivors
+        FROM m LEFT JOIN dom d USING (vec_id)
+        GROUP BY c_id
+        ORDER BY c_id"""),
+      run = (spark, dir) => {
+        val n = normed(spark, dir)
+        val cents = n.filter(col("vec_id") % CENTROID_MOD === 0)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"),
+            col("nrm").as("cn"))
+        semanticDedupCensus(n.select(col("vec_id"), col("v"), col("nrm")),
+          cents, NEARDUP_COS)
       })
   )
+
+  /** q100's pipeline as a callable (the SemDeDup construction): assign
+    * each vector of `n` (vec_id, v, nrm) to its nearest centroid of
+    * `cents` (c_id, cv, cn) by 6dp-rounded cosine with a c_id tie-break,
+    * then within each cell drop every vector that has a lower-vec_id
+    * cell-mate at cosine >= `cut`. Returns the per-cell census
+    * (c_id, n_vectors, n_dropped, n_survivors) ordered by c_id.
+    * The centroid set broadcasts; the pairwise stage shuffles on c_id
+    * and is quadratic only within a cell. */
+  private[queries] def semanticDedupCensus(n: DataFrame, cents: DataFrame,
+      cut: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(round(cosine(col("v"), col("cv"), col("nrm"), col("cn")), 6)
+        .desc, col("c_id"))
+    val assigned = n.crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(wA))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"))
+    val m = n.join(assigned, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
+    val dom = m.as("a")
+      .join(m.as("b"),
+        col("a.c_id") === col("b.c_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+        >= cut)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("drp", lit(1L))
+    m.join(dom, Seq("vec_id"), "left")
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(coalesce(col("drp"), lit(0L))).as("n_dropped"))
+      .select(col("c_id"), col("n_vectors"), col("n_dropped"),
+        (col("n_vectors") - col("n_dropped")).as("n_survivors"))
+      .orderBy(col("c_id"))
+  }
 
   /** q79's pipeline as a callable: LSH-bucketed candidate pairs over
     * `(vec_id, v)` vectors, exact cosine verify at `threshold`,

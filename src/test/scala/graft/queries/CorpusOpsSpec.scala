@@ -205,6 +205,42 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("q100: a planted duplicate family collapses to the min-vec_id " +
+    "survivor inside its cell; a lone vector in another cell is untouched") {
+    import spark.implicits._
+    import graft.functions.VectorFns.l2norm
+    // two orthogonal centroids; 10/11/12 are copies of c1's direction
+    // (within-cell cosine 1.0), 20 sits alone at c2
+    val c1 = Seq(1.0, 0.0, 0.0)
+    val c2 = Seq(0.0, 1.0, 0.0)
+    val n = Seq((10L, c1), (11L, c1), (12L, c1), (20L, c2))
+      .toDF("vec_id", "v").withColumn("nrm", l2norm(col("v")))
+    val cents = Seq((1L, c1), (2L, c2)).toDF("c_id", "cv")
+      .withColumn("cn", l2norm(col("cv")))
+    val out = Similarity.semanticDedupCensus(n, cents, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out shouldBe Array((1L, 3L, 2L, 1L), (2L, 1L, 0L, 1L))
+  }
+
+  test("q100: the census conserves the corpus — cells partition the " +
+    "vectors, survivors + dropped = cell size, and assignment is " +
+    "partitioning-invariant") {
+    val rows = Registry.queries("q100_semantic_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows should not be empty
+    val nVecs = graft.io.Tables.table(spark, sf0001, "embeddings").count()
+    rows.map(_._2).sum shouldBe nVecs
+    rows.foreach { case (_, n, dropped, survivors) =>
+      dropped + survivors shouldBe n
+      survivors should be >= 1L // the min-id cell-mate always survives
+    }
+    // determinism: a second run over a differently-partitioned plan is equal
+    val again = Registry.queries("q100_semantic_dedup")(spark, sf0001)
+      .repartition(7).orderBy(col("c_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    again shouldBe rows
+  }
+
   test("q68: temperature thresholds flatten the mixture — rarer strata " +
     "get strictly higher keep rates; caps at the bucket ceiling") {
     val rows = Registry.queries("q68_temperature_mix")(spark, sf0001)

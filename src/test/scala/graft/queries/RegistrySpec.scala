@@ -11,7 +11,7 @@ class RegistrySpec extends AnyFunSuite with Matchers {
   test("query names are unique and well-formed") {
     val names = Registry.all.map(_.name)
     names.distinct.length shouldBe names.length
-    all(names) should fullyMatch regex "q\\d{2}_[a-z0-9_]+"
+    all(names) should fullyMatch regex "q\\d{2,3}_[a-z0-9_]+"
   }
 
   test("every registered query has an oracle, except the declared no-oracle set") {
@@ -32,8 +32,9 @@ class RegistrySpec extends AnyFunSuite with Matchers {
       java.nio.charset.StandardCharsets.UTF_8)
     // COVERAGE.md cites queries by their qNN id (e.g. "q51"), not the full
     // registry name — require the id with a non-digit boundary after it so
-    // "q55" is not satisfied by a mention of "q556"
-    Registry.all.map(_.name.take(3)).foreach { id =>
+    // "q55" is not satisfied by a mention of "q556" (and "q100" is not
+    // satisfied by "q10")
+    Registry.all.map(_.name.takeWhile(_ != '_')).foreach { id =>
       withClue(s"COVERAGE.md has no mention of $id: ") {
         s"(?<![0-9a-z])$id(?![0-9])".r.findFirstIn(text).isDefined shouldBe true
       }
