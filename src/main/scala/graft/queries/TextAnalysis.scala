@@ -16,6 +16,12 @@ object TextAnalysis {
   private val markers: Seq[(String, Seq[String])] = TextFns.langMarkers
   private[queries] val enStop: Seq[String] = TextFns.enStopSample
 
+  /** Gopher §A1.1's eight required English stopwords — a document must
+    * contain at least two to pass q101's r_stopword rule. Declared ahead
+    * of `defs` (whose oracle SQL interpolates it at object init). */
+  private[queries] val gopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   private[queries] def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
 
@@ -851,8 +857,107 @@ object TextAnalysis {
         val res = Q.localized(plan)
         cached.foreach(_.unpersist(blocking = false))
         res
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q101: GOPHER QUALITY RULES — the non-repetition half of Rae et al.
+    // 2021 §A1.1 (q82 carries the repetition half): word count in
+    // [50, 100000], mean word length in [3, 10], ≥80% of words contain
+    // an alphabetic character, symbol-to-word ratio (#/ellipsis) ≤ 0.1,
+    // and ≥2 of the paper's eight required stopwords. Emits every rule
+    // flag per document plus the composite keep bit — the per-rule
+    // breakdown is what a pipeline operator tunes thresholds against,
+    // and each flag is independently gate-pinned.
+    // Scale shape: one projection over the token array — no shuffle, no
+    // join, no window; the filter runs wherever the scan runs. At 100 TB
+    // this is the cheapest possible shape (map-only, pushdown-friendly).
+    // Determinism: the three fractions are ratios of integer counts,
+    // snapped with the q23 floor(x*1e4+0.5)/1e4 construction and the
+    // SAME operation order on both engines; every rule compares the
+    // ROUNDED value so engines can't split at an ulp; flags BIGINT.
+    Q("q101_gopher_rules",
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
+        f AS (
+          SELECT doc_id,
+                 len(tk) AS n_words,
+                 list_sum(list_transform(tk, t -> len(t))) AS sumlen,
+                 len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+                   AS n_alpha,
+                 len(list_filter(tk, t -> t LIKE '%#%' OR t LIKE '%...%'))
+                   AS n_sym,
+                 ${markerCountSql(gopherStop)} AS n_stop
+          FROM toks WHERE len(tk) > 0),
+        m AS (
+          SELECT doc_id, n_words, n_stop,
+                 floor((sumlen * 1.0 / n_words) * 10000 + 0.5) / 10000
+                   AS mean_wlen,
+                 floor((n_alpha * 1.0 / n_words) * 10000 + 0.5) / 10000
+                   AS alpha_frac,
+                 floor((n_sym * 1.0 / n_words) * 10000 + 0.5) / 10000
+                   AS sym_frac
+          FROM f)
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               mean_wlen, alpha_frac, sym_frac,
+               CAST(n_stop AS BIGINT) AS n_stop,
+               CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_wordcount,
+               CAST(CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_meanlen,
+               CAST(CASE WHEN alpha_frac >= 0.8
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+               CAST(CASE WHEN sym_frac <= 0.1
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
+               CAST(CASE WHEN n_stop >= 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_stopword,
+               CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+                      AND alpha_frac >= 0.8 AND sym_frac <= 0.1
+                      AND n_stop >= 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM m ORDER BY doc_id"""),
+      run = (spark, dir) => gopherRules(table(spark, dir, "documents")))
   )
+
+  /** q101's pipeline as a callable over any (doc_id, text) frame, so
+    * specs can plant junk fixtures. One map-only projection — see the
+    * q101 Scaladoc for the rule set and snapping discipline. */
+  private[queries] def gopherRules(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_words"),
+        // Σ token lengths = joined length minus the n-1 separators (the
+        // q82 totc equivalence; codegen'd, no per-element lambda)
+        (length(concat_ws(" ", col("tk"))) - (size(col("tk")) - 1))
+          .cast("long").as("sumlen"),
+        size(filter(col("tk"), t => t.rlike("[a-z]")))
+          .cast("long").as("n_alpha"),
+        size(filter(col("tk"), t => t.contains("#") || t.contains("...")))
+          .cast("long").as("n_sym"),
+        markerCount(col("tk"), gopherStop).as("n_stop"))
+    def frac4(x: Column): Column = floor(x * 10000 + 0.5) / 10000
+    val m = base.select(col("doc_id"), col("n_words"), col("n_stop"),
+      frac4(col("sumlen") * lit(1.0) / col("n_words")).as("mean_wlen"),
+      frac4(col("n_alpha") * lit(1.0) / col("n_words")).as("alpha_frac"),
+      frac4(col("n_sym") * lit(1.0) / col("n_words")).as("sym_frac"))
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    val rWc = col("n_words").between(50L, 100000L)
+    val rMwl = col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0
+    val rAlpha = col("alpha_frac") >= 0.8
+    val rSym = col("sym_frac") <= 0.1
+    val rStop = col("n_stop") >= 2L
+    m.select(col("doc_id"), col("n_words"), col("mean_wlen"),
+      col("alpha_frac"), col("sym_frac"), col("n_stop"),
+      flag(rWc).as("r_wordcount"), flag(rMwl).as("r_meanlen"),
+      flag(rAlpha).as("r_alpha"), flag(rSym).as("r_symbol"),
+      flag(rStop).as("r_stopword"),
+      flag(rWc && rMwl && rAlpha && rSym && rStop).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 
   /** q94's pipeline pre-localization (the q78 pattern: PlanSpec needs the
     * real shape, which `Q.localized`'s collect would otherwise hide).

@@ -241,6 +241,51 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     again shouldBe rows
   }
 
+  test("q101: each Gopher rule fires on its own planted violation and " +
+    "keep is the conjunction") {
+    import spark.implicits._
+    val good = (Seq("the", "of", "and") ++
+      (1 to 57).map(i => s"word$i")).mkString(" ")       // 60 words, 3 stopwords
+    val short = "the of " + (1 to 8).map(i => s"w$i").mkString(" ") // 10 words
+    val symbols = (Seq("the", "of") ++
+      (1 to 58).map(_ => "###")).mkString(" ")           // 58/60 symbol tokens
+    val longWords = (Seq("the", "of") ++
+      (1 to 58).map(i => "x" * 15)).mkString(" ")        // mean len >> 10
+    val out = TextAnalysis.gopherRules(
+      Seq((1L, good), (2L, short), (3L, symbols), (4L, longWords))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9),
+          r.getLong(10), r.getLong(11))).toMap
+    // (r_wordcount, r_meanlen, r_alpha, r_symbol, r_stopword, keep)
+    out(1L) shouldBe ((1L, 1L, 1L, 1L, 1L, 1L))
+    out(2L)._1 shouldBe 0L // word count below 50
+    out(2L)._6 shouldBe 0L
+    out(3L)._3 shouldBe 0L // <80% alphabetic tokens
+    out(3L)._4 shouldBe 0L // symbol ratio above 0.1
+    out(3L)._6 shouldBe 0L
+    out(4L)._2 shouldBe 0L // mean word length above 10
+    out(4L)._6 shouldBe 0L
+    // keep is exactly the conjunction of the five rules, every row
+    out.values.foreach { case (a, b, c, d, e, k) =>
+      k shouldBe (a min b min c min d min e)
+    }
+  }
+
+  test("q101: map-only plan — no shuffle, no UDFs; registry output " +
+    "covers every tokenizable doc") {
+    val df = Registry.queries("q101_gopher_rules")(spark, sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    p should not include "BatchEvalPython"
+    // the only allowed exchange is the final orderBy's range partitioning
+    p.split("Exchange").length - 1 should be <= 1
+    val nTokenizable = graft.io.Tables.table(spark, sf0001, "documents")
+      .filter(org.apache.spark.sql.functions.size(
+        graft.functions.TextFns.tokens(col("text"))) > 0).count()
+    assert(df.count() == nTokenizable)
+  }
+
   test("q68: temperature thresholds flatten the mixture — rarer strata " +
     "get strictly higher keep rates; caps at the bucket ceiling") {
     val rows = Registry.queries("q68_temperature_mix")(spark, sf0001)
