@@ -91,12 +91,14 @@ object Tables {
     }
   }
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects outright — the same nanosecond corner the reference hit
+  /** `events.ts` has shipped in two parquet shapes across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects outright, the same nanosecond corner the reference hit
     * (reference gdelt/scripts/transform_pandas_friendly_to_spark_friendly.py:17-23,
-    * which *dropped* the column). The engine instead coerces on read:
-    * nanosAsLong exposes the raw int64, then integer-div to micros — the
-    * identical truncation DuckDB applies, so oracle comparisons stay exact.
+    * which *dropped* the column) — and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ). The reader handles
+    * both: nanosAsLong exposes a nanos file as raw int64, and
+    * withEventTime normalizes whatever arrives (see below).
     *
     * The nanosAsLong flag is SESSION-WIDE (it changes how every
     * nanosecond-timestamp parquet in the session is read) — so the engine's
@@ -116,11 +118,34 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     withEventTime(eventsRaw(spark, sfDir))
 
-  /** nanos(long) → micros timestamp; applied to both batch and stream reads. */
-  def withEventTime(raw: DataFrame): DataFrame =
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** Normalize `ts` to a session-tz TIMESTAMP, adapting to the schema the
+    * file actually carries; applied to both batch and stream reads.
+    *
+    *  - LongType: raw nanos exposed by nanosAsLong → integer-div to
+    *    micros — the identical truncation DuckDB applies, so oracle
+    *    comparisons stay exact.
+    *  - TIMESTAMP_NTZ (micros parquet, isAdjustedToUTC=false): cast to
+    *    TIMESTAMP — value-preserving under the engine's pinned UTC
+    *    session timezone, and required because the window/watermark
+    *    queries and their DuckDB oracles were built against TIMESTAMP.
+    *  - TIMESTAMP: already the target type, pass through.
+    *
+    * Branching on the READ schema (not on a config) is what makes a
+    * testdata regeneration that flips the physical type a no-op here. */
+  def withEventTime(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported physical type $other (expected nanos-long, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+  }
 
   /** S2: one row per whole file, recursive — reference reads raw HTML this way
     * (reference common-crawl/scripts/nlp_analysis.py:34-37). */

@@ -49,8 +49,9 @@ object StreamingQueries {
   private val rawSchemaCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
 
-  /** The events file-stream source. Must use the *raw* schema (ts as
-    * nanos-long, see Tables.eventsRaw) and apply the same micros coercion
+  /** The events file-stream source. Must use the *raw* schema (whatever
+    * shape the file carries — nanos-long or TIMESTAMP_NTZ, see
+    * Tables.eventsRaw) and apply the same schema-adaptive normalization
     * per batch; the glob form exists because FileStreamSource needs a
     * directory basePath, so the single file is addressed through a
     * pattern under its parent dir. */

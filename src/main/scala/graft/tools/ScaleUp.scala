@@ -83,10 +83,11 @@ object ScaleUp {
     rep("embeddings", Seq("vec_id")) { (df, s) =>
       df.withColumn("vec_id", col("vec_id") + s)
     }
-    // events: the source is TIMESTAMP(NANOS) parquet; with nanosAsLong set
-    // (session config above) it reads — and therefore re-writes — as a
-    // raw nanos BIGINT, which is exactly the shape Tables.withEventTime
-    // and the streaming rawSchema path expect
+    // events: replicated in whatever physical shape the source carries —
+    // TIMESTAMP(NANOS) reads (and re-writes) as raw nanos BIGINT under
+    // nanosAsLong (session config above); TIMESTAMP(MICROS) testdata
+    // round-trips as TIMESTAMP_NTZ. Tables.withEventTime adapts to either
+    // on read, so the replica needs no shape normalization here
     rep("events", Seq("event_id", "user_id")) { (df, s) =>
       df.withColumn("event_id", col("event_id") + s)
         .withColumn("user_id", col("user_id") + s)

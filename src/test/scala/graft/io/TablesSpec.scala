@@ -35,6 +35,57 @@ class TablesSpec extends AnyFunSuite with Matchers with SparkTestSession {
       Set(1L -> "x", 2L -> "y")
   }
 
+  // Regression guard for the round-8 testdata regeneration: events.ts
+  // flipped from TIMESTAMP(NANOS) (read as nanos-long under nanosAsLong)
+  // to TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ), and the previously
+  // unconditional nanos coercion broke every event-table query at
+  // analysis. withEventTime must adapt to the schema the file carries.
+  test("withEventTime normalizes all three events.ts physical shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    val wall = "2024-03-01 12:34:56.789"
+    val micros = java.time.LocalDateTime
+      .parse("2024-03-01T12:34:56.789")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+
+    // shape 1: nanos-as-long (older TIMESTAMP(NANOS) testdata under
+    // nanosAsLong) — coerced by integer-div, DuckDB-identical truncation
+    val fromNanos = Tables.withEventTime(
+      Seq(micros * 1000L + 999L).toDF("ts")) // sub-micro digits must truncate
+    fromNanos.schema("ts").dataType shouldBe TimestampType
+    fromNanos.select(unix_micros(col("ts"))).as[Long].head() shouldBe micros
+
+    // shape 2: TIMESTAMP_NTZ (the regenerated timestamp[us] testdata) —
+    // cast to session-tz timestamp, value-preserving under pinned UTC
+    val ntz = Seq(wall).toDF("s")
+      .select(expr("cast(s as timestamp_ntz)").as("ts"))
+    ntz.schema("ts").dataType shouldBe TimestampNTZType
+    val fromNtz = Tables.withEventTime(ntz)
+    fromNtz.schema("ts").dataType shouldBe TimestampType
+    fromNtz.select(unix_micros(col("ts"))).as[Long].head() shouldBe micros
+
+    // shape 3: already TIMESTAMP — pass through untouched
+    val ltz = Seq(wall).toDF("s").select(to_timestamp(col("s")).as("ts"))
+    Tables.withEventTime(ltz).select(unix_micros(col("ts")))
+      .as[Long].head() shouldBe micros
+
+    // and a parquet round-trip of the NTZ shape, mimicking the driver's
+    // regenerated file: footer says isAdjustedToUTC=false → NTZ on read
+    val dir = Files.createTempDirectory("graft-ntz").toString + "/events.parquet"
+    ntz.write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    back.schema("ts").dataType shouldBe TimestampNTZType
+    Tables.withEventTime(back).select(unix_micros(col("ts")))
+      .as[Long].head() shouldBe micros
+  }
+
+  test("events reader analyzes against the shipped testdata") {
+    import org.apache.spark.sql.types.TimestampType
+    val ev = Tables.events(spark, sf0001)
+    ev.schema("ts").dataType shouldBe TimestampType
+    ev.filter(col("ts").isNotNull).limit(1).count() shouldBe 1L
+  }
+
   test("S2 wholetext: one row per file, recursive") {
     val dir = Files.createTempDirectory("graft-wt")
     Files.createDirectories(dir.resolve("sub"))
