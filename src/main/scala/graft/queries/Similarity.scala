@@ -104,39 +104,37 @@ object Similarity {
       try rm(dir) catch { case _: Exception => () }
   }
 
+  /** Nearest-cell argmax assignment and per-query nprobe cells — the
+    * partial-aggregate shapes shared with the library API (one
+    * implementation, every call site benefits): see
+    * [[graft.similarity.VectorSearch.assignCells]] /
+    * [[graft.similarity.VectorSearch.probeCells]] for the
+    * exchange-bounding argument. */
+  private def assignCells(n: DataFrame, cents: DataFrame): DataFrame =
+    graft.similarity.VectorSearch.assignCells(n, cents)
+
+  private def probeCells(queries: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame =
+    graft.similarity.VectorSearch.probeCells(queries, cents, nprobe)
+
   /** Shared IVF search plan over a normed corpus `n` (vec_id, v, nrm) and
     * broadcast centroids `cents` (c_id, cv, cn): nearest-cell assignment
-    * (6dp-rounded cosine, c_id tie-break — engine-independent), queries =
-    * corpus rows with vec_id % QUERY_MOD = 0 probing their `nprobe`
-    * nearest cells, exact top-k within probed cells (4dp-rounded cosine,
-    * neighbor tie-break). Cells partition the corpus, so multi-cell
-    * probes union disjoint candidate sets — no dedup needed. The corpus
-    * never shuffles for scoring; only (q_id, neighbor, cosine) triples
-    * move for the final ranking. */
+    * via [[assignCells]], queries = corpus rows with vec_id % QUERY_MOD
+    * = 0 probing their `nprobe` nearest cells via [[probeCells]], exact
+    * top-k within probed cells (4dp-rounded cosine, neighbor tie-break).
+    * Cells partition the corpus, so multi-cell probes union disjoint
+    * candidate sets — no dedup needed. The corpus never shuffles its n×k
+    * scoring expansion (see assignCells) and never shuffles for the
+    * probe either; only (q_id, neighbor, cosine) triples move for the
+    * final ranking. */
   private def ivfSearch(n: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(round(cosine(col("v"), col("cv"), col("nrm"), col("cn")), 6).desc,
-        col("c_id").asc)
-    // ONE centroid-assignment pass (crossJoin + window) serves both sides
-    // of the probe join: rn=1 rows partition the corpus into cells, and
-    // the query rows' rn<=nprobe cells are their probe targets. Persisted
-    // because both derivations consume it in the same action.
-    val ranked = n.crossJoin(broadcast(cents))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id"), col("c_id"), col("v"), col("nrm"), col("rn"))
-      .persist(MEMORY_AND_DISK)
-    val assigned = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
-    val qs = ranked.filter(col("vec_id") % QUERY_MOD === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("c_id").as("qcell"))
+    val assigned = assignCells(n, cents)
+    val qs = probeCells(n.filter(col("vec_id") % QUERY_MOD === 0), cents, nprobe)
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("neighbor").asc)
     // probe: queries are broadcast per cell; the corpus side stays
     // partitioned — the join key is the cell id
-    val result = Q.localized(assigned
+    Q.localized(assigned
       .join(broadcast(qs), col("c_id") === col("qcell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor"),
@@ -145,8 +143,6 @@ object Similarity {
       .filter(col("rank") <= TOPK)
       .select(col("q_id"), col("rank"), col("neighbor"), col("cosine"))
       .orderBy(col("q_id"), col("rank")))
-    ranked.unpersist(blocking = false)
-    result
   }
 
   val defs: Seq[Q] = Seq(
@@ -663,20 +659,14 @@ object Similarity {
     * then within each cell drop every vector that has a lower-vec_id
     * cell-mate at cosine >= `cut`. Returns the per-cell census
     * (c_id, n_vectors, n_dropped, n_survivors) ordered by c_id.
-    * The centroid set broadcasts; the pairwise stage shuffles on c_id
-    * and is quadratic only within a cell. */
+    * The centroid set broadcasts; assignment is the [[assignCells]]
+    * partial-agg argmax (the n×k expansion never reaches an exchange,
+    * and the old assignment→corpus join-back disappears — assignCells
+    * already carries v/nrm through); the pairwise stage shuffles on
+    * c_id and is quadratic only within a cell. */
   private[queries] def semanticDedupCensus(n: DataFrame, cents: DataFrame,
       cut: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wA = Window.partitionBy(col("vec_id"))
-      .orderBy(round(cosine(col("v"), col("cv"), col("nrm"), col("cn")), 6)
-        .desc, col("c_id"))
-    val assigned = n.crossJoin(broadcast(cents))
-      .withColumn("rn", row_number().over(wA))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("c_id"))
-    val m = n.join(assigned, Seq("vec_id"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
+    val m = assignCells(n, cents)
     val dom = m.as("a")
       .join(m.as("b"),
         col("a.c_id") === col("b.c_id") &&

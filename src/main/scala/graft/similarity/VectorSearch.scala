@@ -58,37 +58,69 @@ object VectorSearch {
     out
   }
 
-  /** The un-materialized plan behind [[ivfTopK]], plus the persisted
-    * intermediates (caller unpersists after acting on the result).
-    * Exposed so PlanSpec can assert the broadcast-codebook shape, which
-    * the localCheckpoint in the public API hides. */
+  /** Nearest-cell (argmax) assignment of every vector in normed `n`
+    * (vec_id, v, nrm) against broadcast centroids `cents` (c_id, cv, cn):
+    * 6dp-rounded cosine, c_id tie-break — engine-independent. Implemented
+    * as a PARTIAL AGGREGATE (`max_by` over a (score, -c_id) struct, where
+    * max(-c_id) on a score tie is exactly "min c_id"), NOT a window rank:
+    * the n×k crossJoin expansion reduces to one row per vector map-side,
+    * in the same stage as the broadcast join, so the exchange carries n
+    * rows — never n×k. At 100 TB with k ∝ corpus that is the difference
+    * between a bounded and an unbounded shuffle. (The struct ordering
+    * buffer plans as a SortAggregate rather than hash agg — a local,
+    * spillable per-partition sort; still strictly cheaper than the old
+    * shape, which shuffled the expansion AND sorted it per window
+    * partition.) Returns (vec_id, v, nrm, c_id). */
+  private[graft] def assignCells(n: DataFrame, cents: DataFrame): DataFrame =
+    n.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("c_id"), struct(
+          round(cosine(col("v"), col("cv"), col("nrm"), col("cn")), 6).as("s"),
+          (-col("c_id")).as("tb"))).as("c_id"),
+        first(col("v")).as("v"),
+        first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
+
+  /** The `nprobe` nearest cells per QUERY vector in normed `queries`
+    * (vec_id, v, nrm), same (score desc, c_id asc) rule. An argmax can't
+    * produce a top-k, so this is a collect+sort+slice aggregate instead
+    * of `max_by` — still partial (collect_list combines map-side), and it
+    * only ever runs over the query subset, so the k-entry pre-slice
+    * buffers are bounded by design; the full corpus never takes this
+    * path. Emits one (q_id, qv, qn, qcell) row per probed cell. */
+  private[graft] def probeCells(queries: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame =
+    queries.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(
+        slice(array_sort(collect_list(struct(
+          (-round(cosine(col("v"), col("cv"), col("nrm"), col("cn")), 6)).as("ns"),
+          col("c_id")))), 1, nprobe).as("cells"),
+        first(col("v")).as("v"),
+        first(col("nrm")).as("nrm"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(col("cells.c_id")).as("qcell"))
+
+  /** The un-materialized plan behind [[ivfTopK]], plus any persisted
+    * intermediates (caller unpersists after acting on the result; empty
+    * since the partial-agg assignment made the plan single-consumer
+    * throughout). Exposed so PlanSpec can assert the broadcast-codebook
+    * shape, which the localCheckpoint in the public API hides. */
   private[graft] def ivfTopKPlan(corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int = 1): (DataFrame, Seq[DataFrame]) = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     require(nprobe >= 1, "nprobe must be >= 1")
     val n = normed(corpus, idCol, vecCol)
     val cents = normed(centroids, idCol, vecCol)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(round(cosine(col("v"), col("cv"), col("nrm"), col("cn")), 6).desc,
-        col("c_id").asc)
-    val assigned = n.crossJoin(broadcast(cents))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
-      .persist(MEMORY_AND_DISK)
+    val assigned = assignCells(n, cents)
     // queries are assigned to cells from their OWN vectors (same
     // nearest-centroid rule as the corpus) — queries need not be corpus
     // members, matching bruteForceTopK's contract. One (q, cell) row per
     // probed cell: cells partition the corpus, so probing more cells
     // unions disjoint candidate sets — no neighbor dedup needed.
-    val qs = normed(queries, idCol, vecCol)
-      .crossJoin(broadcast(cents))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("c_id").as("qcell"))
+    val qs = probeCells(normed(queries, idCol, vecCol), cents, nprobe)
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("neighbor").asc)
     val out = assigned
@@ -99,7 +131,7 @@ object VectorSearch {
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("neighbor"), col("cosine"))
-    (out, Seq(assigned))
+    (out, Seq.empty)
   }
 
   /** Convenience: deterministic id-ring codebook for corpora without a

@@ -309,11 +309,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
       p should include("BroadcastHashJoin") // cell-probe join
       p should not include "SortMergeJoin"
       p should not include "CartesianProduct"
-      // the only hash exchanges are the two window partitionings (cell
-      // assignment by vec_id, ranking by q_id) — vectors themselves move
-      // only inside those, never through a join shuffle
+      // cell assignment is a PARTIAL max_by argmax: the n×k crossJoin
+      // expansion reduces map-side in the broadcast-join stage, so the
+      // vec_id exchange carries one row per vector — never n×k rows.
+      // (A Window rank here would shuffle the whole expansion.)
+      p should include("partial_max_by")
       p should include regex "hashpartitioning\\(vec_id"
-      p should include regex "hashpartitioning\\(q_id"
+      p should include regex "hashpartitioning\\(q_id" // final ranking window
     } finally cached.foreach(_.unpersist(blocking = false))
   }
 
@@ -331,7 +333,21 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
       p should include("BroadcastHashJoin")
       p should not include "SortMergeJoin"
       p should not include "CartesianProduct"
+      // nprobe=2 cells come from a partial collect+sort+slice aggregate
+      // over the query subset, not a window rank over the expansion
+      p should include("partial_collect_list")
     } finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  test("q100: SemDeDup centroid assignment is a partial max_by argmax — the " +
+    "n×k broadcast-join expansion reduces map-side, never reaching an exchange") {
+    val p = Registry.queries("q100_semantic_dedup")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should include("partial_max_by")
+    // the old shape ranked the expansion through a vec_id Window (a full
+    // n×k shuffle) then joined assignments back to the corpus; both are gone
+    p should not include "Window"
+    p should not include "CartesianProduct"
   }
 
   test("q51: banded range join is an equi-join — no nested loop, no cartesian") {
