@@ -460,14 +460,39 @@ object TextAnalysis {
 
     // ------------------------------------------------------------------
     // q30: the 100 TB-safe distinct: HLL sketch, fixed memory, no giant
-    // exact-distinct shuffle. No oracle (DuckDB's approx sketch differs);
-    // driver records rows-only.
+    // exact-distinct shuffle. HLL estimates are engine-specific (DuckDB's
+    // sketch differs from Spark's), so the raw estimate can never be
+    // value-compared — instead the oracle gate is a BOUNDS check: each
+    // engine emits the exact distinct count (which must match to the row)
+    // plus a flag asserting its own approximate sketch landed within ±5%
+    // of that exact count (rsd=0.01 ⇒ ~1% typical error; 5% is a hard
+    // deterministic bound — HLL is deterministic for fixed input, so this
+    // flag cannot flake). The exact-distinct column is the VERIFICATION
+    // HARNESS, priced at test SF; the production operator remains the
+    // bare approx_count_distinct aggregate — at 100 TB a caller runs only
+    // the sketch, never the exact twin.
     Q("q30_approx_distinct",
-      oracle = None,
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT unnest(${TextFns.sql.tokens}) AS token
+          FROM documents),
+        agg AS (
+          SELECT CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct_tokens,
+                 approx_count_distinct(token) AS approx
+          FROM toks)
+        SELECT exact_distinct_tokens,
+               abs(approx - exact_distinct_tokens)
+                 <= exact_distinct_tokens * 0.05 AS approx_within_5pct
+        FROM agg"""),
       run = (spark, dir) => {
         table(spark, dir, "documents")
           .select(explode(TextFns.tokens(col("text"))).as("token"))
-          .agg(approx_count_distinct(col("token"), 0.01).as("approx_distinct_tokens"))
+          .agg(
+            countDistinct(col("token")).as("exact_distinct_tokens"),
+            approx_count_distinct(col("token"), 0.01).as("approx"))
+          .select(col("exact_distinct_tokens"),
+            (abs(col("approx") - col("exact_distinct_tokens")) <=
+              col("exact_distinct_tokens") * 0.05).as("approx_within_5pct"))
       }),
 
     // ------------------------------------------------------------------

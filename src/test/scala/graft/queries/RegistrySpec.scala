@@ -20,7 +20,7 @@ class RegistrySpec extends AnyFunSuite with Matchers {
     // invariant is the irreducible no-oracle set (ML internals + sketch).
     val noOracle = Registry.queries.keySet -- Registry.oracles.keySet
     noOracle shouldBe
-      Set("q28_lr_coefficients", "q29_tfidf_bigrams", "q30_approx_distinct")
+      Set("q28_lr_coefficients", "q29_tfidf_bigrams")
     Registry.oracles.size shouldBe (Registry.all.length - noOracle.size)
   }
 
