@@ -71,12 +71,25 @@ object Sampling {
     require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0,1]")
     val counts = df.filter(col(strataCol).isNotNull)
       .groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
-    val totals = counts.agg(
+    // The histogram is a RESULT table — one row per stratum (languages,
+    // sources), bounded at any corpus size — so it is materialized to
+    // the driver ONCE and rebuilt as a local relation. Without this cut
+    // every downstream occurrence of the thresholds re-runs the full
+    // corpus scan: the totals stitch below consumes `counts` a second
+    // time, and a caller that both broadcasts the thresholds into a
+    // filter and reports them (q68's shape) doubles the whole subtree
+    // again — 5 corpus scans measured in the un-cut q68 plan, vs 1 here.
+    val local = {
+      import scala.jdk.CollectionConverters._
+      df.sparkSession.createDataFrame(
+        counts.collect().toSeq.asJava, counts.schema)
+    }
+    val totals = local.agg(
       sum(col("n_docs")).cast("double").as("n_tot"),
       sum(sqrt(col("n_docs").cast("double"))).as("wsum"))
     // 1-row aggregate stitch (same shape as the TextAnalysis corpus
     // constants): broadcast-cross-joins a single row, never a shuffle
-    counts.crossJoin(broadcast(totals))
+    local.crossJoin(broadcast(totals))
       .select(col(strataCol), col("n_docs"),
         // floor, NOT a double→long cast: Spark's cast truncates while
         // DuckDB's rounds — floor is the one conversion both agree on

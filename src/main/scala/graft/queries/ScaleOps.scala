@@ -194,7 +194,9 @@ object ScaleOps {
           .filter(Sampling.hashBucket(col("doc_id")) < col("thr"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_kept"))
-        rates.join(kept, Seq("lang"), "left")
+        // kept is one row per stratum — broadcast the stitch (a sort-merge
+        // here would re-sort both tiny sides through two extra stages)
+        rates.join(broadcast(kept), Seq("lang"), "left")
           .select(col("lang"), col("n_docs"), col("thr"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"))
           .orderBy(col("lang"))
