@@ -58,6 +58,15 @@ object Charts {
     bos.toByteArray
   }
 
+  /** F17 label truncation (reference network_analysis.py:167 renders node
+    * labels as `n[:15] + ".."`): labels longer than `max` chars are cut to
+    * the first `max` and suffixed with ".." so long entity names can't
+    * collide with the bars. Truncation is per-RENDERED-label only — data
+    * values are never touched (the reference applies it the same way,
+    * display-side). */
+  private[report] def truncateLabel(s: String, max: Int = 15): String =
+    if (s.length > max) s.take(max) + ".." else s
+
   /** Horizontal bar chart; positive values red, negative blue, zero line
     * drawn where the axis crosses. Returns PNG bytes. */
   def hBarChart(labels: Seq[String], values: Seq[Double], chartTitle: String,
@@ -88,7 +97,7 @@ object Charts {
       val (bx, bw) = if (v >= 0) (x(0), x(v) - x(0)) else (x(v), x(0) - x(v))
       g.fillRect(bx, top, math.max(1, bw), barH)
       g.setColor(Chrome)
-      g.drawString(labels(i), 4, top + barH / 2 + 4)
+      g.drawString(truncateLabel(labels(i)), 4, top + barH / 2 + 4)
     }
     g.setColor(Chrome)
     g.setStroke(new BasicStroke(1f))
@@ -127,8 +136,9 @@ object Charts {
       }
       g.setColor(Chrome)
       val fm = g.getFontMetrics
-      g.drawString(categories(c),
-        Margin + c * groupW + (groupW - fm.stringWidth(categories(c))) / 2,
+      val catLabel = truncateLabel(categories(c))
+      g.drawString(catLabel,
+        Margin + c * groupW + (groupW - fm.stringWidth(catLabel)) / 2,
         baseY + 16)
     }
     // legend

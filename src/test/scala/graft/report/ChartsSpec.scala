@@ -49,6 +49,21 @@ class ChartsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     bandHasRed(img.getHeight - 90, img.getHeight - 30) shouldBe true
   }
 
+  test("F17 label truncation: >15-char labels cut to 15 + '..', short ones " +
+    "untouched; rendered chrome ink stays bounded for absurd labels") {
+    Charts.truncateLabel("short") shouldBe "short"
+    Charts.truncateLabel("exactly15chars!") shouldBe "exactly15chars!"
+    Charts.truncateLabel("a-very-long-entity-name.example.com") shouldBe
+      "a-very-long-ent.."
+    // render-side proof: a chart with a 200-char label draws no more
+    // label ink than one with the 17-char truncation of it (identical
+    // pixels — truncation happens at the drawString site)
+    val long = "x" * 200
+    val a = Charts.hBarChart(Seq(long), Seq(1.0), "t")
+    val b = Charts.hBarChart(Seq(Charts.truncateLabel(long)), Seq(1.0), "t")
+    a.toSeq shouldBe b.toSeq
+  }
+
   test("groupedBarChart: one color per series, taller value → more pixels") {
     val bytes = Charts.groupedBarChart(
       Seq("feb", "may"),
