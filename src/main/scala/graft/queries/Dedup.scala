@@ -679,6 +679,82 @@ object Dedup {
                 when(col("rn") === 1, struct(col("chunk_no"), col("chunk"))))),
               x => x.getField("chunk")), " ")).as("text_hash"))
           .orderBy(col("doc_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q102: CROSS-DOC REPEATED-SPAN DETECTION (the ExactSubstr idea of
+    // Lee et al. 2021, "Deduplicating Training Data Makes Language
+    // Models Better", at fixed span length): every SLIDING 8-token span
+    // is fingerprinted, and a span is "repeated" when it occurs in ≥ 2
+    // DISTINCT documents — the memorization-risk signal q84's fixed
+    // chunk grid cannot see (a passage duplicated at a different token
+    // offset never aligns to a chunk boundary; a sliding window catches
+    // it at every offset). Output: per-doc span census (total spans,
+    // occurrences belonging to cross-doc-repeated spans, fraction) — the
+    // per-document drop/trim signal a cleaning pipeline consumes.
+    // Scale shape: spans leave the scan stage as 56-bit md5 fingerprints
+    // (TextFns.hash56 — engine-portable), never as strings, so the two
+    // span-keyed aggregations shuffle fixed-width longs with map-side
+    // combine; per-doc totals come from size(tk) arithmetic (no second
+    // corpus pass); the doc-keyed stitch joins are result-sized. Both
+    // engines hash identically, so fingerprint semantics (including the
+    // astronomically-unlikely 56-bit collision) are SHARED — the compare
+    // stays exact. Intra-doc repeats alone don't mark a span: the
+    // distinct-doc count is computed from one row per (span, doc).
+    Q("q102_repeated_spans",
+      oracle = Some(s"""
+        WITH tkq102 AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk
+          FROM documents WHERE text IS NOT NULL),
+        base AS (
+          SELECT doc_id, tk, len(tk) - 7 AS n_spans
+          FROM tkq102 WHERE len(tk) >= 8),
+        occ AS (
+          SELECT doc_id,
+                 ${TextFns.sql.hash56(
+                   "md5(array_to_string(tk[ix.i:ix.i + 7], ' '))", 1)} AS h
+          FROM base, LATERAL (
+            SELECT unnest(range(1, len(tk) - 6)) AS i) ix),
+        ds AS (
+          SELECT h, doc_id, count(*) AS occn FROM occ GROUP BY h, doc_id),
+        rep AS (
+          SELECT h FROM ds GROUP BY h HAVING count(*) >= 2),
+        r AS (
+          SELECT doc_id, sum(occn) AS n_rep FROM ds
+          JOIN rep USING (h) GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(b.n_spans AS BIGINT) AS n_spans,
+               CAST(coalesce(r.n_rep, 0) AS BIGINT) AS n_rep_occ,
+               floor(coalesce(r.n_rep, 0) * 10000.0
+                     / CAST(b.n_spans AS DOUBLE) + 0.5) / 10000 AS rep_frac
+        FROM base b LEFT JOIN r USING (doc_id)
+        ORDER BY b.doc_id"""),
+      run = (spark, dir) => {
+        val base = table(spark, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 8)
+          .select(col("doc_id"), col("tk"),
+            (size(col("tk")) - 7).cast("long").as("n_spans"))
+        val occ = base.select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), size(col("tk")) - 7),
+            i => TextFns.hash56(
+              md5(array_join(slice(col("tk"), i, lit(8)), " ")), 1))).as("h"))
+        val ds = occ.groupBy(col("h"), col("doc_id"))
+          .agg(count(lit(1)).as("occn"))
+        val rep = ds.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .select(col("h"))
+        val r = ds.join(rep, Seq("h"), "left_semi")
+          .groupBy(col("doc_id")).agg(sum(col("occn")).as("n_rep"))
+        base.select(col("doc_id"), col("n_spans"))
+          .join(r, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+            coalesce(col("n_rep"), lit(0L)).as("n_rep_occ"),
+            (floor(coalesce(col("n_rep"), lit(0L)) * 10000.0
+              / col("n_spans").cast("double") + 0.5) / 10000).as("rep_frac"))
+          .orderBy(col("doc_id"))
       })
   )
 

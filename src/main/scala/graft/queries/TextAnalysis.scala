@@ -943,7 +943,56 @@ object TextAnalysis {
                       AND n_stop >= 2
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM m ORDER BY doc_id"""),
-      run = (spark, dir) => gopherRules(table(spark, dir, "documents")))
+      run = (spark, dir) => gopherRules(table(spark, dir, "documents"))),
+
+    // ------------------------------------------------------------------
+    // q103: BPE MERGE-PAIR COUNTING — the inner loop of byte-pair-
+    // encoding vocabulary induction (Sennrich et al. 2016): count every
+    // adjacent character pair across the corpus, weighted by token
+    // frequency; the argmax pair is the next merge. One distributed
+    // round of this IS tokenizer training's hot path (q37 APPLIES a
+    // BPE-ish tokenization; this trains it), and its scale shape is the
+    // textbook two-level rollup: corpus → token histogram first (a
+    // vocab-sized shuffle with map-side combine — the corpus's token
+    // repetition is absorbed BEFORE any character work), then pairs
+    // explode from DISTINCT tokens only (vocab × avg_len rows, not
+    // corpus × avg_len), pair-keyed partial-agg rollup, top-20 via
+    // orderBy+limit (TakeOrderedAndProject — no global sort). Integer
+    // weights make the two-phase rollup associativity-exact, so the
+    // cross-engine compare is bit-exact. substring indexing is
+    // code-point-based in both engines (identical on this corpus).
+    Q("q103_bpe_pair_counts",
+      oracle = Some(s"""
+        WITH tkq103 AS (
+          SELECT ${TextFns.sql.tokens} AS tk
+          FROM documents WHERE text IS NOT NULL),
+        vocab AS (
+          SELECT t AS tok, count(*) AS n
+          FROM (SELECT unnest(tk) AS t FROM tkq103)
+          WHERE len(t) >= 2
+          GROUP BY t),
+        pairs AS (
+          SELECT substr(tok, CAST(ix.i AS INT), 2) AS pair, n
+          FROM vocab, LATERAL (
+            SELECT unnest(range(1, len(tok))) AS i) ix)
+        SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+        FROM pairs GROUP BY pair
+        ORDER BY cnt DESC, pair
+        LIMIT 20"""),
+      run = (spark, dir) => {
+        val vocab = table(spark, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(explode(TextFns.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) >= 2)
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        vocab
+          .select(explode(expr(
+            "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+            .as("pair"), col("n"))
+          .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(20)
+      })
   )
 
   /** q101's pipeline as a callable over any (doc_id, text) frame, so

@@ -504,6 +504,20 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     rows.head._3 should be < rows(1)._3
   }
 
+  test("q103: pair counts weight by token frequency and exclude 1-char " +
+    "tokens — the BPE merge argmax is exact on a planted vocabulary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q103fix").toString
+    // vocab after histogram: ab×2, abc×1, a×1 (excluded: 1 char)
+    Seq(1L -> "ab ab a", 2L -> "abc").toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("q103_bpe_pair_counts")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // 'ab' pairs: from ab (w=2) + from abc (w=1) = 3; 'bc' from abc = 1;
+    // the single 'a' token contributes nothing
+    rows.toSeq shouldBe Seq("ab" -> 3L, "bc" -> 1L)
+  }
+
   test("q85: the split manifest partitions the corpus — doc and token " +
     "totals conserve, and every (split, lang) group is one of the 3 labels") {
     import spark.implicits._

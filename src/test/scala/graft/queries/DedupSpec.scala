@@ -89,4 +89,28 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
     run(spark, dir).collect().map(_.toSeq).toSeq shouldBe
       rows.toSeq.sortBy(_._1).map { case (id, (a, b, c)) => Seq(id, a, b, c) }
   }
+
+  test("q102: a passage shared at DIFFERENT offsets is caught (the chunk-" +
+    "grid miss case); intra-doc repetition alone never marks a span") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q102fix").toString
+    val passage = (1 to 8).map(i => f"p$i%02d").mkString(" ")
+    val selfRep = (1 to 8).map(i => f"q$i%02d").mkString(" ")
+    Seq(
+      1L -> s"$passage x01 x02 x03 x04", // passage at offset 1
+      2L -> s"y01 y02 $passage",         // same passage at offset 3 — a
+                                         // fixed chunk grid never aligns it
+      3L -> (1 to 8).map(i => f"z$i%02d").mkString(" "), // unique, 1 span
+      4L -> s"$selfRep $selfRep"         // repeats only WITHIN one doc
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.queries("q102_repeated_spans")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    rows(1L) shouldBe ((5L, 1L, 0.2))      // 12 toks → 5 spans, 1 shared
+    rows(2L) shouldBe ((3L, 1L, 0.3333))   // 10 toks → 3 spans, 1 shared
+    rows(3L) shouldBe ((1L, 0L, 0.0))
+    rows(4L) shouldBe ((9L, 0L, 0.0))      // 2 intra-doc occurrences: no mark
+  }
 }
