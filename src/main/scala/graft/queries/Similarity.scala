@@ -32,6 +32,10 @@ object Similarity {
   // q79 dedups at a looser cut so the pair graph is big enough (18 pairs
   // at sf0.01) to exercise clustering + survivor election under the gate
   private val EMBED_DEDUP_COS = 0.30
+  // q104 screens looser still (recall over precision — contamination
+  // flags go to review, not deletion); 0.20 yields 19/17 flagged rows
+  // at sf0.001/sf0.01 so the gate compares real content
+  private val CONTAM_COS = 0.20
 
   private def normed(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
@@ -650,6 +654,80 @@ object Similarity {
             col("nrm").as("cn"))
         semanticDedupCensus(n.select(col("vec_id"), col("v"), col("nrm")),
           cents, NEARDUP_COS)
+      }),
+
+    // ------------------------------------------------------------------
+    // q104: SEMANTIC DECONTAMINATION — benchmark-overlap screening in
+    // EMBEDDING space, the semantic complement of q46's n-gram
+    // decontamination: a paraphrased eval item shares no n-gram with its
+    // source but sits next to it in embedding space, so a training
+    // corpus must be screened both ways. Held-out "benchmark" = the
+    // md5-decile ≥ 9 slice of embeddings (the q72/q78 split
+    // construction — both engines derive identical membership from
+    // vec_id alone); corpus = the rest. Candidates via the q65 LSH
+    // signature (bucket equi-join — O(n) candidate generation, never
+    // corpus × benchmark), exact cosine verify at CONTAM_COS (looser
+    // than the dedup cut on purpose: contamination screening trades
+    // precision for recall — flagged rows go to review, not deletion),
+    // then a per-corpus-vector rollup: hit count, best benchmark match
+    // as a partial-agg argmax (max 4dp-rounded cosine, min bench_id
+    // tie-break — the q36 determinism rule via the assignCells max_by
+    // shape). Scale: signatures are scan-side arithmetic; the only
+    // shuffles are the bucket join (signature keys) and the flagged-row
+    // rollup (corpus-vec keys, map-side combined).
+    Q("q104_semantic_decontam",
+      oracle = Some(s"""
+        $normedCte,
+        $signatureCte,
+        split AS (
+          SELECT vec_id,
+                 (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))
+                       AS BIGINT) % 10) AS dec
+          FROM n),
+        m AS (
+          SELECT n.vec_id, signature, v, nrm, dec
+          FROM n JOIN sig USING (vec_id) JOIN split USING (vec_id)),
+        hits AS (
+          SELECT c.vec_id, b.vec_id AS bench_id,
+                 round(list_sum(list_transform(range(1, len(c.v) + 1),
+                        i -> c.v[i] * b.v[i])) / (c.nrm * b.nrm), 4) AS cosine
+          FROM m c JOIN m b
+            ON c.signature = b.signature AND c.dec < 9 AND b.dec >= 9),
+        flagged AS (SELECT * FROM hits WHERE cosine >= $CONTAM_COS),
+        agg AS (
+          SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+                 max(cosine) AS best_cos
+          FROM flagged GROUP BY vec_id)
+        SELECT a.vec_id, a.n_hits, min(f.bench_id) AS best_bench, a.best_cos
+        FROM agg a JOIN flagged f
+          ON a.vec_id = f.vec_id AND f.cosine = a.best_cos
+        GROUP BY a.vec_id, a.n_hits, a.best_cos
+        ORDER BY a.vec_id"""),
+      run = (spark, dir) => {
+        val dec = pmod(conv(substring(md5(col("vec_id").cast("string")),
+          1, 6), 16, 10).cast("long"), lit(10L))
+        val sigd = normed(spark, dir)
+          .select(col("vec_id"), col("v"), col("nrm"),
+            signatureCol.as("signature"), dec.as("dec"))
+        val bench = sigd.filter(col("dec") >= 9)
+          .select(col("signature"), col("vec_id").as("bench_id"),
+            col("v").as("bv"), col("nrm").as("bn"))
+        val corp = sigd.filter(col("dec") < 9)
+          .select(col("signature"), col("vec_id"), col("v"), col("nrm"))
+        val flagged = corp.join(bench, Seq("signature"))
+          .select(col("vec_id"), col("bench_id"),
+            round(cosine(col("v"), col("bv"), col("nrm"), col("bn")), 4)
+              .as("cosine"))
+          .where(col("cosine") >= CONTAM_COS)
+        flagged.groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n_hits"),
+            max_by(col("bench_id"), struct(
+              col("cosine").as("s"), (-col("bench_id")).as("tb")))
+              .as("best_bench"),
+            max(col("cosine")).as("best_cos"))
+          .select(col("vec_id"), col("n_hits"), col("best_bench"),
+            col("best_cos"))
+          .orderBy(col("vec_id"))
       })
   )
 

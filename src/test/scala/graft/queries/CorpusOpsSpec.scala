@@ -518,6 +518,28 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     rows.toSeq shouldBe Seq("ab" -> 3L, "bc" -> 1L)
   }
 
+  test("q104: an exact benchmark copy in the corpus is flagged at cosine " +
+    "1.0 with the right best-match; unrelated vectors stay unflagged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q104fix").toString
+    // md5-decile(vec_id): 14, 17 >= 9 (benchmark); 0..4 < 9 (corpus)
+    val leaked = Array.tabulate(64)(d => math.sin(d + 1).toFloat)
+    val other = Array.tabulate(64)(d => math.cos(3 * d + 2).toFloat *
+      (if (d % 2 == 0) 1 else -1))
+    Seq(
+      (14L, leaked, 0),  // benchmark item
+      (17L, other, 0),   // unrelated benchmark item
+      (3L, leaked, 0),   // the leak: exact copy in the corpus
+      (1L, other.map(-_), 0) // anti-correlated with 17 -> cosine -1, no flag
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Registry.queries("q104_semantic_decontam")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // only the planted copy flags: identical vectors share the LSH bucket
+    // by construction and score exactly 1.0
+    rows.toSeq shouldBe Seq((3L, 1L, 14L, 1.0))
+  }
+
   test("q85: the split manifest partitions the corpus — doc and token " +
     "totals conserve, and every (split, lang) group is one of the 3 labels") {
     import spark.implicits._
