@@ -339,6 +339,37 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally cached.foreach(_.unpersist(blocking = false))
   }
 
+  test("q102: spans cross every exchange as 56-bit longs, never strings — " +
+    "all four hash exchanges key on (h[, doc_id]); rep-set and stitch broadcast") {
+    val p = Registry.queries("q102_repeated_spans")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // exchanges: (h, doc_id)×2 — the per-(span, doc) dedup computed for
+    // the rep-set and for the rollup — plus (h) for the distinct-doc
+    // count and (doc_id) for the per-doc sum; nothing shuffles the span
+    // text itself, which only ever exists map-side under the md5
+    "Exchange hashpartitioning\\(h#\\d+L, doc_id".r.findAllIn(p).length shouldBe 2
+    "Exchange hashpartitioning\\(h#\\d+L,".r.findAllIn(p).length shouldBe 3
+    "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length shouldBe 1
+    p should include("LeftSemi")          // repeated-span membership probe
+    p should include("BroadcastHashJoin") // per-doc stitch is broadcast
+    p should not include "SortMergeJoin"
+    "HashAggregate".r.findAllIn(p).length should be >= 6 // partial+final ×3
+  }
+
+  test("q103: top-20 pairs compile to TakeOrderedAndProject; both rollups " +
+    "partial-aggregate; pairs explode from the token HISTOGRAM, not the corpus") {
+    val p = Registry.queries("q103_bpe_pair_counts")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should include("TakeOrderedAndProject")
+    p should not include "SortMergeJoin"
+    // two generates: corpus→tokens, then histogram→pairs; the pair
+    // explode must sit ABOVE the token aggregate (repetition absorbed
+    // before character work)
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 2
+    p.indexOf("Generate explode(transform") should be <
+      p.indexOf("HashAggregate(keys=[tok")
+  }
+
   test("q100: SemDeDup centroid assignment is a partial max_by argmax — the " +
     "n×k broadcast-join expansion reduces map-side, never reaching an exchange") {
     val p = Registry.queries("q100_semantic_dedup")(spark, sf0001)
