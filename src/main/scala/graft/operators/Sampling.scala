@@ -79,6 +79,15 @@ object Sampling {
     // time, and a caller that both broadcasts the thresholds into a
     // filter and reports them (q68's shape) doubles the whole subtree
     // again — 5 corpus scans measured in the un-cut q68 plan, vs 1 here.
+    //
+    // This makes the operator EAGER: the histogram job runs at call
+    // time, so plan-only callers (explain tools) pay one corpus scan,
+    // and the thresholds are FROZEN into the returned plan — a re-run
+    // against changed data must call this again. Both are the standard
+    // cost of driver-localized results (the Q.localized discipline),
+    // and the freeze is the retry-stability property the deterministic
+    // md5 sampling rule exists for: a task retry must never observe
+    // different thresholds than the original attempt.
     val local = {
       import scala.jdk.CollectionConverters._
       df.sparkSession.createDataFrame(

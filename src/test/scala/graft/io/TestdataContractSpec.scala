@@ -104,13 +104,17 @@ class TestdataContractSpec extends AnyFunSuite with Matchers
       "label" -> (integral _, "q21 blocking key"))
   )
 
+  // derive the testdata root from the session trait's constant so a
+  // relocated testdata tree updates this spec through ONE definition
+  private val testdataRoot = sf0001.stripSuffix("/sf0.001")
+
   for (sf <- Seq("sf0.001")) {
     test(s"$sf: every table carries the columns and type shapes the " +
       "engine's read paths handle") {
       contract.foreach { case (tbl, cols) =>
         val schema =
-          if (tbl == "events") Tables.eventsRaw(spark, s"/root/testdata/$sf").schema
-          else spark.read.parquet(s"/root/testdata/$sf/$tbl.parquet").schema
+          if (tbl == "events") Tables.eventsRaw(spark, s"$testdataRoot/$sf").schema
+          else spark.read.parquet(s"$testdataRoot/$sf/$tbl.parquet").schema
         val byName = schema.fields.map(f => f.name -> f.dataType).toMap
         cols.foreach { case (cname, (ok, why)) =>
           withClue(s"$tbl.$cname (needed for: $why) — missing from " +

@@ -340,19 +340,21 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
   }
 
   test("q102: spans cross every exchange as 56-bit longs, never strings — " +
-    "all four hash exchanges key on (h[, doc_id]); rep-set and stitch broadcast") {
+    "two corpus scans total, broadcast flag join, single doc-keyed rollup") {
     val p = Registry.queries("q102_repeated_spans")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
     // exchanges: (h, doc_id)×2 — the per-(span, doc) dedup computed for
-    // the rep-set and for the rollup — plus (h) for the distinct-doc
-    // count and (doc_id) for the per-doc sum; nothing shuffles the span
-    // text itself, which only ever exists map-side under the md5
+    // the rep-set and for the rollup (no common-subtree sharing in
+    // Spark; recompute-over-persist at corpus-token scale) — plus (h)
+    // for the distinct-doc count and ONE (doc_id) for the combined
+    // totals+flags aggregation; nothing shuffles the span text itself,
+    // which only ever exists map-side under the md5
     "Exchange hashpartitioning\\(h#\\d+L, doc_id".r.findAllIn(p).length shouldBe 2
     "Exchange hashpartitioning\\(h#\\d+L,".r.findAllIn(p).length shouldBe 3
     "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length shouldBe 1
-    p should include("LeftSemi")          // repeated-span membership probe
-    p should include("BroadcastHashJoin") // per-doc stitch is broadcast
+    p should include("BroadcastHashJoin") // rep-set joins as broadcast flag
     p should not include "SortMergeJoin"
+    "FileScan".r.findAllIn(p).length shouldBe 2 // and never a third pass
     "HashAggregate".r.findAllIn(p).length should be >= 6 // partial+final ×3
   }
 
@@ -364,10 +366,14 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should not include "SortMergeJoin"
     // two generates: corpus→tokens, then histogram→pairs; the pair
     // explode must sit ABOVE the token aggregate (repetition absorbed
-    // before character work)
+    // before character work). Guard both anchors: indexOf -1 on a
+    // renamed operator would otherwise satisfy the < vacuously.
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 2
-    p.indexOf("Generate explode(transform") should be <
-      p.indexOf("HashAggregate(keys=[tok")
+    val pairGen = p.indexOf("Generate explode(transform")
+    val tokAgg = p.indexOf("HashAggregate(keys=[tok")
+    pairGen should be >= 0
+    tokAgg should be >= 0
+    pairGen should be < tokAgg
   }
 
   test("q100: SemDeDup centroid assignment is a partial max_by argmax — the " +
