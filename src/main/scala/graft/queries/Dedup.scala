@@ -695,16 +695,20 @@ object Dedup {
     // Scale shape: spans leave the scan stage as 56-bit md5 fingerprints
     // (TextFns.hash56 — engine-portable), never as strings, so every
     // span-keyed aggregation shuffles fixed-width longs with map-side
-    // combine. Per-doc totals are derived FROM the span aggregation
-    // (sum of per-(span, doc) occurrence counts — every qualifying doc
-    // has ≥ 1 span, so no doc is lost), not from a separate corpus
-    // read; the only subtree consumed twice is the compact post-shuffle
-    // (h, doc_id, occn) aggregate — recompute-over-persist, the right
-    // call when the span table is corpus-token-scale. The final
-    // totals⟗flags stitch is doc-keyed on both sides and reuses their
-    // shared hash partitioning. Both engines hash identically, so
-    // fingerprint semantics (including the astronomically-unlikely
-    // 56-bit collision) are SHARED — the compare stays exact. Intra-doc
+    // combine. The plan reads documents three times, but the passes are
+    // NOT equal: two pay the span explode (the rep-set derivation and
+    // the semi-filtered flagged rollup — Spark shares no common
+    // subtrees, and persisting the corpus-token-scale span table is the
+    // wrong trade), while the totals pass is tokenize-only arithmetic
+    // (size(tk) − 7), no explode, no md5, no shuffle. The MEASURED
+    // alternative — deriving totals from the span aggregate via a
+    // broadcast flag join, saving the third scan — is ~1.5-2× SLOWER
+    // warm at both sf0.1 and the 10× replica (0.6-0.9s vs 1.0-1.2s):
+    // it drags every (span, doc) row through the rep-set join and a
+    // full-width rollup, where the semi join reduces to the flagged
+    // subset first. Both engines hash identically, so fingerprint
+    // semantics (including the astronomically-unlikely 56-bit
+    // collision) are SHARED — the compare stays exact. Intra-doc
     // repeats alone don't mark a span: the distinct-doc count is
     // computed from one row per (span, doc).
     Q("q102_repeated_spans",
@@ -736,37 +740,32 @@ object Dedup {
         FROM base b LEFT JOIN r USING (doc_id)
         ORDER BY b.doc_id"""),
       run = (spark, dir) => {
-        val occ = table(spark, dir, "documents")
+        val tk = table(spark, dir, "documents")
           .filter(col("text").isNotNull)
           .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 8)
-          .select(col("doc_id"),
-            explode(transform(
-              sequence(lit(1), size(col("tk")) - 7),
-              i => TextFns.hash56(
-                md5(array_join(slice(col("tk"), i, lit(8)), " ")), 1))).as("h"))
+        val occ = tk.select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), size(col("tk")) - 7),
+            i => TextFns.hash56(
+              md5(array_join(slice(col("tk"), i, lit(8)), " ")), 1))).as("h"))
         val ds = occ.groupBy(col("h"), col("doc_id"))
           .agg(count(lit(1)).as("occn"))
         val rep = ds.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
           .filter(col("n_docs") >= 2)
           .select(col("h"))
-        // totals AND flagged counts roll up from ds in ONE pass: the
-        // broadcast rep-set left-joins as a 0/1 flag (rep is grouped on
-        // h, so the join can't fan out), and a single doc-keyed
-        // aggregation emits both Σ occn (= size(tk) - 7 by construction
-        // — every qualifying doc has ≥ 1 span, so none is lost) and the
-        // flagged subtotal. Spark shares no common subtrees, so a
-        // totals-vs-flags split would re-derive the whole span pipeline
-        // per consumer; this shape pays the span explode exactly twice
-        // (once here, once inside rep) — the recompute-over-persist
-        // call, since the span table is corpus-token-scale.
-        ds.join(rep.select(col("h"), lit(1L).as("is_rep")), Seq("h"), "left")
-          .groupBy(col("doc_id"))
-          .agg(sum(col("occn")).as("n_spans"),
-            sum(when(col("is_rep") === 1L, col("occn")).otherwise(0L))
-              .as("n_rep_occ"))
-          .select(col("doc_id"), col("n_spans"), col("n_rep_occ"),
-            (floor(col("n_rep_occ") * 10000.0
+        // flagged rollup: semi-filter FIRST so the doc aggregation only
+        // touches occurrences of cross-doc-repeated spans (see header
+        // for the measured A/B against the flag-join alternative)
+        val r = ds.join(rep, Seq("h"), "left_semi")
+          .groupBy(col("doc_id")).agg(sum(col("occn")).as("n_rep"))
+        // totals: tokenize-only arithmetic, no explode — the cheap pass
+        tk.select(col("doc_id"),
+            (size(col("tk")) - 7).cast("long").as("n_spans"))
+          .join(r, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+            coalesce(col("n_rep"), lit(0L)).as("n_rep_occ"),
+            (floor(coalesce(col("n_rep"), lit(0L)) * 10000.0
               / col("n_spans").cast("double") + 0.5) / 10000).as("rep_frac"))
           .orderBy(col("doc_id"))
       })

@@ -340,21 +340,25 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
   }
 
   test("q102: spans cross every exchange as 56-bit longs, never strings — " +
-    "two corpus scans total, broadcast flag join, single doc-keyed rollup") {
+    "only the two span passes explode; the totals pass is tokenize-only") {
     val p = Registry.queries("q102_repeated_spans")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
     // exchanges: (h, doc_id)×2 — the per-(span, doc) dedup computed for
-    // the rep-set and for the rollup (no common-subtree sharing in
-    // Spark; recompute-over-persist at corpus-token scale) — plus (h)
-    // for the distinct-doc count and ONE (doc_id) for the combined
-    // totals+flags aggregation; nothing shuffles the span text itself,
-    // which only ever exists map-side under the md5
+    // the rep-set and for the semi-filtered rollup (no common-subtree
+    // sharing in Spark; recompute-over-persist at corpus-token scale) —
+    // plus (h) for the distinct-doc count and (doc_id) for the flagged
+    // per-doc sum; nothing shuffles the span text itself, which only
+    // ever exists map-side under the md5
     "Exchange hashpartitioning\\(h#\\d+L, doc_id".r.findAllIn(p).length shouldBe 2
     "Exchange hashpartitioning\\(h#\\d+L,".r.findAllIn(p).length shouldBe 3
     "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length shouldBe 1
-    p should include("BroadcastHashJoin") // rep-set joins as broadcast flag
+    p should include("LeftSemi")          // repeated-span membership probe
+    p should include("BroadcastHashJoin") // per-doc stitch is broadcast
     p should not include "SortMergeJoin"
-    "FileScan".r.findAllIn(p).length shouldBe 2 // and never a third pass
+    // three scans, but only two span explodes — the totals scan is
+    // tokenize-only arithmetic (the measured-cheaper shape; see query)
+    "FileScan".r.findAllIn(p).length shouldBe 3
+    "Generate explode".r.findAllIn(p).length shouldBe 2
     "HashAggregate".r.findAllIn(p).length should be >= 6 // partial+final ×3
   }
 
