@@ -43,6 +43,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config(graft.io.Tables.NANOS_AS_LONG, "true")
+      // UTC pin matches Verify/StreamProbe/ScaleUp: with TIMESTAMP_NTZ
+      // events testdata the cast to TIMESTAMP is session-tz dependent, so
+      // an unpinned bench would time (and bucket) different semantics per
+      // host timezone.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

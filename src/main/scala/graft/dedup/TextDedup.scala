@@ -510,6 +510,34 @@ object TextDedup {
     (out, i)
   }
 
+  /** [[deduplicate]] against a PRECOMPUTED verified near-dup pair
+    * relation (doc_a, doc_b, ...) derived over a SUPERSET of `df`'s rows
+    * — the artifact form of fuzzy dedup: the exact pass still runs, and
+    * the expensive shingle→MinHash→LSH→Jaccard derivation is replaced by
+    * restricting `pairs` to the exact survivors. Sound because a doc's
+    * signature/bands depend only on its own text and jaccard(a,b) only
+    * on the two texts: pairs(S) = pairs(full) ∩ S×S for any id subset S,
+    * so the restricted artifact is bit-identical to a from-scratch
+    * derivation over the survivors (TextDedupSpec pins the equality
+    * against [[deduplicate]]). The restriction is two hash semi-joins
+    * keyed on ids — pair-count-sized, never corpus² — so at 100 TB the
+    * steady-state cost is the exact pass plus clustering. */
+  def deduplicateWithPairs(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, mat: Materializer = Materializer.Local): DataFrame = {
+    val exactKept = exact(df, idCol, textCol).persist(MEMORY_AND_DISK)
+    val ids = exactKept.select(col(idCol))
+    val restricted = pairs
+      .join(ids.withColumnRenamed(idCol, "doc_a"), Seq("doc_a"), "left_semi")
+      .join(ids.withColumnRenamed(idCol, "doc_b"), Seq("doc_b"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+    val cl = clustersAuto(restricted, mat = mat)
+    val losers = cl.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    val out = mat(exactKept.join(losers, Seq(idCol), "left_anti"))
+    Seq(cl, exactKept).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Full fuzzy dedup: exact dedup first (so byte-identical docs collapse
     * regardless of length — docs under 3 tokens produce no shingles and
     * would otherwise never enter LSH), then drop every remaining doc that

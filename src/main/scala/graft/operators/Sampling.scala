@@ -69,6 +69,10 @@ object Sampling {
   def temperatureThresholds(df: DataFrame, strataCol: String,
       keepFraction: Double): DataFrame = {
     require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0,1]")
+    // eager collect below — fail a streaming input with a clear contract
+    // error instead of an opaque AnalysisException from inside collect
+    require(!df.isStreaming,
+      "temperatureThresholds requires a batch DataFrame (eager histogram collect)")
     val counts = df.filter(col(strataCol).isNotNull)
       .groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
     // The histogram is a RESULT table — one row per stratum (languages,

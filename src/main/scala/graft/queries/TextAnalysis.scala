@@ -459,8 +459,11 @@ object TextAnalysis {
       }),
 
     // ------------------------------------------------------------------
-    // q30: the 100 TB-safe distinct: HLL sketch, fixed memory, no giant
-    // exact-distinct shuffle. HLL estimates are engine-specific (DuckDB's
+    // q30: approx distinct with a bounds oracle. The PRODUCTION operator
+    // is the bare approx_count_distinct sketch (fixed memory, no exact-
+    // distinct shuffle at 100 TB); the exact countDistinct column that
+    // ALSO runs here is purely the verification anchor, priced at test
+    // SF. HLL estimates are engine-specific (DuckDB's
     // sketch differs from Spark's), so the raw estimate can never be
     // value-compared — instead the oracle gate is a BOUNDS check: each
     // engine emits the exact distinct count (which must match to the row)

@@ -147,7 +147,8 @@ object Charts {
       g.setColor(SeriesColors(s % SeriesColors.length))
       g.fillRect(lx, 34, 10, 10)
       g.setColor(Chrome)
-      g.drawString(series(s)._1, lx + 14, 44)
+      // legend slots are 140 px apart; truncate like every other label site
+      g.drawString(truncateLabel(series(s)._1), lx + 14, 44)
     }
     g.setColor(Chrome)
     g.drawLine(Margin, baseY, Margin + plotW, baseY)

@@ -166,6 +166,20 @@ class TextDedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
     survivors.length should be < 6
   }
 
+  test("deduplicateWithPairs: a precomputed FULL-TABLE pair artifact yields " +
+    "the exact deduplicate() result (pairs(S) = pairs(full) ∩ S×S)") {
+    // the fixture has an exact duplicate (doc 2 of doc 1), so the full
+    // pair relation contains survivor↔non-survivor pairs the restriction
+    // must drop — the case that would corrupt clustering if unsound
+    val fullPairs = TextDedup.nearDuplicatePairs(corpus, "doc_id", "text", 0.5)
+    val viaArtifact = TextDedup
+      .deduplicateWithPairs(corpus, "doc_id", "text", fullPairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val direct = TextDedup.deduplicate(corpus, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    viaArtifact shouldBe direct
+  }
+
   test("deduplicate: byte-identical SHORT docs (< 3 tokens, no shingles) collapse via the exact pass") {
     import spark.implicits._
     val docs = Seq(

@@ -182,6 +182,28 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include regex "PartitionFilters:.*sig_hi"
   }
 
+  test("q17/q52/q73: steady-state plans READ the shared neardup pair " +
+    "artifact — no shingle re-derivation in any of the three") {
+    // the registered results are Q.localized (LocalTableScan), so the
+    // pin targets the shared relation all three consume: invoking q17
+    // builds the per-process artifact, after which verifiedPairsIndexed
+    // must be a PURE parquet scan of it — no shingle build (arrays_zip),
+    // no LSH self-join, no exchange of any kind
+    plan("q17_neardup_minhash") // first invocation: builds the artifact
+    val pi = Dedup.verifiedPairsIndexed(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    pi should include("neardup_pair_index")
+    pi should not include "arrays_zip"
+    pi should not include "Exchange"
+    // q52's artifact form must actually work end to end on the testdata
+    // (exact pass from documents + the artifact's restricted pair side)
+    val restricted = graft.dedup.TextDedup.deduplicateWithPairs(
+      graft.io.Tables.table(spark, sf0001, "documents"), "doc_id", "text",
+      Dedup.verifiedPairsIndexed(spark, sf0001))
+    restricted.count() should be > 0L
+    restricted.unpersist(blocking = false)
+  }
+
   test("q79: embedding-dedup candidates are the q67 signature EQUI-join — " +
     "no cartesian anywhere in pairs or clustering") {
     // the pair plan, pre-clustering (clusters() iterates jobs; pin the
