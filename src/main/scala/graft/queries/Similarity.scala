@@ -24,6 +24,10 @@ import graft.io.Tables.table
 object Similarity {
 
   private val QUERY_MOD = 53 // ~2% of vec_ids serve as the query set
+  // q20's FIXED-COUNT query sample size: bounds the broadcast side by
+  // count (constant at any corpus scale), where QUERY_MOD bounds by
+  // fraction (broadcast grows with the corpus)
+  private val QUERY_N = 32
   private val CENTROID_MOD = 101 // ~1% of vectors play IVF coarse centroids
   private val TOPK = 10
   // the synthetic vectors have no planted duplicates (max within-label
@@ -153,14 +157,23 @@ object Similarity {
   val defs: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
-    // q20: brute-force cosine top-k (ANN baseline). Rank on the *rounded*
-    // cosine with vec_id tie-break so ordering is engine-independent.
+    // q20: brute-force cosine top-k (ANN baseline — the ground truth
+    // q36/q54 approximate). Rank on the *rounded* cosine with vec_id
+    // tie-break so ordering is engine-independent.
+    // Scale shape: the query side is a FIXED-COUNT deterministic sample —
+    // top QUERY_N vec_ids by md5(vec_id) (the q75 construction), compiled
+    // to TakeOrderedAndProject (per-partition top-N, no global sort) — so
+    // the broadcast side is CONSTANT at any corpus scale and total work
+    // is n × QUERY_N dot products: a LINEAR corpus scan that survives a
+    // 100× scale-up unchanged. (The previous modulus sample was a fixed
+    // FRACTION: broadcast grew with the corpus and work was n²/mod.)
     Q("q20_ann_cosine",
       oracle = Some(s"""
         $normedCte,
         qs AS (
           SELECT vec_id AS q_id, v AS qv, nrm AS qn
-          FROM n WHERE vec_id % $QUERY_MOD = 0),
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $QUERY_N),
         scored AS (
           SELECT q_id, vec_id AS neighbor,
                  round(list_sum(list_transform(range(1, len(v) + 1),
@@ -176,7 +189,9 @@ object Similarity {
         ORDER BY q_id, rank"""),
       run = (spark, dir) => {
         val n = normed(spark, dir)
-        val qs = n.filter(col("vec_id") % QUERY_MOD === 0)
+        val qs = n
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(QUERY_N)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cosine").desc, col("neighbor").asc)

@@ -296,6 +296,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include("codegen id")
   }
 
+  test("q20: the fixed-count query sample compiles to TakeOrderedAndProject " +
+    "(per-partition top-N, no global sort) and is broadcast") {
+    val p = plan("q20_ann_cosine")
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastNestedLoopJoin")
+  }
+
   test("dedup verify plan (q17's shape): candidate restriction and pair-driven " +
     "intersection are LeftSemi joins; no shingle-keyed self-join, no cartesian") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
