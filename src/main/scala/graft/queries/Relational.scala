@@ -338,7 +338,9 @@ object Relational {
     // lower + frac*(upper-lower) interpolation on the sorted values; the
     // floor(x*100+0.5)/100 rounding is pure double arithmetic on both
     // engines (see q23 note). At 100 TB this becomes approx_percentile
-    // (fixed-memory sketch) — the exact form is the contract here.
+    // (fixed-memory sketch) — the exact form is the contract here; the
+    // sketch form is REGISTERED as q105_approx_percentiles with a
+    // bounds oracle.
     Q("q34_percentiles",
       oracle = Some("""
         SELECT o_orderpriority,
@@ -354,6 +356,71 @@ object Relational {
         table(spark, dir, "orders")
           .groupBy(col("o_orderpriority"))
           .agg(p(0.5, "p50"), p(0.9, "p90"), p(0.99, "p99"))
+          .orderBy(col("o_orderpriority"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q105: q34's 100 TB twin — the SAME grouped percentiles computed by
+    // the fixed-memory approx_percentile sketch that q34's header names
+    // as its at-scale swap. Sketches are engine-specific (Spark's
+    // KLL-style summary vs DuckDB's t-digest), so — exactly like q30's
+    // HLL — the raw estimate can never be value-compared; the oracle
+    // gate is a BOUNDS check: both engines emit the exact percentile
+    // (the VERIFICATION ANCHOR, must match to the cent) plus a flag
+    // asserting their own sketch landed inside the exact [p−0.05, p+0.05]
+    // rank window. That window is ~50× looser than either sketch's
+    // documented error (Spark: rank error ≤ n/accuracy = 0.1% at
+    // accuracy 1000; DuckDB t-digest ≲1%), so the flag cannot flake while
+    // still failing on a genuinely broken sketch. The PRODUCTION operator
+    // at 100 TB is the bare approx aggregate (bounded sketch state per
+    // group, no per-group full sort); the exact anchor is priced at test
+    // SF — the q30 discipline. q34 stays registered as the small-scale
+    // exact truth.
+    Q("q105_approx_percentiles",
+      oracle = Some("""
+        WITH agg AS (
+          SELECT o_orderpriority,
+                 quantile_cont(o_totalprice, 0.50) AS e50,
+                 quantile_cont(o_totalprice, 0.90) AS e90,
+                 quantile_cont(o_totalprice, 0.99) AS e99,
+                 quantile_cont(o_totalprice, 0.45) AS lo50,
+                 quantile_cont(o_totalprice, 0.55) AS hi50,
+                 quantile_cont(o_totalprice, 0.85) AS lo90,
+                 quantile_cont(o_totalprice, 0.95) AS hi90,
+                 quantile_cont(o_totalprice, 0.94) AS lo99,
+                 max(o_totalprice) AS hi99,
+                 approx_quantile(o_totalprice, 0.50) AS a50,
+                 approx_quantile(o_totalprice, 0.90) AS a90,
+                 approx_quantile(o_totalprice, 0.99) AS a99
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority,
+               floor(e50 * 100 + 0.5) / 100 AS p50,
+               floor(e90 * 100 + 0.5) / 100 AS p90,
+               floor(e99 * 100 + 0.5) / 100 AS p99,
+               a50 BETWEEN lo50 AND hi50 AS p50_approx_ok,
+               a90 BETWEEN lo90 AND hi90 AS p90_approx_ok,
+               a99 BETWEEN lo99 AND hi99 AS p99_approx_ok
+        FROM agg
+        ORDER BY o_orderpriority"""),
+      run = (spark, dir) => {
+        def e(q: Double, name: String) =
+          percentile(col("o_totalprice"), lit(q)).as(name)
+        def a(q: Double, name: String) =
+          approx_percentile(col("o_totalprice"), lit(q), lit(1000)).as(name)
+        table(spark, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(e(0.50, "e50"), e(0.90, "e90"), e(0.99, "e99"),
+            e(0.45, "lo50"), e(0.55, "hi50"),
+            e(0.85, "lo90"), e(0.95, "hi90"),
+            e(0.94, "lo99"), max(col("o_totalprice")).as("hi99"),
+            a(0.50, "a50"), a(0.90, "a90"), a(0.99, "a99"))
+          .select(col("o_orderpriority"),
+            (floor(col("e50") * 100 + 0.5) / 100).as("p50"),
+            (floor(col("e90") * 100 + 0.5) / 100).as("p90"),
+            (floor(col("e99") * 100 + 0.5) / 100).as("p99"),
+            col("a50").between(col("lo50"), col("hi50")).as("p50_approx_ok"),
+            col("a90").between(col("lo90"), col("hi90")).as("p90_approx_ok"),
+            col("a99").between(col("lo99"), col("hi99")).as("p99_approx_ok"))
           .orderBy(col("o_orderpriority"))
       }),
 

@@ -193,7 +193,9 @@ object TextAnalysis {
     // is corrupted by). Two grouped exact percentiles with the medians
     // broadcast back between them — per-group medians are tiny relations
     // at any corpus size; the percentiles themselves swap to
-    // approx_percentile at 100 TB exactly as q34 documents. Cross-engine:
+    // approx_percentile at 100 TB exactly as q34 documents (the sketch
+    // form is REGISTERED as q106_approx_mad with a bounds oracle).
+    // Cross-engine:
     // Spark percentile() ≡ DuckDB quantile_cont interpolation (q34), the
     // floor(x·100+0.5)/100 rounding is the q23 construction, and the
     // outlier threshold compares unrounded doubles built with identical
@@ -237,6 +239,71 @@ object TextAnalysis {
             (floor(col("med") * 100 + 0.5) / 100).as("med_chars"),
             (floor(col("mad") * 100 + 0.5) / 100).as("mad_chars"),
             col("n_outliers"))
+          .orderBy(col("lang"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q106: q70's 100 TB twin — per-lang median and MAD of document
+    // length via the fixed-memory approx_percentile sketch q70's header
+    // names as its at-scale swap. The q30/q105 bounds-oracle discipline:
+    // exact median/MAD are the VERIFICATION ANCHORS (value-compared to
+    // the cent), and each engine self-checks its own sketch against the
+    // exact [p−0.05, p+0.05] rank window (sketches are engine-specific,
+    // so raw estimates never cross-compare). The deviation relation is
+    // built from the EXACT median on both engines — a shared
+    // deterministic input, so the MAD anchor stays cross-engine exact
+    // while the approx column demonstrates the sketch on the same
+    // relation. Production at 100 TB runs only the two approx
+    // aggregates: two passes, bounded state per lang, no per-group sort.
+    Q("q106_approx_mad",
+      oracle = Some("""
+        WITH docs AS (
+          SELECT lang, CAST(n_chars AS DOUBLE) AS x FROM documents),
+        med AS (
+          SELECT lang,
+                 quantile_cont(x, 0.5) AS med,
+                 quantile_cont(x, 0.45) AS mlo,
+                 quantile_cont(x, 0.55) AS mhi,
+                 approx_quantile(x, 0.5) AS amed
+          FROM docs GROUP BY lang),
+        dev AS (
+          SELECT d.lang, abs(x - med) AS adev
+          FROM docs d JOIN med USING (lang)),
+        mad AS (
+          SELECT lang,
+                 quantile_cont(adev, 0.5) AS mad,
+                 quantile_cont(adev, 0.45) AS dlo,
+                 quantile_cont(adev, 0.55) AS dhi,
+                 approx_quantile(adev, 0.5) AS amad
+          FROM dev GROUP BY lang)
+        SELECT m.lang,
+               floor(m.med * 100 + 0.5) / 100 AS med_chars,
+               floor(a.mad * 100 + 0.5) / 100 AS mad_chars,
+               m.amed BETWEEN m.mlo AND m.mhi AS med_approx_ok,
+               a.amad BETWEEN a.dlo AND a.dhi AS mad_approx_ok
+        FROM med m JOIN mad a USING (lang)
+        ORDER BY m.lang"""),
+      run = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+          .select(col("lang"), col("n_chars").cast("double").as("x"))
+        val med = docs.groupBy(col("lang"))
+          .agg(percentile(col("x"), lit(0.5)).as("med"),
+            percentile(col("x"), lit(0.45)).as("mlo"),
+            percentile(col("x"), lit(0.55)).as("mhi"),
+            approx_percentile(col("x"), lit(0.5), lit(1000)).as("amed"))
+        val dev = docs.join(broadcast(med), "lang")
+          .select(col("lang"), abs(col("x") - col("med")).as("adev"))
+        val mad = dev.groupBy(col("lang"))
+          .agg(percentile(col("adev"), lit(0.5)).as("mad"),
+            percentile(col("adev"), lit(0.45)).as("dlo"),
+            percentile(col("adev"), lit(0.55)).as("dhi"),
+            approx_percentile(col("adev"), lit(0.5), lit(1000)).as("amad"))
+        med.join(mad, "lang")
+          .select(col("lang"),
+            (floor(col("med") * 100 + 0.5) / 100).as("med_chars"),
+            (floor(col("mad") * 100 + 0.5) / 100).as("mad_chars"),
+            col("amed").between(col("mlo"), col("mhi")).as("med_approx_ok"),
+            col("amad").between(col("dlo"), col("dhi")).as("mad_approx_ok"))
           .orderBy(col("lang"))
       }),
 
