@@ -458,6 +458,9 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     cached.foreach(_.unpersist(blocking = false))
     p should not include "CartesianProduct"
     p should include("BroadcastNestedLoopJoin") // the 1-row threshold stitch
+    // steady state reads the shared q83/q94 score artifact — the bigram
+    // model training/scoring joins must NOT appear in q94's own plan
+    p should include("bigram_lm_scores")
   }
 
   test("q95: grouping sets compile to one Expand + one partially-aggregated " +
