@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * Streaming state partitioning: stateful streaming pins its shuffle
   * partitioning at first start (no AQE) and every micro-batch touches
   * every state store — so the partition count is scoped down around
-  * .start() to match the (small) state cardinality instead of inheriting
-  * the batch-tuned session value. On a cluster this would be sized to
-  * state volume, not to input volume.
+  * .start() and AUTO-SIZED from the input manifest (see
+  * [[streamPartitions]]) instead of inheriting the batch-tuned session
+  * value or needing an env knob per capture.
   *
   * Scale: the same plans run unchanged against a kafka/file stream on a
   * cluster; state is bounded by (window × event_type) cardinality for the
@@ -22,23 +22,43 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
-  /** Run `body` with streaming-sized shuffle partitions, restoring the
-    * session value after (queries run sequentially in Verify/Bench).
-    * Every micro-batch opens/commits every state store instance, so the
-    * partition count is sized to state cardinality (a handful of
-    * event_type × window groups), not input volume. */
-  private def withStreamPartitions[A](spark: SparkSession)(body: => A): A = {
+  /** Auto-sized streaming state partition count per sfDir, cached (one
+    * directory listing per JVM). Stateful streaming pins its shuffle
+    * partitioning at first start (no AQE) and every micro-batch
+    * opens+commits every state store instance (stream-stream joins keep
+    * FOUR per partition), each commit a file write+fsync into the
+    * checkpoint — so the count must be sized to STATE volume, which for
+    * these event-keyed queries tracks input volume. Both directions were
+    * MEASURED (PERF.md round 9): at sf0.1 (~2 MB events, dozens-of-rows
+    * state) 1 partition beats 4 (per-partition overhead dominates); at
+    * the 10× replica (~20 MB, 1M-row dedup/join state) 4 beats 1. The
+    * rule ceil(bytes / 6 MiB) clamped to [1, 8] reproduces both measured
+    * optima and grows smoothly between them; on a real deployment the
+    * state-volume estimate would come from the source (Kafka lag / file
+    * manifest) the same way. GRAFT_STREAM_PARTITIONS still overrides
+    * (explicit deployment knob), but no capture needs it any more. */
+  private val streamPartitionsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private def streamPartitions(dir: String): Int =
+    sys.env.get("GRAFT_STREAM_PARTITIONS").flatMap(_.toIntOption)
+      .getOrElse(streamPartitionsCache.getOrElseUpdate(dir, {
+        val bytes = Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.getName.startsWith("events.parquet"))
+          .map(_.length()).sum
+        val sized = math.ceil(bytes / (6.0 * 1024 * 1024)).toInt
+        math.max(1, math.min(8, sized))
+      }))
+
+  /** Run `body` with streaming-sized shuffle partitions for `dir`,
+    * restoring the session value after (queries run sequentially in
+    * Verify/Bench). */
+  private def withStreamPartitions[A](spark: SparkSession, dir: String)(
+      body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    // 1, not a handful: every micro-batch opens+commits every state store
-    // instance (stream-stream joins keep FOUR per partition), and each
-    // commit is a file write+fsync into the checkpoint — at this state
-    // cardinality (dozens of groups) partitions are pure fixed overhead.
-    // This is the knob sized to STATE VOLUME, not input: the 10× ScaleUp
-    // replica (1M-row dedup/join state) measurably prefers 4 — override
-    // via GRAFT_STREAM_PARTITIONS there and on any real deployment.
-    spark.conf.set(key,
-      sys.env.getOrElse("GRAFT_STREAM_PARTITIONS", "1"))
+    spark.conf.set(key, streamPartitions(dir).toString)
     try body finally spark.conf.set(key, prev)
   }
 
@@ -79,8 +99,9 @@ object StreamingQueries {
     * which a run-to-completion query discards with the checkpoint anyway.
     * Append-mode windowed aggregations (q49) MUST keep it: their emission
     * rule is "watermark passed the window end", which only fires there. */
-  private def runToMemorySink(spark: SparkSession, prefix: String,
-      mode: String, streamed: DataFrame, noDataBatch: Boolean = true)(
+  private def runToMemorySink(spark: SparkSession, dir: String,
+      prefix: String, mode: String, streamed: DataFrame,
+      noDataBatch: Boolean = true)(
       finish: DataFrame => DataFrame): DataFrame = {
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     // the checkpoint (offset/commit WAL + state store files) for these
@@ -99,7 +120,7 @@ object StreamingQueries {
     val ckpt = if (shm.isDirectory && shm.canWrite &&
         shm.getUsableSpace >= 4L * 1024 * 1024 * 1024)
       Some(s"/dev/shm/graft_ckpt/$sink") else None
-    val q = withStreamPartitions(spark) {
+    val q = withStreamPartitions(spark, dir) {
       val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
       val prevNoData = spark.conf.get(noDataKey)
       spark.conf.set(noDataKey, noDataBatch.toString)
@@ -120,7 +141,8 @@ object StreamingQueries {
     // the finish agg/sort runs over the (small, driver-local) sink table:
     // at session partitioning it pays 32 task launches per exchange for
     // a few thousand rows — scope it down with the same knob
-    try withStreamPartitions(spark)(Q.localized(finish(spark.table(sink))))
+    try withStreamPartitions(spark, dir)(
+      Q.localized(finish(spark.table(sink))))
     finally spark.catalog.dropTempView(sink)
   }
 
@@ -142,7 +164,7 @@ object StreamingQueries {
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2"""),
-      run = (spark, dir) => runToMemorySink(spark, "stream_tumbling_",
+      run = (spark, dir) => runToMemorySink(spark, dir, "stream_tumbling_",
         "complete",
         windowAgg(eventsStream(spark, dir), window(col("ts"), "1 day"))) {
         _.select(col("w.start").cast("date").as("day"), col("event_type"),
@@ -170,7 +192,7 @@ object StreamingQueries {
         FROM expanded
         GROUP BY w_start, event_type
         ORDER BY w_start_us, event_type"""),
-      run = (spark, dir) => runToMemorySink(spark, "stream_sliding_",
+      run = (spark, dir) => runToMemorySink(spark, dir, "stream_sliding_",
         "complete",
         windowAgg(eventsStream(spark, dir), window(col("ts"), "2 days", "1 day"))) {
         _.select(unix_micros(col("w.start")).as("w_start_us"),
@@ -203,7 +225,7 @@ object StreamingQueries {
               <= wm_us
         GROUP BY 1, 2
         ORDER BY 1, 2"""),
-      run = (spark, dir) => runToMemorySink(spark, "stream_wm_append_",
+      run = (spark, dir) => runToMemorySink(spark, dir, "stream_wm_append_",
         "append",
         windowAgg(eventsStream(spark, dir).withWatermark("ts", "1 hour"),
           window(col("ts"), "1 day"))) {
@@ -254,7 +276,7 @@ object StreamingQueries {
           .select(col("v_user"), col("p_value"))
         // inner-join append emits every match in the data batch that
         // completes it; the no-data batch would only evict state
-        runToMemorySink(spark, "stream_ssjoin_", "append", pairs,
+        runToMemorySink(spark, dir, "stream_ssjoin_", "append", pairs,
             noDataBatch = false) {
           _.groupBy(col("v_user").as("user_id"))
             .agg(count(lit(1)).as("n_pairs"),
@@ -283,7 +305,7 @@ object StreamingQueries {
       run = (spark, dir) => {
         val dim = broadcast(graft.io.Tables.table(spark, dir, "nation")
           .select(col("n_nationkey"), col("n_name")))
-        runToMemorySink(spark, "stream_enrich_", "complete",
+        runToMemorySink(spark, dir, "stream_enrich_", "complete",
           eventsStream(spark, dir)
             .join(dim, pmod(col("user_id"), lit(25L)) === col("n_nationkey"))
             .groupBy(col("n_name"))
@@ -359,7 +381,7 @@ object StreamingQueries {
             col("p_ts") <= col("v_ts") + expr("INTERVAL 12 HOURS"),
           "leftOuter")
           .select(col("v_user"), col("p_value"))
-        runToMemorySink(spark, "stream_souter_", "append", joined) {
+        runToMemorySink(spark, dir, "stream_souter_", "append", joined) {
           _.groupBy(col("v_user").as("user_id"))
             .agg(count(lit(1)).as("n_rows"),
               count(col("p_value")).as("n_matched"),
@@ -389,7 +411,7 @@ object StreamingQueries {
         ORDER BY event_type"""),
       // dedup emits each first occurrence in the batch it arrives; the
       // no-data batch would only evict expired state
-      run = (spark, dir) => runToMemorySink(spark, "stream_dedup_",
+      run = (spark, dir) => runToMemorySink(spark, dir, "stream_dedup_",
         "append",
         eventsStream(spark, dir)
           .withColumn("delivery", explode(array(lit(1), lit(2))))
@@ -449,7 +471,7 @@ object StreamingQueries {
             col("event_type").as("eventType"),
             unix_micros(col("ts")).as("tus"))
           .as[graft.streaming.StatefulFunnel.Event]
-        runToMemorySink(spark, "stream_funnel_", "append",
+        runToMemorySink(spark, dir, "stream_funnel_", "append",
           graft.streaming.StatefulFunnel.trackEvicting(spark, stream,
             abandonAfterUs = 365L * 24 * 3600 * 1000000L).toDF(),
           noDataBatch = false) { sink =>
@@ -508,7 +530,7 @@ object StreamingQueries {
             .select(explode(
               graft.functions.TextFns.tokens(col("text"))).as("token"))
             .as[String]
-          runToMemorySink(spark, "stream_hh_", "update",
+          runToMemorySink(spark, dir, "stream_hh_", "update",
             graft.streaming.StreamingHeavyHitters
               .track(spark, tokens, buckets = 8, capacity = 512).toDF(),
             noDataBatch = false) { sink =>
