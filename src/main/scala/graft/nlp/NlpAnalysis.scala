@@ -40,8 +40,14 @@ object NlpAnalysis {
 
   /** Full pipeline → one row per valid article:
     * (period, top_phrases, modalities). */
-  def topPhrases(spark: SparkSession, inputPath: String): DataFrame = {
-    val raw = graft.io.Tables.wholeTextDocs(spark, inputPath)
+  def topPhrases(spark: SparkSession, inputPath: String): DataFrame =
+    topPhrasesFrom(graft.io.Tables.wholeTextDocs(spark, inputPath))
+
+  /** [[topPhrases]] over an already-loaded (…, value) HTML relation — the
+    * entry other sources compose with: `Warc.htmlDocs(...)` pipes a WARC
+    * segment's response records through the exact same analysis
+    * (WarcNlpE2eSpec pins golden parity for that composition). */
+  def topPhrasesFrom(raw: DataFrame): DataFrame = {
     val proc = processed(raw)
 
     val tokenized = new Tokenizer()
