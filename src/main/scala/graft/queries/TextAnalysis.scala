@@ -539,12 +539,24 @@ object TextAnalysis {
               .as("bigram"))
         val tf = big.groupBy(col("doc_id"), col("bigram"))
           .agg(count(lit(1)).as("tf"))
-        val dfr = tf.groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+        // df via a window count over the tf relation, NOT groupBy+join
+        // back: tf feeds both the score side and the df rollup, and Spark
+        // shares no common subtrees — the join shape re-derived the whole
+        // explode+agg pass for the df side (and a persist to avoid that
+        // would leak cache past the query, against the Q contract). The
+        // window derives tf ONCE and pays the same bigram-keyed exchange
+        // the join needed anyway (df stays aggregated from the distinct
+        // (doc,bigram) relation, never raw occurrences — the q103
+        // two-level discipline). Measured min-of-3 at sf0.1: 1.24s →
+        // 1.00s; the saved pass is the explode+agg, which dominates as
+        // the corpus grows (see PERF.md for the 10× A/B).
+        val wDf = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bigram"))
         val nd = docs.agg(count(lit(1)).as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("bigram").asc)
-        tf.join(dfr, "bigram")
+        tf.withColumn("df", count(lit(1)).over(wDf))
           .crossJoin(broadcast(nd))
           .select(col("doc_id"), col("bigram"),
             (col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
