@@ -43,10 +43,17 @@ object StreamingQueries {
   private def streamPartitions(dir: String): Int =
     sys.env.get("GRAFT_STREAM_PARTITIONS").flatMap(_.toIntOption)
       .getOrElse(streamPartitionsCache.getOrElseUpdate(dir, {
+        // events may ship as a single file OR a directory of part files
+        // (a Spark-written replica) — recurse, File.length() of a
+        // directory is the dirent size, not the content
+        def sizeOf(f: java.io.File): Long =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+          else f.length()
         val bytes = Option(new java.io.File(dir).listFiles())
           .getOrElse(Array.empty)
           .filter(_.getName.startsWith("events.parquet"))
-          .map(_.length()).sum
+          .map(sizeOf).sum
         val sized = math.ceil(bytes / (6.0 * 1024 * 1024)).toInt
         math.max(1, math.min(8, sized))
       }))
