@@ -204,6 +204,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     restricted.unpersist(blocking = false)
   }
 
+  test("q35/q69: steady-state plans READ the shared rare-blocked overlap " +
+    "artifact — scoring is pure arithmetic over the scan") {
+    plan("q35_ngram_jaccard") // first invocation: builds the artifact
+    val po = Dedup.rareOverlapIndexed(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    po should include("rare_overlap_stats")
+    po should not include "arrays_zip"
+    po should not include "Exchange"
+  }
+
   test("q79: embedding-dedup candidates are the q67 signature EQUI-join — " +
     "no cartesian anywhere in pairs or clustering") {
     // the pair plan, pre-clustering (clusters() iterates jobs; pin the
