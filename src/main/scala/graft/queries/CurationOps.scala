@@ -1,0 +1,359 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.io.Tables.table
+
+/** Corpus-curation operators — the selection half of a training-data
+  * pipeline, complementing the detection half in Dedup/TextAnalysis:
+  *
+  *  - q107 winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003,
+  *    "Winnowing: Local Algorithms for Document Fingerprinting") — the
+  *    rolling-hash document-fingerprint operator: hash every k-gram,
+  *    keep only each sliding window's minimum. Guarantees any shared
+  *    run of ≥ w+k−1 tokens is caught while storing/shuffling only
+  *    ~2/(w+1) of the k-gram hashes — the compression is the point:
+  *    the cross-doc match join runs on the winnowed set, not the full
+  *    k-gram stream (q102 pays the full stream; this is its bounded-
+  *    index sibling, the construction MOSS uses).
+  *  - q108 model-based quality filtering — the CCNet/fastText-style
+  *    "learned filter" shape: a linear model over cheap text features
+  *    squashed to a score, hard-keep above a high bar, deterministic
+  *    importance-sample the middle band, drop the tail. Weights here
+  *    are FIXED stand-ins for trained coefficients (the engine
+  *    operator is the scoring/sampling plan, not the training — q28
+  *    owns training); the squash is the rational x/(1+|x|), not
+  *    exp-sigmoid, because exp() is libm-dependent and the oracle
+  *    compare requires bit-identical doubles (pure +,*,/,abs is IEEE-
+  *    deterministic; same shape on both engines).
+  *  - q109 near-dup cluster representative retention — the policy step
+  *    after q52/q73's clustering: per connected component of the
+  *    verified pair graph, keep the HIGHEST-QUALITY member (q23's
+  *    score; doc_id tie-break), not the arbitrary min-id — the
+  *    "keep best, drop rest" rule production dedup actually ships.
+  *
+  * Scale shapes: q107/q108 are map-only until their final bounded
+  * aggregations (q107's rep-join shuffles only winnowed 56-bit longs);
+  * q109 rides the shared per-process pair artifact (Dedup.
+  * verifiedPairsIndexed) and the size-gated clustersAuto, so its own
+  * cost is pair-graph-sized, never corpus-sized.
+  */
+object CurationOps {
+
+  /** Winnowing window: min over W consecutive k-gram hashes. Expected
+    * fingerprint density 2/(W+1) = 0.4 of k-grams (SWA03 Thm. guarantee:
+    * any match of length ≥ W + 3 − 1 = 6 tokens shares a fingerprint). */
+  private val FP_WINDOW = 4
+  /** q108 fixed scorer: z = B0 + Σ wᵢxᵢ over [length saturation,
+    * stopword ratio, lexical diversity, capped mean word length]. */
+  private val Q108_B0 = -2.2
+  private val Q108_W = Seq(1.8, 2.4, 1.6, 0.9)
+  private val KEEP_HI = 0.6
+  private val KEEP_LO = 0.35
+
+  private def frac4(x: Column): Column = floor(x * 10000 + 0.5) / 10000
+
+  /** q23's quality formula as a reusable relation (doc_id, quality) —
+    * restated here (same constants, same 4dp snap) so q108/q109 and
+    * their oracles stay self-contained; TextAnalysis.markerCount /
+    * enStop are the single shared source of the stopword leg. */
+  private def qualityRelation(docs: DataFrame): DataFrame = {
+    val f = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_toks"),
+        TextAnalysis.markerCount(col("tk"), TextAnalysis.enStop)
+          .as("n_stop"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
+    val raw = lit(0.3) * least(col("n_toks") / 100.0, lit(1.0)) +
+      lit(0.4) * (col("n_stop") * lit(1.0) / col("n_toks")) +
+      lit(0.3) * (col("n_distinct") * lit(1.0) / col("n_toks"))
+    f.select(col("doc_id"), frac4(raw).as("quality"))
+  }
+
+  /** The same relation in oracle SQL, reading `toks(doc_id, tk)`. */
+  private def qualityCteSql: String =
+    s"""qf AS (
+          SELECT doc_id,
+                 len(tk) AS n_toks,
+                 ${TextAnalysis.markerCountSql(TextAnalysis.enStop)} AS n_stop,
+                 len(list_distinct(tk)) AS n_distinct
+          FROM toks WHERE len(tk) > 0),
+        qual AS (
+          SELECT doc_id,
+                 floor((0.3 * least(n_toks / 100.0, 1.0) +
+                        0.4 * (n_stop * 1.0 / n_toks) +
+                        0.3 * (n_distinct * 1.0 / n_toks)) * 10000 + 0.5)
+                   / 10000 AS quality
+          FROM qf)"""
+
+  def defs: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q107: WINNOWING FINGERPRINTS — per-doc fingerprint census plus the
+    // cross-doc shared-fingerprint count. Positional 3-token k-grams
+    // (NOT the distinct shingle set — winnowing is order-sensitive),
+    // each hashed to a 56-bit md5 half (TextFns.hash56, engine-shared
+    // semantics), then each sliding window of FP_WINDOW hashes
+    // contributes its minimum; a short doc (fewer k-grams than the
+    // window) contributes min-of-all, the SWA03 convention. The winnow
+    // runs IN-ROW (transform + array_min over slices — shuffle-free,
+    // embarrassingly parallel) rather than as a per-doc window function,
+    // which would hash-exchange and sort every k-gram row of the corpus;
+    // only the ~2/(W+1)-compressed distinct fingerprints explode into
+    // the cross-doc rep join (56-bit longs, map-side combine). Like
+    // q102, the fingerprint derivation runs once per consumer (rep set +
+    // per-doc rollup) instead of persisting a corpus-token-scale
+    // intermediate; the totals leg is tokenize-only arithmetic.
+    // The oracle formulates the identical winnow as a window-frame min
+    // (ROWS BETWEEN CURRENT AND W-1 FOLLOWING, full windows only) —
+    // same selected multiset, independently derived.
+    Q("q107_winnow_fingerprints",
+      oracle = Some(s"""
+        WITH tkq107 AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk
+          FROM documents WHERE text IS NOT NULL),
+        b107 AS (
+          SELECT doc_id, tk, len(tk) - 2 AS m
+          FROM tkq107 WHERE len(tk) >= 3),
+        hs107 AS (
+          SELECT doc_id, m, ix.i AS pos,
+                 ${TextFns.sql.hash56(
+                   "md5(concat_ws(' ', tk[ix.i], tk[ix.i+1], tk[ix.i+2]))",
+                   1)} AS h
+          FROM b107, LATERAL (
+            SELECT unnest(range(1, len(tk) - 1)) AS i) ix),
+        w107 AS (
+          SELECT doc_id, m, pos,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND ${FP_WINDOW - 1} FOLLOWING)
+                   AS fp
+          FROM hs107),
+        sel AS (
+          SELECT DISTINCT doc_id, fp FROM w107
+          WHERE pos <= greatest(m - ${FP_WINDOW - 1}, 1)),
+        rep AS (
+          SELECT fp FROM sel GROUP BY fp HAVING count(*) >= 2),
+        r AS (
+          SELECT doc_id, count(*) AS n_fp,
+                 sum(CASE WHEN fp IN (SELECT fp FROM rep)
+                     THEN 1 ELSE 0 END) AS n_shared
+          FROM sel GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(b.m AS BIGINT) AS n_kgrams,
+               CAST(r.n_fp AS BIGINT) AS n_fp,
+               CAST(r.n_shared AS BIGINT) AS n_shared_fp,
+               floor(r.n_fp * 10000.0 / b.m + 0.5) / 10000 AS fp_frac
+        FROM b107 b JOIN r USING (doc_id)
+        ORDER BY b.doc_id"""),
+      run = (spark, dir) =>
+        winnowCensus(table(spark, dir, "documents"))),
+
+    // ------------------------------------------------------------------
+    // q108: MODEL-BASED QUALITY FILTERING — score every doc with a fixed
+    // linear model over [length saturation, stopword ratio, lexical
+    // diversity, capped mean word length], squash to (0,1), then the
+    // three-band keep rule: score ≥ 0.6 hard-keep; 0.35 ≤ score < 0.6
+    // kept with probability = score via a DETERMINISTIC md5 coin on
+    // doc_id (the q75/q78 construction — both engines flip the same
+    // coin, and re-runs are reproducible, which a random() sampler is
+    // not); below 0.35 dropped. Output is the per-score-decile census
+    // (≤ 10 rows): docs, kept, snapped min/max score — min/max, not avg,
+    // because avg's partial-sum order is engine-dependent at the last
+    // ulp while min/max of identically-snapped values are exact.
+    // Map-only until the bounded decile rollup; no shuffle before it.
+    Q("q108_quality_filter",
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
+        f AS (
+          SELECT doc_id,
+                 len(tk) AS n_toks,
+                 ${TextAnalysis.markerCountSql(TextAnalysis.enStop)}
+                   AS n_stop,
+                 len(list_distinct(tk)) AS n_distinct,
+                 list_sum(list_transform(tk, t -> len(t))) AS sumlen
+          FROM toks WHERE len(tk) > 0),
+        z AS (
+          SELECT doc_id,
+                 ${Q108_B0} + ${Q108_W(0)} * least(n_toks / 100.0, 1.0)
+                   + ${Q108_W(1)} * (n_stop * 1.0 / n_toks)
+                   + ${Q108_W(2)} * (n_distinct * 1.0 / n_toks)
+                   + ${Q108_W(3)} * least(sumlen * 1.0 / n_toks / 10.0, 1.0)
+                   AS z
+          FROM f),
+        s AS (
+          SELECT doc_id,
+                 floor((0.5 + 0.5 * (z / (1.0 + abs(z)))) * 10000 + 0.5)
+                   / 10000 AS score,
+                 (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) / 16777216.0) AS coin
+          FROM z),
+        k AS (
+          SELECT score,
+                 CASE WHEN score >= $KEEP_HI
+                        OR (score >= $KEEP_LO AND coin < score)
+                   THEN 1 ELSE 0 END AS kept
+          FROM s)
+        SELECT CAST(floor(score * 10) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(kept) AS BIGINT) AS n_kept,
+               min(score) AS min_score,
+               max(score) AS max_score
+        FROM k GROUP BY bucket ORDER BY bucket"""),
+      run = (spark, dir) =>
+        qualityFilterCensus(table(spark, dir, "documents"))),
+
+    // ------------------------------------------------------------------
+    // q109: CLUSTER REPRESENTATIVE RETENTION — per connected component
+    // of the verified near-dup pair graph, keep the best-quality member
+    // (q23's score; equal scores break to the smaller doc_id). The
+    // engine side rides the shared per-process pair artifact (Dedup.
+    // verifiedPairsIndexed — same relation q17/q52/q73 consume) and the
+    // size-gated clustersAuto (local union-find under the broadcast
+    // limit, distributed min-label fixpoint above it), then one
+    // pair-graph-sized join + rollup: the representative is
+    // max(struct(quality, −doc_id)) — an order-free argmax, no window.
+    // The oracle is artifact-free: it re-derives pairs inline (the
+    // q17/q52 CTEs via Dedup.verifiedPairsCteBody), labels components
+    // with the recursive min-reachable-id fixpoint (the q52 precedent),
+    // and picks representatives by window rank — two independent
+    // constructions, value-compared.
+    Q("q109_cluster_retention",
+      oracle = Some(s"""
+        WITH RECURSIVE
+        ${Dedup.verifiedPairsCteBody},
+        nodes AS (SELECT doc_a AS id FROM vp UNION SELECT doc_b FROM vp),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM vp
+          UNION SELECT doc_b, doc_a FROM vp),
+        reach AS (
+          SELECT id, id AS label FROM nodes
+          UNION
+          SELECT e.dst AS id, r.label
+          FROM reach r JOIN edges e ON r.id = e.src),
+        cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+        $qualityCteSql,
+        mem AS (
+          SELECT c.cluster_id, c.id AS doc_id, q.quality,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY q.quality DESC, c.id) AS rn
+          FROM cl c JOIN qual q ON q.doc_id = c.id)
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+                 AS rep_doc,
+               max(CASE WHEN rn = 1 THEN quality END) AS rep_quality,
+               CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        FROM mem GROUP BY cluster_id ORDER BY cluster_id"""),
+      run = (spark, dir) =>
+        Q.localized(clusterRetention(
+          Dedup.verifiedPairsIndexed(spark, dir)
+            .select(col("doc_a"), col("doc_b")),
+          table(spark, dir, "documents"))))
+  )
+
+  /** q107's pipeline over any (doc_id, text) frame — see the Q above for
+    * the full scale rationale. */
+  private[queries] def winnowCensus(docs: DataFrame): DataFrame = {
+    val tk = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+    // positional k-gram hash stream, then the in-row winnow
+    val hs = transform(
+      sequence(lit(1), size(col("tk")) - 2),
+      i => TextFns.hash56(md5(concat_ws(" ",
+        element_at(col("tk"), i),
+        element_at(col("tk"), i + 1),
+        element_at(col("tk"), i + 2))), 1))
+    val fps = tk
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1),
+            greatest(size(col("hs")) - (FP_WINDOW - 1), lit(1))),
+          j => array_min(slice(col("hs"), j, lit(FP_WINDOW)))))
+          .as("fps"))
+    val ds = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // one row per (doc, fp) already — count(*) is the distinct-doc df
+    val rep = ds.groupBy(col("fp"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+      .select(col("fp"), lit(1L).as("shared"))
+    val r = ds.join(rep, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("shared"), lit(0L))).as("n_shared_fp"))
+    tk.select(col("doc_id"),
+        (size(col("tk")) - 2).cast("long").as("n_kgrams"))
+      .join(r, Seq("doc_id"))
+      .select(col("doc_id"), col("n_kgrams"),
+        col("n_fp").cast("long").as("n_fp"),
+        col("n_shared_fp").cast("long").as("n_shared_fp"),
+        (floor(col("n_fp") * 10000.0 / col("n_kgrams") + 0.5) / 10000)
+          .as("fp_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q108's pipeline over any (doc_id, text) frame. */
+  private[queries] def qualityFilterCensus(docs: DataFrame): DataFrame = {
+    val f = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_toks"),
+        TextAnalysis.markerCount(col("tk"), TextAnalysis.enStop)
+          .as("n_stop"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+        // Σ token lengths = joined length minus separators (the
+        // q101/q82 codegen equivalence — no per-element lambda)
+        (length(concat_ws(" ", col("tk"))) - (size(col("tk")) - 1))
+          .cast("long").as("sumlen"))
+    // identical association order to the SQL — IEEE-deterministic
+    val z = lit(Q108_B0) +
+      lit(Q108_W(0)) * least(col("n_toks") / 100.0, lit(1.0)) +
+      lit(Q108_W(1)) * (col("n_stop") * lit(1.0) / col("n_toks")) +
+      lit(Q108_W(2)) * (col("n_distinct") * lit(1.0) / col("n_toks")) +
+      lit(Q108_W(3)) * least(
+        col("sumlen") * lit(1.0) / col("n_toks") / lit(10.0), lit(1.0))
+    val s = f.select(col("doc_id"), z.as("z"))
+      .select(col("doc_id"),
+        frac4(lit(0.5) + lit(0.5) *
+          (col("z") / (lit(1.0) + abs(col("z"))))).as("score"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") / lit(16777216.0)).as("coin"))
+    s.select(col("score"),
+        when(col("score") >= KEEP_HI ||
+          (col("score") >= KEEP_LO && col("coin") < col("score")), 1L)
+          .otherwise(0L).as("kept"))
+      .groupBy(floor(col("score") * 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q109's pipeline over any pair graph + (doc_id, text) frame. */
+  private[queries] def clusterRetention(pairs: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val cl = graft.dedup.TextDedup.clustersAuto(pairs)
+    val q = qualityRelation(docs)
+    // every clustered doc has ≥3 tokens (it has shingles), so the
+    // inner quality join drops nothing
+    cl.join(q, cl("id") === q("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality").as("q"),
+          (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        col("n_members"),
+        (-col("best.nid")).cast("long").as("rep_doc"),
+        col("best.q").as("rep_quality"),
+        (col("n_members") - 1).cast("long").as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+}

@@ -74,6 +74,25 @@ object Dedup {
           SELECT doc_id, ${TextFns.sql.shingles3} AS sh
           FROM toks WHERE len(tk) >= 3)"""
 
+  /** Oracle CTE BODY (no leading WITH, so callers can prepend
+    * WITH RECURSIVE): tokens → shingles → LSH candidates → verified
+    * Jaccard pairs as `vp(doc_a, doc_b)` — the exact q17/q52/q73
+    * derivation, exposed for cross-module consumers (q109's
+    * cluster-representative oracle re-derives the pair graph inline
+    * from this, keeping the DuckDB side artifact-free). Also defines
+    * `toks(doc_id, tk)` which downstream CTEs may reuse. */
+  private[queries] def verifiedPairsCteBody: String =
+    s"""${shinglesCte.stripPrefix("WITH ")},
+        $lshPairsCte,
+        vp AS (
+          SELECT doc_a, doc_b
+          FROM pairs
+          JOIN sh sa ON sa.doc_id = doc_a
+          JOIN sh sb ON sb.doc_id = doc_b
+          WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                >= $JACCARD_MIN)"""
+
   /** MinHash signature: 8 double-hashed mins via one partial-agg groupBy
     * (min over the distinct set == min over the multiset, so no dedup is
     * needed on this path). Single definition with the library banding

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+/** Semantic properties of the curation operators (q107 winnowing
+  * fingerprints, q108 model-based quality filter, q109 cluster
+  * representative retention) that the DuckDB value-compare can't
+  * express: the SWA03 detection guarantee, keep-rule band logic,
+  * determinism, and the best-quality/tie-break retention policy. */
+class CurationSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // ---------------------------------------------------------------- q107
+
+  test("q107: SWA03 guarantee — docs sharing a >= w+k-1 token run at " +
+    "DIFFERENT offsets share a fingerprint; an unrelated doc shares none") {
+    // shared 8-token run, offset 0 in doc 1 vs offset 3 in doc 2 —
+    // a chunk-grid aligner (q84) would miss this, winnowing must not
+    val run = "the quick brown fox jumps over the lazy"
+    val d = docs(
+      1L -> s"$run dog sleeps",
+      2L -> s"alpha beta gamma $run end",
+      3L -> "completely different words about unrelated topics here now")
+    val r = CurationOps.winnowCensus(d).collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    r(1L) should be > 0L
+    r(2L) should be > 0L
+    r(3L) shouldBe 0L
+  }
+
+  test("q107: a doc shorter than the winnow window still yields exactly " +
+    "one fingerprint (min of all its k-gram hashes)") {
+    // 4 tokens -> 2 k-grams -> m < W=4 -> single window = whole doc
+    val r = CurationOps.winnowCensus(docs(1L -> "just four tokens here"))
+      .collect().head
+    r.getLong(1) shouldBe 2L // n_kgrams
+    r.getLong(2) shouldBe 1L // n_fp
+  }
+
+  test("q107: fingerprint density lands near the 2/(w+1) winnowing bound " +
+    "on a diverse doc (compression is the operator's point)") {
+    val text = (1 to 400).map(i => s"tok${i * 7919 % 1000}x$i").mkString(" ")
+    val r = CurationOps.winnowCensus(docs(1L -> text)).collect().head
+    val frac = r.getDouble(4)
+    frac should be < 0.6 // far below 1.0 = no compression
+    frac should be > 0.2 // but a real cover, not degenerate
+  }
+
+  test("q107: intra-doc repetition alone never marks a fingerprint shared") {
+    val rep = "echo echo echo echo echo echo echo echo echo echo"
+    val r = CurationOps.winnowCensus(docs(
+      1L -> rep, 2L -> "nothing in common with that other document at all"))
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    r(1L) shouldBe 0L
+    r(2L) shouldBe 0L
+  }
+
+  // ---------------------------------------------------------------- q108
+
+  test("q108: keep rule bands — every doc in buckets >= 6 is kept, " +
+    "no doc below the low bar is kept, middle band is sampled") {
+    val out = Registry.queries("q108_quality_filter")(spark, sf0001)
+      .collect()
+    out.nonEmpty shouldBe true
+    out.foreach { r =>
+      val (bucket, nDocs, nKept) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      nKept should be <= nDocs
+      if (bucket >= 6) nKept shouldBe nDocs // score >= 0.6 hard-keep
+      if (bucket <= 2) nKept shouldBe 0L // score < 0.3 < KEEP_LO dropped
+      // snapped score bounds stay inside the bucket
+      r.getDouble(3) should be >= bucket / 10.0
+      r.getDouble(4) should be < (bucket + 1) / 10.0
+    }
+  }
+
+  test("q108: deterministic — two runs produce identical rows (the md5 " +
+    "coin, unlike random(), is reproducible)") {
+    val a = Registry.queries("q108_quality_filter")(spark, sf0001).collect()
+    val b = Registry.queries("q108_quality_filter")(spark, sf0001).collect()
+    a.map(_.toString) shouldBe b.map(_.toString)
+  }
+
+  // ---------------------------------------------------------------- q109
+
+  test("q109: keeps the best-quality member per component; ties break to " +
+    "the smaller doc_id") {
+    // component {1,2,3} via chain 1-2, 2-3: doc 2 has the richest text
+    // (highest quality), doc 1 the poorest; component {5,6} has two
+    // IDENTICAL docs -> equal quality -> rep must be doc 5
+    val d = docs(
+      1L -> "a a a a a a a a a a",
+      2L -> ("the of and to in that it is was for he with as his on be " +
+        "at by had many distinct words here make quality rise"),
+      3L -> "the the the b b b c c c d",
+      5L -> "identical twin text body with enough tokens to shingle",
+      6L -> "identical twin text body with enough tokens to shingle")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = CurationOps.clusterRetention(pairs, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    out.keySet shouldBe Set(1L, 5L) // min-label component ids
+    out(1L)._1 shouldBe 3L // n_members
+    out(1L)._2 shouldBe 2L // rep = highest quality
+    out(1L)._3 shouldBe 2L // n_dropped
+    out(5L) shouldBe ((2L, 5L, 1L)) // tie -> smaller doc_id
+  }
+
+  test("q109: on the test corpus, every cluster's representative has the " +
+    "component's max quality and members/drops reconcile") {
+    val rows = Registry.queries("q109_cluster_retention")(spark, sf0001)
+      .collect()
+    rows.nonEmpty shouldBe true
+    rows.foreach { r =>
+      r.getLong(1) should be >= 2L // a cluster needs >= 2 members
+      r.getLong(4) shouldBe r.getLong(1) - 1 // drop all but the rep
+    }
+    // global invariant: clustered docs = members; dropped = members - reps
+    val members = rows.map(_.getLong(1)).sum
+    val dropped = rows.map(_.getLong(4)).sum
+    dropped shouldBe members - rows.length
+  }
+}
