@@ -104,10 +104,11 @@ object CurationOps {
     // embarrassingly parallel) rather than as a per-doc window function,
     // which would hash-exchange and sort every k-gram row of the corpus;
     // only the ~2/(W+1)-compressed distinct fingerprints explode into
-    // the cross-doc rep join (56-bit longs, map-side combine). Like
-    // q102, the fingerprint derivation runs once per consumer (rep set +
-    // per-doc rollup) instead of persisting a corpus-token-scale
-    // intermediate; the totals leg is tokenize-only arithmetic.
+    // the cross-doc df pass (56-bit longs). The winnow derivation runs
+    // ONCE: fingerprint document-frequency comes from a window count
+    // over the exploded relation (the q48 shape — a rep-set join-back
+    // would re-run the md5-per-kgram winnow for the second branch);
+    // the totals leg is tokenize-only arithmetic.
     // The oracle formulates the identical winnow as a window-frame min
     // (ROWS BETWEEN CURRENT AND W-1 FOLLOWING, full windows only) —
     // same selected multiset, independently derived.
@@ -279,14 +280,19 @@ object CurationOps {
           j => array_min(slice(col("hs"), j, lit(FP_WINDOW)))))
           .as("fps"))
     val ds = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
-    // one row per (doc, fp) already — count(*) is the distinct-doc df
-    val rep = ds.groupBy(col("fp"))
-      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
-      .select(col("fp"), lit(1L).as("shared"))
-    val r = ds.join(rep, Seq("fp"), "left")
+    // fingerprint df via a window count over ds, NOT groupBy+join-back:
+    // ds feeds both the df rollup and the per-doc census, and Spark
+    // shares no common subtrees — a join shape would re-run the whole
+    // md5-per-kgram winnow for the rep side (the q48 lesson). One row
+    // per (doc, fp) already, so count-over-fp = distinct-doc df; the
+    // window pays the same fp-keyed exchange the join needed anyway,
+    // and it shuffles only the compressed (long, long) rows.
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+    val r = ds.withColumn("nd", count(lit(1)).over(wDf))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fp"),
-        sum(coalesce(col("shared"), lit(0L))).as("n_shared_fp"))
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
     tk.select(col("doc_id"),
         (size(col("tk")) - 2).cast("long").as("n_kgrams"))
       .join(r, Seq("doc_id"))

@@ -419,6 +419,36 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     pairGen should be < tokAgg
   }
 
+  test("q107: winnow runs in-row and is derived ONCE — a single explode " +
+    "feeds the window-count df pass; exchanges key on fp/doc_id longs, " +
+    "never k-gram text") {
+    val df = Registry.queries("q107_winnow_fingerprints")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // one winnow scan + the tokenize-only totals scan; ONE explode (the
+    // q48 window-count shape — no rep-set join-back re-derivation)
+    "FileScan".r.findAllIn(p).length shouldBe 2
+    "Generate explode".r.findAllIn(p).length shouldBe 1
+    // exchanges carry 56-bit fp longs or doc_id — the k-gram strings
+    // exist only map-side under the md5
+    "Exchange hashpartitioning\\(fp#\\d+L".r.findAllIn(p).length should be >= 1
+    p should not include "SortMergeJoin"
+    p should include("Window") // the df count rides the fp window
+  }
+
+  test("q108: model-based filter is map-only until the bounded decile " +
+    "rollup — one scan, one partial-aggregated hash exchange, no join, " +
+    "no explode") {
+    val df = Registry.queries("q108_quality_filter")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    "FileScan".r.findAllIn(p).length shouldBe 1
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    "HashAggregate".r.findAllIn(p).length shouldBe 2 // partial + final
+    p should not include "Join"
+    p should not include "Generate"
+  }
+
   test("q100: SemDeDup centroid assignment is a partial max_by argmax — the " +
     "n×k broadcast-join expansion reduces map-side, never reaching an exchange") {
     val p = Registry.queries("q100_semantic_dedup")(spark, sf0001)
