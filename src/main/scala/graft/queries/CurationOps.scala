@@ -254,8 +254,104 @@ object CurationOps {
         Q.localized(clusterRetention(
           Dedup.verifiedPairsIndexed(spark, dir)
             .select(col("doc_a"), col("doc_b")),
-          table(spark, dir, "documents"))))
+          table(spark, dir, "documents")))),
+
+    // ------------------------------------------------------------------
+    // q111: DSIR — Data Selection via Importance Resampling (Xie et al.
+    // 2023, arXiv:2302.03169): rank the RAW pool by how target-like each
+    // document is under hashed bag-of-words language models. The target
+    // distribution is the "curated" sources (src0/src1 stand in for the
+    // Wikipedia-shaped target); every token hashes to one of 64 buckets
+    // (md5 — engine-shared semantics, the q59 sampling idiom), the two
+    // bucket histograms become Laplace-smoothed unigram models, and a
+    // raw doc's importance weight is Σ_tokens ln(p_target(b)/p_raw(b)).
+    //
+    // Determinism (the q83/q87 micro-snap discipline): the 64 per-bucket
+    // log-ratios are snapped to BIGINT micros FIRST; a doc's weight is
+    // then an INTEGER dot product (count × snapped ratio), so float-sum
+    // order cannot differ cross-engine. Paper-DSIR resamples with Gumbel
+    // noise; the engine variant ranks deterministically (top-50, doc_id
+    // tie-break) — the sampled path would reuse the q108 md5-coin rule.
+    //
+    // Scale shape: one tokenize+explode pass reduces to (doc, bucket,
+    // cnt) — ≤ 64 rows per doc; bucket stats are a 64-row relation whose
+    // totals localize to the driver (two longs); the ratio table
+    // BROADCASTS back into a map-side integer dot product; top-50 via
+    // TakeOrderedAndProject. Nothing downstream of the first aggregation
+    // is corpus-sized, and the feature pass is the same single scan a
+    // 100 TB hashed-n-gram DSIR run pays.
+    Q("q111_dsir_importance",
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, source, ${TextFns.sql.tokens} AS tk FROM documents),
+        occ AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % 64 AS b
+          FROM (SELECT doc_id, source, unnest(tk) AS t FROM toks)),
+        pd AS (
+          SELECT doc_id, source, b, count(*) AS cnt
+          FROM occ GROUP BY doc_id, source, b),
+        stats AS (
+          SELECT b,
+                 sum(CASE WHEN source IN ('src0','src1') THEN cnt ELSE 0 END)
+                   AS ct,
+                 sum(CASE WHEN source IN ('src0','src1') THEN 0 ELSE cnt END)
+                   AS cr
+          FROM pd GROUP BY b),
+        tot AS (SELECT sum(ct) AS tt, sum(cr) AS rr FROM stats),
+        ratio AS (
+          SELECT b,
+                 CAST(floor(ln(
+                   ((ct + 1.0) / ((SELECT tt FROM tot) + 64.0)) /
+                   ((cr + 1.0) / ((SELECT rr FROM tot) + 64.0)))
+                   * 1000000 + 0.5) AS BIGINT) AS rm
+          FROM stats),
+        w AS (
+          SELECT p.doc_id, sum(p.cnt * r.rm) AS weight_micros
+          FROM pd p JOIN ratio r ON p.b = r.b
+          WHERE p.source NOT IN ('src0','src1')
+          GROUP BY p.doc_id)
+        SELECT doc_id, CAST(weight_micros AS BIGINT) AS weight_micros
+        FROM w ORDER BY weight_micros DESC, doc_id LIMIT 50"""),
+      run = (spark, dir) =>
+        dsirTopK(table(spark, dir, "documents"),
+          col("source").isin("src0", "src1"), 50))
   )
+
+  /** q111's pipeline over any (doc_id, source, text) frame: the driver-
+    * localized top-k raw docs by DSIR importance weight. `isTarget`
+    * predicates on the frame's columns (typically `source`). */
+  private[queries] def dsirTopK(docs: DataFrame, isTarget: Column,
+      k: Int): DataFrame = {
+    val pd = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextFns.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), col("source"),
+        pmod(conv(substring(md5(col("t")), 1, 6), 16, 10).cast("long"),
+          lit(64L)).as("b"))
+      .groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val stats = pd.groupBy("b")
+      .agg(sum(when(isTarget, col("cnt")).otherwise(0L)).as("ct"),
+        sum(when(isTarget, lit(0L)).otherwise(col("cnt"))).as("cr"))
+      .persist()
+    val t = stats.agg(sum("ct"), sum("cr")).head()
+    val (tt, rr) = (t.getLong(0), t.getLong(1))
+    val ratio = broadcast(Q.localized(stats.select(col("b"),
+      floor(log(((col("ct") + 1.0) / (tt + 64.0)) /
+        ((col("cr") + 1.0) / (rr + 64.0))) * 1000000 + 0.5)
+        .cast("long").as("rm"))))
+    val out = pd.filter(!isTarget)
+      .join(ratio, "b")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("rm")).cast("long").as("weight_micros"))
+      .orderBy(col("weight_micros").desc, col("doc_id").asc)
+      .limit(k)
+    val local = Q.localized(out)
+    pd.unpersist(); stats.unpersist()
+    local
+  }
 
   /** q107's pipeline over any (doc_id, text) frame — see the Q above for
     * the full scale rationale. */

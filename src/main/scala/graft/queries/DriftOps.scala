@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables.table
+
+/** Distribution-drift monitoring over the `events` stream table — the
+  * data-quality gate a production training-data pipeline runs between
+  * ingestion epochs (did the feed's value distribution / event mix shift
+  * since the reference window?).
+  *
+  *  - q113: Population Stability Index per event_type over 10 equal-width
+  *    value buckets (edges frozen from the REFERENCE window — the
+  *    monitoring convention), Laplace-smoothed so empty buckets are
+  *    defined. PSI ≥ 0.2 is the conventional "investigate" bar.
+  *  - q114: chi-square drift statistic on the categorical event-type mix
+  *    (current counts vs expected-from-reference-share) — the categorical
+  *    sibling of q113's numeric test.
+  *
+  * The reference/current split is the time midpoint of the table
+  * (integer epoch-micros arithmetic — exact on both engines).
+  *
+  * Scale shape: the events scan reduces immediately to (event_type,
+  * bucket, side) counts — a ≤ |types|·10·2-row relation; everything
+  * after (smoothing, log-ratio, chi-square) is arithmetic on that
+  * bounded relation. As written the query derives the reference bucket
+  * edges from the data, which costs one extra pass (min/max per type);
+  * in steady-state monitoring the reference edges are a FROZEN artifact
+  * (that is what "reference window" means operationally), so the
+  * production cost is ONE scan emitting partial counts — the same
+  * broadcast-thresholds discipline as Sampling.temperatureThresholds.
+  *
+  * Determinism: bucket index is floor((value−vmin)·10/(vmax−vmin)) with
+  * the identical literal expression on both engines (bit-identical
+  * doubles → identical floor); PSI's ln terms follow the q83/q87
+  * micro-snap discipline — each term floor(x·10⁶+0.5) to a BIGINT
+  * BEFORE summing, so float-sum order cannot differ; q114 is pure
+  * +,−,×,÷ on counts (no libm at all).
+  */
+object DriftOps {
+
+  private val BUCKETS = 10
+
+  val defs: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q113: PSI numeric drift per event_type, 10 equal-width buckets
+    // from the reference half, Laplace (+1) smoothing, micro-snapped.
+    Q("q113_psi_drift",
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) AS us, value FROM events),
+        mm AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+        mid AS (SELECT mn + (mx - mn) // 2 AS m FROM mm),
+        refx AS (SELECT * FROM ev WHERE us < (SELECT m FROM mid)),
+        edges AS (
+          SELECT event_type, min(value) AS vmin, max(value) AS vmax
+          FROM refx GROUP BY event_type),
+        b AS (
+          SELECT e.event_type,
+                 LEAST(${BUCKETS - 1}, GREATEST(0, CAST(floor(
+                   (e.value - g.vmin) * $BUCKETS.0 / (g.vmax - g.vmin))
+                   AS INT))) AS bucket,
+                 (e.us < (SELECT m FROM mid)) AS is_ref
+          FROM ev e JOIN edges g USING (event_type)),
+        cnts AS (
+          SELECT event_type, bucket,
+                 sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+                 sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+          FROM b GROUP BY event_type, bucket),
+        spine AS (
+          SELECT e.event_type, r.range AS bucket
+          FROM edges e, range($BUCKETS) r),
+        filled AS (
+          SELECT s.event_type, s.bucket,
+                 COALESCE(c.cr, 0) AS cr, COALESCE(c.cc, 0) AS cc
+          FROM spine s LEFT JOIN cnts c
+            ON s.event_type = c.event_type AND s.bucket = c.bucket),
+        tot AS (
+          SELECT event_type, sum(cr) AS nr, sum(cc) AS nc
+          FROM filled GROUP BY event_type),
+        terms AS (
+          SELECT f.event_type,
+                 floor(((f.cc + 1.0) / (t.nc + $BUCKETS.0) -
+                        (f.cr + 1.0) / (t.nr + $BUCKETS.0)) *
+                       ln(((f.cc + 1.0) / (t.nc + $BUCKETS.0)) /
+                          ((f.cr + 1.0) / (t.nr + $BUCKETS.0))) *
+                       1000000 + 0.5) AS m,
+                 t.nr, t.nc
+          FROM filled f JOIN tot t USING (event_type))
+        SELECT event_type,
+               CAST(sum(m) AS BIGINT) AS psi_micros,
+               CAST(min(nr) AS BIGINT) AS n_ref,
+               CAST(min(nc) AS BIGINT) AS n_cur
+        FROM terms GROUP BY event_type ORDER BY event_type"""),
+      run = (spark, dir) =>
+        psiDrift(table(spark, dir, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"),
+            col("value")))),
+
+    // ------------------------------------------------------------------
+    // q114: chi-square categorical drift on the event-type mix. Expected
+    // current count per type = N_cur × (reference share); the statistic
+    // is Σ (observed − expected)²/expected, micro-snapped per type.
+    // Types absent from the reference half have no defined expectation
+    // (inner join on reference counts — documented contract).
+    Q("q114_chi2_drift",
+      oracle = Some("""
+        WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        mm AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+        mid AS (SELECT mn + (mx - mn) // 2 AS m FROM mm),
+        cnts AS (
+          SELECT event_type,
+                 sum(CASE WHEN us < (SELECT m FROM mid) THEN 1 ELSE 0 END)
+                   AS cr,
+                 sum(CASE WHEN us < (SELECT m FROM mid) THEN 0 ELSE 1 END)
+                   AS cc
+          FROM ev GROUP BY event_type),
+        tot AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM cnts)
+        SELECT event_type,
+               CAST(cr AS BIGINT) AS n_ref,
+               CAST(cc AS BIGINT) AS n_cur,
+               CAST(floor(
+                 (cc - (SELECT nc FROM tot) * 1.0 * cr / (SELECT nr FROM tot))
+                 * (cc - (SELECT nc FROM tot) * 1.0 * cr / (SELECT nr FROM tot))
+                 / ((SELECT nc FROM tot) * 1.0 * cr / (SELECT nr FROM tot))
+                 * 1000000 + 0.5) AS BIGINT) AS chi2_micros
+        FROM cnts WHERE cr > 0 ORDER BY event_type"""),
+      run = (spark, dir) =>
+        chi2Drift(table(spark, dir, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"))))
+  )
+
+  /** Time midpoint of an epoch-micros column — the reference/current
+    * split both drift queries share (integer arithmetic, exact). */
+  private def timeMid(ev: DataFrame): Long = {
+    val mm = ev.agg(min("us").as("mn"), max("us").as("mx")).head()
+    mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+  }
+
+  /** q113's pipeline over any (event_type, us, value) frame. */
+  private[queries] def psiDrift(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    val mid = timeMid(ev)
+    // per-type reference bucket edges: a bounded result, driver-
+    // localized then broadcast back (temperatureThresholds shape)
+    val edges = broadcast(Q.localized(
+      ev.filter(col("us") < mid)
+        .groupBy("event_type")
+        .agg(min("value").as("vmin"), max("value").as("vmax"))))
+    val bucket = least(lit(BUCKETS - 1), greatest(lit(0),
+      floor((col("value") - col("vmin")) * lit(BUCKETS.toDouble) /
+        (col("vmax") - col("vmin"))).cast("int")))
+    val cnts = ev.join(edges, "event_type")
+      .select(col("event_type"), bucket.as("bucket"),
+        (col("us") < mid).as("is_ref"))
+      .groupBy("event_type", "bucket")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("cc"))
+    val spine = edges.select("event_type").crossJoin(
+      spark.range(BUCKETS).select(col("id").cast("int").as("bucket")))
+    val filled = spine.join(cnts, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val tot = filled.groupBy("event_type")
+      .agg(sum("cr").as("nr"), sum("cc").as("nc"))
+    val pc = (col("cc") + 1.0) / (col("nc") + BUCKETS.toDouble)
+    val pr = (col("cr") + 1.0) / (col("nr") + BUCKETS.toDouble)
+    filled.join(tot, "event_type")
+      .select(col("event_type"),
+        floor((pc - pr) * log(pc / pr) * 1000000 + 0.5).as("m"),
+        col("nr"), col("nc"))
+      .groupBy("event_type")
+      .agg(sum("m").cast("long").as("psi_micros"),
+        min("nr").cast("long").as("n_ref"),
+        min("nc").cast("long").as("n_cur"))
+      .orderBy("event_type")
+  }
+
+  /** q114's pipeline over any (event_type, us) frame. */
+  private[queries] def chi2Drift(ev: DataFrame): DataFrame = {
+    val mid = timeMid(ev)
+    val cnts = ev.groupBy("event_type")
+      .agg(sum(when(col("us") < mid, 1L).otherwise(0L)).as("cr"),
+        sum(when(col("us") < mid, 0L).otherwise(1L)).as("cc"))
+      .persist()
+    val t = cnts.agg(sum("cr"), sum("cc")).head()
+    val (nr, nc) = (t.getLong(0), t.getLong(1))
+    val e = lit(nc) * lit(1.0) * col("cr") / lit(nr)
+    val out = cnts.filter(col("cr") > 0)
+      .select(col("event_type"),
+        col("cr").cast("long").as("n_ref"),
+        col("cc").cast("long").as("n_cur"),
+        floor((col("cc") - e) * (col("cc") - e) / e * 1000000 + 0.5)
+          .cast("long").as("chi2_micros"))
+      .orderBy("event_type")
+    val local = Q.localized(out)
+    cnts.unpersist()
+    local
+  }
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables.table
+
+/** Iterative graph computation as a first-class engine capability —
+  * the operator class behind link-graph quality signals in web-corpus
+  * curation (PageRank-style domain authority is a standard feature in
+  * crawl curation, e.g. the Common Crawl host-level ranks the reference's
+  * corpus ships with).
+  *
+  * q110 runs damped PageRank over the supplier co-purchase graph: nodes
+  * are suppliers, an edge (a, b) exists when both supplied the same order.
+  *
+  * Scale shape — the part that matters at 100 TB:
+  *  - The FACT table (lineitem) is touched exactly once, to derive the
+  *    edge list: a self-equi-join on the order key (shuffle on that key)
+  *    followed by distinct. Everything after operates on the edge
+  *    relation, which is DIMENSION-squared-bounded (≤ |suppliers|²),
+  *    never fact-sized — so iteration cost is independent of corpus
+  *    scale once edges exist.
+  *  - The rank vector is NODE-sized (dimension-bounded), so each
+  *    iteration broadcasts ranks to the edge relation (no shuffle of
+  *    edges per iteration) and pays ONE edge-sized shuffle for the
+  *    contribution groupBy. K iterations = K bounded shuffles.
+  *  - Edges and degrees persist across iterations (computed once); the
+  *    loop builds a lazy plan over the cached relation, so lineage stays
+  *    K-joins deep (K fixed and small), no checkpoint needed.
+  *  - For a web-scale graph whose rank vector outgrows a broadcast, the
+  *    swap is the same loop with a shuffle hash join on src — the loop
+  *    structure and oracle are unchanged; the broadcast is an
+  *    optimization valid exactly while nodes are dimension-sized.
+  *
+  * Determinism for the DuckDB oracle: the per-node contribution sum is
+  * a float sum whose partial order differs between engines; after K=5
+  * iterations the divergence is ≤ a few ulp, and the final snap
+  * (×N, floor(x·10⁴+0.5)/10⁴ — the repo-wide frac4 idiom, identical on
+  * both engines) absorbs it. The oracle unrolls the 5 iterations as
+  * chained CTEs (recursive-CTE aggregation is not portable SQL).
+  */
+object GraphOps {
+
+  /** Damping factor — the standard 0.85. */
+  private val D = 0.85
+  private val ITERS = 5
+
+  /** One PageRank sweep: ranks(node, rank) -> updated ranks. `edges` must
+    * be symmetric; `deg` is out-degree per node; `n` is the node count. */
+  private def sweep(edges: DataFrame, deg: DataFrame, n: Long,
+      ranks: DataFrame): DataFrame =
+    edges
+      .join(broadcast(ranks.join(deg, "node")), col("src") === col("node"))
+      .groupBy(col("dst").as("node2"))
+      .agg(sum(col("rank") / col("outd")).as("contrib"))
+      .select(col("node2").as("node"),
+        (lit((1.0 - D) / n) + lit(D) * col("contrib")).as("rank"))
+
+  val defs: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q110: PAGERANK over the supplier co-purchase graph, 5 damped
+    // iterations, ranks reported scaled by N (mean 1.0) at 4 dp.
+    Q("q110_pagerank",
+      oracle = Some {
+        // Unrolled iteration CTEs r1..r5; r0 is the uniform vector.
+        val iterCtes = (1 to ITERS).map { k =>
+          s"""r$k AS (
+            SELECT p.dst AS node,
+                   (1.0 - $D) / (SELECT n FROM nn) +
+                     $D * sum(r.rank / d.outd) AS rank
+            FROM pairs p
+            JOIN r${k - 1} r ON p.src = r.node
+            JOIN deg d ON p.src = d.node
+            GROUP BY p.dst)"""
+        }.mkString(",\n")
+        s"""
+        WITH pairs AS (
+          SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+        deg AS (SELECT src AS node, count(*) AS outd FROM pairs GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+        $iterCtes
+        SELECT node,
+               floor(rank * (SELECT n FROM nn) * 10000 + 0.5) / 10000
+                 AS rank_scaled
+        FROM r$ITERS ORDER BY node"""
+      },
+      run = (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        // Edge derivation: the ONLY fact-sized step — self-join on the
+        // order key, then distinct down to the dimension-bounded pair set.
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") =!= col("b.l_suppkey"))
+          .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+          .distinct()
+        pageRank(pairs)
+      })
+  )
+
+  /** The q110 pipeline over any symmetric (src, dst) edge frame: returns
+    * the driver-localized (node, rank_scaled) result, ranks scaled by N
+    * (mean 1.0) and frac4-snapped, ordered by node. */
+  private[queries] def pageRank(edges: DataFrame): DataFrame = {
+    val pairs = edges.persist()
+    val deg = pairs.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outd")).persist()
+    val n = deg.count() // also materializes both persists
+    var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to ITERS)
+      ranks = sweep(pairs, deg, n, ranks)
+    val out = ranks.select(col("node"),
+        (floor(col("rank") * n * 10000 + 0.5) / 10000).as("rank_scaled"))
+      .orderBy(col("node"))
+    val local = Q.localized(out)
+    pairs.unpersist(); deg.unpersist()
+    local
+  }
+}

@@ -1111,8 +1111,90 @@ object TextAnalysis {
           .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
           .orderBy(col("cnt").desc, col("pair").asc)
           .limit(20)
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q112: CONTAMINATION SPAN STATISTICS — q46 answers *whether* a
+    // training doc shares any benchmark 3-shingle; this measures *how
+    // much*: the longest contiguous shared token run per doc (the
+    // quantity decontamination policies threshold on — e.g. "drop on
+    // any 13-gram overlap" means max_span_tokens ≥ 13), via positional
+    // shingle matches folded into runs with gaps-and-islands.
+    //
+    // Positions: POSITIONAL trigrams (not the distinct set — runs are
+    // order-sensitive); a matched position p means tokens [p, p+2] are
+    // shared, so a run of R consecutive matched positions is a shared
+    // span of R + 2 tokens. Islands: pos − row_number() per doc is
+    // constant exactly on consecutive-position runs. Each engine
+    // computes islands over its own position base (0- vs 1-based —
+    // only consecutiveness matters), so the derivation is independent.
+    //
+    // Scale shape: the benchmark shingle set is benchmark-sized →
+    // broadcast (at lake scale: Bloom prefilter, the q45/q46
+    // discipline); only MATCHED (doc_id, pos) pairs — contamination-
+    // sized, not corpus-sized — reach the per-doc islands window; the
+    // final per-doc rollup is run-count-sized. Top-50 by span via
+    // TakeOrderedAndProject with total doc_id tie-break.
+    Q("q112_contamination_spans",
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
+        pos3 AS (
+          SELECT doc_id, unnest(range(1, len(tk) - 1)) AS pos,
+                 unnest(list_transform(range(1, len(tk) - 1),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+          FROM toks WHERE len(tk) >= 3),
+        bench AS (SELECT DISTINCT sh FROM pos3 WHERE doc_id < 10),
+        m AS (
+          SELECT p.doc_id, p.pos FROM pos3 p JOIN bench b USING (sh)
+          WHERE p.doc_id >= 10),
+        isl AS (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+          FROM m),
+        runs AS (SELECT doc_id, grp, count(*) AS rl FROM isl GROUP BY doc_id, grp)
+        SELECT doc_id,
+               CAST(max(rl) + 2 AS BIGINT) AS max_span_tokens,
+               CAST(sum(rl) AS BIGINT) AS n_matched_grams,
+               CAST(count(*) AS BIGINT) AS n_runs
+        FROM runs GROUP BY doc_id
+        ORDER BY max_span_tokens DESC, doc_id LIMIT 50"""),
+      run = (spark, dir) =>
+        contaminationSpans(table(spark, dir, "documents"),
+          col("doc_id") < 10).limit(50))
   )
+
+  /** q112's pipeline over any (doc_id, text) frame: per-doc shared-run
+    * stats against the benchmark subset selected by `benchPred`, ordered
+    * longest-span-first with total doc_id tie-break (un-limited — the Q
+    * applies top-50). */
+  private[queries] def contaminationSpans(docs: DataFrame,
+      benchPred: Column): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+    val mk = transform(sequence(lit(1), size(col("tk")) - 2),
+      i => concat_ws(" ", element_at(col("tk"), i),
+        element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))
+    val pos3 = toks.select(col("doc_id"),
+      posexplode(mk).as(Seq("pos", "sh")))
+    val bench = pos3.filter(benchPred).select(col("sh")).distinct()
+    val matched = pos3.filter(!benchPred)
+      .join(broadcast(bench), "sh")
+      .select(col("doc_id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    matched
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("rl"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("rl")) + 2).cast("long").as("max_span_tokens"),
+        sum(col("rl")).cast("long").as("n_matched_grams"),
+        count(lit(1)).cast("long").as("n_runs"))
+      .orderBy(col("max_span_tokens").desc, col("doc_id").asc)
+  }
 
   /** q101's pipeline as a callable over any (doc_id, text) frame, so
     * specs can plant junk fixtures. One map-only projection — see the

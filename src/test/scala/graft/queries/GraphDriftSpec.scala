@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+/** Semantic properties of the round-11 operators that the DuckDB
+  * value-compare can't express: PageRank's mass conservation and
+  * centrality ordering (q110), DSIR's target-affinity ordering (q111),
+  * contamination span geometry (q112), and the drift statistics' zero /
+  * shift behavior (q113/q114). */
+class GraphDriftSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- q110
+
+  private def sym(edges: (Long, Long)*) =
+    (edges ++ edges.map { case (a, b) => (b, a) }).toDF("src", "dst")
+
+  test("q110: star graph — hub outranks leaves; scaled ranks average 1") {
+    val r = GraphOps.pageRank(sym(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r(1L) should be > r(2L)
+    r(2L) shouldBe r(3L)
+    r(3L) shouldBe r(4L)
+    // damped PageRank conserves mass: Σ rank = 1 ⇒ Σ scaled = N
+    val total = r.values.sum
+    total shouldBe 5.0 +- 0.001
+  }
+
+  test("q110: regular graph (4-cycle) — symmetry forces all ranks to 1.0") {
+    val r = GraphOps.pageRank(sym(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L))
+      .collect().map(_.getDouble(1))
+    all(r) shouldBe 1.0
+  }
+
+  test("q110: deterministic across invocations") {
+    val e = sym(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L)
+    GraphOps.pageRank(e).collect() shouldBe GraphOps.pageRank(e).collect()
+  }
+
+  // ---------------------------------------------------------------- q111
+
+  test("q111: doc written in target vocabulary outweighs one with " +
+    "disjoint vocabulary; ranking is weight-desc") {
+    val d = Seq(
+      (1L, "tgt", "alpha beta gamma alpha beta gamma alpha beta"),
+      (2L, "tgt", "alpha gamma beta alpha gamma beta gamma alpha"),
+      (3L, "raw", "alpha beta gamma alpha beta"),
+      (4L, "raw", "zulu yankee xray whiskey victor"))
+      .toDF("doc_id", "source", "text")
+    val r = CurationOps.dsirTopK(d, col("source") === "tgt", 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1))
+    r.map(_._1) shouldBe Array(3L, 4L) // target docs are not candidates
+    r(0)._2 should be > r(1)._2        // target-like doc wins
+  }
+
+  // ---------------------------------------------------------------- q112
+
+  test("q112: a contiguous shared 6-token run reports span 6; a lone " +
+    "shared trigram reports span 3; a clean doc is absent") {
+    val bench = "one two three four five six seven eight nine ten"
+    val d = Seq(
+      (1L, bench),                                  // benchmark doc
+      (10L, "xx yy two three four five six seven zz aa bb cc"), // 6-run
+      (11L, "pp qq rr eight nine ten ss tt uu"),    // single trigram
+      (12L, "totally unrelated clean words here"))  // no overlap
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.contaminationSpans(d, col("doc_id") < 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r(10L) shouldBe 6L
+    r(11L) shouldBe 3L
+    r.contains(12L) shouldBe false
+  }
+
+  test("q112: two separate runs in one doc count as two runs and the " +
+    "max takes the longer") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (10L, "a b c d xx yy g h i j zz"))  // 4-run + 4-run
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.contaminationSpans(d, col("doc_id") < 10)
+      .collect().head
+    r.getLong(1) shouldBe 4L  // max_span_tokens
+    r.getLong(3) shouldBe 2L  // n_runs
+  }
+
+  // ------------------------------------------------------------ q113/114
+
+  /** Events with a value distribution per half: `n` rows per (type,
+    * half), ref values from `refVals`, cur values from `curVals`. */
+  private def events(typ: String, refVals: Seq[Double],
+      curVals: Seq[Double]) = {
+    val ref = refVals.zipWithIndex.map { case (v, i) => (typ, i.toLong, v) }
+    val off = 1000000L
+    val cur = curVals.zipWithIndex.map { case (v, i) =>
+      (typ, off + i.toLong, v)
+    }
+    (ref ++ cur).toDF("event_type", "us", "value")
+  }
+
+  test("q113: identical halves give PSI ~ 0; a shifted half gives a " +
+    "clearly larger PSI") {
+    val base = (1 to 100).map(_.toDouble)
+    val same = DriftOps.psiDrift(events("a", base, base)).collect().head
+    val shifted = DriftOps.psiDrift(
+      events("b", base, base.map(_ + 80))).collect().head
+    math.abs(same.getLong(1)) should be < 10000L        // < 0.01
+    shifted.getLong(1) should be > 200000L              // > 0.2: "investigate"
+    same.getLong(2) shouldBe 100L                       // n_ref
+    same.getLong(3) shouldBe 100L                       // n_cur
+  }
+
+  test("q114: unchanged mix gives ~0; a type that doubles its share " +
+    "contributes a large chi-square term") {
+    def mix(a: Int, b: Int, off: Long) =
+      (1 to a).map(i => ("a", off + i.toLong)) ++
+        (1 to b).map(i => ("b", off + 500 + i.toLong))
+    val ev = (mix(100, 100, 0L) ++ mix(100, 100, 1000000L))
+      .toDF("event_type", "us")
+    val same = DriftOps.chi2Drift(ev).collect()
+    all(same.map(_.getLong(3))) should be < 1000L
+    val evShift = (mix(100, 100, 0L) ++ mix(200, 50, 1000000L))
+      .toDF("event_type", "us")
+    val shifted = DriftOps.chi2Drift(evShift).collect()
+    shifted.map(_.getLong(3)).max should be > 10000000L
+  }
+}
