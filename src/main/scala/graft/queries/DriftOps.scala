@@ -17,6 +17,9 @@ import graft.io.Tables.table
   *  - q114: chi-square drift statistic on the categorical event-type mix
   *    (current counts vs expected-from-reference-share) — the categorical
   *    sibling of q113's numeric test.
+  *  - q117 (StreamingQueries): q113's statistic computed from a LIVE
+  *    stream against the frozen reference artifact, through the same
+  *    [[psiFinish]] tail and the same oracle.
   *
   * The reference/current split is the time midpoint of the table
   * (integer epoch-micros arithmetic — exact on both engines).
@@ -42,13 +45,10 @@ object DriftOps {
 
   private val BUCKETS = 10
 
-  val defs: Seq[Q] = Seq(
-
-    // ------------------------------------------------------------------
-    // q113: PSI numeric drift per event_type, 10 equal-width buckets
-    // from the reference half, Laplace (+1) smoothing, micro-snapped.
-    Q("q113_psi_drift",
-      oracle = Some(s"""
+  /** q113's oracle — ALSO q117's: the streaming twin computes the
+    * identical statistic from the identical split, so one batch-SQL
+    * replay gates both (the q96 convention). */
+  private[queries] def psiOracleSql: String = s"""
         WITH ev AS (
           SELECT event_type, epoch_us(ts) AS us, value FROM events),
         mm AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
@@ -93,7 +93,15 @@ object DriftOps {
                CAST(sum(m) AS BIGINT) AS psi_micros,
                CAST(min(nr) AS BIGINT) AS n_ref,
                CAST(min(nc) AS BIGINT) AS n_cur
-        FROM terms GROUP BY event_type ORDER BY event_type"""),
+        FROM terms GROUP BY event_type ORDER BY event_type"""
+
+  val defs: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // q113: PSI numeric drift per event_type, 10 equal-width buckets
+    // from the reference half, Laplace (+1) smoothing, micro-snapped.
+    Q("q113_psi_drift",
+      oracle = Some(psiOracleSql),
       run = (spark, dir) =>
         psiDrift(table(spark, dir, "events")
           .select(col("event_type"), unix_micros(col("ts")).as("us"),
@@ -134,30 +142,35 @@ object DriftOps {
 
   /** Time midpoint of an epoch-micros column — the reference/current
     * split both drift queries share (integer arithmetic, exact). */
-  private def timeMid(ev: DataFrame): Long = {
+  private[queries] def timeMid(ev: DataFrame): Long = {
     val mm = ev.agg(min("us").as("mn"), max("us").as("mx")).head()
     mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
   }
 
-  /** q113's pipeline over any (event_type, us, value) frame. */
-  private[queries] def psiDrift(ev: DataFrame): DataFrame = {
-    val spark = ev.sparkSession
-    val mid = timeMid(ev)
-    // per-type reference bucket edges: a bounded result, driver-
-    // localized then broadcast back (temperatureThresholds shape)
-    val edges = broadcast(Q.localized(
+  /** Per-type reference bucket edges for the half before `mid`: a
+    * bounded result, driver-localized then broadcast back
+    * (temperatureThresholds shape). */
+  private[queries] def refEdges(ev: DataFrame, mid: Long): DataFrame =
+    broadcast(Q.localized(
       ev.filter(col("us") < mid)
         .groupBy("event_type")
         .agg(min("value").as("vmin"), max("value").as("vmax"))))
-    val bucket = least(lit(BUCKETS - 1), greatest(lit(0),
+
+  /** Equal-width bucket index for a `value` column against joined-in
+    * vmin/vmax edge columns — the identical literal expression the
+    * oracle uses, so the doubles (and the floor) are bit-identical. */
+  private[queries] def bucketCol: org.apache.spark.sql.Column =
+    least(lit(BUCKETS - 1), greatest(lit(0),
       floor((col("value") - col("vmin")) * lit(BUCKETS.toDouble) /
         (col("vmax") - col("vmin"))).cast("int")))
-    val cnts = ev.join(edges, "event_type")
-      .select(col("event_type"), bucket.as("bucket"),
-        (col("us") < mid).as("is_ref"))
-      .groupBy("event_type", "bucket")
-      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
-        sum(when(col("is_ref"), 0L).otherwise(1L)).as("cc"))
+
+  /** PSI arithmetic over a combined (event_type, bucket, cr, cc) counts
+    * relation: fill the |types|×BUCKETS spine, smooth, micro-snap each
+    * ln term, sum integers. Shared by the batch (q113) and streaming
+    * (q117) drift queries so the two cannot diverge. */
+  private[queries] def psiFinish(edges: DataFrame,
+      cnts: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
     val spine = edges.select("event_type").crossJoin(
       spark.range(BUCKETS).select(col("id").cast("int").as("bucket")))
     val filled = spine.join(cnts, Seq("event_type", "bucket"), "left")
@@ -177,6 +190,19 @@ object DriftOps {
         min("nr").cast("long").as("n_ref"),
         min("nc").cast("long").as("n_cur"))
       .orderBy("event_type")
+  }
+
+  /** q113's pipeline over any (event_type, us, value) frame. */
+  private[queries] def psiDrift(ev: DataFrame): DataFrame = {
+    val mid = timeMid(ev)
+    val edges = refEdges(ev, mid)
+    val cnts = ev.join(edges, "event_type")
+      .select(col("event_type"), bucketCol.as("bucket"),
+        (col("us") < mid).as("is_ref"))
+      .groupBy("event_type", "bucket")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("cc"))
+    psiFinish(edges, cnts)
   }
 
   /** q114's pipeline over any (event_type, us) frame. */

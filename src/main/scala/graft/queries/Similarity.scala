@@ -41,6 +41,11 @@ object Similarity {
   // at sf0.001/sf0.01 so the gate compares real content
   private val CONTAM_COS = 0.20
 
+  /** q116: greedy MMR selections and the fixed candidate-pool size the
+    * distributed half hands the rerank (constant at any corpus scale). */
+  private val MMR_K = 5
+  private val MMR_POOL = 64
+
   private def normed(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -744,6 +749,118 @@ object Similarity {
           .select(col("vec_id"), col("n_hits"), col("best_bench"),
             col("best_cos"))
           .orderBy(col("vec_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q116: MMR DIVERSE TOP-K (Maximal Marginal Relevance, Carbonell &
+    // Goldstein 1998) — retrieval that penalizes redundancy: greedily
+    // pick argmax of λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s). The
+    // curation use: selecting REPRESENTATIVE examples from a corpus
+    // where plain top-k returns near-duplicate clusters (this corpus's
+    // planted dup families make vanilla top-k degenerate — MMR is the
+    // antidote).
+    //
+    // Scale shape — the production MMR split: candidate generation is
+    // the DISTRIBUTED part (relevance scan + TakeOrderedAndProject into
+    // a FIXED 64-candidate pool — constant at any corpus scale, the q20
+    // discipline); the greedy rerank runs on the driver over that
+    // bounded pool (the clustersAuto/SpaceSaving bounded-collect
+    // discipline: 64 rows by construction; K·pool pairwise sims,
+    // trivial). A distributed rerank of an unbounded pool would pay K
+    // full passes for no accuracy gain — pool size, not corpus size, is
+    // MMR's quality knob.
+    //
+    // Determinism: rel and pairwise sims snap to 4dp (HALF_UP — Spark
+    // round / DuckDB round / BigDecimal HALF_UP agree); dot products
+    // accumulate left-to-right on all three paths (VectorExprs.dot,
+    // DuckDB list_sum, the Scala loop); the greedy argmax breaks ties
+    // on vec_id. The oracle unrolls the K greedy steps as chained CTEs
+    // (the q110 construction).
+    Q("q116_mmr_diverse",
+      oracle = Some {
+        def cosSql(aV: String, aN: String, bV: String, bN: String) =
+          s"round(list_sum(list_transform(range(1, len($aV) + 1), " +
+            s"i -> $aV[i] * $bV[i])) / ($aN * $bN), 4)"
+        val steps = (2 to MMR_K).map { k =>
+          s"""m$k AS (
+            SELECT c.vec_id, c.v, c.nrm, c.rel,
+                   max(${cosSql("c.v", "c.nrm", "s.v", "s.nrm")}) AS msim
+            FROM pool c, sel${k - 1} s
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+            GROUP BY c.vec_id, c.v, c.nrm, c.rel),
+          s$k AS (
+            SELECT vec_id, v, nrm, rel, msim, $k AS rank FROM m$k
+            ORDER BY 0.7 * rel - 0.3 * msim DESC, vec_id LIMIT 1),
+          sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM s$k)"""
+        }.mkString(",\n")
+        s"""
+        $normedCte,
+        q AS (
+          SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+        cand AS (
+          SELECT vec_id, v, nrm, ${cosSql("v", "nrm", "qv", "qn")} AS rel
+          FROM n, q WHERE vec_id <> q_id),
+        pool AS (
+          SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT $MMR_POOL),
+        s1 AS (
+          SELECT vec_id, v, nrm, rel, 0.0 AS msim, 1 AS rank FROM pool
+          ORDER BY rel DESC, vec_id LIMIT 1),
+        sel1 AS (SELECT * FROM s1),
+        $steps
+        SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+               rel AS relevance, msim AS max_sim,
+               floor((0.7 * rel - 0.3 * msim) * 10000 + 0.5) / 10000
+                 AS mmr_score
+        FROM sel$MMR_K ORDER BY rank"""
+      },
+      run = (spark, dir) => {
+        import spark.implicits._
+        val n = normed(spark, dir)
+        val q = n
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(1)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        // distributed half: relevance scan + fixed-size pool
+        val pool = n.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("vec_id"), col("v"), col("nrm"),
+            round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
+              .as("rel"))
+          .orderBy(col("rel").desc, col("vec_id"))
+          .limit(MMR_POOL)
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+            r.getDouble(2), r.getDouble(3)))
+        // driver half: greedy MMR over the bounded pool
+        def round4(x: Double): Double =
+          BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        def cos(a: Array[Double], an: Double, b: Array[Double], bn: Double) = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          round4(s / (an * bn))
+        }
+        var selected = Vector.empty[(Int, Long, Double, Double)] // rank,id,rel,msim
+        var selVecs = Vector.empty[(Long, Array[Double], Double)]
+        for (k <- 1 to MMR_K) {
+          val chosen = pool
+            .filter(c => !selVecs.exists(_._1 == c._1))
+            .map { case (id, v, nrm, rel) =>
+              val msim =
+                if (k == 1) 0.0
+                else selVecs.map(s => cos(v, nrm, s._2, s._3)).max
+              (id, v, nrm, rel, msim)
+            }
+            .minBy { case (id, _, _, rel, msim) =>
+              (-(0.7 * rel - 0.3 * msim), id)
+            }
+          selected :+= ((k, chosen._1, chosen._4, chosen._5))
+          selVecs :+= ((chosen._1, chosen._2, chosen._3))
+        }
+        selected.map { case (rank, id, rel, msim) =>
+          (rank.toLong, id, rel, msim,
+            math.floor((0.7 * rel - 0.3 * msim) * 10000 + 0.5) / 10000)
+        }.toDF("rank", "vec_id", "relevance", "max_sim", "mmr_score")
       })
   )
 

@@ -565,6 +565,47 @@ object StreamingQueries {
           case Some(v) => spark.conf.set(provKey, v)
           case None => spark.conf.unset(provKey)
         }
+      }),
+
+    // ------------------------------------------------------------------
+    // q117: STREAMING PSI DRIFT — the q113 contract on a stream (the
+    // q96 convention: same statistic, same oracle, live source). The
+    // production shape of drift monitoring: the REFERENCE side (split
+    // point, bucket edges, reference bucket counts) is a FROZEN batch
+    // artifact — computed once, driver-localized, broadcast — while the
+    // CURRENT side accumulates from the live stream as a complete-mode
+    // bucket-count aggregation whose state is bounded by |types|×10
+    // groups regardless of stream volume. The final PSI arithmetic is
+    // DriftOps.psiFinish — the very code q113 runs, so the batch and
+    // streaming monitors cannot diverge. A live deployment would swap
+    // the run-to-completion sink for update-mode emission per
+    // micro-batch (PSI-over-time); state and plan are unchanged.
+    Q("q117_stream_psi",
+      oracle = Some(DriftOps.psiOracleSql),
+      run = (spark, dir) => {
+        val evB = graft.io.Tables.table(spark, dir, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"),
+            col("value"))
+        val mid = DriftOps.timeMid(evB)
+        val edges = DriftOps.refEdges(evB, mid)
+        val refCnts = Q.localized(evB.filter(col("us") < mid)
+          .join(edges, "event_type")
+          .select(col("event_type"), DriftOps.bucketCol.as("bucket"))
+          .groupBy("event_type", "bucket").agg(count(lit(1)).as("cr")))
+        // live half: stream → static-joined frozen edges → bucket counts
+        val cur = eventsStream(spark, dir)
+          .select(col("event_type"), unix_micros(col("ts")).as("us"),
+            col("value"))
+          .filter(col("us") >= mid)
+          .join(edges, "event_type")
+          .select(col("event_type"), DriftOps.bucketCol.as("bucket"))
+          .groupBy("event_type", "bucket").agg(count(lit(1)).as("cc"))
+        runToMemorySink(spark, dir, "stream_psi_", "complete", cur,
+          noDataBatch = false) { sink =>
+          DriftOps.psiFinish(edges,
+            refCnts.join(sink.select("event_type", "bucket", "cc"),
+              Seq("event_type", "bucket"), "full_outer"))
+        }
       })
   )
 }

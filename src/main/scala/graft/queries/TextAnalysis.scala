@@ -1162,7 +1162,89 @@ object TextAnalysis {
         ORDER BY max_span_tokens DESC, doc_id LIMIT 50"""),
       run = (spark, dir) =>
         contaminationSpans(table(spark, dir, "documents"),
-          col("doc_id") < 10).limit(50))
+          col("doc_id") < 10).limit(50)),
+
+    // ------------------------------------------------------------------
+    // q115: COUNT-MIN SKETCH token frequencies (Cormode & Muthukrishnan
+    // 2005) — the fixed-memory POINT-QUERY sketch: q30 answers "how many
+    // distinct" (HLL) and q89 "which are the heavy hitters"
+    // (SpaceSaving); CMS answers "how often does THIS token occur" for
+    // any token, in d×w cells independent of vocabulary size. d=4 rows
+    // × w=256 columns here; estimate = min over rows of the hashed
+    // cell; guarantees est ≥ exact always and est ≤ exact + εN (ε=e/w)
+    // with prob 1−e^−d. Cells are pure sums → the sketch MERGES across
+    // shards/streams by cell-wise addition — the property that makes it
+    // the 100 TB/streaming counter (one 4 KB array per shard, one
+    // reduce).
+    //
+    // Scale shape (the q103/q48 vocab-first discipline): the corpus
+    // reduces to the (token, cnt) histogram FIRST, so the 4-row hash
+    // explode runs per DISTINCT token, not per occurrence; the sketch
+    // itself is a 1024-row relation (broadcast-sized); probes join
+    // against it map-side. Hashing is row-salted md5 (engine-shared),
+    // so both engines build the IDENTICAL sketch — every value compares
+    // exactly, no bounds oracle needed (integers throughout).
+    // Probe set: the top-20 exact tokens (deterministic tie-break) —
+    // verifying the sketch exactly where overestimates matter most.
+    Q("q115_countmin_sketch",
+      oracle = Some(s"""
+        WITH toksq115 AS (
+          SELECT ${TextFns.sql.tokens} AS tk FROM documents),
+        vocab AS (
+          SELECT t, count(*) AS cnt
+          FROM (SELECT unnest(tk) AS t FROM toksq115) GROUP BY t),
+        cells AS (
+          SELECT r.range AS r,
+                 CAST(('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || t), 1, 6))
+                   AS BIGINT) % 256 AS bucket,
+                 sum(cnt) AS cell
+          FROM vocab, range(4) r GROUP BY r.range, bucket),
+        probe AS (
+          SELECT t, cnt FROM vocab
+          ORDER BY cnt DESC, t LIMIT 20),
+        pb AS (
+          SELECT p.t, p.cnt, r.range AS r,
+                 CAST(('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || p.t), 1, 6))
+                   AS BIGINT) % 256 AS bucket
+          FROM probe p, range(4) r),
+        est AS (
+          SELECT pb.t, pb.cnt, min(c.cell) AS cms_est
+          FROM pb JOIN cells c ON c.r = pb.r AND c.bucket = pb.bucket
+          GROUP BY pb.t, pb.cnt)
+        SELECT t AS token, CAST(cnt AS BIGINT) AS exact_cnt,
+               CAST(cms_est AS BIGINT) AS cms_est,
+               CAST(cms_est - cnt AS BIGINT) AS overestimate
+        FROM est ORDER BY exact_cnt DESC, token"""),
+      run = (spark, dir) => {
+        def bucketOf(r: Int, tok: org.apache.spark.sql.Column) =
+          pmod(conv(substring(md5(
+            concat(lit(s"$r:"), tok)), 1, 6), 16, 10).cast("long"), lit(256L))
+        val vocab = table(spark, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("cnt"))
+          .persist()
+        val cells = vocab
+          .select(col("cnt"), posexplode(array(
+            (0 until 4).map(r => bucketOf(r, col("t"))): _*))
+            .as(Seq("r", "bucket")))
+          .groupBy("r", "bucket").agg(sum("cnt").as("cell"))
+        val probe = vocab
+          .orderBy(col("cnt").desc, col("t").asc).limit(20)
+          .select(col("t"), col("cnt"),
+            posexplode(array((0 until 4).map(r => bucketOf(r, col("t"))): _*))
+              .as(Seq("r", "bucket")))
+        val out = probe
+          .join(broadcast(cells), Seq("r", "bucket"))
+          .groupBy("t", "cnt")
+          .agg(min("cell").as("cms_est"))
+          .select(col("t").as("token"), col("cnt").cast("long").as("exact_cnt"),
+            col("cms_est").cast("long").as("cms_est"),
+            (col("cms_est") - col("cnt")).cast("long").as("overestimate"))
+          .orderBy(col("exact_cnt").desc, col("token").asc)
+        val local = Q.localized(out)
+        vocab.unpersist()
+        local
+      })
   )
 
   /** q112's pipeline over any (doc_id, text) frame: per-doc shared-run

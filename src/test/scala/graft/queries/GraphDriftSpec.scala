@@ -114,6 +114,37 @@ class GraphDriftSpec extends AnyFunSuite with Matchers with SparkTestSession {
     same.getLong(3) shouldBe 100L                       // n_cur
   }
 
+  // ---------------------------------------------------------------- q115
+
+  test("q115: CMS point estimates never undercount (est >= exact for " +
+    "every probe) and probe set is the exact top-20") {
+    val rows = Registry.queries("q115_countmin_sketch")(spark, sf0001)
+      .collect()
+    rows.length shouldBe 20
+    rows.foreach { r =>
+      withClue(s"token ${r.getString(0)}: ") {
+        r.getLong(2) should be >= r.getLong(1) // cms_est >= exact_cnt
+        r.getLong(3) shouldBe r.getLong(2) - r.getLong(1)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- q116
+
+  test("q116: MMR picks K distinct vectors, rank-1 has zero redundancy " +
+    "penalty, and the greedy objective is non-increasing") {
+    val rows = Registry.queries("q116_mmr_diverse")(spark, sf0001).collect()
+    rows.map(_.getLong(0)) shouldBe Array(1L, 2L, 3L, 4L, 5L)
+    rows.map(_.getLong(1)).distinct.length shouldBe 5
+    rows.head.getDouble(3) shouldBe 0.0 // max_sim of the first pick
+    val scores = rows.map(_.getDouble(4))
+    scores.zip(scores.tail).foreach { case (a, b) =>
+      // a candidate's score only drops as the selected set grows, so the
+      // chosen maximum cannot rise between steps
+      b should be <= a
+    }
+  }
+
   test("q114: unchanged mix gives ~0; a type that doubles its share " +
     "contributes a large chi-square term") {
     def mix(a: Int, b: Int, off: Long) =
