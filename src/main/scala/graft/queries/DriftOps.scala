@@ -113,6 +113,84 @@ object DriftOps {
     // is Σ (observed − expected)²/expected, micro-snapped per type.
     // Types absent from the reference half have no defined expectation
     // (inner join on reference counts — documented contract).
+    // ------------------------------------------------------------------
+    // q119: EMBEDDING CENTROID DRIFT — the drift family's semantic leg:
+    // per label, compare the mean embedding of the even-id half against
+    // the odd-id half (a deterministic engine-replayable split standing
+    // in for epoch N vs N+1 of an embedding pipeline); report centroid
+    // cosine (≈1.0 ⇒ stable representation) and L2 displacement. The
+    // production use: detecting embedding-model regressions / feed
+    // shifts BEFORE re-indexing 100 TB of vectors against a drifted
+    // encoder. Scale shape: one posexplode pass reduces to (label,
+    // half, dim) means — a |labels|×2×dims-row relation — and all
+    // drift arithmetic happens there; nothing downstream is
+    // corpus-sized. Determinism: per-dim means are float sums (order
+    // differs cross-engine at ~1e-15) absorbed by the 4dp round — the
+    // established avg-rounding contract of q01/q13.
+    Q("q119_centroid_drift",
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 vec_id % 2 AS half
+          FROM embeddings),
+        dims AS (
+          SELECT label, half,
+                 unnest(range(1, len(v) + 1)) AS dim,
+                 unnest(v) AS x
+          FROM e),
+        cent AS (
+          SELECT label, half, dim, avg(x) AS m, count(*) AS n
+          FROM dims GROUP BY label, half, dim),
+        paired AS (
+          SELECT a.label, a.dim, a.m AS m0, b.m AS m1,
+                 a.n AS n0, b.n AS n1
+          FROM cent a JOIN cent b
+            ON a.label = b.label AND a.dim = b.dim
+            AND a.half = 0 AND b.half = 1),
+        sums AS (
+          SELECT label,
+                 sum(m0 * m1) AS dp, sum(m0 * m0) AS s0,
+                 sum(m1 * m1) AS s1,
+                 sum((m0 - m1) * (m0 - m1)) AS sq,
+                 min(n0) AS n_even, min(n1) AS n_odd
+          FROM paired GROUP BY label)
+        SELECT label,
+               CAST(n_even AS BIGINT) AS n_even,
+               CAST(n_odd AS BIGINT) AS n_odd,
+               round(dp / (sqrt(s0) * sqrt(s1)), 4) AS centroid_cos,
+               round(sqrt(sq), 4) AS centroid_l2
+        FROM sums ORDER BY label"""),
+      run = (spark, dir) => {
+        val cent = table(spark, dir, "embeddings")
+          .select(col("label"),
+            (col("vec_id") % 2).as("half"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("dim", "x")))
+          .groupBy("label", "half", "dim")
+          .agg(avg("x").as("m"), count(lit(1)).as("n"))
+        cent.as("a")
+          .join(cent.as("b"),
+            col("a.label") === col("b.label") &&
+              col("a.dim") === col("b.dim") &&
+              col("a.half") === 0 && col("b.half") === 1)
+          .select(col("a.label").as("label"), col("a.m").as("m0"),
+            col("b.m").as("m1"), col("a.n").as("n0"), col("b.n").as("n1"))
+          .groupBy("label")
+          .agg(sum(col("m0") * col("m1")).as("dp"),
+            sum(col("m0") * col("m0")).as("s0"),
+            sum(col("m1") * col("m1")).as("s1"),
+            sum((col("m0") - col("m1")) * (col("m0") - col("m1"))).as("sq"),
+            min("n0").as("n_even"), min("n1").as("n_odd"))
+          .select(col("label"),
+            col("n_even").cast("long").as("n_even"),
+            col("n_odd").cast("long").as("n_odd"),
+            round(col("dp") / (sqrt(col("s0")) * sqrt(col("s1"))), 4)
+              .as("centroid_cos"),
+            round(sqrt(col("sq")), 4).as("centroid_l2"))
+          .orderBy("label")
+      }),
+
     Q("q114_chi2_drift",
       oracle = Some("""
         WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),

@@ -111,7 +111,8 @@ object Similarity {
     // covers q78's per-process dedup index (same discipline, built in
     // graft.queries.Dedup)
     for (prefix <- Seq("q54_centroids", "q71_lsh_index", "q78_dedup_index",
-           "neardup_pair_index", "bigram_lm_scores", "rare_overlap_stats");
+           "neardup_pair_index", "bigram_lm_scores", "rare_overlap_stats",
+           "copurchase_edges", "ppjoin_index");
          dir <- Option(new java.io.File("target").listFiles()).getOrElse(Array.empty)
          if (dir.getName == prefix || dir.getName.startsWith(prefix + "-")) &&
            dir.lastModified() < cutoff)

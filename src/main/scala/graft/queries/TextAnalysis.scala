@@ -1244,6 +1244,91 @@ object TextAnalysis {
         val local = Q.localized(out)
         vocab.unpersist()
         local
+      }),
+
+    // ------------------------------------------------------------------
+    // q120: VOCABULARY GROWTH CURVE (Heaps' law diagnostics) — per
+    // ingestion decile (doc_id order standing in for arrival order):
+    // how many token TYPES appear for the first time, cumulative
+    // vocabulary, token volume, and the type/token ratio. The curation
+    // use: a corpus whose new-type rate stops decaying is ingesting
+    // junk (OCR noise, mojibake, id-like strings mint unbounded new
+    // types); one whose rate collapses early is saturated/duplicated —
+    // both show up here before any model does.
+    //
+    // Scale shape: first-sight is one explode → min(doc_id) per type
+    // (the shuffle carries (token, min-id) partials — map-side combine
+    // collapses repeats); per-decile volume is a second count rollup of
+    // the same explode; the curve itself is a 10-row window. Nothing
+    // after the two aggregations is corpus-sized. Determinism: decile =
+    // floor(doc_id·10/(max_id+1)) in integer arithmetic; ratios are
+    // exact-integer divisions frac4-snapped identically.
+    Q("q120_vocab_growth",
+      oracle = Some(s"""
+        WITH toksq120 AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk FROM documents),
+        mx AS (SELECT max(doc_id) + 1 AS m FROM toksq120),
+        occ AS (
+          SELECT doc_id, unnest(tk) AS t FROM toksq120),
+        firstseen AS (
+          SELECT t, min(doc_id) AS fd FROM occ GROUP BY t),
+        newtypes AS (
+          SELECT CAST(fd * 10 // (SELECT m FROM mx) AS INT) AS decile,
+                 count(*) AS new_types
+          FROM firstseen GROUP BY decile),
+        vol AS (
+          SELECT CAST(doc_id * 10 // (SELECT m FROM mx) AS INT) AS decile,
+                 count(*) AS n_tokens
+          FROM occ GROUP BY decile),
+        curve AS (
+          SELECT v.decile,
+                 COALESCE(n.new_types, 0) AS new_types,
+                 v.n_tokens,
+                 sum(COALESCE(n.new_types, 0)) OVER (ORDER BY v.decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_types,
+                 sum(v.n_tokens) OVER (ORDER BY v.decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+          FROM vol v LEFT JOIN newtypes n ON v.decile = n.decile)
+        SELECT decile,
+               CAST(new_types AS BIGINT) AS new_types,
+               CAST(cum_types AS BIGINT) AS cum_types,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens,
+               floor(cum_types * 10000.0 / cum_tokens + 0.5) / 10000
+                 AS type_token_ratio
+        FROM curve ORDER BY decile"""),
+      run = (spark, dir) => {
+        val toks = table(spark, dir, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+        val m = toks.agg(max("doc_id")).head().getLong(0) + 1
+        val occ = toks.select(col("doc_id"), explode(col("tk")).as("t"))
+        val newTypes = occ.groupBy("t").agg(min("doc_id").as("fd"))
+          .groupBy(expr(s"CAST((fd * 10) DIV $m AS INT)").as("decile"))
+          .agg(count(lit(1)).as("new_types"))
+        val vol = occ
+          .groupBy(expr(s"CAST((doc_id * 10) DIV $m AS INT)").as("decile"))
+          .agg(count(lit(1)).as("n_tokens"))
+        val wC = org.apache.spark.sql.expressions.Window
+          .orderBy(col("decile"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)
+        vol.join(newTypes, Seq("decile"), "left")
+          .select(col("decile"),
+            coalesce(col("new_types"), lit(0L)).as("new_types"),
+            col("n_tokens"))
+          .withColumn("cum_types", sum("new_types").over(wC))
+          .withColumn("cum_tokens", sum("n_tokens").over(wC))
+          .select(col("decile"),
+            col("new_types").cast("long").as("new_types"),
+            col("cum_types").cast("long").as("cum_types"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            col("cum_tokens").cast("long").as("cum_tokens"),
+            (floor(col("cum_types") * 10000.0 / col("cum_tokens") + 0.5)
+              / 10000).as("type_token_ratio"))
+          .orderBy("decile")
       })
   )
 
@@ -1253,14 +1338,21 @@ object TextAnalysis {
     * applies top-50). */
   private[queries] def contaminationSpans(docs: DataFrame,
       benchPred: Column): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 3)
-    val mk = transform(sequence(lit(1), size(col("tk")) - 2),
-      i => concat_ws(" ", element_at(col("tk"), i),
-        element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))
-    val pos3 = toks.select(col("doc_id"),
-      posexplode(mk).as(Seq("pos", "sh")))
+    // positional trigrams via slice+arrays_zip, concat AFTER the explode
+    // (the TextDedup.shingleRows shape): a transform(sequence, i ->
+    // concat(element_at ..)) lambda here is interpreted per element AND
+    // CollapseProject inlines tokens(text) into it, re-running the
+    // regex tokenizer per shingle — measured catastrophic (O(s²·|text|)
+    // per doc) in the round-11 bench before this form replaced it
+    val tk = TextFns.tokens(col("text"))
+    val n = greatest(size(tk) - 2, lit(0))
+    val z = arrays_zip(
+      slice(tk, lit(1), n), slice(tk, lit(2), n), slice(tk, lit(3), n))
+    val pos3 = docs
+      .select(col("doc_id"), posexplode(z).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("g").getField("0"), col("g").getField("1"),
+          col("g").getField("2")).as("sh"))
     val bench = pos3.filter(benchPred).select(col("sh")).distinct()
     val matched = pos3.filter(!benchPred)
       .join(broadcast(bench), "sh")

@@ -88,6 +88,20 @@ class GraphDriftSpec extends AnyFunSuite with Matchers with SparkTestSession {
     r.getLong(3) shouldBe 2L  // n_runs
   }
 
+  // ---------------------------------------------------------------- q118
+
+  test("q118: exact prefix-filter pair set contains every q17 " +
+    "LSH-verified pair (perfect recall at a looser threshold)") {
+    val exact = Registry.queries("q118_prefix_filter_join")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Registry.queries("q17_neardup_minhash")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // q17 verifies J >= 0.5 on LSH candidates; q118 is exhaustive at
+    // J >= 0.4 — so q17's pairs must all reappear
+    (lsh -- exact) shouldBe empty
+    exact.size should be >= lsh.size
+  }
+
   // ------------------------------------------------------------ q113/114
 
   /** Events with a value distribution per half: `n` rows per (type,
