@@ -424,7 +424,10 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     "never k-gram text") {
     val df = Registry.queries("q107_winnow_fingerprints")(spark, sf0001)
     df.collect()
+    // a finalized AdaptiveSparkPlan prints Final AND Initial sections —
+    // count operators in the executed (final) section only
     val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0)
     // one winnow scan + the tokenize-only totals scan; ONE explode (the
     // q48 window-count shape — no rep-set join-back re-derivation)
     "FileScan".r.findAllIn(p).length shouldBe 2
@@ -441,7 +444,9 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     "no explode") {
     val df = Registry.queries("q108_quality_filter")(spark, sf0001)
     df.collect()
+    // final AQE section only (see q107 note)
     val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0)
     "FileScan".r.findAllIn(p).length shouldBe 1
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
     "HashAggregate".r.findAllIn(p).length shouldBe 2 // partial + final
