@@ -100,18 +100,20 @@ object CurationOps {
     // semantics), then each sliding window of FP_WINDOW hashes
     // contributes its minimum; a short doc (fewer k-grams than the
     // window) contributes min-of-all, the SWA03 convention. The winnow
-    // runs IN-ROW (transform + array_min over slices — shuffle-free,
-    // embarrassingly parallel) rather than as a per-doc window function,
-    // which would hash-exchange and sort every k-gram row of the corpus;
-    // only the ~2/(W+1)-compressed distinct fingerprints explode into
-    // the cross-doc df pass (56-bit longs). The winnow derivation runs
-    // ONCE: fingerprint document-frequency comes from a window count
-    // over the exploded relation (the q48 shape — a rep-set join-back
-    // would re-run the md5-per-kgram winnow for the second branch);
-    // the totals leg is tokenize-only arithmetic.
-    // The oracle formulates the identical winnow as a window-frame min
-    // (ROWS BETWEEN CURRENT AND W-1 FOLLOWING, full windows only) —
-    // same selected multiset, independently derived.
+    // is a per-doc window-frame min over the exploded hash stream
+    // (ROWS BETWEEN CURRENT AND W-1 FOLLOWING, full windows only —
+    // the oracle's formulation too): one doc_id-keyed exchange of
+    // (long, long) rows, then only the ~2/(W+1)-compressed distinct
+    // fingerprints reach the cross-doc df pass. An in-row winnow
+    // (transform(sequence, j -> array_min(slice(hs, j, W))) over a
+    // projected hs) LOOKS shuffle-free but is O(k-grams²):
+    // CollapseProject inlines the hs expression into the lambda and
+    // the whole md5 stream recomputes per window position — measured
+    // as an 18-minute single task at sf0.1 (see winnowCensus).
+    // Fingerprint document-frequency comes from a window count over
+    // the winnowed relation (the q48 shape — a rep-set join-back
+    // would re-run the winnow for the second branch); the totals leg
+    // is tokenize-only arithmetic.
     Q("q107_winnow_fingerprints",
       oracle = Some(s"""
         WITH tkq107 AS (
@@ -360,22 +362,38 @@ object CurationOps {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
-    // positional k-gram hash stream, then the in-row winnow
-    val hs = transform(
-      sequence(lit(1), size(col("tk")) - 2),
-      i => TextFns.hash56(md5(concat_ws(" ",
-        element_at(col("tk"), i),
-        element_at(col("tk"), i + 1),
-        element_at(col("tk"), i + 2))), 1))
-    val fps = tk
-      .select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1),
-            greatest(size(col("hs")) - (FP_WINDOW - 1), lit(1))),
-          j => array_min(slice(col("hs"), j, lit(FP_WINDOW)))))
-          .as("fps"))
-    val ds = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // positional k-gram hash stream as ONE posexplode (zip-slice grams,
+    // hashed per exploded row), then the winnow as a per-doc window-
+    // frame min — the same formulation the oracle uses. The previous
+    // in-row form (transform(sequence, j -> array_min(slice(hs, j, W)))
+    // over a PROJECTED hs column) was O(k-grams²): CollapseProject
+    // inlines the hs expression into the lambda, re-computing the whole
+    // md5 stream per window position — measured as an 18-minute single
+    // task at sf0.1 before this replaced it. The window pays one
+    // doc_id-keyed exchange of (long, long) rows; full windows only,
+    // with the SWA03 short-doc convention (fewer hashes than the window
+    // ⇒ min of all of them) falling out of the pos-0 truncated frame.
+    val toks = col("tk")
+    val n = greatest(size(toks) - 2, lit(0))
+    val z = arrays_zip(
+      slice(toks, lit(1), n), slice(toks, lit(2), n), slice(toks, lit(3), n))
+    val stream = tk
+      .select(col("doc_id"), posexplode(z).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        TextFns.hash56(md5(concat_ws(" ", col("g").getField("0"),
+          col("g").getField("1"), col("g").getField("2"))), 1).as("h"))
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        FP_WINDOW - 1)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val ds = stream
+      .withColumn("m", min(col("h")).over(wWin))
+      .withColumn("nk", count(lit(1)).over(wDoc))
+      .filter(col("pos") <= greatest(col("nk") - FP_WINDOW, lit(0)))
+      .select(col("doc_id"), col("m").as("fp"))
+      .distinct()
     // fingerprint df via a window count over ds, NOT groupBy+join-back:
     // ds feeds both the df rollup and the per-doc census, and Spark
     // shares no common subtrees — a join shape would re-run the whole

@@ -429,9 +429,9 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
       .split("== Initial Plan ==")(0)
     // one winnow scan + the tokenize-only totals scan; ONE explode (the
-    // q48 window-count shape — no rep-set join-back re-derivation)
+    // positional k-gram stream — no rep-set join-back re-derivation)
     "FileScan".r.findAllIn(p).length shouldBe 2
-    "Generate explode".r.findAllIn(p).length shouldBe 1
+    "Generate (pos)?explode".r.findAllIn(p).length shouldBe 1
     // exchanges carry 56-bit fp longs or doc_id — the k-gram strings
     // exist only map-side under the md5
     "Exchange hashpartitioning\\(fp#\\d+L".r.findAllIn(p).length should be >= 1
