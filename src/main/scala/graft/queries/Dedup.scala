@@ -792,41 +792,54 @@ object Dedup {
       oracle = Some(s"""
         $shinglesCte,
         exq118 AS (
-          SELECT doc_id, unnest(sh) AS s FROM sh),
-        dfq AS (SELECT s, count(*) AS df FROM exq118 GROUP BY s),
+          SELECT DISTINCT doc_id, ${TextFns.sql.hash56("md5(s)", 1)} AS h
+          FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+        dfq AS (SELECT h, count(*) AS df FROM exq118 GROUP BY h),
         szq AS (SELECT doc_id, count(*) AS n FROM exq118 GROUP BY doc_id),
         ordq AS (
-          SELECT e.doc_id, e.s, z.n,
+          SELECT e.doc_id, e.h, z.n,
                  row_number() OVER (PARTITION BY e.doc_id
-                                    ORDER BY d.df, e.s) AS rk
-          FROM exq118 e JOIN dfq d USING (s) JOIN szq z USING (doc_id)),
+                                    ORDER BY d.df, e.h) AS rk
+          FROM exq118 e JOIN dfq d USING (h) JOIN szq z USING (doc_id)),
         pref AS (
-          SELECT doc_id, s, n, rk FROM ordq
+          SELECT doc_id, h, n, rk FROM ordq
           WHERE rk <= n - CAST(ceil($NGRAM_JACCARD_MIN * n) AS BIGINT) + 1),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM pref a JOIN pref b
-            ON a.s = b.s AND a.doc_id < b.doc_id
+            ON a.h = b.h AND a.doc_id < b.doc_id
             AND a.n >= CAST(ceil($NGRAM_JACCARD_MIN * b.n) AS BIGINT)
             AND b.n >= CAST(ceil($NGRAM_JACCARD_MIN * a.n) AS BIGINT)
             AND 1 + least(a.n - a.rk, b.n - b.rk) >=
                 CAST(ceil($NGRAM_JACCARD_MIN * (a.n + b.n) /
-                          (1 + $NGRAM_JACCARD_MIN)) AS BIGINT))
-        ${jaccardSelectSql(NGRAM_JACCARD_MIN)}"""),
+                          (1 + $NGRAM_JACCARD_MIN)) AS BIGINT)),
+        haq AS (SELECT doc_id, list(h) AS hs, count(*) AS n
+                FROM exq118 GROUP BY doc_id)
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(x.hs, y.hs)) * 1.0 /
+                     (x.n + y.n - len(list_intersect(x.hs, y.hs))), 4)
+                 AS jaccard
+        FROM pairs
+        JOIN haq x ON x.doc_id = doc_a
+        JOIN haq y ON y.doc_id = doc_b
+        WHERE len(list_intersect(x.hs, y.hs)) * 1.0 /
+              (x.n + y.n - len(list_intersect(x.hs, y.hs)))
+              >= $NGRAM_JACCARD_MIN
+        ORDER BY doc_a, doc_b"""),
       run = (spark, dir) => {
         val t = NGRAM_JACCARD_MIN
         val idx = q118Index(spark, dir)
         val pref = spark.read.parquet(s"$idx/pref")
         val shArr = spark.read.parquet(s"$idx/sharr")
         // candidate join with the PPJoin length + positional filters:
-        // a true pair's overlap o ≥ ⌈t(na+nb)/(1+t)⌉ and beyond the
-        // first shared element only min(na−rk_a, nb−rk_b) shared
-        // elements can remain — both bounds hold at the globally-
-        // smallest shared shingle, so recall stays perfect while the
-        // measured sf0.1 candidate count drops 522k → 205k
+        // a true pair's overlap o >= ceil(t(na+nb)/(1+t)) and beyond the
+        // first shared element only min(na-rk_a, nb-rk_b) shared
+        // elements can remain - both bounds hold at the globally-
+        // smallest shared element, so recall stays perfect while the
+        // measured sf0.1 candidate count drops 522k -> 205k
         val pairs = pref.as("a")
           .join(pref.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
               col("a.n") >= ceil(lit(t) * col("b.n")) &&
               col("b.n") >= ceil(lit(t) * col("a.n")) &&
               (lit(1) + least(col("a.n") - col("a.rk"),
@@ -834,19 +847,23 @@ object Dedup {
                 ceil(lit(t) * (col("a.n") + col("b.n")) / lit(1 + t)))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-        // array-intersect verify: at candidate counts this size the
-        // pair-driven explode verify (TextDedup.pairOverlapPlan — built
-        // for LSH-scale candidate sets) shuffles |pairs|×shingles rows;
-        // joining each pair to the two per-doc shingle ARRAYS and
-        // intersecting in-row is map-side past the two id joins
-        // (measured 27.7s → ~3s at sf0.1)
+        // array-intersect verify over 56-BIT HASH arrays (the q102
+        // "strings never shuffle" discipline): every stage of this
+        // query - canonical order, prefix join, verify - runs in the
+        // hash domain, so exchanges carry longs and the intersect
+        // compares longs, not ~30-char shingle strings (measured 115s
+        // -> see PERF.md at the 10x replica, where the planted copy
+        // families grow candidates ~45x). Both engines hash with the
+        // same md5 half, so the hashed Jaccard is IDENTICAL across
+        // engines even in the (astronomically unlikely) collision
+        // case - the gate compares the same quantity.
         val jac = pairs
           .join(shArr.select(col("doc_id").as("doc_a"),
-            col("sharr").as("sa"), col("nsh").as("na")), "doc_a")
+            col("harr").as("ha"), col("nsh").as("na")), "doc_a")
           .join(shArr.select(col("doc_id").as("doc_b"),
-            col("sharr").as("sb"), col("nsh").as("nb")), "doc_b")
+            col("harr").as("hb"), col("nsh").as("nb")), "doc_b")
           .select(col("doc_a"), col("doc_b"),
-            size(array_intersect(col("sa"), col("sb"))).cast("long")
+            size(array_intersect(col("ha"), col("hb"))).cast("long")
               .as("ni"), col("na"), col("nb"))
           .filter(col("ni").cast("double") /
             (col("na") + col("nb") - col("ni")).cast("double") >= t)
@@ -855,8 +872,8 @@ object Dedup {
               (col("na") + col("nb") - col("ni")).cast("double"), 4)
               .as("jaccard"))
         // localize BEFORE the total order: a global orderBy without a
-        // limit plans a range sort whose partitioner SAMPLES the child —
-        // executing this whole join pipeline twice (measured 13.2s →
+        // limit plans a range sort whose partitioner SAMPLES the child -
+        // executing this whole join pipeline twice (measured 13.2s ->
         // 3.4s). The verified pair set is result-sized; sort it as a
         // local relation.
         Q.localized(jac).orderBy(col("doc_a"), col("doc_b"))
@@ -880,24 +897,27 @@ object Dedup {
     ppjoinIndexBuilt.computeIfAbsent(dir, { d =>
       val p = ppjoinIndexBase + "-" + Integer.toHexString(d.hashCode)
       val t = NGRAM_JACCARD_MIN
-      // distinct shingle sets — prefix theory is over SETS, and the
-      // shared shingle relation is a multiset by contract
+      // distinct shingle sets, hashed to 56-bit longs IMMEDIATELY -
+      // prefix theory is over SETS, and every downstream stage (order,
+      // join, verify) runs in the hash domain so strings never leave
+      // this projection
       val ex = graft.dedup.TextDedup.shingleRows(
           table(spark, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), TextFns.hash56(md5(col("s")), 1).as("h"))
         .distinct().persist()
-      val dfq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val dfq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
       val wN = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
-      ex.join(dfq, "s")
+      ex.join(dfq, "h")
         .withColumn("rk", row_number().over(w))
         .withColumn("n", count(lit(1)).over(wN))
         .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
-        .select(col("doc_id"), col("s"), col("n"), col("rk"))
+        .select(col("doc_id"), col("h"), col("n"), col("rk"))
         .write.mode("overwrite").parquet(s"$p/pref")
       ex.groupBy(col("doc_id"))
-        .agg(collect_list(col("s")).as("sharr"), count(lit(1)).as("nsh"))
+        .agg(collect_list(col("h")).as("harr"), count(lit(1)).as("nsh"))
         .write.mode("overwrite").parquet(s"$p/sharr")
       ex.unpersist(blocking = false)
       p
