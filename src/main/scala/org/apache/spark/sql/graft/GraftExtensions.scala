@@ -15,8 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - runtime: `GraftFunctions.register(spark)` on an existing session
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotProductDescriptor)
+    ext.injectFunction(GraftFunctions.intersectCountDescriptor)
+  }
 }
 
 object GraftFunctions {
@@ -32,9 +34,24 @@ object GraftFunctions {
       DotProduct(exprs.head, exprs(1))
     })
 
+  val intersectCountDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_intersect_count"),
+    new ExpressionInfo(classOf[IntersectCount].getName, null,
+      "graft_intersect_count",
+      "graft_intersect_count(a, b) - distinct-intersection cardinality " +
+        "of two array<bigint> columns (= size(array_intersect(a, b)) " +
+        "without materializing the intersection).", ""),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"graft_intersect_count expects 2 arguments, got ${exprs.length}")
+      IntersectCount(exprs.head, exprs(1))
+    })
+
   /** Register on an already-built session (tests, notebooks). */
-  def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = dotProductDescriptor
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    Seq(dotProductDescriptor, intersectCountDescriptor).foreach {
+      case (ident, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

@@ -26,4 +26,38 @@ class GraftFunctionsSpec extends AnyFunSuite with Matchers with SparkTestSession
     }
     e.getMessage should (include("2 arguments") or include("graft_dot"))
   }
+
+  test("graft_intersect_count == size(array_intersect) on random long " +
+    "arrays, including duplicates and empties") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // deterministic pseudo-random arrays with planted overlaps + dups
+    val rows = (0 until 200).map { i =>
+      val a = (0 until (i % 17)).map(k => ((i * 31 + k * 7) % 23).toLong)
+      val b = (0 until (i % 13)).map(k => ((i * 17 + k * 5) % 23).toLong)
+      (a, b)
+    }
+    val df = rows.toDF("a", "b").selectExpr(
+      "graft_intersect_count(a, b) AS fast",
+      "CAST(size(array_intersect(a, b)) AS BIGINT) AS ref")
+    df.collect().foreach { r =>
+      r.getLong(0) shouldBe r.getLong(1)
+    }
+    // null array → null
+    spark.sql("SELECT graft_intersect_count(CAST(NULL AS ARRAY<BIGINT>), " +
+        "array(1L)) AS c")
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("graft_intersect_count participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // project over range so a codegen stage exists (a literal-only
+    // one-row projection is constant-folded / local and never fuses)
+    val df = spark.range(5).selectExpr(
+      "graft_intersect_count(array(id, 2L), array(2L, 3L)) AS c")
+    // the `*(n)` operator prefix is the WholeStageCodegen marker in
+    // executedPlan.toString
+    df.queryExecution.executedPlan.toString should include("*(1) Project")
+    df.collect().map(_.getLong(0)).sum shouldBe 6L // one hit per row + id=3 row
+  }
 }
