@@ -95,6 +95,31 @@ object DriftOps {
                CAST(min(nc) AS BIGINT) AS n_cur
         FROM terms GROUP BY event_type ORDER BY event_type"""
 
+  /** q114's oracle — ALSO q121's: the streaming twin computes the
+    * identical statistic from the identical split (the q117/q96
+    * convention). */
+  private[queries] def chi2OracleSql: String = """
+        WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        mm AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+        mid AS (SELECT mn + (mx - mn) // 2 AS m FROM mm),
+        cnts AS (
+          SELECT event_type,
+                 sum(CASE WHEN us < (SELECT m FROM mid) THEN 1 ELSE 0 END)
+                   AS cr,
+                 sum(CASE WHEN us < (SELECT m FROM mid) THEN 0 ELSE 1 END)
+                   AS cc
+          FROM ev GROUP BY event_type),
+        tot AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM cnts)
+        SELECT event_type,
+               CAST(cr AS BIGINT) AS n_ref,
+               CAST(cc AS BIGINT) AS n_cur,
+               CAST(floor(
+                 (cc - (SELECT nc FROM tot) * 1.0 * cr / (SELECT nr FROM tot))
+                 * (cc - (SELECT nc FROM tot) * 1.0 * cr / (SELECT nr FROM tot))
+                 / ((SELECT nc FROM tot) * 1.0 * cr / (SELECT nr FROM tot))
+                 * 1000000 + 0.5) AS BIGINT) AS chi2_micros
+        FROM cnts WHERE cr > 0 ORDER BY event_type"""
+
   val defs: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -107,12 +132,6 @@ object DriftOps {
           .select(col("event_type"), unix_micros(col("ts")).as("us"),
             col("value")))),
 
-    // ------------------------------------------------------------------
-    // q114: chi-square categorical drift on the event-type mix. Expected
-    // current count per type = N_cur × (reference share); the statistic
-    // is Σ (observed − expected)²/expected, micro-snapped per type.
-    // Types absent from the reference half have no defined expectation
-    // (inner join on reference counts — documented contract).
     // ------------------------------------------------------------------
     // q119: EMBEDDING CENTROID DRIFT — the drift family's semantic leg:
     // per label, compare the mean embedding of the even-id half against
@@ -191,28 +210,14 @@ object DriftOps {
           .orderBy("label")
       }),
 
+    // ------------------------------------------------------------------
+    // q114: chi-square categorical drift on the event-type mix. Expected
+    // current count per type = N_cur × (reference share); the statistic
+    // is Σ (observed − expected)²/expected, micro-snapped per type.
+    // Types absent from the reference half have no defined expectation
+    // (inner join on reference counts — documented contract).
     Q("q114_chi2_drift",
-      oracle = Some("""
-        WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
-        mm AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
-        mid AS (SELECT mn + (mx - mn) // 2 AS m FROM mm),
-        cnts AS (
-          SELECT event_type,
-                 sum(CASE WHEN us < (SELECT m FROM mid) THEN 1 ELSE 0 END)
-                   AS cr,
-                 sum(CASE WHEN us < (SELECT m FROM mid) THEN 0 ELSE 1 END)
-                   AS cc
-          FROM ev GROUP BY event_type),
-        tot AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM cnts)
-        SELECT event_type,
-               CAST(cr AS BIGINT) AS n_ref,
-               CAST(cc AS BIGINT) AS n_cur,
-               CAST(floor(
-                 (cc - (SELECT nc FROM tot) * 1.0 * cr / (SELECT nr FROM tot))
-                 * (cc - (SELECT nc FROM tot) * 1.0 * cr / (SELECT nr FROM tot))
-                 / ((SELECT nc FROM tot) * 1.0 * cr / (SELECT nr FROM tot))
-                 * 1000000 + 0.5) AS BIGINT) AS chi2_micros
-        FROM cnts WHERE cr > 0 ORDER BY event_type"""),
+      oracle = Some(chi2OracleSql),
       run = (spark, dir) =>
         chi2Drift(table(spark, dir, "events")
           .select(col("event_type"), unix_micros(col("ts")).as("us"))))
@@ -286,10 +291,16 @@ object DriftOps {
   /** q114's pipeline over any (event_type, us) frame. */
   private[queries] def chi2Drift(ev: DataFrame): DataFrame = {
     val mid = timeMid(ev)
-    val cnts = ev.groupBy("event_type")
+    chi2Finish(ev.groupBy("event_type")
       .agg(sum(when(col("us") < mid, 1L).otherwise(0L)).as("cr"),
-        sum(when(col("us") < mid, 0L).otherwise(1L)).as("cc"))
-      .persist()
+        sum(when(col("us") < mid, 0L).otherwise(1L)).as("cc")))
+  }
+
+  /** Chi-square arithmetic over a combined (event_type, cr, cc) counts
+    * relation — shared by the batch (q114) and streaming (q121) drift
+    * queries so the two cannot diverge (the psiFinish convention). */
+  private[queries] def chi2Finish(cntsIn: DataFrame): DataFrame = {
+    val cnts = cntsIn.persist()
     val t = cnts.agg(sum("cr"), sum("cc")).head()
     val (nr, nc) = (t.getLong(0), t.getLong(1))
     val e = lit(nc) * lit(1.0) * col("cr") / lit(nr)

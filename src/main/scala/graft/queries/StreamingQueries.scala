@@ -606,6 +606,38 @@ object StreamingQueries {
             refCnts.join(sink.select("event_type", "bucket", "cc"),
               Seq("event_type", "bucket"), "full_outer"))
         }
+      }),
+
+    // ------------------------------------------------------------------
+    // q121: STREAMING CHI-SQUARE DRIFT — q114's categorical statistic on
+    // a live stream (the q117/q96 convention, one oracle gating both):
+    // frozen reference type-counts batch-derived; current counts a
+    // complete-mode groupBy whose state is |types| rows at any stream
+    // volume; final arithmetic DriftOps.chi2Finish — the code q114
+    // runs, so the monitors cannot diverge. Together q117+q121 are the
+    // numeric and categorical live drift monitors over one frozen
+    // reference artifact.
+    Q("q121_stream_chi2",
+      oracle = Some(DriftOps.chi2OracleSql),
+      run = (spark, dir) => {
+        val evB = graft.io.Tables.table(spark, dir, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        val mid = DriftOps.timeMid(evB)
+        val refCnts = Q.localized(evB.filter(col("us") < mid)
+          .groupBy("event_type").agg(count(lit(1)).as("cr")))
+        val cur = eventsStream(spark, dir)
+          .select(col("event_type"), unix_micros(col("ts")).as("us"))
+          .filter(col("us") >= mid)
+          .groupBy("event_type").agg(count(lit(1)).as("cc"))
+        runToMemorySink(spark, dir, "stream_chi2_", "complete", cur,
+          noDataBatch = false) { sink =>
+          DriftOps.chi2Finish(
+            refCnts.join(sink.select("event_type", "cc"),
+                Seq("event_type"), "full_outer")
+              .select(col("event_type"),
+                coalesce(col("cr"), lit(0L)).as("cr"),
+                coalesce(col("cc"), lit(0L)).as("cc")))
+        }
       })
   )
 }
