@@ -1,0 +1,217 @@
+package graft.exec
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Durable, shared store for DERIVED artifacts — the materialized
+  * indexes the engine builds once per corpus and probes afterwards
+  * (verified near-dup pairs, PPJoin prefix index, co-purchase edges,
+  * bigram-LM scores, the q78 dedup index, rare-overlap stats).
+  *
+  * Why a store and not per-process temp dirs: through round 11 each
+  * family kept its own `target/<family>-<uuid>` path keyed by an
+  * in-process map. Correct at local[32], but (a) a second process
+  * rebuilt everything from scratch, (b) relative local-FS paths don't
+  * exist on a real cluster where executors resolve paths on their own
+  * disks, and (c) dead processes leaked their directories forever.
+  * This store fixes all three:
+  *
+  *  - **Durable + shared**: artifacts live at
+  *    `<root>/<family>/<key>` where `root` defaults to
+  *    `target/artifacts` locally and is `GRAFT_ARTIFACT_ROOT` in
+  *    production — an HDFS / object-store URI on a cluster (all path
+  *    handling goes through the Hadoop `FileSystem` API, never
+  *    `java.io`, precisely so the root may be `hdfs://...`). Any
+  *    process that resolves the same (family, key) reuses the bytes a
+  *    previous process published.
+  *  - **Content-keyed**: [[sourceKey]] digests the SOURCE FILES'
+  *    identity (path, length, mtime of every data file of the tables
+  *    the artifact derives from), so regenerated testdata or a
+  *    recompacted production table changes the key and the artifact
+  *    rebuilds — no stale reuse, and no 32-bit `hashCode` collisions
+  *    (keys are md5-based, 16 hex chars = 64 bits over a handful of
+  *    live dirs).
+  *  - **Atomic publish**: [[ensure]] builds into a `.tmp-` sibling and
+  *    renames it over the final path (rename is atomic on HDFS and on
+  *    a local FS), writing a `_GRAFT_OK` marker (ignored by parquet
+  *    globs, like `_SUCCESS`) as the completeness witness BEFORE the
+  *    rename. Readers only ever see complete artifacts; a crash
+  *    mid-build leaves a tmp dir for [[gc]] to reap; losing a publish
+  *    race discards the tmp and reuses the winner's artifact.
+  *  - **GC'd**: [[gc]] (run once per process, lazily, before the first
+  *    build) deletes marker-bearing entries whose marker mtime is past
+  *    the age cutoff and orphaned tmp dirs. Reuse touches the marker,
+  *    so live artifacts never age out under a running fleet.
+  *
+  * Correctness is orthogonal by construction: every consumer's DuckDB
+  * oracle re-derives its artifact's content inline in SQL, so the
+  * driver's gate value-checks the stored bytes each round no matter
+  * which process produced them.
+  */
+object ArtifactStore {
+
+  /** Artifacts older than this are reaped by the lazy per-process GC.
+    * Far beyond any live capture (the full 10× suite is minutes), and
+    * one reuse anywhere inside the window refreshes the clock. */
+  private val MaxAgeMillis: Long = 6L * 3600 * 1000
+
+  private val Marker = "_GRAFT_OK"
+
+  @volatile private var rootOverride: Option[String] = None
+
+  /** Store root: `GRAFT_ARTIFACT_ROOT` (set it to a cluster-FS URI in
+    * production) or `target/artifacts` resolved absolute for local
+    * runs — absolute because the DuckDB oracle replay and a second
+    * process must agree on the location independent of cwd. */
+  def root: String = rootOverride.getOrElse(
+    sys.env.getOrElse("GRAFT_ARTIFACT_ROOT",
+      new java.io.File("target/artifacts").getAbsolutePath))
+
+  /** Test hook: point the store somewhere else and forget what this
+    * process already resolved (simulates a fresh process). */
+  private[graft] def setRootForTest(r: Option[String]): Unit = {
+    rootOverride = r
+    published.clear()
+    sourceKeys.clear()
+    gcDone = false
+  }
+
+  // (family/key) -> published absolute path; per-process fast path so
+  // steady-state invocations skip even the FS existence probe
+  private val published = new ConcurrentHashMap[String, String]()
+  // (dir|tables) -> key; the source listing is one RPC per table on a
+  // real FS — paid once per process, the corpus is immutable under it
+  private val sourceKeys = new ConcurrentHashMap[String, String]()
+  @volatile private var gcDone = false
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hadoopConf(spark: SparkSession): Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  /** Collision-resistant 64-bit identity for `dir` + the data files of
+    * `tables` under it: every file's (relative path, length, mtime)
+    * enters the digest, so any regeneration — same sizes, new mtimes —
+    * yields a new key. Tables resolve liberally (a child named
+    * `<table>`, `<table>.parquet`, `<table>.csv`, ... in any physical
+    * shape `Tables.table` accepts), and a missing table digests as its
+    * name alone rather than failing — [[ensure]]'s builder is what
+    * surfaces a genuinely unreadable input. */
+  def sourceKey(spark: SparkSession, dir: String, tables: String*): String = {
+    val memo = dir + "|" + tables.mkString(",")
+    sourceKeys.computeIfAbsent(memo, { _ =>
+      val conf = hadoopConf(spark)
+      val base = new Path(dir)
+      val fs = base.getFileSystem(conf)
+      val sb = new StringBuilder(base.toUri.toString)
+      def walk(st: FileStatus): Unit =
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).sortBy(_.getPath.getName).foreach(walk)
+        else if (!st.getPath.getName.startsWith("_") &&
+                 !st.getPath.getName.startsWith("."))
+          sb.append('\n').append(st.getPath.toUri.toString)
+            .append('|').append(st.getLen)
+            .append('|').append(st.getModificationTime)
+      for (t <- tables.sorted) {
+        sb.append("\n#").append(t)
+        val children =
+          try fs.listStatus(base).filter { st =>
+            val n = st.getPath.getName
+            n == t || n.startsWith(t + ".")
+          } catch { case _: java.io.IOException => Array.empty[FileStatus] }
+        children.sortBy(_.getPath.getName).foreach(walk)
+      }
+      md5hex(sb.toString).take(16)
+    })
+  }
+
+  /** Fixed, process-independent location for artifacts whose absolute
+    * path must be known at CLASS LOAD (the q54 codebook / q71 LSH
+    * index bake their path into a static oracle SQL string). Staleness
+    * for these is the caller's own key-sidecar discipline
+    * ([[graft.similarity.VectorSearch.ensureCodebook]]); concurrency is
+    * the documented single-writer arrangement those callers already
+    * carry. Lives under the same configurable [[root]] so one env var
+    * relocates every artifact in production. */
+  def fixedPath(family: String): String = root + "/" + family
+
+  /** Resolve-or-build: returns the published path of (family, key),
+    * building it at most once across ALL processes sharing [[root]].
+    * `build` receives a tmp path and must leave the complete artifact
+    * under it (a parquet dir, or a dir of named parquet subdirs —
+    * readers append their own `/subdir`). Never builds when a complete
+    * artifact exists; publishes atomically; on a lost race reuses the
+    * winner's bytes. */
+  def ensure(spark: SparkSession, family: String, key: String)
+      (build: String => Unit): String = {
+    val memoKey = family + "/" + key
+    published.computeIfAbsent(memoKey, { _ =>
+      val conf = hadoopConf(spark)
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(conf)
+      if (!gcDone) { gcDone = true; gc(fs, rootPath) }
+      val finalPath = new Path(rootPath, memoKey)
+      val marker = new Path(finalPath, Marker)
+      if (fs.exists(marker)) {
+        // reuse another process's artifact; touch the marker so GC's
+        // age clock restarts from this reuse
+        try fs.setTimes(marker, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+        finalPath.toString
+      } else {
+        val tmp = new Path(rootPath,
+          s"$family/.tmp-$key-${java.util.UUID.randomUUID().toString.take(8)}")
+        build(tmp.toString)
+        val out = fs.create(new Path(tmp, Marker), true)
+        out.write(key.getBytes("UTF-8")); out.close()
+        fs.mkdirs(finalPath.getParent)
+        // Hadoop rename moves src INTO an existing dst dir, so probe
+        // first: a concurrent winner's artifact is reused as-is; a
+        // markerless leftover (crashed process) is replaced.
+        if (fs.exists(finalPath)) {
+          if (fs.exists(marker)) fs.delete(tmp, true)
+          else { fs.delete(finalPath, true); require(fs.rename(tmp, finalPath),
+            s"ArtifactStore: publish failed for $memoKey") }
+        } else if (!fs.rename(tmp, finalPath)) {
+          // rename lost a race begun after the probe
+          if (fs.exists(marker)) fs.delete(tmp, true)
+          else throw new IllegalStateException(
+            s"ArtifactStore: publish failed for $memoKey")
+        }
+        finalPath.toString
+      }
+    })
+  }
+
+  /** Reap (a) published entries whose marker mtime is older than
+    * [[MaxAgeMillis]] — the mtime refreshes on every reuse, so only
+    * artifacts no live process has touched in the window go — and
+    * (b) `.tmp-` dirs from crashed builds past the same cutoff.
+    * Best-effort: a concurrent process's IO errors are ignored. */
+  private def gc(fs: FileSystem, rootPath: Path): Unit = {
+    val cutoff = System.currentTimeMillis() - MaxAgeMillis
+    val families =
+      try fs.listStatus(rootPath).filter(_.isDirectory)
+      catch { case _: java.io.IOException => Array.empty[FileStatus] }
+    for (fam <- families;
+         entry <- try fs.listStatus(fam.getPath).filter(_.isDirectory)
+                  catch { case _: java.io.IOException => Array.empty[FileStatus] }) {
+      val stale =
+        if (entry.getPath.getName.startsWith(".tmp-"))
+          entry.getModificationTime < cutoff
+        else
+          try {
+            val m = fs.getFileStatus(new Path(entry.getPath, Marker))
+            m.getModificationTime < cutoff
+          } catch { case _: java.io.IOException => false } // not ours / in flight
+      if (stale)
+        try { fs.delete(entry.getPath, true); () }
+        catch { case _: java.io.IOException => () }
+    }
+  }
+}

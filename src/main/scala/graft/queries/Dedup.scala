@@ -884,29 +884,23 @@ object Dedup {
       })
   )
 
-  /** q118's per-process PPJoin index (the q17-pair-artifact discipline):
-    * the inverted prefix index `pref` (doc_id, s, n, rk — shingles
-    * canonically ordered rarest-first, prefix-filtered) and the per-doc
-    * shingle arrays `sharr` (doc_id, sharr, nsh) are pure derivations of
-    * the corpus, identical on every invocation — built once per
-    * (process, sfDir), parquet after. The oracle re-derives both inline
-    * in SQL, so the gate value-checks the derivation itself. */
-  private val ppjoinIndexBase: String = new java.io.File(
-    s"target/ppjoin_index-${java.util.UUID.randomUUID().toString.take(8)}"
-  ).getAbsolutePath
-  private val ppjoinIndexBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
+  /** q118's durable PPJoin index (ArtifactStore, keyed by the documents
+    * files' identity): the inverted prefix index `pref` (doc_id, s, n,
+    * rk — shingles canonically ordered rarest-first, prefix-filtered)
+    * and the per-doc shingle arrays `sharr` (doc_id, sharr, nsh) are
+    * pure derivations of the corpus — built once per corpus across
+    * processes, parquet after. The oracle re-derives both inline in
+    * SQL, so the gate value-checks the derivation itself. */
   private def q118Index(spark: SparkSession, dir: String): String =
-    ppjoinIndexBuilt.computeIfAbsent(dir, { d =>
-      val p = ppjoinIndexBase + "-" + Integer.toHexString(d.hashCode)
+    graft.exec.ArtifactStore.ensure(spark, "ppjoin_index",
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "documents")) { p =>
       val t = NGRAM_JACCARD_MIN
       // distinct shingle sets, hashed to 56-bit longs IMMEDIATELY -
       // prefix theory is over SETS, and every downstream stage (order,
       // join, verify) runs in the hash domain so strings never leave
       // this projection
       val ex = graft.dedup.TextDedup.shingleRows(
-          table(spark, d, "documents"), "doc_id", "text")
+          table(spark, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), TextFns.hash56(md5(col("s")), 1).as("h"))
         .distinct().persist()
       val dfq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -929,8 +923,8 @@ object Dedup {
           count(lit(1)).as("nsh"))
         .write.mode("overwrite").parquet(s"$p/sharr")
       ex.unpersist(blocking = false)
-      p
-    })
+      ()
+    }
 
   /** q78's deterministic corpus/batch split: (corpus = md5-decile < 8,
     * batch = decile >= 8) of `documents` — the q72 construction, so both
@@ -949,39 +943,33 @@ object Dedup {
   // documents table (q73's header has always said "reuses the q17 pair
   // pipeline verbatim"), but through round 9 each query re-ran it —
   // ~74s of the 234s 10× suite was this one derivation executed three
-  // times. The q78-index / q54-codebook discipline applied here: the
-  // verified pair relation (doc_a, doc_b, RAW jaccard) is materialized
-  // to parquet ONCE per (process, sfDir) on first use and every later
-  // consumer reads the artifact. Sharing is sound because a doc's
-  // signature/bands depend only on its own text and jaccard(a,b) only on
-  // the two texts, so pairs(S) = pairs(full) ∩ S×S for any id subset S —
-  // q52's survivor-side pairs are exactly the artifact semi-joined to
-  // its exact-dedup survivors (TextDedupSpec pins that equality).
-  // Correctness is unaffected by construction: each oracle re-derives
-  // the full pipeline inline in SQL, so the artifact contents themselves
-  // are what the DuckDB gate value-checks. Swept with the other
-  // per-process artifacts by the shared target/ sweep in Similarity.
-  private val pairIndexBase: String = new java.io.File(
-    s"target/neardup_pair_index-${java.util.UUID.randomUUID().toString.take(8)}"
-  ).getAbsolutePath
-  private val pairIndexBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // times. Round 12 lifts it into the durable ArtifactStore (keyed by
+  // the documents files' identity): the verified pair relation (doc_a,
+  // doc_b, RAW jaccard) is materialized to parquet ONCE per corpus
+  // across processes and every later consumer reads the artifact.
+  // Sharing is sound because a doc's signature/bands depend only on its
+  // own text and jaccard(a,b) only on the two texts, so pairs(S) =
+  // pairs(full) ∩ S×S for any id subset S — q52's survivor-side pairs
+  // are exactly the artifact semi-joined to its exact-dedup survivors
+  // (TextDedupSpec pins that equality). Correctness is unaffected by
+  // construction: each oracle re-derives the full pipeline inline in
+  // SQL, so the artifact contents themselves are what the DuckDB gate
+  // value-checks.
 
-  /** The materialized verified-pair relation for `dir` (built on first
-    * use in this process; a plain parquet read afterwards — PlanSpec
-    * pins that the steady-state q17 plan is a scan of this artifact,
-    * not a re-derivation). */
+  /** The materialized verified-pair relation for `dir` (built at most
+    * once per corpus across processes; a plain parquet read afterwards
+    * — PlanSpec pins that the steady-state q17 plan is a scan of this
+    * artifact, not a re-derivation). */
   private[queries] def verifiedPairsIndexed(spark: SparkSession,
       dir: String): DataFrame = {
-    val path = pairIndexBuilt.computeIfAbsent(dir, { d =>
-      val p = pairIndexBase + "-" + Integer.toHexString(d.hashCode)
+    val path = graft.exec.ArtifactStore.ensure(spark, "neardup_pair_index",
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "documents")) { p =>
       val (pairs, cached) = graft.dedup.TextDedup.nearDuplicatePairsPlan(
-        table(spark, d, "documents"), "doc_id", "text",
+        table(spark, dir, "documents"), "doc_id", "text",
         JACCARD_MIN, NUM_HASHES)
       pairs.write.mode("overwrite").parquet(p)
       cached.foreach(_.unpersist(blocking = false))
-      p
-    })
+    }
     spark.read.parquet(path)
   }
 
@@ -992,46 +980,30 @@ object Dedup {
   // are materialized UNTHRESHOLDED once per (process, sfDir) and each
   // query is a scan + arithmetic + its own filter. Same soundness story:
   // the oracles re-derive everything inline in SQL.
-  private val rareOverlapBase: String = new java.io.File(
-    s"target/rare_overlap_stats-${java.util.UUID.randomUUID().toString.take(8)}"
-  ).getAbsolutePath
-  private val rareOverlapBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private[queries] def rareOverlapIndexed(spark: SparkSession,
       dir: String): DataFrame = {
-    val path = rareOverlapBuilt.computeIfAbsent(dir, { d =>
-      val p = rareOverlapBase + "-" + Integer.toHexString(d.hashCode)
+    val path = graft.exec.ArtifactStore.ensure(spark, "rare_overlap_stats",
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "documents")) { p =>
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val sh = shingleRows(spark, d).persist(MEMORY_AND_DISK)
+      val sh = shingleRows(spark, dir).persist(MEMORY_AND_DISK)
       val pairs = rareBlockedPairs(sh).persist(MEMORY_AND_DISK)
       val (overlap, cached) = graft.dedup.TextDedup.pairOverlapPlan(sh, pairs)
       overlap.write.mode("overwrite").parquet(p)
       (Seq(sh, pairs) ++ cached).foreach(_.unpersist(blocking = false))
-      p
-    })
+    }
     spark.read.parquet(path)
   }
 
-  // q78's per-process materialized dedup index (the q54/q71 artifact
-  // discipline: unique per JVM so concurrent processes never race an
-  // overwrite against a read; built on first use per sfDir, reused by
-  // every later invocation in the same process — Bench's steady state
-  // pays only the batch side). Stale dirs from dead processes are swept
-  // by the shared target/ sweep in Similarity.
-  private val q78IndexBase: String = new java.io.File(
-    s"target/q78_dedup_index-${java.util.UUID.randomUUID().toString.take(8)}"
-  ).getAbsolutePath
-  private val q78IndexBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
+  // q78's durable materialized dedup index (ArtifactStore: built at
+  // most once per corpus across processes, read-only afterwards — the
+  // q78 query never appends, so sharing is sound; Bench's steady state
+  // pays only the batch side).
   private def q78Index(spark: SparkSession, dir: String): String =
-    q78IndexBuilt.computeIfAbsent(dir, { d =>
-      val path = q78IndexBase + "-" + Integer.toHexString(d.hashCode)
+    graft.exec.ArtifactStore.ensure(spark, "q78_dedup_index",
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "documents")) { path =>
       graft.dedup.TextDedup.buildDedupIndex(
-        q78Split(spark, d)._1, "doc_id", "text", path)
-      path
-    })
+        q78Split(spark, dir)._1, "doc_id", "text", path)
+    }
 
   /** q73's stat block over a canonical (doc_a < doc_b) edge relation:
     * degree histogram (`deg_<d>` rows — hubs INCLUDED, surfacing them is

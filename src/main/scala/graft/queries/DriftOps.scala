@@ -59,9 +59,11 @@ object DriftOps {
           FROM refx GROUP BY event_type),
         b AS (
           SELECT e.event_type,
-                 LEAST(${BUCKETS - 1}, GREATEST(0, CAST(floor(
-                   (e.value - g.vmin) * $BUCKETS.0 / (g.vmax - g.vmin))
-                   AS INT))) AS bucket,
+                 CASE WHEN g.vmax > g.vmin THEN
+                   LEAST(${BUCKETS - 1}, GREATEST(0, CAST(floor(
+                     (e.value - g.vmin) * $BUCKETS.0 / (g.vmax - g.vmin))
+                     AS INT)))
+                 ELSE 0 END AS bucket,
                  (e.us < (SELECT m FROM mid)) AS is_ref
           FROM ev e JOIN edges g USING (event_type)),
         cnts AS (
@@ -118,7 +120,8 @@ object DriftOps {
                  * (cc - (SELECT nc FROM tot) * 1.0 * cr / (SELECT nr FROM tot))
                  / ((SELECT nc FROM tot) * 1.0 * cr / (SELECT nr FROM tot))
                  * 1000000 + 0.5) AS BIGINT) AS chi2_micros
-        FROM cnts WHERE cr > 0 ORDER BY event_type"""
+        FROM cnts WHERE cr > 0 AND (SELECT nc FROM tot) > 0
+        ORDER BY event_type"""
 
   val defs: Seq[Q] = Seq(
 
@@ -211,6 +214,62 @@ object DriftOps {
       }),
 
     // ------------------------------------------------------------------
+    // q123: TWO-SAMPLE KOLMOGOROV-SMIRNOV drift on the raw value
+    // distribution per event_type — the remaining conventional monitor
+    // next to PSI (bucketed) and chi² (categorical): KS needs no bucket
+    // choice and is sensitive to ANY distributional change, the test a
+    // monitoring stack runs when bucket edges themselves are suspect.
+    // D = sup_x |F_ref(x) − F_cur(x)| over the combined jump points:
+    // per (type, value) side counts, cumulative sums by value order,
+    // max of the per-point |ΔCDF|. Scale shape: the events scan reduces
+    // to (type, value, cr, cc) counts (distinct-value-bounded, with
+    // map-side combine); the cumulative window and max run there, never
+    // corpus-sized. Determinism: per-point counts are integers, the
+    // CDF difference is one double expression identical on both
+    // engines, micro-snapped BEFORE the max so the BIGINT max is exact
+    // cross-engine. Types with an empty half are dropped (a CDF over
+    // zero samples is undefined) — predicate mirrored in the oracle.
+    Q("q123_ks_drift",
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) AS us, value FROM events),
+        mm AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+        mid AS (SELECT mn + (mx - mn) // 2 AS m FROM mm),
+        cnts AS (
+          SELECT event_type, value,
+                 sum(CASE WHEN us < (SELECT m FROM mid) THEN 1 ELSE 0 END)
+                   AS cr,
+                 sum(CASE WHEN us < (SELECT m FROM mid) THEN 0 ELSE 1 END)
+                   AS cc
+          FROM ev GROUP BY event_type, value),
+        tot AS (
+          SELECT event_type, sum(cr) AS nr, sum(cc) AS nc
+          FROM cnts GROUP BY event_type),
+        cum AS (
+          SELECT event_type, value,
+                 sum(cr) OVER (PARTITION BY event_type ORDER BY value
+                               ROWS UNBOUNDED PRECEDING) AS crc,
+                 sum(cc) OVER (PARTITION BY event_type ORDER BY value
+                               ROWS UNBOUNDED PRECEDING) AS ccc
+          FROM cnts),
+        pts AS (
+          SELECT c.event_type,
+                 floor(abs(c.crc * 1.0 / t.nr - c.ccc * 1.0 / t.nc)
+                       * 1000000 + 0.5) AS m,
+                 t.nr, t.nc
+          FROM cum c JOIN tot t ON c.event_type = t.event_type
+          WHERE t.nr > 0 AND t.nc > 0)
+        SELECT event_type,
+               CAST(max(m) AS BIGINT) AS ks_micros,
+               CAST(min(nr) AS BIGINT) AS n_ref,
+               CAST(min(nc) AS BIGINT) AS n_cur
+        FROM pts GROUP BY event_type ORDER BY event_type"""),
+      run = (spark, dir) =>
+        ksDrift(table(spark, dir, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"),
+            col("value")))),
+
+    // ------------------------------------------------------------------
     // q114: chi-square categorical drift on the event-type mix. Expected
     // current count per type = N_cur × (reference share); the statistic
     // is Σ (observed − expected)²/expected, micro-snapped per type.
@@ -227,7 +286,8 @@ object DriftOps {
     * split both drift queries share (integer arithmetic, exact). */
   private[queries] def timeMid(ev: DataFrame): Long = {
     val mm = ev.agg(min("us").as("mn"), max("us").as("mx")).head()
-    mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    if (mm.isNullAt(0)) 0L // empty window: callers then report no rows
+    else mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
   }
 
   /** Per-type reference bucket edges for the half before `mid`: a
@@ -241,11 +301,19 @@ object DriftOps {
 
   /** Equal-width bucket index for a `value` column against joined-in
     * vmin/vmax edge columns — the identical literal expression the
-    * oracle uses, so the doubles (and the floor) are bit-identical. */
+    * oracle uses, so the doubles (and the floor) are bit-identical.
+    * A degenerate reference window (every value equal — the classic
+    * stuck-feed scenario a drift monitor exists to catch) has zero
+    * width: the division would be NaN/Infinity, which Spark casts to
+    * bucket 0 while DuckDB errors on the CAST — so both engines define
+    * that edge case explicitly as bucket 0 (current values then land in
+    * one bucket and PSI correctly reports the shift). */
   private[queries] def bucketCol: org.apache.spark.sql.Column =
-    least(lit(BUCKETS - 1), greatest(lit(0),
-      floor((col("value") - col("vmin")) * lit(BUCKETS.toDouble) /
-        (col("vmax") - col("vmin"))).cast("int")))
+    when(col("vmax") > col("vmin"),
+      least(lit(BUCKETS - 1), greatest(lit(0),
+        floor((col("value") - col("vmin")) * lit(BUCKETS.toDouble) /
+          (col("vmax") - col("vmin"))).cast("int"))))
+      .otherwise(lit(0))
 
   /** PSI arithmetic over a combined (event_type, bucket, cr, cc) counts
     * relation: fill the |types|×BUCKETS spine, smooth, micro-snap each
@@ -288,6 +356,34 @@ object DriftOps {
     psiFinish(edges, cnts)
   }
 
+  /** q123's pipeline over any (event_type, us, value) frame. */
+  private[queries] def ksDrift(ev: DataFrame): DataFrame = {
+    val mid = timeMid(ev)
+    val cnts = ev
+      .groupBy("event_type", "value")
+      .agg(sum(when(col("us") < mid, 1L).otherwise(0L)).as("cr"),
+        sum(when(col("us") < mid, 0L).otherwise(1L)).as("cc"))
+    val tot = cnts.groupBy("event_type")
+      .agg(sum("cr").as("nr"), sum("cc").as("nc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("value")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cnts
+      .withColumn("crc", sum("cr").over(w))
+      .withColumn("ccc", sum("cc").over(w))
+      .join(tot, "event_type")
+      .filter(col("nr") > 0 && col("nc") > 0)
+      .select(col("event_type"),
+        floor(abs(col("crc") * lit(1.0) / col("nr") -
+          col("ccc") * lit(1.0) / col("nc")) * 1000000 + 0.5).as("m"),
+        col("nr"), col("nc"))
+      .groupBy("event_type")
+      .agg(max("m").cast("long").as("ks_micros"),
+        min("nr").cast("long").as("n_ref"),
+        min("nc").cast("long").as("n_cur"))
+      .orderBy("event_type")
+  }
+
   /** q114's pipeline over any (event_type, us) frame. */
   private[queries] def chi2Drift(ev: DataFrame): DataFrame = {
     val mid = timeMid(ev)
@@ -301,10 +397,18 @@ object DriftOps {
     * queries so the two cannot diverge (the psiFinish convention). */
   private[queries] def chi2Finish(cntsIn: DataFrame): DataFrame = {
     val cnts = cntsIn.persist()
-    val t = cnts.agg(sum("cr"), sum("cc")).head()
+    // coalesce the driver-side sums: an EMPTY counts relation (no events
+    // in either window) sums to null — report cleanly, don't NPE
+    val t = cnts.agg(coalesce(sum("cr"), lit(0L)),
+      coalesce(sum("cc"), lit(0L))).head()
     val (nr, nc) = (t.getLong(0), t.getLong(1))
     val e = lit(nc) * lit(1.0) * col("cr") / lit(nr)
-    val out = cnts.filter(col("cr") > 0)
+    // cr > 0 keeps the expectation's denominator live (nr ≥ cr > 0);
+    // nc > 0 keeps the expectation itself nonzero — an entirely empty
+    // CURRENT half would otherwise divide by e = 0 (Spark Infinity →
+    // Long.MaxValue; DuckDB a CAST error). The oracle carries the
+    // identical predicate, so both engines drop the undefined rows.
+    val out = cnts.filter(col("cr") > 0 && lit(nc) > 0)
       .select(col("event_type"),
         col("cr").cast("long").as("n_ref"),
         col("cc").cast("long").as("n_cur"),

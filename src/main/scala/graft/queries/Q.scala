@@ -40,7 +40,8 @@ object Registry {
     Relational.defs ++ WindowQueries.defs ++ Dedup.defs ++
       Similarity.defs ++ TextAnalysis.defs ++ Multimodal.defs ++
       StreamingQueries.defs ++ MlQueries.defs ++ ScaleOps.defs ++
-      EtlPipeline.defs ++ CurationOps.defs ++ GraphOps.defs ++ DriftOps.defs
+      EtlPipeline.defs ++ CurationOps.defs ++ GraphOps.defs ++
+      DriftOps.defs ++ BpeTrain.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

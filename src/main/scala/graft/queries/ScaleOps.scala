@@ -15,22 +15,38 @@ import graft.operators.SkewJoin
   */
 object ScaleOps {
 
-  /** Per-process suffix for q92's bucketed-table names and storage (the
-    * q54/q71 artifact discipline: concurrent Bench and Verify on one
-    * checkout must never read each other's half-written lake). */
-  private val runToken: String =
-    java.util.UUID.randomUUID().toString.filterNot(_ == '-').take(8)
-
-  private def q92LakeDir: String =
-    new java.io.File(s"target/q92_lake-$runToken").getAbsolutePath
-
-  /** Short stable tag for an sf directory, so one process can hold
-    * bucketed tables for several scale factors side by side (specs at
-    * sf0.001 and a Verify at sf0.01 share the session catalog). */
-  private def dirTag(dir: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8"))
-    d.take(4).map("%02x".format(_)).mkString
+  /** q92's bucketed lake, durable in the ArtifactStore: built at most
+    * once per corpus ACROSS processes (bucketBy can only write through
+    * the catalog, so the build registers throwaway external tables
+    * pointing into the store's tmp dir and drops them — external drops
+    * keep the files, which then publish atomically). Readers register a
+    * catalog entry over the published files via CREATE TABLE ...
+    * CLUSTERED BY ... LOCATION DDL — bucket identity lives in the file
+    * names, so a table declared over pre-existing bucketed files keeps
+    * the shuffle-free join property (PlanSpec pins it). Returns the
+    * published lake path; `key` doubles as the catalog-name suffix so
+    * one session can hold lakes for several scale factors. */
+  private def q92Lake(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val key = graft.exec.ArtifactStore.sourceKey(spark, dir, "lineitem", "orders")
+    val lake = graft.exec.ArtifactStore.ensure(spark, "q92_lake", key) { tmp =>
+      val tl = s"graft_q92_build_l_$key"
+      val to = s"graft_q92_build_o_$key"
+      table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/lineitem")
+        .mode("overwrite").saveAsTable(tl)
+      table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+        .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/orders")
+        .mode("overwrite").saveAsTable(to)
+      spark.sql(s"DROP TABLE IF EXISTS $tl")
+      spark.sql(s"DROP TABLE IF EXISTS $to")
+      ()
+    }
+    (lake, key)
   }
 
   val defs: Seq[Q] = Seq(
@@ -385,22 +401,22 @@ object ScaleOps {
         GROUP BY o_orderpriority, o_year
         ORDER BY o_orderpriority, o_year"""),
       run = (spark, dir) => {
-        val tag = dirTag(dir)
-        val lTab = s"graft_q92_lineitem_${runToken}_$tag"
-        val oTab = s"graft_q92_orders_${runToken}_$tag"
+        val (lake, key) = q92Lake(spark, dir)
+        val lTab = s"graft_q92_lineitem_$key"
+        val oTab = s"graft_q92_orders_$key"
+        // column DDL derived from the published files themselves, so the
+        // declared schema can never drift from what the build wrote
         if (!spark.catalog.tableExists(lTab)) {
-          table(spark, dir, "lineitem")
-            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-            .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
-            .option("path", s"$q92LakeDir/$tag/lineitem")
-            .mode("overwrite").saveAsTable(lTab)
+          val cols = spark.read.parquet(s"$lake/lineitem").schema.toDDL
+          spark.sql(s"""CREATE TABLE $lTab ($cols) USING parquet
+            CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) INTO 16 BUCKETS
+            LOCATION '$lake/lineitem'""")
         }
         if (!spark.catalog.tableExists(oTab)) {
-          table(spark, dir, "orders")
-            .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
-            .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
-            .option("path", s"$q92LakeDir/$tag/orders")
-            .mode("overwrite").saveAsTable(oTab)
+          val cols = spark.read.parquet(s"$lake/orders").schema.toDDL
+          spark.sql(s"""CREATE TABLE $oTab ($cols) USING parquet
+            CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) INTO 16 BUCKETS
+            LOCATION '$lake/orders'""")
         }
         // hint("merge") keeps the small side from broadcasting at test
         // scale — the point is the co-located SortMergeJoin the layout
@@ -447,12 +463,12 @@ object ScaleOps {
         GROUP BY l_shipyear
         ORDER BY l_shipyear"""),
       run = (spark, dir) => {
-        val path = s"$q92LakeDir/${dirTag(dir)}/lineitem_by_year"
-        if (!new java.io.File(path).isDirectory) {
+        val path = graft.exec.ArtifactStore.ensure(spark, "q97_lake",
+          graft.exec.ArtifactStore.sourceKey(spark, dir, "lineitem")) { tmp =>
           table(spark, dir, "lineitem")
             .select(col("l_extendedprice"), col("l_discount"),
               year(col("l_shipdate")).cast("long").as("l_shipyear"))
-            .write.partitionBy("l_shipyear").mode("overwrite").parquet(path)
+            .write.partitionBy("l_shipyear").mode("overwrite").parquet(tmp)
         }
         val fact = spark.read.parquet(path)
           .select(col("l_shipyear").cast("long").as("l_shipyear"),

@@ -68,56 +68,27 @@ object Similarity {
   private val q54KeyCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** One token per JVM: the q54/q71 artifact paths are unique per
-    * PROCESS, so two concurrent invocations on the same checkout (Bench
-    * and Verify, say) each write and read their own directory — an
-    * overwrite can never interleave with another process's read. Within
-    * the process the path is stable, which is what lets q54 reuse its
-    * codebook across Bench's repeated runs. */
-  private val runToken: String =
-    java.util.UUID.randomUUID().toString.take(8)
-
   /** Where q54 materializes its trained codebook so the DuckDB oracle can
     * replay the identical search over the identical centroids (KMeans
     * centers aren't SQL-reproducible; the search given a codebook is).
-    * The oracle is a static SQL string interpolated at class-load, so
-    * engine and oracle of ONE process always agree on the ABSOLUTE path;
-    * the `runToken` suffix keeps separate processes apart (the driver
-    * runs Verify, then DuckDB replays oracle_sql.json against the paths
-    * that Verify run baked in). GRAFT_Q54_CENTROIDS_DIR pins a fixed
-    * path instead — that override is a documented single-writer
-    * arrangement. */
+    * The oracle is a static SQL string interpolated at class-load, so the
+    * path must be process-independent AND known before any query runs —
+    * hence [[graft.exec.ArtifactStore.fixedPath]] (one stable dir under
+    * the store's configurable root, relocatable to a cluster FS with one
+    * env var) rather than a content-keyed `ensure` entry. Staleness is
+    * `ensureCodebook`'s own key-sidecar check; cross-process reuse is
+    * free (the sidecar matches), and the write side is the documented
+    * single-writer arrangement. GRAFT_Q54_CENTROIDS_DIR still pins an
+    * explicit path when a deployment wants one. */
   private[queries] val TrainedCentroidsPath: String =
     sys.env.getOrElse("GRAFT_Q54_CENTROIDS_DIR",
-      new java.io.File(s"target/q54_centroids-$runToken").getAbsolutePath)
+      graft.exec.ArtifactStore.fixedPath("q54_centroids"))
 
-  /** q71's materialized LSH index location (same cwd/env/per-process
+  /** q71's materialized LSH index location (same static-oracle/env
     * discipline as [[TrainedCentroidsPath]]). */
   private[queries] val LshIndexPath: String =
     sys.env.getOrElse("GRAFT_Q71_INDEX_DIR",
-      new java.io.File(s"target/q71_lsh_index-$runToken").getAbsolutePath)
-
-  // best-effort sweep of per-run artifact dirs left by PREVIOUS processes
-  // (>6 h old — far beyond any live capture) so repeated rounds don't
-  // accrete stale indexes under target/
-  locally {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
-    // token-suffixed dirs from previous processes, plus the legacy
-    // un-suffixed names earlier rounds wrote at the fixed path; also
-    // covers q78's per-process dedup index (same discipline, built in
-    // graft.queries.Dedup)
-    for (prefix <- Seq("q54_centroids", "q71_lsh_index", "q78_dedup_index",
-           "neardup_pair_index", "bigram_lm_scores", "rare_overlap_stats",
-           "copurchase_edges", "ppjoin_index");
-         dir <- Option(new java.io.File("target").listFiles()).getOrElse(Array.empty)
-         if (dir.getName == prefix || dir.getName.startsWith(prefix + "-")) &&
-           dir.lastModified() < cutoff)
-      try rm(dir) catch { case _: Exception => () }
-  }
+      graft.exec.ArtifactStore.fixedPath("q71_lsh_index"))
 
   /** Nearest-cell argmax assignment and per-query nprobe cells — the
     * partial-aggregate shapes shared with the library API (one

@@ -23,9 +23,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * the generated code call, so the two paths cannot diverge.
   *
   * Null contract: null input array → null result (BinaryExpression
-  * default); null ELEMENTS are not part of the contract (inputs are
-  * hash arrays by construction) and are rejected by the Long
-  * extraction.
+  * default); null ELEMENTS follow `array_intersect` exactly — null is
+  * one distinct value, counted when present on BOTH sides. The engine's
+  * own inputs are hash arrays that never contain null, so the null scan
+  * short-circuits into the primitive fast path; the slow path exists
+  * because the expression is registered as a PUBLIC SQL function and
+  * arbitrary user arrays must not surface an opaque executor exception.
   */
 case class IntersectCount(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -57,13 +60,39 @@ object IntersectCountUtil {
     if (i < a.length) java.util.Arrays.sort(a)
   }
 
+  private def hasNull(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
+  private def nonNulls(a: ArrayData): Array[Long] = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) { out(k) = a.getLong(i); k += 1 }
+      i += 1
+    }
+    if (k == n) out else java.util.Arrays.copyOf(out, k)
+  }
+
   /** |distinct(a) ∩ distinct(b)| by merge over primitive copies.
     * Pre-sorted inputs (the q118 index stores its hash arrays sorted)
     * skip the sort after one linear check — the per-pair cost over
     * millions of candidate pairs is then the merge alone. */
-  def count(x: ArrayData, y: ArrayData): Long = {
-    val a = x.toLongArray()
-    val b = y.toLongArray()
+  def count(x: ArrayData, y: ArrayData): Long =
+    if (hasNull(x) || hasNull(y))
+      // array_intersect semantics: null is one distinct value, common
+      // only when both sides carry it
+      merge(nonNulls(x), nonNulls(y)) +
+        (if (hasNull(x) && hasNull(y)) 1L else 0L)
+    else
+      merge(x.toLongArray(), y.toLongArray())
+
+  private def merge(a: Array[Long], b: Array[Long]): Long = {
     ensureSorted(a)
     ensureSorted(b)
     var i = 0

@@ -49,6 +49,25 @@ class GraftFunctionsSpec extends AnyFunSuite with Matchers with SparkTestSession
       .collect().head.isNullAt(0) shouldBe true
   }
 
+  test("graft_intersect_count tolerates null ELEMENTS exactly like " +
+    "size(array_intersect) — it is a public SQL function") {
+    GraftFunctions.register(spark)
+    // null on both sides counts once; one-sided null never counts;
+    // and the non-null overlap is unaffected (the round-11 ADVICE
+    // finding: a null element must not surface an executor exception)
+    val df = spark.range(3).selectExpr(
+      "graft_intersect_count(array(1L, NULL, 2L, NULL), array(NULL, 2L)) AS both_null",
+      "graft_intersect_count(array(1L, NULL, 2L), array(2L, 3L)) AS one_null",
+      "CAST(size(array_intersect(array(1L, NULL, 2L, NULL), array(NULL, 2L))) AS BIGINT) AS ref_both",
+      "CAST(size(array_intersect(array(1L, NULL, 2L), array(2L, 3L))) AS BIGINT) AS ref_one")
+    df.collect().foreach { r =>
+      r.getLong(0) shouldBe r.getLong(2)
+      r.getLong(1) shouldBe r.getLong(3)
+      r.getLong(0) shouldBe 2L // {null, 2}
+      r.getLong(1) shouldBe 1L // {2}
+    }
+  }
+
   test("graft_intersect_count participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     // project over range so a codegen stage exists (a literal-only
