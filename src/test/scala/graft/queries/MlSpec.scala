@@ -9,9 +9,9 @@ import graft.SparkTestSession
   * records rows-only; this spec is their correctness gate). */
 class MlSpec extends AnyFunSuite with Matchers with SparkTestSession {
 
-  test("q28: schema, AUC range, determinism across runs") {
-    val run = Registry.queries("q28_lr_coefficients")
-    val a = run(spark, sf0001).collect()
+  test("q28: coefficient-table schema, AUC range, determinism across runs") {
+    def run() = MlQueries.lrCoefficientTable(spark, sf0001)
+    val a = run().collect()
     a.map(_.getString(0)).toSeq shouldBe
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "intercept", "auc")
     val auc = a.last.getDouble(1)
@@ -21,8 +21,21 @@ class MlSpec extends AnyFunSuite with Matchers with SparkTestSession {
     // model quality on real data is pinned by GdeltGoldenSpec (AUC 0.72)
     auc should be > 0.4
     auc should be <= 1.0
-    val b = run(spark, sf0001).collect()
+    val b = run().collect()
     a.map(_.getDouble(1)).toSeq shouldBe b.map(_.getDouble(1)).toSeq
+  }
+
+  test("q28 registered row: anchors match the table and both validation " +
+    "flags hold (the oracle's literal-TRUE contract, checked here at " +
+    "sf0.001 — the driver gate re-checks at its own SF)") {
+    val r = Registry.queries("q28_lr_coefficients")(spark, sf0001)
+      .collect().head
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    r.getLong(0) shouldBe li.count()
+    r.getLong(1) shouldBe
+      li.filter(org.apache.spark.sql.functions.col("l_returnflag") === "R").count()
+    withClue("grad_optimal: ") { r.getBoolean(2) shouldBe true }
+    withClue("auc_matches_exact: ") { r.getBoolean(3) shouldBe true }
   }
 
   test("q28 value check: coefficients satisfy the regularized optimality " +
@@ -44,7 +57,7 @@ class MlSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .map(r => (r.getDouble(0), Array(r.getDouble(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4))))
     val n = rows.length.toDouble
-    val out = Registry.queries("q28_lr_coefficients")(spark, sf0001)
+    val out = MlQueries.lrCoefficientTable(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val beta = Array(out("l_quantity"), out("l_extendedprice"),
       out("l_discount"), out("l_tax"))
@@ -116,7 +129,7 @@ class MlSpec extends AnyFunSuite with Matchers with SparkTestSession {
       id -> scored.sortBy { case (t, v) => (-v, t) }.take(5).map(_._1)
         .mkString(", ")
     }.toMap
-    val got = Registry.queries("q29_tfidf_bigrams")(spark, sf0001)
+    val got = MlQueries.tfidfTopTerms(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getString(1))
     got.length shouldBe docs.length
     got.foreach { case (id, terms) =>
@@ -125,17 +138,28 @@ class MlSpec extends AnyFunSuite with Matchers with SparkTestSession {
   }
 
   test("q29: one row per document, top terms non-empty, deterministic") {
-    val run = Registry.queries("q29_tfidf_bigrams")
-    val a = run(spark, sf0001).collect()
+    def run() = MlQueries.tfidfTopTerms(spark, sf0001)
+    val a = run().collect()
     val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
     a.length.toLong shouldBe nDocs
     all(a.map(_.getString(1))) should not be empty
     // bigram sanity: each term is two whitespace-joined tokens
     val firstTerms = a.head.getString(1).split(", ")
     all(firstTerms.map(_.split(" ").length)) shouldBe 2
-    val b = run(spark, sf0001).collect()
+    val b = run().collect()
     a.map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
       b.map(r => (r.getLong(0), r.getString(1))).toSeq
+  }
+
+  test("q29 registered row: every document's ml top-5 equals the " +
+    "relational re-derivation (the oracle's literal-TRUE contract)") {
+    val rows = Registry.queries("q29_tfidf_bigrams")(spark, sf0001).collect()
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    rows.length.toLong shouldBe nDocs
+    val bad = rows.filterNot(_.getBoolean(1)).map(_.getLong(0))
+    withClue(s"disagreeing docs ${bad.take(10).toSeq}: ") {
+      bad shouldBe empty
+    }
   }
 
   test("q34 scale path: approx_percentile tracks the exact percentiles") {
