@@ -826,63 +826,71 @@ object Dedup {
               (x.n + y.n - len(list_intersect(x.hs, y.hs)))
               >= $NGRAM_JACCARD_MIN
         ORDER BY doc_a, doc_b"""),
-      run = (spark, dir) => {
-        val t = NGRAM_JACCARD_MIN
-        val idx = q118Index(spark, dir)
-        val pref = spark.read.parquet(s"$idx/pref")
-        val shArr = spark.read.parquet(s"$idx/sharr")
-        // candidate join with the PPJoin length + positional filters:
-        // a true pair's overlap o >= ceil(t(na+nb)/(1+t)) and beyond the
-        // first shared element only min(na-rk_a, nb-rk_b) shared
-        // elements can remain - both bounds hold at the globally-
-        // smallest shared element, so recall stays perfect while the
-        // measured sf0.1 candidate count drops 522k -> 205k
-        val pairs = pref.as("a")
-          .join(pref.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-              col("a.n") >= ceil(lit(t) * col("b.n")) &&
-              col("b.n") >= ceil(lit(t) * col("a.n")) &&
-              (lit(1) + least(col("a.n") - col("a.rk"),
-                col("b.n") - col("b.rk"))) >=
-                ceil(lit(t) * (col("a.n") + col("b.n")) / lit(1 + t)))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        // array-intersect verify over 56-BIT HASH arrays (the q102
-        // "strings never shuffle" discipline): every stage of this
-        // query - canonical order, prefix join, verify - runs in the
-        // hash domain, so exchanges carry longs and the intersect
-        // compares longs, not ~30-char shingle strings (measured 115s
-        // -> see PERF.md at the 10x replica, where the planted copy
-        // families grow candidates ~45x). Both engines hash with the
-        // same md5 half, so the hashed Jaccard is IDENTICAL across
-        // engines even in the (astronomically unlikely) collision
-        // case - the gate compares the same quantity.
-        val jac = pairs
-          .join(shArr.select(col("doc_id").as("doc_a"),
-            col("harr").as("ha"), col("nsh").as("na")), "doc_a")
-          .join(shArr.select(col("doc_id").as("doc_b"),
-            col("harr").as("hb"), col("nsh").as("nb")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            // native codegen sort+merge count — semantically
-            // size(array_intersect) but allocation-free per row
-            // (org.apache.spark.sql.graft.IntersectCount)
-            org.apache.spark.sql.graft.SetExprs
-              .intersectCount(col("ha"), col("hb")).as("ni"),
-            col("na"), col("nb"))
-          .filter(col("ni").cast("double") /
-            (col("na") + col("nb") - col("ni")).cast("double") >= t)
-          .select(col("doc_a"), col("doc_b"),
-            round(col("ni").cast("double") /
-              (col("na") + col("nb") - col("ni")).cast("double"), 4)
-              .as("jaccard"))
+      run = (spark, dir) =>
         // localize BEFORE the total order: a global orderBy without a
         // limit plans a range sort whose partitioner SAMPLES the child -
         // executing this whole join pipeline twice (measured 13.2s ->
         // 3.4s). The verified pair set is result-sized; sort it as a
         // local relation.
-        Q.localized(jac).orderBy(col("doc_a"), col("doc_b"))
-      })
+        Q.localized(q118PairsPlan(spark, dir))
+          .orderBy(col("doc_a"), col("doc_b")))
   )
+
+  /** q118's full candidate-join + verify pipeline, pre-localization —
+    * exposed so PlanSpec can pin the executed shape (steady-state index
+    * scan, hash-only exchanges, codegen intersect-count verify). */
+  private[queries] def q118PairsPlan(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = NGRAM_JACCARD_MIN
+    val idx = q118Index(spark, dir)
+    val pref = spark.read.parquet(s"$idx/pref")
+    val shArr = spark.read.parquet(s"$idx/sharr")
+    // candidate join with the PPJoin length + positional filters:
+    // a true pair's overlap o >= ceil(t(na+nb)/(1+t)) and beyond the
+    // first shared element only min(na-rk_a, nb-rk_b) shared
+    // elements can remain - both bounds hold at the globally-
+    // smallest shared element, so recall stays perfect while the
+    // measured sf0.1 candidate count drops 522k -> 205k
+    val pairs = pref.as("a")
+      .join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") >= ceil(lit(t) * col("b.n")) &&
+          col("b.n") >= ceil(lit(t) * col("a.n")) &&
+          (lit(1) + least(col("a.n") - col("a.rk"),
+            col("b.n") - col("b.rk"))) >=
+            ceil(lit(t) * (col("a.n") + col("b.n")) / lit(1 + t)))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // array-intersect verify over 56-BIT HASH arrays (the q102
+    // "strings never shuffle" discipline): every stage of this
+    // query - canonical order, prefix join, verify - runs in the
+    // hash domain, so exchanges carry longs and the intersect
+    // compares longs, not ~30-char shingle strings (measured 115s
+    // -> see PERF.md at the 10x replica, where the planted copy
+    // families grow candidates ~45x). Both engines hash with the
+    // same md5 half, so the hashed Jaccard is IDENTICAL across
+    // engines even in the (astronomically unlikely) collision
+    // case - the gate compares the same quantity.
+    val jac = pairs
+      .join(shArr.select(col("doc_id").as("doc_a"),
+        col("harr").as("ha"), col("nsh").as("na")), "doc_a")
+      .join(shArr.select(col("doc_id").as("doc_b"),
+        col("harr").as("hb"), col("nsh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        // native codegen sort+merge count — semantically
+        // size(array_intersect) but allocation-free per row
+        // (org.apache.spark.sql.graft.IntersectCount)
+        org.apache.spark.sql.graft.SetExprs
+          .intersectCount(col("ha"), col("hb")).as("ni"),
+        col("na"), col("nb"))
+      .filter(col("ni").cast("double") /
+        (col("na") + col("nb") - col("ni")).cast("double") >= t)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double"), 4)
+          .as("jaccard"))
+    jac
+  }
 
   /** q118's durable PPJoin index (ArtifactStore, keyed by the documents
     * files' identity): the inverted prefix index `pref` (doc_id, s, n,

@@ -230,7 +230,28 @@ object DriftOps {
     // cross-engine. Types with an empty half are dropped (a CDF over
     // zero samples is undefined) — predicate mirrored in the oracle.
     Q("q123_ks_drift",
-      oracle = Some(s"""
+      oracle = Some(ksOracleSql),
+      run = (spark, dir) =>
+        ksDrift(table(spark, dir, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"),
+            col("value")))),
+
+    // ------------------------------------------------------------------
+    // q114: chi-square categorical drift on the event-type mix. Expected
+    // current count per type = N_cur × (reference share); the statistic
+    // is Σ (observed − expected)²/expected, micro-snapped per type.
+    // Types absent from the reference half have no defined expectation
+    // (inner join on reference counts — documented contract).
+    Q("q114_chi2_drift",
+      oracle = Some(chi2OracleSql),
+      run = (spark, dir) =>
+        chi2Drift(table(spark, dir, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"))))
+  )
+
+  /** q123's (and streaming q124's) oracle — one SQL replay gates both,
+    * the psiOracleSql convention. */
+  private[queries] def ksOracleSql: String = s"""
         WITH ev AS (
           SELECT event_type, epoch_us(ts) AS us, value FROM events),
         mm AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
@@ -263,24 +284,7 @@ object DriftOps {
                CAST(max(m) AS BIGINT) AS ks_micros,
                CAST(min(nr) AS BIGINT) AS n_ref,
                CAST(min(nc) AS BIGINT) AS n_cur
-        FROM pts GROUP BY event_type ORDER BY event_type"""),
-      run = (spark, dir) =>
-        ksDrift(table(spark, dir, "events")
-          .select(col("event_type"), unix_micros(col("ts")).as("us"),
-            col("value")))),
-
-    // ------------------------------------------------------------------
-    // q114: chi-square categorical drift on the event-type mix. Expected
-    // current count per type = N_cur × (reference share); the statistic
-    // is Σ (observed − expected)²/expected, micro-snapped per type.
-    // Types absent from the reference half have no defined expectation
-    // (inner join on reference counts — documented contract).
-    Q("q114_chi2_drift",
-      oracle = Some(chi2OracleSql),
-      run = (spark, dir) =>
-        chi2Drift(table(spark, dir, "events")
-          .select(col("event_type"), unix_micros(col("ts")).as("us"))))
-  )
+        FROM pts GROUP BY event_type ORDER BY event_type"""
 
   /** Time midpoint of an epoch-micros column — the reference/current
     * split both drift queries share (integer arithmetic, exact). */
@@ -359,10 +363,18 @@ object DriftOps {
   /** q123's pipeline over any (event_type, us, value) frame. */
   private[queries] def ksDrift(ev: DataFrame): DataFrame = {
     val mid = timeMid(ev)
-    val cnts = ev
+    ksFinish(ev
       .groupBy("event_type", "value")
       .agg(sum(when(col("us") < mid, 1L).otherwise(0L)).as("cr"),
-        sum(when(col("us") < mid, 0L).otherwise(1L)).as("cc"))
+        sum(when(col("us") < mid, 0L).otherwise(1L)).as("cc")))
+  }
+
+  /** KS arithmetic over a combined (event_type, value, cr, cc) counts
+    * relation: per-type totals, cumulative CDFs by value order, |ΔCDF|
+    * micro-snapped per jump point BEFORE the max. Shared by q123 (batch)
+    * and q124 (streaming) so the monitors cannot diverge — the
+    * psiFinish/chi2Finish convention. */
+  private[queries] def ksFinish(cnts: DataFrame): DataFrame = {
     val tot = cnts.groupBy("event_type")
       .agg(sum("cr").as("nr"), sum("cc").as("nc"))
     val w = org.apache.spark.sql.expressions.Window

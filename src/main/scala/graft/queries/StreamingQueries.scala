@@ -503,8 +503,9 @@ object StreamingQueries {
     // FIXED at buckets × capacity however many distinct tokens flow by),
     // the FINAL per-bucket summaries (max update-seq per bucket)
     // nominate candidates, and only those are exactly recounted batch-
-    // side via a broadcast semi-join — no driver-side candidate ship at
-    // all, improving on q89's collect. The result is EXACT top-20, which
+    // side via SketchVerify.exactTopK — the shared broadcast-semi-join
+    // finish tail q89 uses, so the streaming monitor and its batch
+    // sibling share one verify contract. The result is EXACT top-20, which
     // is why plain GROUP-BY SQL can hash-gate a sketch-driven streaming
     // pipeline: SpaceSaving's no-false-negative guarantee holds at
     // bucket granularity (floor n_bucket/512) ACROSS micro-batches —
@@ -548,18 +549,13 @@ object StreamingQueries {
               .withColumn("mx", max(col("seq")).over(wB))
               .where(col("seq") === col("mx"))
               .select(col("item").as("token")).distinct()
-            val exact = graft.io.Tables.table(spark, dir, "documents")
+            val occ = graft.io.Tables.table(spark, dir, "documents")
               .select(explode(
                 graft.functions.TextFns.tokens(col("text"))).as("token"))
-              .join(broadcast(cands), Seq("token"), "left_semi")
-              .groupBy(col("token")).agg(count(lit(1)).as("n"))
-              .orderBy(col("n").desc, col("token")).limit(20)
-            val wR = org.apache.spark.sql.expressions.Window
-              .orderBy(col("n").desc, col("token"))
-            exact
-              .withColumn("rank", row_number().over(wR).cast("long"))
-              .select(col("rank"), col("token"), col("n"))
-              .orderBy(col("rank"))
+            // the shared SketchVerify finish tail — identical to q89's,
+            // so the streaming monitor and the batch query cannot
+            // diverge in how candidates are recounted and ranked
+            graft.queries.SketchVerify.exactTopK(occ, cands, "token", 20)
           }
         } finally prevProv match {
           case Some(v) => spark.conf.set(provKey, v)
@@ -635,6 +631,45 @@ object StreamingQueries {
             refCnts.join(sink.select("event_type", "cc"),
                 Seq("event_type"), "full_outer")
               .select(col("event_type"),
+                coalesce(col("cr"), lit(0L)).as("cr"),
+                coalesce(col("cc"), lit(0L)).as("cc")))
+        }
+      }),
+
+    // ------------------------------------------------------------------
+    // q124: STREAMING KOLMOGOROV-SMIRNOV DRIFT — q123's bucket-free
+    // statistic on a live stream, completing the live monitor family
+    // (q117 numeric-bucketed PSI, q121 categorical chi², q124 raw-value
+    // KS) over one frozen reference split. Frozen side: per-(type,
+    // value) reference counts, batch-derived and localized. Live side:
+    // a complete-mode groupBy(type, value) count — state is one row per
+    // OBSERVED VALUE-LATTICE CELL, not per event: this feed's values
+    // are 2dp-quantized (TestdataContractSpec pins it), so state is
+    // bounded by |types| × the value lattice however many events flow
+    // by; a truly continuous production feed quantizes on ingest (the
+    // same snap that makes ANY exact-value statistic well-defined).
+    // Final arithmetic is DriftOps.ksFinish — the code q123 runs, so
+    // the monitors cannot diverge, and q123's oracle replay gates both.
+    Q("q124_stream_ks",
+      oracle = Some(DriftOps.ksOracleSql),
+      run = (spark, dir) => {
+        val evB = graft.io.Tables.table(spark, dir, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"),
+            col("value"))
+        val mid = DriftOps.timeMid(evB)
+        val refCnts = Q.localized(evB.filter(col("us") < mid)
+          .groupBy("event_type", "value").agg(count(lit(1)).as("cr")))
+        val cur = eventsStream(spark, dir)
+          .select(col("event_type"), unix_micros(col("ts")).as("us"),
+            col("value"))
+          .filter(col("us") >= mid)
+          .groupBy("event_type", "value").agg(count(lit(1)).as("cc"))
+        runToMemorySink(spark, dir, "stream_ks_", "complete", cur,
+          noDataBatch = false) { sink =>
+          DriftOps.ksFinish(
+            refCnts.join(sink.select("event_type", "value", "cc"),
+                Seq("event_type", "value"), "full_outer")
+              .select(col("event_type"), col("value"),
                 coalesce(col("cr"), lit(0L)).as("cr"),
                 coalesce(col("cc"), lit(0L)).as("cc")))
         }

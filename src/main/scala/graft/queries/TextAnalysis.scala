@@ -912,7 +912,9 @@ object TextAnalysis {
     // tokens/URLs/n-grams at 100 TB) that is the difference between a
     // bounded shuffle and a full-vocabulary exchange. A sketch false
     // negative would break the oracle match, so the driver's gate also
-    // pins the sketch's containment guarantee on real data.
+    // pins the sketch's containment guarantee on real data. The
+    // nominate→exact-recount finish is the shared SketchVerify contract
+    // (one tail for q89 batch, q96 streaming, q115's CMS probe).
     Q("q89_heavy_hitters",
       oracle = Some(s"""
         WITH toks AS (
@@ -929,20 +931,14 @@ object TextAnalysis {
           .select(explode(TextFns.tokens(col("text"))).as("token"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ss = udaf(new SpaceSavingAgg.SpaceSaving(512), Encoders.STRING)
-        // ≤ 512 candidate strings — a legit driver-side literal ship
-        // (the q71 precedent); at 100 TB the persist becomes a re-scan
+        // ≤ 512 candidate rows stay a DataFrame end to end (round 12:
+        // the q96 broadcast-semi-join shape replaces the earlier
+        // driver-side isin ship) — the shared SketchVerify finish tail
         val cands = tokens.agg(ss(col("token")).as("hh"))
           .select(explode(col("hh")).as("it"))
-          .select(col("it.item")).collect().map(_.getString(0)).toSeq
-        val exact = tokens.where(col("token").isin(cands: _*))
-          .groupBy(col("token")).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("token")).limit(20)
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("token"))
-        val res = Q.localized(exact
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .select(col("rank"), col("token"), col("n"))
-          .orderBy(col("rank")))
+          .select(col("it.item").as("token"))
+        val res = Q.localized(
+          SketchVerify.exactTopK(tokens, cands, "token", 20))
         tokens.unpersist(blocking = false)
         res
       }),
@@ -1222,8 +1218,7 @@ object TextAnalysis {
             (0 until 4).map(r => bucketOf(r, col("t"))): _*))
             .as(Seq("r", "bucket")))
           .groupBy("r", "bucket").agg(sum("cnt").as("cell"))
-        val probe = vocab
-          .orderBy(col("cnt").desc, col("t").asc).limit(20)
+        val probe = SketchVerify.topKByCount(vocab, "t", "cnt", 20)
           .select(col("t"), col("cnt"),
             posexplode(array((0 until 4).map(r => bucketOf(r, col("t"))): _*))
               .as(Seq("r", "bucket")))

@@ -543,6 +543,95 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  /** Structural tripwire for the CollapseProject-lambda quadratic (the
+    * round-11 q107/q112 lesson, PERF.md): when a projected array column
+    * is referenced positionally inside a higher-order-function lambda,
+    * CollapseProject inlines the column's DEFINING expression into the
+    * lambda body — the tokenizer regex then re-runs per element,
+    * O(k-grams²) per row. The plan signature is the regex/split landing
+    * INSIDE a lambdafunction. Safe shapes (zip-slice + posexplode;
+    * lambdas referencing only their lambda variable) never show it. */
+  private def assertNoInlinedLambdaRederivation(p: String): Unit =
+    p.linesIterator.filter(_.contains("lambdafunction")).foreach { l =>
+      withClue(s"re-derivation inlined into a HOF lambda: $l\n") {
+        l should not include "regexp_extract_all"
+        l should not include "split("
+      }
+    }
+
+  test("q112: contamination spans are the q107 window-frame shape — " +
+    "zip-slice posexplode (no nested-lambda re-derivation), broadcast " +
+    "benchmark side, islands ride ONE doc_id window") {
+    val df = Registry.queries("q112_contamination_spans")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0)
+    assertNoInlinedLambdaRederivation(p)
+    p should include("Window")
+    p should not include "SortMergeJoin" // benchmark set broadcasts
+    "Generate posexplode".r.findAllIn(p).length should be <= 2
+  }
+
+  test("q107: the winnow stream's lambdas never contain the tokenizer " +
+    "(the structural form of the round-11 quadratic)") {
+    val df = Registry.queries("q107_winnow_fingerprints")(spark, sf0001)
+    df.collect()
+    assertNoInlinedLambdaRederivation(df.queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0))
+  }
+
+  test("q110: steady state READS the durable co-purchase edge artifact " +
+    "(no lineitem self-join), and at dimension scale the local gate " +
+    "fires — the result is a LocalTableScan, zero exchanges") {
+    val df = Registry.queries("q110_pagerank")(spark, sf0001)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should include("LocalTableScan") // local fast path fired
+    p should not include "Exchange"
+    val pe = GraphOps.coPurchaseEdges(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    pe should include("copurchase_edges")
+    pe should not include "Join"
+    pe should not include "Exchange"
+  }
+
+  test("q118: the pair pipeline's exchanges carry ONLY longs (hash " +
+    "domain — shingle strings never shuffle), steady state reads the " +
+    "ppjoin index, and the verify kernel is the native intersect-count") {
+    plan("q118_prefix_filter_join") // first invocation resolves the index
+    val df = Dedup.q118PairsPlan(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0)
+    p should include("ppjoin_index")
+    p should not include "arrays_zip" // no shingle re-derivation
+    p should include("graft_intersect_count") // the codegen verify kernel
+    val keys = "Exchange hashpartitioning\\((\\w+#\\d+L?)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    keys should not be empty
+    withClue(s"exchange keys $keys: ") {
+      all(keys) should endWith("L")
+    }
+  }
+
+  test("SketchVerify.exactTopK (q89/q96's shared finish tail): the " +
+    "candidate restriction is a broadcast SEMI-join (no driver-side " +
+    "isin ship) and the top-k is TakeOrderedAndProject") {
+    // the registered q89/q96 results are Q.localized — pin the shared
+    // tail itself on a real occurrence relation + a tiny candidate set
+    import org.apache.spark.sql.functions.{col, explode}
+    val occ = graft.io.Tables.table(spark, sf0001, "documents")
+      .select(explode(graft.functions.TextFns.tokens(col("text")))
+        .as("token"))
+    import spark.implicits._
+    val cands = Seq("the", "and", "of").toDF("token")
+    val p = SketchVerify.exactTopK(occ, cands, "token", 20)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    p should include("LeftSemi")
+    p should include("TakeOrderedAndProject")
+    p should not include "SortMergeJoin"
+  }
+
   test("relational suite stays inside whole-stage codegen (no UDF breaks)") {
     Seq("q01_share_of_voice", "q05_having_min_support", "q06_predicates",
       "q08_join_broadcast").foreach { q =>

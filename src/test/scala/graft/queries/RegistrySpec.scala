@@ -14,14 +14,14 @@ class RegistrySpec extends AnyFunSuite with Matchers {
     all(names) should fullyMatch regex "q\\d{2,3}_[a-z0-9_]+"
   }
 
-  test("every registered query has an oracle, except the declared no-oracle set") {
-    // Counts are derived from the registry itself so that adding an
-    // oracle-gated query can never re-break this spec; the only pinned
-    // invariant is the irreducible no-oracle set (ML internals + sketch).
+  test("EVERY registered query has a DuckDB oracle — the no-oracle set " +
+    "is empty as of round 12") {
+    // q28/q29 (the former ML-internals exemptions) carry q30-style
+    // bounds oracles since round 12; a new query registered without an
+    // oracle is a regression unless its exemption is argued here.
     val noOracle = Registry.queries.keySet -- Registry.oracles.keySet
-    noOracle shouldBe
-      Set("q28_lr_coefficients", "q29_tfidf_bigrams")
-    Registry.oracles.size shouldBe (Registry.all.length - noOracle.size)
+    noOracle shouldBe Set.empty[String]
+    Registry.oracles.size shouldBe Registry.all.length
   }
 
   test("every registered query is documented in COVERAGE.md") {
