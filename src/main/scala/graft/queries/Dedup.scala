@@ -529,10 +529,13 @@ object Dedup {
     // q78: INCREMENTAL DEDUP — the daily-ingest shape q52's from-scratch
     // pipeline does NOT cover: a new batch is deduplicated AGAINST an
     // existing corpus (exact via hash anti-join, near via cross-side LSH
-    // banding + pair-driven Jaccard) without ever comparing the corpus
-    // to itself, so per-ingest cost is bounded by the batch's candidates
-    // no matter how large (or internally duplicated) the historical
-    // corpus is. The engine runs the PRODUCTION shape: the corpus side
+    // banding + hash-array intersect verify — since round 12 the q118
+    // kernel: PPJoin length filter, pre-sorted 56-bit arrays, native
+    // codegen IntersectCount; both engines hash with the same md5 half
+    // so the hashed Jaccard is identical cross-engine) without ever
+    // comparing the corpus to itself, so per-ingest cost is bounded by
+    // the batch's candidates no matter how large (or internally
+    // duplicated) the historical corpus is. The engine runs the PRODUCTION shape: the corpus side
     // is a MATERIALIZED index (TextDedup.buildDedupIndex — hashes,
     // bands, shingles as parquet; built once per process, the q71/q54
     // artifact discipline) probed by
@@ -584,13 +587,21 @@ object Dedup {
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
           FROM bndb a JOIN bndc c ON a.band = c.band AND a.bk = c.bk),
+        hab AS (
+          SELECT doc_id, list(h) AS hs, count(*) AS n FROM (
+            SELECT DISTINCT doc_id, ${TextFns.sql.hash56("md5(s)", 1)} AS h
+            FROM (SELECT doc_id, unnest(sh) AS s FROM shb)) GROUP BY doc_id),
+        hac AS (
+          SELECT doc_id, list(h) AS hs, count(*) AS n FROM (
+            SELECT DISTINCT doc_id, ${TextFns.sql.hash56("md5(s)", 1)} AS h
+            FROM (SELECT doc_id, unnest(sh) AS s FROM shc)) GROUP BY doc_id),
         dup AS (
           SELECT DISTINCT doc_a AS doc_id
           FROM pairs
-          JOIN shb sa ON sa.doc_id = doc_a
-          JOIN shc sb ON sb.doc_id = doc_b
-          WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          JOIN hab sa ON sa.doc_id = doc_a
+          JOIN hac sb ON sb.doc_id = doc_b
+          WHERE len(list_intersect(sa.hs, sb.hs)) * 1.0 /
+                (sa.n + sb.n - len(list_intersect(sa.hs, sb.hs)))
                 >= $JACCARD_MIN)
         SELECT doc_id FROM bxx
         WHERE doc_id NOT IN (SELECT doc_id FROM dup)
@@ -1005,10 +1016,13 @@ object Dedup {
   // q78's durable materialized dedup index (ArtifactStore: built at
   // most once per corpus across processes, read-only afterwards — the
   // q78 query never appends, so sharing is sound; Bench's steady state
-  // pays only the batch side).
+  // pays only the batch side). The "-v2" key suffix versions the INDEX
+  // FORMAT (round 12 added the harr verify table): a format bump must
+  // change the artifact key, or a store shared across engine versions
+  // would serve stale-layout bytes to the new reader.
   private def q78Index(spark: SparkSession, dir: String): String =
     graft.exec.ArtifactStore.ensure(spark, "q78_dedup_index",
-      graft.exec.ArtifactStore.sourceKey(spark, dir, "documents")) { path =>
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "documents") + "-v2") { path =>
       graft.dedup.TextDedup.buildDedupIndex(
         q78Split(spark, dir)._1, "doc_id", "text", path)
     }

@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc stage-level timing for in-flight perf work (round 11:
-  * q118/q110). Times each sub-plan of the query under study with
-  * count() actions so the expensive stage is identified, not guessed. */
+  * q118/q110 — see git history; round 12: q78). Times each sub-plan of
+  * the query under study with count() actions so the expensive stage is
+  * identified, not guessed. */
 object StageProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -26,88 +27,83 @@ object StageProbe {
       r
     }
 
-    // ---- q118 stages (steady state: parquet artifact reads)
-    val t = 0.4
-    val tmp = "target/stageprobe_ppjoin"
-    time("build artifact") {
-      val e = graft.dedup.TextDedup.shingleRows(
-          graft.io.Tables.table(spark, sfDir, "documents"), "doc_id", "text")
-        .distinct().persist()
-      val dfq = e.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-      val wN = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-      e.join(dfq, "s")
-        .withColumn("rk", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wN))
-        .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
-        .select(col("doc_id"), col("s"), col("n"), col("rk"))
-        .write.mode("overwrite").parquet(s"$tmp/pref")
-      e.groupBy(col("doc_id"))
-        .agg(collect_list(col("s")).as("sharr"), count(lit(1)).as("nsh"))
-        .write.mode("overwrite").parquet(s"$tmp/sharr")
-      e.unpersist(blocking = false)
+    // ---- q78 stages (steady state: the corpus-side index pre-built).
+    // Replicates Dedup.q78Split (md5-decile 80/20) + the
+    // incrementalCore cascade step by step.
+    import graft.dedup.TextDedup
+    val b0 = graft.io.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+          16, 10).cast("long"), lit(10L)).as("dec"))
+    val corpus = b0.where(col("dec") < 8).select(col("doc_id"), col("text"))
+    val batch = b0.where(col("dec") >= 8).select(col("doc_id"), col("text"))
+    val idx = "target/stageprobe_q78"
+    if (!new java.io.File(s"$idx/hashes").isDirectory)
+      time("build index (corpus side)") {
+        TextDedup.buildDedupIndex(corpus, "doc_id", "text", idx)
+      }
+    val corpusHashes = spark.read.parquet(s"$idx/hashes")
+    val shC = spark.read.parquet(s"$idx/shingles")
+    val bandsC = spark.read.parquet(s"$idx/bands")
+
+    // (1)+(2) exact dedup within batch + hash anti-join vs corpus
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val bxx = time("exact (batch window + anti)") {
+      val bx = batch.filter(col("text").isNotNull)
+        .withColumn("__rn", row_number().over(wD))
+        .filter(col("__rn") === 1).drop("__rn")
+        .unionByName(batch.filter(col("text").isNull))
+      val r = bx.join(corpusHashes, md5(bx("text")) === col("__ch"), "left_anti")
+        .persist()
+      r.count(); r
     }
-    val pref = spark.read.parquet(s"$tmp/pref")
-    val shArr = spark.read.parquet(s"$tmp/sharr")
-    val pairs = time("pairs") {
-      val p = pref.as("a")
-        .join(pref.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-            col("a.n") >= ceil(lit(t) * col("b.n")) &&
-            col("b.n") >= ceil(lit(t) * col("a.n")) &&
-            (lit(1) + least(col("a.n") - col("a.rk"),
-              col("b.n") - col("b.rk"))) >=
-              ceil(lit(t) * (col("a.n") + col("b.n")) / lit(1 + t)))
+    // (3) batch shingles
+    val shB = time("batch shingles") {
+      val r = TextDedup.shingleRows(bxx, "doc_id", "text").persist()
+      r.count(); r
+    }
+    // (4) cross-band candidates
+    val pairs = time("band join -> candidates") {
+      val r = TextDedup.bandedSignatures(shB, 8).as("a")
+        .join(bandsC.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
         .persist()
-      p.count(); p
+      println(s"[stage]   candidates = ${r.count()}")
+      r
     }
-    time("verify") {
-      pairs
-        .join(shArr.select(col("doc_id").as("doc_a"),
-          col("sharr").as("sa"), col("nsh").as("na")), "doc_a")
-        .join(shArr.select(col("doc_id").as("doc_b"),
-          col("sharr").as("sb"), col("nsh").as("nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("sa"), col("sb"))).cast("long").as("ni"),
-          col("na"), col("nb"))
-        .filter(col("ni").cast("double") /
-          (col("na") + col("nb") - col("ni")).cast("double") >= t)
+    // (5) candidate-restricted shingle slice (the union side)
+    val sh = shB.union(shC)
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = time("cand semi-join + distinct") {
+      val r = sh.join(candDocs, Seq("doc_id"), "left_semi").distinct().persist()
+      println(s"[stage]   restricted shingle rows = ${r.count()}")
+      r
+    }
+    // (6) co-shingle intersect counts + sizes + threshold
+    time("pair verify (intersect)") {
+      val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = pairs
+        .join(shc.as("xa"), col("doc_a") === col("xa.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("xa.s").as("sa"))
+        .join(shc.as("xb"),
+          col("doc_b") === col("xb.doc_id") && col("sa") === col("xb.s"),
+          "left_semi")
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+        .filter(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double") >= 0.5)
         .count()
     }
-
-    // ---- q110 stages
-    val li = graft.io.Tables.table(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val prs = time("pr pairs") {
-      val p = li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_suppkey") =!= col("b.l_suppkey"))
-        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-        .distinct().persist()
-      p.count(); p
-    }
-    val deg = time("pr deg") {
-      val d = prs.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("outd")).persist()
-      d.count(); d
-    }
-    val n = deg.count()
-    var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"))
-    (1 to 5).foreach { k =>
-      ranks = time(s"pr sweep $k") {
-        graft.queries.Q.localized(
-          prs.join(broadcast(ranks.join(deg, "node")),
-              col("src") === col("node"))
-            .groupBy(col("dst").as("node2"))
-            .agg(sum(col("rank") / col("outd")).as("contrib"))
-            .select(col("node2").as("node"),
-              (lit(0.15 / n) + lit(0.85) * col("contrib")).as("rank")))
-      }
+    // reference: the full steady-state call
+    time("incrementalDeduplicateIndexed") {
+      TextDedup.incrementalDeduplicateIndexed(idx, batch, "doc_id", "text", 0.5)
+        .count()
     }
     spark.stop()
   }
