@@ -268,12 +268,15 @@ object MlQueries {
         // split on \s (Tokenizer), default-english stopword removal
         // (StopWordsRemover), len>2 — then the q48 tf·idf/top-5 shape,
         // semi-joined to the fitted vocabulary (≤1500 terms, broadcast)
-        val stop = typedLit(
-          StopWordsRemover.loadDefaultStopWords("english").toSeq)
+        // stopword membership via isin (a >10-literal In optimizes to
+        // InSet — one hash probe per token) rather than array_contains
+        // over a 181-element literal array (a linear scan per token:
+        // tokens × 181 string compares dominated the twin's 10× wall)
+        val stop = StopWordsRemover.loadDefaultStopWords("english").toSeq
         val docs = table(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
         val toks = filter(split(lower(col("text")), "\\s"),
-          t => length(t) > 2 && !array_contains(stop, t))
+          t => length(t) > 2 && !t.isin(stop: _*))
         val n2 = greatest(size(col("tk")) - 1, lit(0))
         val big = docs.select(col("doc_id"), toks.as("tk"))
           .select(col("doc_id"),
