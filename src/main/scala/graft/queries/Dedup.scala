@@ -882,11 +882,25 @@ object Dedup {
     // same md5 half, so the hashed Jaccard is IDENTICAL across
     // engines even in the (astronomically unlikely) collision
     // case - the gate compares the same quantity.
+    // BROADCAST the per-doc array side when it fits (size gate on the
+    // doc count — a footer-cheap parquet count; ~0.5KB of sorted hash
+    // array per doc ⇒ the 2²⁰-doc gate is ~500MB, the same order as
+    // the pageRank/clustersAuto local gates). The candidate relation is
+    // quadratic-ish in planted duplication (19.9M rows at the 10×
+    // replica for 250.6k true pairs) while the array side is corpus-
+    // doc-bounded — shuffling and twice-sorting the 19.9M side through
+    // a SortMergeJoin to attach 1KB of arrays per row measured 32.2s;
+    // the broadcast form is 3.2s (identical output). Past the gate the
+    // join falls back to shuffle — at that corpus size the arrays no
+    // longer fit an executor, and the sort-merge IS the right plan.
+    val attachA = shArr.select(col("doc_id").as("doc_a"),
+      col("harr").as("ha"), col("nsh").as("na"))
+    val attachB = shArr.select(col("doc_id").as("doc_b"),
+      col("harr").as("hb"), col("nsh").as("nb"))
+    val broadcastable = shArr.count() <= (1L << 20)
     val jac = pairs
-      .join(shArr.select(col("doc_id").as("doc_a"),
-        col("harr").as("ha"), col("nsh").as("na")), "doc_a")
-      .join(shArr.select(col("doc_id").as("doc_b"),
-        col("harr").as("hb"), col("nsh").as("nb")), "doc_b")
+      .join(if (broadcastable) broadcast(attachA) else attachA, "doc_a")
+      .join(if (broadcastable) broadcast(attachB) else attachB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         // native codegen sort+merge count — semantically
         // size(array_intersect) but allocation-free per row

@@ -105,6 +105,70 @@ object StageProbe {
       TextDedup.incrementalDeduplicateIndexed(idx, batch, "doc_id", "text", 0.5)
         .count()
     }
+
+    // ---- q118 stages (steady state over the durable ppjoin index)
+    val t118 = 0.4
+    val idx118 = graft.exec.ArtifactStore.ensure(spark, "ppjoin_index",
+      graft.exec.ArtifactStore.sourceKey(spark, sfDir, "documents")) { p =>
+      // cold store: replicate Dedup.q118Index's build
+      val e = TextDedup.shingleRows(
+          graft.io.Tables.table(spark, sfDir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.TextFns.hash56(md5(col("s")), 1).as("h"))
+        .distinct().persist()
+      val dfq = e.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+      val wN = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      e.join(dfq, "h")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wN))
+        .filter(col("rk") <= col("n") - ceil(lit(t118) * col("n")) + 1)
+        .select(col("doc_id"), col("h"), col("n"), col("rk"))
+        .write.mode("overwrite").parquet(s"$p/pref")
+      e.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("h"))).as("harr"),
+          count(lit(1)).as("nsh"))
+        .write.mode("overwrite").parquet(s"$p/sharr")
+      e.unpersist(blocking = false)
+    }
+    val pref = spark.read.parquet(s"$idx118/pref")
+    val shArr = spark.read.parquet(s"$idx118/sharr")
+    val cand118raw = time("q118 candidate join (pre-distinct)") {
+      val p = pref.as("a")
+        .join(pref.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") >= ceil(lit(t118) * col("b.n")) &&
+            col("b.n") >= ceil(lit(t118) * col("a.n")) &&
+            (lit(1) + least(col("a.n") - col("a.rk"),
+              col("b.n") - col("b.rk"))) >=
+              ceil(lit(t118) * (col("a.n") + col("b.n")) / lit(1 + t118)))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .persist()
+      println(s"[stage]   raw collisions = ${p.count()}")
+      p
+    }
+    val cand118 = time("q118 distinct") {
+      val p = cand118raw.distinct().persist()
+      println(s"[stage]   distinct candidates = ${p.count()}")
+      p
+    }
+    time("q118 verify (IntersectCount)") {
+      val n = cand118
+        .join(broadcast(shArr.select(col("doc_id").as("doc_a"),
+          col("harr").as("ha"), col("nsh").as("na"))), "doc_a")
+        .join(broadcast(shArr.select(col("doc_id").as("doc_b"),
+          col("harr").as("hb"), col("nsh").as("nb"))), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          org.apache.spark.sql.graft.SetExprs
+            .intersectCount(col("ha"), col("hb")).as("ni"),
+          col("na"), col("nb"))
+        .filter(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double") >= t118)
+        .count()
+      println(s"[stage]   verified pairs = $n")
+    }
     spark.stop()
   }
 }
