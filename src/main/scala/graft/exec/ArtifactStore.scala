@@ -76,12 +76,21 @@ object ArtifactStore {
     rootOverride = r
     published.clear()
     sourceKeys.clear()
+    lastTouch.clear()
     gcDone = false
   }
 
   // (family/key) -> published absolute path; per-process fast path so
   // steady-state invocations skip even the FS existence probe
   private val published = new ConcurrentHashMap[String, String]()
+  // (family/key) -> last marker-touch millis: steady-state resolves
+  // re-touch the marker at most once per [[TouchIntervalMillis]], so a
+  // process alive LONGER than MaxAgeMillis keeps its artifacts' GC
+  // clocks fresh (without the rate limit the memoized fast path never
+  // hit the FS again and a 6h+ process could lose a live artifact to
+  // a fresh process's gc)
+  private val lastTouch = new ConcurrentHashMap[String, java.lang.Long]()
+  private val TouchIntervalMillis: Long = 15L * 60 * 1000
   // (dir|tables) -> key; the source listing is one RPC per table on a
   // real FS — paid once per process, the corpus is immutable under it
   private val sourceKeys = new ConcurrentHashMap[String, String]()
@@ -150,7 +159,7 @@ object ArtifactStore {
   def ensure(spark: SparkSession, family: String, key: String)
       (build: String => Unit): String = {
     val memoKey = family + "/" + key
-    published.computeIfAbsent(memoKey, { _ =>
+    val path = published.computeIfAbsent(memoKey, { _ =>
       val conf = hadoopConf(spark)
       val rootPath = new Path(root)
       val fs = rootPath.getFileSystem(conf)
@@ -158,10 +167,7 @@ object ArtifactStore {
       val finalPath = new Path(rootPath, memoKey)
       val marker = new Path(finalPath, Marker)
       if (fs.exists(marker)) {
-        // reuse another process's artifact; touch the marker so GC's
-        // age clock restarts from this reuse
-        try fs.setTimes(marker, System.currentTimeMillis(), -1)
-        catch { case _: java.io.IOException => () }
+        touchMarker(fs, memoKey, marker)
         finalPath.toString
       } else {
         val tmp = new Path(rootPath,
@@ -170,22 +176,57 @@ object ArtifactStore {
         val out = fs.create(new Path(tmp, Marker), true)
         out.write(key.getBytes("UTF-8")); out.close()
         fs.mkdirs(finalPath.getParent)
-        // Hadoop rename moves src INTO an existing dst dir, so probe
-        // first: a concurrent winner's artifact is reused as-is; a
-        // markerless leftover (crashed process) is replaced.
-        if (fs.exists(finalPath)) {
-          if (fs.exists(marker)) fs.delete(tmp, true)
-          else { fs.delete(finalPath, true); require(fs.rename(tmp, finalPath),
-            s"ArtifactStore: publish failed for $memoKey") }
-        } else if (!fs.rename(tmp, finalPath)) {
-          // rename lost a race begun after the probe
-          if (fs.exists(marker)) fs.delete(tmp, true)
-          else throw new IllegalStateException(
-            s"ArtifactStore: publish failed for $memoKey")
+        // Hadoop rename moves src INTO an existing dst dir (instead of
+        // replacing it), so a probe alone cannot close the race window:
+        // a winner publishing between our probe and our rename would
+        // leave OUR tmp dir nested INSIDE their artifact with rename
+        // still returning true. Sequence: probe (fast paths), rename,
+        // then check for the nested-dir signature and repair — the
+        // winner's artifact is left intact and reused.
+        val preExisting = fs.exists(finalPath)
+        if (preExisting && fs.exists(marker)) {
+          // lost the race before we even renamed: reuse the winner
+          fs.delete(tmp, true)
+        } else {
+          if (preExisting) fs.delete(finalPath, true) // markerless leftover
+          val renamed = fs.rename(tmp, finalPath)
+          if (renamed) {
+            // a winner publishing between our probe/delete and our
+            // rename makes rename nest OUR tmp inside THEIR artifact
+            // (still returning true) — detect the signature and repair,
+            // leaving the winner's complete artifact to be reused
+            val nested = new Path(finalPath, tmp.getName)
+            if (fs.exists(nested)) fs.delete(nested, true)
+          } else {
+            fs.delete(tmp, true) // dst appeared after the probe
+          }
+          if (!fs.exists(marker))
+            throw new IllegalStateException(
+              s"ArtifactStore: publish failed for $memoKey")
         }
+        lastTouch.put(memoKey, System.currentTimeMillis())
         finalPath.toString
       }
     })
+    // steady-state resolves keep the GC age clock fresh (rate-limited)
+    val now = System.currentTimeMillis()
+    val t = lastTouch.get(memoKey)
+    if (t == null || now - t > TouchIntervalMillis) {
+      lastTouch.put(memoKey, now)
+      try {
+        val p = new Path(path, Marker)
+        p.getFileSystem(hadoopConf(spark)).setTimes(p, now, -1)
+      } catch { case _: java.io.IOException => () }
+    }
+    path
+  }
+
+  /** Touch a marker (GC age clock) and record the touch time. */
+  private def touchMarker(fs: FileSystem, memoKey: String,
+      marker: Path): Unit = {
+    try fs.setTimes(marker, System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () }
+    lastTouch.put(memoKey, System.currentTimeMillis())
   }
 
   /** Reap (a) published entries whose marker mtime is older than
@@ -213,5 +254,24 @@ object ArtifactStore {
         try { fs.delete(entry.getPath, true); () }
         catch { case _: java.io.IOException => () }
     }
+    // legacy sweep: rounds before the store kept per-process
+    // `target/<family>-<uuid>` dirs (hardcoded local paths, so this
+    // half is java.io regardless of the store root); the class-load
+    // sweep that reaped them lived in Similarity and left with the
+    // migration — without this, a pre-store checkout's stale gigabytes
+    // persist forever
+    val cutoffMs = System.currentTimeMillis() - MaxAgeMillis
+    def rmLocal(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmLocal)
+      f.delete(): Unit
+    }
+    for (prefix <- Seq("q54_centroids", "q71_lsh_index", "q78_dedup_index",
+           "neardup_pair_index", "bigram_lm_scores", "rare_overlap_stats",
+           "copurchase_edges", "ppjoin_index", "q92_lake");
+         dir <- Option(new java.io.File("target").listFiles())
+           .getOrElse(Array.empty[java.io.File])
+         if dir.getName.startsWith(prefix + "-") &&
+           dir.lastModified() < cutoffMs)
+      try rmLocal(dir) catch { case _: Exception => () }
   }
 }

@@ -924,7 +924,7 @@ object Dedup {
     * pure derivations of the corpus — built once per corpus across
     * processes, parquet after. The oracle re-derives both inline in
     * SQL, so the gate value-checks the derivation itself. */
-  private def q118Index(spark: SparkSession, dir: String): String =
+  private[graft] def q118Index(spark: SparkSession, dir: String): String =
     graft.exec.ArtifactStore.ensure(spark, "ppjoin_index",
       graft.exec.ArtifactStore.sourceKey(spark, dir, "documents")) { p =>
       val t = NGRAM_JACCARD_MIN
@@ -962,7 +962,7 @@ object Dedup {
   /** q78's deterministic corpus/batch split: (corpus = md5-decile < 8,
     * batch = decile >= 8) of `documents` — the q72 construction, so both
     * engines derive identical inputs. */
-  private def q78Split(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def q78Split(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val b0 = table(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
         pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6),

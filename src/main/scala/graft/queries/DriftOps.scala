@@ -253,7 +253,8 @@ object DriftOps {
     * the psiOracleSql convention. */
   private[queries] def ksOracleSql: String = s"""
         WITH ev AS (
-          SELECT event_type, epoch_us(ts) AS us, value FROM events),
+          SELECT event_type, epoch_us(ts) AS us, value FROM events
+          WHERE value IS NOT NULL),
         mm AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
         mid AS (SELECT mn + (mx - mn) // 2 AS m FROM mm),
         cnts AS (
@@ -360,10 +361,16 @@ object DriftOps {
     psiFinish(edges, cnts)
   }
 
-  /** q123's pipeline over any (event_type, us, value) frame. */
+  /** q123's pipeline over any (event_type, us, value) frame. NULL
+    * values are dropped on BOTH engines (oracle predicate mirrored): a
+    * null has no position in the value order, and without the filter
+    * the engines would even disagree on WHERE it sorts (Spark windows
+    * put nulls first, DuckDB's ORDER BY puts them last) — the
+    * cross-engine trap the round-12 review caught. */
   private[queries] def ksDrift(ev: DataFrame): DataFrame = {
-    val mid = timeMid(ev)
-    ksFinish(ev
+    val nn = ev.filter(col("value").isNotNull)
+    val mid = timeMid(nn)
+    ksFinish(nn
       .groupBy("event_type", "value")
       .agg(sum(when(col("us") < mid, 1L).otherwise(0L)).as("cr"),
         sum(when(col("us") < mid, 0L).otherwise(1L)).as("cc")))

@@ -206,7 +206,13 @@ object MlQueries {
         val lambda = 0.01
         val gradInf = (LrFeatures.indices.map { j =>
           val s = st.getAs[Double](s"s$j")
-          math.abs(st.getAs[Double](s"g$j") / s + lambda * beta(j) * s)
+          // a zero-variance feature has no standardized coordinate:
+          // spark.ml's standardization zeroes its coefficient and the
+          // optimality condition carries no component for it — dividing
+          // by s = 0 would turn a HEALTHY model into Infinity/NaN and a
+          // false gate failure on degenerate (constant-column) corpora
+          if (s == 0.0 || s.isNaN) 0.0
+          else math.abs(st.getAs[Double](s"g$j") / s + lambda * beta(j) * s)
         } :+ math.abs(st.getAs[Double]("g0"))).max
         // AUC agreement: binned integrator vs exact Mann-Whitney, both
         // over the same score column. Scores come from the mu EXPRESSION

@@ -653,16 +653,20 @@ object StreamingQueries {
     Q("q124_stream_ks",
       oracle = Some(DriftOps.ksOracleSql),
       run = (spark, dir) => {
+        // null values dropped on every side (the q123/ksDrift contract —
+        // mirrored in the shared oracle's WHERE): mid, the frozen
+        // reference and the live side must all see the same population
         val evB = graft.io.Tables.table(spark, dir, "events")
           .select(col("event_type"), unix_micros(col("ts")).as("us"),
             col("value"))
+          .filter(col("value").isNotNull)
         val mid = DriftOps.timeMid(evB)
         val refCnts = Q.localized(evB.filter(col("us") < mid)
           .groupBy("event_type", "value").agg(count(lit(1)).as("cr")))
         val cur = eventsStream(spark, dir)
           .select(col("event_type"), unix_micros(col("ts")).as("us"),
             col("value"))
-          .filter(col("us") >= mid)
+          .filter(col("value").isNotNull && col("us") >= mid)
           .groupBy("event_type", "value").agg(count(lit(1)).as("cc"))
         runToMemorySink(spark, dir, "stream_ks_", "complete", cur,
           noDataBatch = false) { sink =>

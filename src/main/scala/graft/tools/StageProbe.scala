@@ -28,15 +28,10 @@ object StageProbe {
     }
 
     // ---- q78 stages (steady state: the corpus-side index pre-built).
-    // Replicates Dedup.q78Split (md5-decile 80/20) + the
-    // incrementalCore cascade step by step.
+    // Uses the REAL q78Split + incrementalCore pieces step by step, so
+    // the probe cannot drift from the shipped kernel.
     import graft.dedup.TextDedup
-    val b0 = graft.io.Tables.table(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"),
-        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
-          16, 10).cast("long"), lit(10L)).as("dec"))
-    val corpus = b0.where(col("dec") < 8).select(col("doc_id"), col("text"))
-    val batch = b0.where(col("dec") >= 8).select(col("doc_id"), col("text"))
+    val (corpus, batch) = graft.queries.Dedup.q78Split(spark, sfDir)
     val idx = "target/stageprobe_q78"
     if (!new java.io.File(s"$idx/hashes").isDirectory)
       time("build index (corpus side)") {
@@ -106,32 +101,11 @@ object StageProbe {
         .count()
     }
 
-    // ---- q118 stages (steady state over the durable ppjoin index)
+    // ---- q118 stages (steady state over the durable ppjoin index,
+    // resolved/built through the REAL q118Index — no builder copy)
     val t118 = 0.4
-    val idx118 = graft.exec.ArtifactStore.ensure(spark, "ppjoin_index",
-      graft.exec.ArtifactStore.sourceKey(spark, sfDir, "documents")) { p =>
-      // cold store: replicate Dedup.q118Index's build
-      val e = TextDedup.shingleRows(
-          graft.io.Tables.table(spark, sfDir, "documents"), "doc_id", "text")
-        .select(col("doc_id"),
-          graft.functions.TextFns.hash56(md5(col("s")), 1).as("h"))
-        .distinct().persist()
-      val dfq = e.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-      val wN = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-      e.join(dfq, "h")
-        .withColumn("rk", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wN))
-        .filter(col("rk") <= col("n") - ceil(lit(t118) * col("n")) + 1)
-        .select(col("doc_id"), col("h"), col("n"), col("rk"))
-        .write.mode("overwrite").parquet(s"$p/pref")
-      e.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("h"))).as("harr"),
-          count(lit(1)).as("nsh"))
-        .write.mode("overwrite").parquet(s"$p/sharr")
-      e.unpersist(blocking = false)
+    val idx118 = time("q118 index resolve/build") {
+      graft.queries.Dedup.q118Index(spark, sfDir)
     }
     val pref = spark.read.parquet(s"$idx118/pref")
     val shArr = spark.read.parquet(s"$idx118/sharr")

@@ -83,14 +83,16 @@ object IntersectCountUtil {
     * Pre-sorted inputs (the q118 index stores its hash arrays sorted)
     * skip the sort after one linear check — the per-pair cost over
     * millions of candidate pairs is then the merge alone. */
-  def count(x: ArrayData, y: ArrayData): Long =
-    if (hasNull(x) || hasNull(y))
+  def count(x: ArrayData, y: ArrayData): Long = {
+    val nx = hasNull(x)
+    val ny = hasNull(y)
+    if (nx || ny)
       // array_intersect semantics: null is one distinct value, common
       // only when both sides carry it
-      merge(nonNulls(x), nonNulls(y)) +
-        (if (hasNull(x) && hasNull(y)) 1L else 0L)
+      merge(nonNulls(x), nonNulls(y)) + (if (nx && ny) 1L else 0L)
     else
       merge(x.toLongArray(), y.toLongArray())
+  }
 
   private def merge(a: Array[Long], b: Array[Long]): Long = {
     ensureSorted(a)

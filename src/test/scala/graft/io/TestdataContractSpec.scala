@@ -111,7 +111,9 @@ class TestdataContractSpec extends AnyFunSuite with Matchers
   test("events.value is 2dp-quantized — q124's streaming-KS state bound " +
     "(one state row per value-LATTICE cell, not per event) rests on this; " +
     "a regeneration emitting full-precision doubles must extend q124 " +
-    "with an ingest-side snap before this pin is relaxed") {
+    "with an ingest-side snap before this pin is relaxed. (NULL values " +
+    "are outside this pin — the KS queries drop them explicitly, with " +
+    "the predicate mirrored in the oracle.)") {
     import org.apache.spark.sql.functions.{col, round => sqlRound}
     Tables.events(spark, s"$testdataRoot/sf0.001")
       .filter(col("value") =!= sqlRound(col("value"), 2))
