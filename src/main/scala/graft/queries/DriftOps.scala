@@ -45,6 +45,13 @@ object DriftOps {
 
   private val BUCKETS = 10
 
+  /** KS micro-grid resolution: 2¹⁶ equal-width cells per event type.
+    * Bounds the KS counts relation at |types|·2¹⁶ rows regardless of
+    * how many (or how continuous) the raw values are; the KS error vs
+    * the exact distinct-value statistic is at most one cell's combined
+    * CDF mass (see q123's contract and GraphDriftSpec's anchor test). */
+  private[queries] val KS_CELLS = 1 << 16
+
   /** q113's oracle — ALSO q117's: the streaming twin computes the
     * identical statistic from the identical split, so one batch-SQL
     * replay gates both (the q96 convention). */
@@ -214,21 +221,33 @@ object DriftOps {
       }),
 
     // ------------------------------------------------------------------
-    // q123: TWO-SAMPLE KOLMOGOROV-SMIRNOV drift on the raw value
+    // q123: TWO-SAMPLE KOLMOGOROV-SMIRNOV drift on the value
     // distribution per event_type — the remaining conventional monitor
-    // next to PSI (bucketed) and chi² (categorical): KS needs no bucket
-    // choice and is sensitive to ANY distributional change, the test a
-    // monitoring stack runs when bucket edges themselves are suspect.
-    // D = sup_x |F_ref(x) − F_cur(x)| over the combined jump points:
-    // per (type, value) side counts, cumulative sums by value order,
-    // max of the per-point |ΔCDF|. Scale shape: the events scan reduces
-    // to (type, value, cr, cc) counts (distinct-value-bounded, with
-    // map-side combine); the cumulative window and max run there, never
-    // corpus-sized. Determinism: per-point counts are integers, the
-    // CDF difference is one double expression identical on both
-    // engines, micro-snapped BEFORE the max so the BIGINT max is exact
-    // cross-engine. Types with an empty half are dropped (a CDF over
-    // zero samples is undefined) — predicate mirrored in the oracle.
+    // next to PSI (bucketed) and chi² (categorical): KS needs no
+    // semantic bucket choice and is sensitive to ANY distributional
+    // change, the test a monitoring stack runs when PSI's frozen edges
+    // themselves are suspect. D = sup over cell boundaries of
+    // |F_ref − F_cur| on a per-type micro-grid of 2¹⁶ equal-width
+    // cells spanning the type's full value range. Scale shape: the
+    // events scan reduces (with map-side combine) to (type, cell, cr,
+    // cc) counts — PROVABLY ≤ |types|·2¹⁶ rows however many events
+    // flow by, continuous-valued or not — and the cumulative window /
+    // max run on that bounded relation, never on anything
+    // corpus-sized. (The round-12 form keyed counts by the raw DOUBLE
+    // value, which on a continuous feed is row-count-sized and funnels
+    // each type's CDF through one window task; the grid closes that —
+    // the suite's last 100× scale-killer.) Approximation contract:
+    // each cell's cumulative count equals the exact CDF at the
+    // largest data value inside the cell — a SUBSET of the exact jump
+    // points — so D_grid ≤ D_exact always, and the gap is bounded by
+    // one cell's combined CDF mass (GraphDriftSpec pins both bounds
+    // against [[ksExact]], the distinct-value anchor, on fixtures and
+    // real testdata — the q30 exact-anchor discipline, priced at test
+    // SF only). Determinism: cell index is one floor() expression
+    // bit-identical on both engines (the bucketCol discipline at 2¹⁶
+    // width), counts are integers, |ΔCDF| micro-snapped BEFORE the
+    // max. Types with an empty half are dropped (a CDF over zero
+    // samples is undefined) — predicate mirrored in the oracle.
     Q("q123_ks_drift",
       oracle = Some(ksOracleSql),
       run = (spark, dir) =>
@@ -250,28 +269,40 @@ object DriftOps {
   )
 
   /** q123's (and streaming q124's) oracle — one SQL replay gates both,
-    * the psiOracleSql convention. */
+    * the psiOracleSql convention. Mirrors the 2¹⁶-cell micro-grid:
+    * per-type edges over the FULL window, the identical cell floor()
+    * expression, cumulative CDFs by cell order. */
   private[queries] def ksOracleSql: String = s"""
         WITH ev AS (
           SELECT event_type, epoch_us(ts) AS us, value FROM events
           WHERE value IS NOT NULL),
         mm AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
         mid AS (SELECT mn + (mx - mn) // 2 AS m FROM mm),
+        edges AS (
+          SELECT event_type, min(value) AS vmin, max(value) AS vmax
+          FROM ev GROUP BY event_type),
+        b AS (
+          SELECT e.event_type,
+                 CASE WHEN g.vmax > g.vmin THEN
+                   LEAST(${KS_CELLS - 1}, GREATEST(0, CAST(floor(
+                     (e.value - g.vmin) * $KS_CELLS.0 / (g.vmax - g.vmin))
+                     AS INT)))
+                 ELSE 0 END AS cell,
+                 (e.us < (SELECT m FROM mid)) AS is_ref
+          FROM ev e JOIN edges g USING (event_type)),
         cnts AS (
-          SELECT event_type, value,
-                 sum(CASE WHEN us < (SELECT m FROM mid) THEN 1 ELSE 0 END)
-                   AS cr,
-                 sum(CASE WHEN us < (SELECT m FROM mid) THEN 0 ELSE 1 END)
-                   AS cc
-          FROM ev GROUP BY event_type, value),
+          SELECT event_type, cell,
+                 sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+                 sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+          FROM b GROUP BY event_type, cell),
         tot AS (
           SELECT event_type, sum(cr) AS nr, sum(cc) AS nc
           FROM cnts GROUP BY event_type),
         cum AS (
-          SELECT event_type, value,
-                 sum(cr) OVER (PARTITION BY event_type ORDER BY value
+          SELECT event_type, cell,
+                 sum(cr) OVER (PARTITION BY event_type ORDER BY cell
                                ROWS UNBOUNDED PRECEDING) AS crc,
-                 sum(cc) OVER (PARTITION BY event_type ORDER BY value
+                 sum(cc) OVER (PARTITION BY event_type ORDER BY cell
                                ROWS UNBOUNDED PRECEDING) AS ccc
           FROM cnts),
         pts AS (
@@ -314,9 +345,18 @@ object DriftOps {
     * that edge case explicitly as bucket 0 (current values then land in
     * one bucket and PSI correctly reports the shift). */
   private[queries] def bucketCol: org.apache.spark.sql.Column =
+    gridCol(BUCKETS)
+
+  /** q123/q124's cell index: the same floor() at micro-grid width. */
+  private[queries] def ksCellCol: org.apache.spark.sql.Column =
+    gridCol(KS_CELLS)
+
+  /** Equal-width grid index shared by PSI (10 buckets) and KS (2¹⁶
+    * cells) — one literal expression, one degenerate-range contract. */
+  private def gridCol(cells: Int): org.apache.spark.sql.Column =
     when(col("vmax") > col("vmin"),
-      least(lit(BUCKETS - 1), greatest(lit(0),
-        floor((col("value") - col("vmin")) * lit(BUCKETS.toDouble) /
+      least(lit(cells - 1), greatest(lit(0),
+        floor((col("value") - col("vmin")) * lit(cells.toDouble) /
           (col("vmax") - col("vmin"))).cast("int"))))
       .otherwise(lit(0))
 
@@ -361,6 +401,20 @@ object DriftOps {
     psiFinish(edges, cnts)
   }
 
+  /** Per-type value-range edges over the FULL window (both halves) —
+    * KS's grid must span the combined support (a current-half value
+    * outside the reference range is exactly the drift the sup is
+    * attained at), unlike PSI whose convention freezes reference-only
+    * edges. Bounded result, driver-localized then broadcast (the
+    * refEdges / temperatureThresholds shape). A live deployment
+    * freezes these from a calibration window instead; the LEAST/
+    * GREATEST clamp then absorbs out-of-range live values into the
+    * boundary cells. */
+  private[queries] def ksEdges(ev: DataFrame): DataFrame =
+    broadcast(Q.localized(
+      ev.groupBy("event_type")
+        .agg(min("value").as("vmin"), max("value").as("vmax"))))
+
   /** q123's pipeline over any (event_type, us, value) frame. NULL
     * values are dropped on BOTH engines (oracle predicate mirrored): a
     * null has no position in the value order, and without the filter
@@ -370,22 +424,40 @@ object DriftOps {
   private[queries] def ksDrift(ev: DataFrame): DataFrame = {
     val nn = ev.filter(col("value").isNotNull)
     val mid = timeMid(nn)
-    ksFinish(nn
-      .groupBy("event_type", "value")
-      .agg(sum(when(col("us") < mid, 1L).otherwise(0L)).as("cr"),
-        sum(when(col("us") < mid, 0L).otherwise(1L)).as("cc")))
+    ksFinish(ksCounts(nn, mid))
   }
 
-  /** KS arithmetic over a combined (event_type, value, cr, cc) counts
-    * relation: per-type totals, cumulative CDFs by value order, |ΔCDF|
-    * micro-snapped per jump point BEFORE the max. Shared by q123 (batch)
-    * and q124 (streaming) so the monitors cannot diverge — the
-    * psiFinish/chi2Finish convention. */
-  private[queries] def ksFinish(cnts: DataFrame): DataFrame = {
+  /** The grid-bounded counts relation: (event_type, cell, cr, cc),
+    * ≤ |types|·2¹⁶ rows by construction. Split out so PlanSpec can pin
+    * the statistic pipeline's shape (the localized result q123 returns
+    * is a LocalTableScan that hides it). */
+  private[queries] def ksCounts(nn: DataFrame, mid: Long): DataFrame =
+    nn.join(ksEdges(nn), "event_type")
+      .select(col("event_type"), ksCellCol.as("cell"),
+        (col("us") < mid).as("is_ref"))
+      .groupBy("event_type", "cell")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("cc"))
+
+  /** KS arithmetic over a combined (event_type, cell, cr, cc) counts
+    * relation: per-type totals, cumulative CDFs by cell order, |ΔCDF|
+    * micro-snapped per cell boundary BEFORE the max. Shared by q123
+    * (batch) and q124 (streaming) so the monitors cannot diverge — the
+    * psiFinish/chi2Finish convention. The cumulative window partitions
+    * by type over a ≤ 2¹⁶-row-per-type input (grid-bounded by
+    * construction); the |types|-sized result is localized before the
+    * total order so the range-sort sampling pass cannot re-execute the
+    * counts pipeline (the q118 lesson, per round-12 advice). */
+  private[queries] def ksFinish(cnts: DataFrame): DataFrame =
+    Q.localized(ksStat(cnts)).orderBy("event_type")
+
+  /** The statistic pipeline ksFinish localizes — separate so PlanSpec
+    * can explain() it directly. */
+  private[queries] def ksStat(cnts: DataFrame): DataFrame = {
     val tot = cnts.groupBy("event_type")
       .agg(sum("cr").as("nr"), sum("cc").as("nc"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("value")
+      .partitionBy("event_type").orderBy("cell")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     cnts
       .withColumn("crc", sum("cr").over(w))
@@ -400,7 +472,25 @@ object DriftOps {
       .agg(max("m").cast("long").as("ks_micros"),
         min("nr").cast("long").as("n_ref"),
         min("nc").cast("long").as("n_cur"))
-      .orderBy("event_type")
+  }
+
+  /** The EXACT distinct-value KS — round 12's formulation, kept as the
+    * verification anchor for the grid (never registered, never benched:
+    * its counts relation is distinct-value-sized, the very shape q123
+    * replaced). GraphDriftSpec pins, on fixtures and real testdata,
+    * that ksDrift's grid statistic never exceeds this and trails it by
+    * at most one cell's combined CDF mass. */
+  private[queries] def ksExact(ev: DataFrame): DataFrame = {
+    val nn = ev.filter(col("value").isNotNull)
+    val mid = timeMid(nn)
+    // the raw DOUBLE value stands in as the "cell": ksStat's cumulative
+    // order and arithmetic are shared verbatim, so grid-vs-exact
+    // differences can come ONLY from the cell quantization
+    ksFinish(nn
+      .groupBy("event_type", "value")
+      .agg(sum(when(col("us") < mid, 1L).otherwise(0L)).as("cr"),
+        sum(when(col("us") < mid, 0L).otherwise(1L)).as("cc"))
+      .withColumnRenamed("value", "cell"))
   }
 
   /** q114's pipeline over any (event_type, us) frame. */

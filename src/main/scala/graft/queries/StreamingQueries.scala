@@ -637,43 +637,52 @@ object StreamingQueries {
       }),
 
     // ------------------------------------------------------------------
-    // q124: STREAMING KOLMOGOROV-SMIRNOV DRIFT — q123's bucket-free
-    // statistic on a live stream, completing the live monitor family
-    // (q117 numeric-bucketed PSI, q121 categorical chi², q124 raw-value
-    // KS) over one frozen reference split. Frozen side: per-(type,
-    // value) reference counts, batch-derived and localized. Live side:
-    // a complete-mode groupBy(type, value) count — state is one row per
-    // OBSERVED VALUE-LATTICE CELL, not per event: this feed's values
-    // are 2dp-quantized (TestdataContractSpec pins it), so state is
-    // bounded by |types| × the value lattice however many events flow
-    // by; a truly continuous production feed quantizes on ingest (the
-    // same snap that makes ANY exact-value statistic well-defined).
-    // Final arithmetic is DriftOps.ksFinish — the code q123 runs, so
-    // the monitors cannot diverge, and q123's oracle replay gates both.
+    // q124: STREAMING KOLMOGOROV-SMIRNOV DRIFT — q123's grid KS on a
+    // live stream, completing the live monitor family (q117
+    // numeric-bucketed PSI, q121 categorical chi², q124 fine-grid KS)
+    // over one frozen reference split. Frozen side: per-(type, cell)
+    // reference counts at q123's 2¹⁶-cell micro-grid, batch-derived
+    // and localized. Live side: a complete-mode groupBy(type, cell)
+    // count against the broadcast frozen edges — state is PROVABLY
+    // bounded by |types|·2¹⁶ rows however many events flow by,
+    // continuous-valued or not (the round-12 form's state was one row
+    // per observed raw DOUBLE — corpus-sized on a continuous feed);
+    // the edge clamp absorbs any live value outside the calibration
+    // range into a boundary cell. The replay twin derives its edges
+    // from the complete window so the statistic equals q123's (and one
+    // oracle gates both); a live deployment freezes calibration edges
+    // once. Final arithmetic is DriftOps.ksFinish — the code q123
+    // runs, so the monitors cannot diverge.
     Q("q124_stream_ks",
       oracle = Some(DriftOps.ksOracleSql),
       run = (spark, dir) => {
         // null values dropped on every side (the q123/ksDrift contract —
-        // mirrored in the shared oracle's WHERE): mid, the frozen
-        // reference and the live side must all see the same population
+        // mirrored in the shared oracle's WHERE): mid, the edges, the
+        // frozen reference and the live side must all see the same
+        // population
         val evB = graft.io.Tables.table(spark, dir, "events")
           .select(col("event_type"), unix_micros(col("ts")).as("us"),
             col("value"))
           .filter(col("value").isNotNull)
         val mid = DriftOps.timeMid(evB)
+        val edges = DriftOps.ksEdges(evB)
         val refCnts = Q.localized(evB.filter(col("us") < mid)
-          .groupBy("event_type", "value").agg(count(lit(1)).as("cr")))
+          .join(edges, "event_type")
+          .select(col("event_type"), DriftOps.ksCellCol.as("cell"))
+          .groupBy("event_type", "cell").agg(count(lit(1)).as("cr")))
         val cur = eventsStream(spark, dir)
           .select(col("event_type"), unix_micros(col("ts")).as("us"),
             col("value"))
           .filter(col("value").isNotNull && col("us") >= mid)
-          .groupBy("event_type", "value").agg(count(lit(1)).as("cc"))
+          .join(edges, "event_type")
+          .select(col("event_type"), DriftOps.ksCellCol.as("cell"))
+          .groupBy("event_type", "cell").agg(count(lit(1)).as("cc"))
         runToMemorySink(spark, dir, "stream_ks_", "complete", cur,
           noDataBatch = false) { sink =>
           DriftOps.ksFinish(
-            refCnts.join(sink.select("event_type", "value", "cc"),
-                Seq("event_type", "value"), "full_outer")
-              .select(col("event_type"), col("value"),
+            refCnts.join(sink.select("event_type", "cell", "cc"),
+                Seq("event_type", "cell"), "full_outer")
+              .select(col("event_type"), col("cell"),
                 coalesce(col("cr"), lit(0L)).as("cr"),
                 coalesce(col("cc"), lit(0L)).as("cc")))
         }

@@ -195,6 +195,58 @@ class GraphDriftSpec extends AnyFunSuite with Matchers with SparkTestSession {
     nudged.getLong(1) should be >= 40000L // D ≥ ~0.05 for a 5/100 shift
   }
 
+  test("q123 grid anchor: sub-cell-width structure under-reports by at " +
+    "most the colliding cells' mass (grid <= exact always), while a " +
+    "super-cell shift still fires at full strength") {
+    // force collisions: an outlier stretches the range to [0.5, 1e6] so
+    // the 2^16-cell width is ~15.26 — the 0.5-spaced cluster packs ~30
+    // values per cell, and a +0.3 shift is invisible to the grid
+    val ref = (1 to 100).map(_ * 0.5) :+ 1000000.0
+    val cur = ref.map(v => if (v < 1000.0) v + 0.3 else v)
+    val g = DriftOps.ksDrift(events("a", ref, cur)).collect().head.getLong(1)
+    val e = DriftOps.ksExact(events("a", ref, cur)).collect().head.getLong(1)
+    e should be > 0L            // the exact statistic sees the shift
+    g should be <= e            // the grid never overshoots the exact D
+    // the documented bound: gap <= one cell's combined CDF mass. The
+    // cluster spans cells 0..3 (~50/15.26), so a colliding cell holds
+    // <= 31 of 101 values per side -> bound ~ 2*31/101 = 0.614
+    (e - g) should be <= 614000L
+    // a shift WIDER than a cell is seen at full strength by the grid
+    val far = DriftOps.ksDrift(
+      events("b", ref, ref.map(_ + 100000.0))).collect().head.getLong(1)
+    far should be > 900000L
+  }
+
+  test("q123 grid anchor: on real testdata the grid KS equals or trails " +
+    "the exact distinct-value KS within the per-type one-cell mass bound") {
+    val ev = graft.io.Tables.table(spark, sf0001, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("value"))
+    val grid = DriftOps.ksDrift(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = DriftOps.ksExact(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    grid.keySet shouldBe exact.keySet
+    // per-type bound: max over cells of (cr/nr + cc/nc), in micros,
+    // +1 for the snap — computed from the same counts relation q123 uses
+    val nn = ev.filter(col("value").isNotNull)
+    val cnts = DriftOps.ksCounts(nn, DriftOps.timeMid(nn))
+    val tot = cnts.groupBy("event_type")
+      .agg(sum("cr").as("nr"), sum("cc").as("cc_t"))
+    val bound = cnts.join(tot, "event_type")
+      .select(col("event_type"),
+        (col("cr") / col("nr") + col("cc") / col("cc_t")).as("mass"))
+      .groupBy("event_type").agg(max("mass").as("b"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1) * 1e6).toLong).toMap
+    for ((t, g) <- grid) {
+      withClue(s"event_type $t: ") {
+        g should be <= exact(t)
+        (exact(t) - g) should be <= (bound(t) + 1)
+      }
+    }
+  }
+
   test("q114: an entirely empty CURRENT half drops its rows cleanly " +
     "instead of dividing by an expected count of zero") {
     // all events in the reference half (us < mid can never be false

@@ -581,6 +581,35 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .split("== Initial Plan ==")(0))
   }
 
+  test("q123: the KS cumulative window sorts GRID CELLS (int) after a " +
+    "partially-aggregated (type, cell) reduction — no window over raw " +
+    "double values anywhere in the plan (the round-12 scale-killer), " +
+    "and the per-type window input is grid-bounded") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val nn = graft.io.Tables.table(spark, sf0001, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .filter(col("value").isNotNull)
+    val cnts = DriftOps.ksCounts(nn, DriftOps.timeMid(nn))
+    val stat = DriftOps.ksStat(cnts)
+    stat.collect()
+    val p = stat.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the one Window in the statistic orders by the int cell, never the
+    // raw double value
+    p should include("Window")
+    p should include regex "windowspecdefinition\\(event_type#\\d+, cell#\\d+ ASC"
+    p should not include regex ("windowspecdefinition\\([^)]*value#")
+    // the counts relation entering the window is partial-aggregated
+    // before its exchange (map-side combine on (type, cell))
+    val pc = cnts.queryExecution.explainString(ExplainMode.fromString("simple"))
+    pc should include("partial_sum")
+    // and provably grid-bounded: every cell is inside [0, 2^16)
+    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    val mm = cnts.agg(smin("cell"), smax("cell")).collect().head
+    mm.getInt(0) should be >= 0
+    mm.getInt(1) should be < DriftOps.KS_CELLS
+  }
+
   test("q110: steady state READS the durable co-purchase edge artifact " +
     "(no lineitem self-join), and at dimension scale the local gate " +
     "fires — the result is a LocalTableScan, zero exchanges") {
