@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
 /** Durable, shared store for DERIVED artifacts — the materialized
   * indexes the engine builds once per corpus and probes afterwards
   * (verified near-dup pairs, PPJoin prefix index, co-purchase edges,
-  * bigram-LM scores, the q78 dedup index, rare-overlap stats).
+  * bigram-LM scores, the q78 dedup index, rare-overlap stats, the q54
+  * codebook, the q71 LSH index).
   *
   * Why a store and not per-process temp dirs: through round 11 each
   * family kept its own `target/<family>-<uuid>` path keyed by an
@@ -24,9 +25,9 @@ import org.apache.spark.sql.SparkSession
   *    `target/artifacts` locally and is `GRAFT_ARTIFACT_ROOT` in
   *    production — an HDFS / object-store URI on a cluster (all path
   *    handling goes through the Hadoop `FileSystem` API, never
-  *    `java.io`, precisely so the root may be `hdfs://...`). Any
-  *    process that resolves the same (family, key) reuses the bytes a
-  *    previous process published.
+  *    `java.io`, precisely so the root may be `hdfs://...` or
+  *    `s3a://...`). Any process that resolves the same (family, key)
+  *    reuses the bytes a previous process published.
   *  - **Content-keyed**: [[sourceKey]] digests the SOURCE FILES'
   *    identity (path, length, mtime of every data file of the tables
   *    the artifact derives from), so regenerated testdata or a
@@ -34,20 +35,35 @@ import org.apache.spark.sql.SparkSession
   *    rebuilds — no stale reuse, and no 32-bit `hashCode` collisions
   *    (keys are md5-based, 16 hex chars = 64 bits over a handful of
   *    live dirs).
-  *  - **Atomic publish**: [[ensure]] builds into a `.tmp-` sibling and
-  *    renames it over the final path (rename is atomic on HDFS and on
-  *    a local FS), writing a `_GRAFT_OK` marker (ignored by parquet
-  *    globs, like `_SUCCESS`) as the completeness witness BEFORE the
-  *    rename. Readers only ever see complete artifacts; a crash
-  *    mid-build leaves a tmp dir for [[gc]] to reap; losing a publish
-  *    race discards the tmp and reuses the winner's artifact.
+  *  - **Publish protocol, per filesystem class**: on FSes with atomic
+  *    rename (HDFS, local) [[ensure]] builds into a `.tmp-` sibling,
+  *    writes the `_GRAFT_OK` marker (ignored by parquet globs, like
+  *    `_SUCCESS`) INSIDE the tmp dir, and renames it over the final
+  *    path — readers only ever see complete artifacts, a crash
+  *    mid-build leaves a tmp dir for [[gc]], and losing a publish race
+  *    discards the tmp and reuses the winner's bytes. On OBJECT STORES
+  *    (s3a/gs/abfs/...), where "rename" is a non-atomic copy+delete
+  *    that could expose a marker beside partially-copied data, the
+  *    store switches (by URI scheme, or explicitly via
+  *    `GRAFT_ARTIFACT_ATOMIC=false`) to marker-LAST publication:
+  *    build directly at the final path, then write the marker as the
+  *    completeness witness. Readers gate on the marker in both modes,
+  *    so a torn artifact is never trusted; the object-store residual
+  *    (two concurrent writers of the SAME key briefly interleaving
+  *    identical bytes — builds are deterministic functions of the
+  *    keyed sources) is documented, not hidden behind a rename that
+  *    was never atomic there.
   *  - **GC'd**: [[gc]] (run once per process, lazily, before the first
-  *    build) deletes marker-bearing entries whose marker mtime is past
-  *    the age cutoff and orphaned tmp dirs. Reuse touches the marker,
-  *    so live artifacts never age out under a running fleet.
+  *    build) deletes entries whose liveness clock is past the age
+  *    cutoff and orphaned tmp dirs. Reuse refreshes the clock — via
+  *    marker mtime where the FS supports `setTimes`, else via a
+  *    rewritten `_GRAFT_TOUCH` file (object stores reject setTimes;
+  *    both timestamps count, whichever is newer), so live artifacts
+  *    never age out under a running fleet on either FS class.
   *
   * Correctness is orthogonal by construction: every consumer's DuckDB
-  * oracle re-derives its artifact's content inline in SQL, so the
+  * oracle re-derives its artifact's content inline in SQL (or replays
+  * the materialized bytes from the fixed [[ensureAt]] path), so the
   * driver's gate value-checks the stored bytes each round no matter
   * which process produced them.
   */
@@ -59,6 +75,18 @@ object ArtifactStore {
   private val MaxAgeMillis: Long = 6L * 3600 * 1000
 
   private val Marker = "_GRAFT_OK"
+
+  /** Liveness-touch fallback for FSes where `setTimes` is unsupported
+    * (object stores): rewriting this small file refreshes the entry's
+    * GC clock instead. Underscore-prefixed, so parquet globs skip it. */
+  private val TouchFile = "_GRAFT_TOUCH"
+
+  /** URI schemes whose rename is copy+delete (non-atomic) — the
+    * marker-last publish mode applies. `nonatomic` is the test
+    * scheme ArtifactStoreSpec registers to pin this path. */
+  private val NonAtomicSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "oss", "cos", "wasb", "wasbs",
+    "abfs", "abfss", "swift", "nonatomic")
 
   @volatile private var rootOverride: Option[String] = None
 
@@ -88,7 +116,10 @@ object ArtifactStore {
   // process alive LONGER than MaxAgeMillis keeps its artifacts' GC
   // clocks fresh (without the rate limit the memoized fast path never
   // hit the FS again and a 6h+ process could lose a live artifact to
-  // a fresh process's gc)
+  // a fresh process's gc). The same probe re-validates that the marker
+  // still EXISTS — if a foreign gc (clock skew, suspended session)
+  // reaped the artifact, the memo entry is evicted and the next
+  // resolve rebuilds instead of returning a dead path forever.
   private val lastTouch = new ConcurrentHashMap[String, java.lang.Long]()
   private val TouchIntervalMillis: Long = 15L * 60 * 1000
   // (dir|tables) -> key; the source listing is one RPC per table on a
@@ -102,6 +133,16 @@ object ArtifactStore {
 
   private def hadoopConf(spark: SparkSession): Configuration =
     spark.sparkContext.hadoopConfiguration
+
+  /** Whether this FS's rename may be trusted as the atomic publish
+    * primitive. Scheme-derived; `GRAFT_ARTIFACT_ATOMIC` overrides both
+    * ways for deployments whose store lies about its scheme (a proxy
+    * FS, an HDFS-compatible object gateway). */
+  private[graft] def renameIsAtomic(fs: FileSystem): Boolean =
+    sys.env.get("GRAFT_ARTIFACT_ATOMIC").map(_.toBoolean).getOrElse {
+      val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+      !NonAtomicSchemes.contains(scheme.toLowerCase)
+    }
 
   /** Collision-resistant 64-bit identity for `dir` + the data files of
     * `tables` under it: every file's (relative path, length, mtime)
@@ -139,22 +180,20 @@ object ArtifactStore {
     })
   }
 
-  /** Fixed, process-independent location for artifacts whose absolute
-    * path must be known at CLASS LOAD (the q54 codebook / q71 LSH
-    * index bake their path into a static oracle SQL string). Staleness
-    * for these is the caller's own key-sidecar discipline
-    * ([[graft.similarity.VectorSearch.ensureCodebook]]); concurrency is
-    * the documented single-writer arrangement those callers already
-    * carry. Lives under the same configurable [[root]] so one env var
-    * relocates every artifact in production. */
+  /** Fixed, process-independent location for [[ensureAt]] artifacts —
+    * the ones whose absolute path must be known at CLASS LOAD because a
+    * static oracle SQL string bakes it in (the q54 codebook, the q71
+    * LSH index). Lives under the same configurable [[root]] so one env
+    * var relocates every artifact in production. */
   def fixedPath(family: String): String = root + "/" + family
 
   /** Resolve-or-build: returns the published path of (family, key),
     * building it at most once across ALL processes sharing [[root]].
-    * `build` receives a tmp path and must leave the complete artifact
+    * `build` receives a build path and must leave the complete artifact
     * under it (a parquet dir, or a dir of named parquet subdirs —
     * readers append their own `/subdir`). Never builds when a complete
-    * artifact exists; publishes atomically; on a lost race reuses the
+    * artifact exists; publishes per the FS's protocol (atomic rename,
+    * or marker-last on object stores); on a lost race reuses the
     * winner's bytes. */
   def ensure(spark: SparkSession, family: String, key: String)
       (build: String => Unit): String = {
@@ -165,94 +204,192 @@ object ArtifactStore {
       val fs = rootPath.getFileSystem(conf)
       if (!gcDone) { gcDone = true; gc(fs, rootPath) }
       val finalPath = new Path(rootPath, memoKey)
-      val marker = new Path(finalPath, Marker)
-      if (fs.exists(marker)) {
-        touchMarker(fs, memoKey, marker)
-        finalPath.toString
-      } else {
-        val tmp = new Path(rootPath,
-          s"$family/.tmp-$key-${java.util.UUID.randomUUID().toString.take(8)}")
-        build(tmp.toString)
-        val out = fs.create(new Path(tmp, Marker), true)
-        out.write(key.getBytes("UTF-8")); out.close()
-        fs.mkdirs(finalPath.getParent)
-        // Hadoop rename moves src INTO an existing dst dir (instead of
-        // replacing it), so a probe alone cannot close the race window:
-        // a winner publishing between our probe and our rename would
-        // leave OUR tmp dir nested INSIDE their artifact with rename
-        // still returning true. Sequence: probe (fast paths), rename,
-        // then check for the nested-dir signature and repair — the
-        // winner's artifact is left intact and reused.
-        val preExisting = fs.exists(finalPath)
-        if (preExisting && fs.exists(marker)) {
-          // lost the race before we even renamed: reuse the winner
-          fs.delete(tmp, true)
-        } else {
-          if (preExisting) fs.delete(finalPath, true) // markerless leftover
-          val renamed = fs.rename(tmp, finalPath)
-          if (renamed) {
-            // a winner publishing between our probe/delete and our
-            // rename makes rename nest OUR tmp inside THEIR artifact
-            // (still returning true) — detect the signature and repair,
-            // leaving the winner's complete artifact to be reused
-            val nested = new Path(finalPath, tmp.getName)
-            if (fs.exists(nested)) fs.delete(nested, true)
-          } else {
-            fs.delete(tmp, true) // dst appeared after the probe
-          }
-          if (!fs.exists(marker))
-            throw new IllegalStateException(
-              s"ArtifactStore: publish failed for $memoKey")
-        }
-        lastTouch.put(memoKey, System.currentTimeMillis())
-        finalPath.toString
-      }
+      publishAt(fs, rootPath, finalPath, family, key,
+        checkContent = false)(build)
+      lastTouch.put(memoKey, System.currentTimeMillis())
+      finalPath.toString
     })
-    // steady-state resolves keep the GC age clock fresh (rate-limited)
+    // steady-state resolves keep the GC age clock fresh (rate-limited),
+    // and re-validate the publication is still on disk — evicting the
+    // memo (so the NEXT resolve rebuilds) if a foreign gc reaped it
     val now = System.currentTimeMillis()
     val t = lastTouch.get(memoKey)
     if (t == null || now - t > TouchIntervalMillis) {
       lastTouch.put(memoKey, now)
-      try {
-        val p = new Path(path, Marker)
-        p.getFileSystem(hadoopConf(spark)).setTimes(p, now, -1)
-      } catch { case _: java.io.IOException => () }
+      val fs = new Path(path).getFileSystem(hadoopConf(spark))
+      val marker = new Path(path, Marker)
+      val alive =
+        try fs.exists(marker)
+        catch { case _: java.io.IOException => true } // transient: keep
+      if (alive) touchEntry(fs, new Path(path))
+      else {
+        published.remove(memoKey)
+        lastTouch.remove(memoKey)
+        return ensure(spark, family, key)(build)
+      }
     }
     path
   }
 
-  /** Touch a marker (GC age clock) and record the touch time. */
-  private def touchMarker(fs: FileSystem, memoKey: String,
-      marker: Path): Unit = {
-    try fs.setTimes(marker, System.currentTimeMillis(), -1)
-    catch { case _: java.io.IOException => () }
-    lastTouch.put(memoKey, System.currentTimeMillis())
+  /** [[ensure]]'s staleness / publish / GC contract for artifacts that
+    * must live at a FIXED path known at class load (a static oracle SQL
+    * string bakes the path in): the content key lives in the
+    * `_GRAFT_OK` marker instead of the path, so a key change rebuilds
+    * IN PLACE and two corpora cannot silently share stale geometry.
+    * Returns true when a (re)build happened. Default location is
+    * [[fixedPath]](family); `at` overrides it (env-pinned deployments,
+    * tests). Unlike [[ensure]], every resolve reads the marker — one
+    * fixed path serves many keys over time, so the memo alone cannot
+    * prove freshness; the read is one small file, paid by queries that
+    * run once per suite. */
+  def ensureAt(spark: SparkSession, family: String, key: String,
+      at: Option[String] = None)(build: String => Unit): Boolean = {
+    val conf = hadoopConf(spark)
+    val rootPath = new Path(root)
+    val finalPath = new Path(at.getOrElse(fixedPath(family)))
+    val fs = finalPath.getFileSystem(conf)
+    if (!gcDone) { gcDone = true; gc(rootPath.getFileSystem(conf), rootPath) }
+    val built = publishAt(fs, finalPath.getParent, finalPath, family, key,
+      checkContent = true)(build)
+    lastTouch.put(family + "@" + key, System.currentTimeMillis())
+    built
   }
 
-  /** Reap (a) published entries whose marker mtime is older than
-    * [[MaxAgeMillis]] — the mtime refreshes on every reuse, so only
-    * artifacts no live process has touched in the window go — and
-    * (b) `.tmp-` dirs from crashed builds past the same cutoff.
+  /** The shared publish protocol. `checkContent=false` (content-keyed
+    * paths): marker presence alone certifies the artifact.
+    * `checkContent=true` (fixed paths): the marker must also CARRY
+    * `key`, else the entry is stale and rebuilds in place. Returns true
+    * when this call built. */
+  private def publishAt(fs: FileSystem, tmpParent: Path, finalPath: Path,
+      family: String, key: String, checkContent: Boolean)
+      (build: String => Unit): Boolean = {
+    val marker = new Path(finalPath, Marker)
+    def markerOk: Boolean =
+      try fs.exists(marker) &&
+        (!checkContent || readSmall(fs, marker) == key)
+      catch { case _: java.io.IOException => false }
+    def writeMarker(dir: Path): Unit = {
+      val out = fs.create(new Path(dir, Marker), true)
+      out.write(key.getBytes("UTF-8")); out.close()
+    }
+    if (markerOk) { touchEntry(fs, finalPath); false }
+    else if (renameIsAtomic(fs)) {
+      val tmp = new Path(tmpParent,
+        s".tmp-$family-${java.util.UUID.randomUUID().toString.take(8)}")
+      build(tmp.toString)
+      writeMarker(tmp)
+      fs.mkdirs(finalPath.getParent)
+      // Hadoop rename moves src INTO an existing dst dir (instead of
+      // replacing it), so a probe alone cannot close the race window:
+      // a winner publishing between our probe and our rename would
+      // leave OUR tmp dir nested INSIDE their artifact with rename
+      // still returning true. Sequence: probe (fast paths), rename,
+      // then check for the nested-dir signature and repair — the
+      // winner's artifact is left intact and reused.
+      val preExisting = fs.exists(finalPath)
+      if (preExisting && markerOk) {
+        // lost the race before we even renamed: reuse the winner
+        fs.delete(tmp, true)
+      } else {
+        // markerless leftover, or (fixed paths) a stale-key artifact
+        if (preExisting) fs.delete(finalPath, true)
+        val renamed = fs.rename(tmp, finalPath)
+        if (renamed) {
+          val nested = new Path(finalPath, tmp.getName)
+          if (fs.exists(nested)) fs.delete(nested, true)
+        } else {
+          fs.delete(tmp, true) // dst appeared after the probe
+        }
+        if (!markerOk)
+          throw new IllegalStateException(
+            s"ArtifactStore: publish failed for $finalPath")
+      }
+      true
+    } else {
+      // marker-LAST copy-in-place for rename-unsafe stores: whatever is
+      // at the final path carries no (valid) marker, so no reader
+      // trusts it — clear it, build the complete artifact, and only
+      // then write the completeness witness. A crash mid-build leaves a
+      // markerless partial that the next resolver clears the same way.
+      try fs.delete(finalPath, true)
+      catch { case _: java.io.IOException => () }
+      build(finalPath.toString)
+      writeMarker(finalPath)
+      true
+    }
+  }
+
+  /** Refresh an entry's GC liveness clock: marker setTimes where the FS
+    * supports it, else (object stores) rewrite the `_GRAFT_TOUCH` file
+    * — [[gc]] honors whichever is newer. */
+  private def touchEntry(fs: FileSystem, entry: Path): Unit = {
+    val now = System.currentTimeMillis()
+    try fs.setTimes(new Path(entry, Marker), now, -1)
+    catch {
+      case _: java.io.IOException | _: UnsupportedOperationException =>
+        try {
+          val out = fs.create(new Path(entry, TouchFile), true)
+          out.write(now.toString.getBytes("UTF-8")); out.close()
+        } catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](256)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** An entry's liveness clock: newest of marker mtime and touch-file
+    * mtime (the setTimes-unsupported fallback), -1 if markerless. */
+  private def entryAge(fs: FileSystem, entry: Path): Long = {
+    def mtime(name: String): Long =
+      try fs.getFileStatus(new Path(entry, name)).getModificationTime
+      catch { case _: java.io.IOException => -1L }
+    math.max(mtime(Marker), mtime(TouchFile))
+  }
+
+  /** Reap (a) entries whose liveness clock (marker or touch-file mtime,
+    * refreshed on every reuse) is older than [[MaxAgeMillis]], (b)
+    * `.tmp-` dirs from crashed builds past the same cutoff, and (c)
+    * markerless non-tmp leftovers past the cutoff (crashed marker-last
+    * builds / pre-rename junk — no reader ever trusted them). Both
+    * store layouts are swept: depth-1 [[ensureAt]] families (the dir
+    * itself carries the marker) and depth-2 content-keyed entries.
     * Best-effort: a concurrent process's IO errors are ignored. */
   private def gc(fs: FileSystem, rootPath: Path): Unit = {
     val cutoff = System.currentTimeMillis() - MaxAgeMillis
-    val families =
-      try fs.listStatus(rootPath).filter(_.isDirectory)
-      catch { case _: java.io.IOException => Array.empty[FileStatus] }
-    for (fam <- families;
-         entry <- try fs.listStatus(fam.getPath).filter(_.isDirectory)
-                  catch { case _: java.io.IOException => Array.empty[FileStatus] }) {
+    def sweep(entry: FileStatus): Boolean = {
       val stale =
         if (entry.getPath.getName.startsWith(".tmp-"))
           entry.getModificationTime < cutoff
-        else
-          try {
-            val m = fs.getFileStatus(new Path(entry.getPath, Marker))
-            m.getModificationTime < cutoff
-          } catch { case _: java.io.IOException => false } // not ours / in flight
+        else entryAge(fs, entry.getPath) match {
+          case -1L => entry.getModificationTime < cutoff // markerless junk
+          case age => age < cutoff
+        }
       if (stale)
         try { fs.delete(entry.getPath, true); () }
         catch { case _: java.io.IOException => () }
+      stale
+    }
+    val families =
+      try fs.listStatus(rootPath).filter(_.isDirectory)
+      catch { case _: java.io.IOException => Array.empty[FileStatus] }
+    for (fam <- families) {
+      val isFixedEntry =
+        try fs.exists(new Path(fam.getPath, Marker))
+        catch { case _: java.io.IOException => false }
+      if (isFixedEntry) { sweep(fam); () } // ensureAt family: sweep whole dir
+      else if (fam.getPath.getName.startsWith(".tmp-")) { sweep(fam); () }
+      else
+        for (entry <- try fs.listStatus(fam.getPath).filter(_.isDirectory)
+                      catch { case _: java.io.IOException => Array.empty[FileStatus] })
+          sweep(entry)
     }
     // legacy sweep: rounds before the store kept per-process
     // `target/<family>-<uuid>` dirs (hardcoded local paths, so this

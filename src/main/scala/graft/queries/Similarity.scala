@@ -62,12 +62,6 @@ object Similarity {
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
       FROM e)"""
 
-  // per-process memo of q54's (testdata dir → cache key): the corpus
-  // count can't change under a live process, so only the first
-  // invocation pays the count job
-  private val q54KeyCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Where q54 materializes its trained codebook so the DuckDB oracle can
     * replay the identical search over the identical centroids (KMeans
     * centers aren't SQL-reproducible; the search given a codebook is).
@@ -75,17 +69,20 @@ object Similarity {
     * path must be process-independent AND known before any query runs —
     * hence [[graft.exec.ArtifactStore.fixedPath]] (one stable dir under
     * the store's configurable root, relocatable to a cluster FS with one
-    * env var) rather than a content-keyed `ensure` entry. Staleness is
-    * `ensureCodebook`'s own key-sidecar check; cross-process reuse is
-    * free (the sidecar matches), and the write side is the documented
-    * single-writer arrangement. GRAFT_Q54_CENTROIDS_DIR still pins an
-    * explicit path when a deployment wants one. */
+    * env var) rather than a content-ADDRESSED `ensure` entry. The
+    * contract is still the store's: `ensureCodebook` resolves through
+    * [[graft.exec.ArtifactStore.ensureAt]], which records the content
+    * key (corpus source-file identity + training params) in the
+    * `_GRAFT_OK` marker at this fixed path — staleness, atomic /
+    * marker-last publish, GC liveness and race repair all come from
+    * the store, with no caller-managed sidecar. GRAFT_Q54_CENTROIDS_DIR
+    * still pins an explicit path when a deployment wants one. */
   private[queries] val TrainedCentroidsPath: String =
     sys.env.getOrElse("GRAFT_Q54_CENTROIDS_DIR",
       graft.exec.ArtifactStore.fixedPath("q54_centroids"))
 
-  /** q71's materialized LSH index location (same static-oracle/env
-    * discipline as [[TrainedCentroidsPath]]). */
+  /** q71's materialized LSH index location (same static-oracle /
+    * fixed-path-ensureAt discipline as [[TrainedCentroidsPath]]). */
   private[queries] val LshIndexPath: String =
     sys.env.getOrElse("GRAFT_Q71_INDEX_DIR",
       graft.exec.ArtifactStore.fixedPath("q71_lsh_index"))
@@ -317,23 +314,22 @@ object Similarity {
       run = (spark, dir) => {
         import graft.io.Tables
         val emb = Tables.table(spark, dir, "embeddings")
-        // fit-on-miss / reuse-on-hit: the fit runs only when no codebook
-        // for this (sfDir, corpus count) exists at the per-process path —
-        // steady state (Bench's repeated runs) pays only the search, not
-        // the ~2 s KMeans fit. Training uses a seeded 20% sample (KMeans
-        // cost is per-iteration linear in rows; the codebook only needs
-        // cell geometry) and 5 Lloyd iterations (a coarse quantizer needs
+        // fit-on-miss / reuse-on-hit: the fit runs only when the fixed
+        // path holds no codebook for this corpus's SOURCE-FILE identity
+        // (ArtifactStore.sourceKey — regenerated embeddings re-key and
+        // retrain; the pre-round-13 row-count key missed same-count
+        // regenerations) — steady state (Bench's repeated runs) pays
+        // only the search, not the ~2 s KMeans fit, and not even a
+        // count job. Training uses a seeded 20% sample (KMeans cost is
+        // per-iteration linear in rows; the codebook only needs cell
+        // geometry) and 5 Lloyd iterations (a coarse quantizer needs
         // rough cells, not convergence — recall is nprobe's job). The
         // oracle is immune to training variation either way: it replays
-        // the MATERIALIZED centroids, whatever they are. The count in
-        // the key is memoized per (process, dir): within a process the
-        // testdata dir is immutable by the same argument that makes the
-        // per-process artifact path safe, so steady-state runs skip even
-        // the count job.
+        // the MATERIALIZED centroids, whatever they are.
         graft.similarity.VectorSearch.ensureCodebook(
           emb.sample(0.2, 42L), "vec_id", "embedding", k = 8, maxIter = 5,
           path = TrainedCentroidsPath,
-          cacheKey = q54KeyCache.computeIfAbsent(dir, d => s"$d|${emb.count()}"))
+          cacheKey = graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings"))
         // search over the PERSISTED centroids (the exact doubles the
         // oracle reads), not the in-memory ones
         val cents = spark.read.parquet(TrainedCentroidsPath)
@@ -508,8 +504,17 @@ object Similarity {
         val sigd = normed(spark, dir)
           .select(col("vec_id"), col("v"), col("nrm"),
             shiftright(signatureCol, 4).as("sig_hi"))
-        sigd.write.mode("overwrite").partitionBy("sig_hi")
-          .parquet(LshIndexPath)
+        // built once per corpus identity at the fixed path (static
+        // oracle-free probe still wants a stable serving location):
+        // ensureAt's marker-carried key makes the rewrite happen ONLY
+        // when the embeddings source files change — pre-round-13 this
+        // rewrote the whole index on every invocation
+        graft.exec.ArtifactStore.ensureAt(spark, "q71_lsh_index",
+          graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings"),
+          at = Some(LshIndexPath)) { buildPath =>
+          sigd.write.mode("overwrite").partitionBy("sig_hi")
+            .parquet(buildPath)
+        }
         val idx = spark.read.parquet(LshIndexPath)
         // the probe: ONE row to the driver, shipped back as literals so
         // the bucket filter is a literal the planner can prune on

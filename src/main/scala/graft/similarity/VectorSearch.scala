@@ -184,38 +184,27 @@ object VectorSearch {
 
   /** Idempotent codebook materialization: [[trainCodebook]] + parquet
     * write, but ONLY when `path` holds no codebook built for this
-    * `cacheKey` (corpus identity + row count is the intended staleness
-    * key) — otherwise the artifact is reused in place. The key is
-    * recorded in a `_graft_cache_key` sidecar INSIDE the dir (written
-    * after the parquet, so a crash mid-write leaves no key and the next
-    * call retrains; parquet globs skip `_`-prefixed files). Returns true
-    * when a (re)train happened. Single-writer per path — callers either
-    * use a per-process-unique path or document their serialization.
-    * Output columns: (c_id BIGINT, cv ARRAY<DOUBLE>), single file (a
-    * codebook is k × dim doubles — always tiny). */
+    * `cacheKey` (corpus source-file identity is the intended staleness
+    * key) — otherwise the artifact is reused in place. Delegates to
+    * [[graft.exec.ArtifactStore.ensureAt]], so staleness (key in the
+    * `_GRAFT_OK` marker), publish atomicity / marker-last object-store
+    * mode, GC liveness and race repair are the store's one contract
+    * rather than a caller-managed sidecar. Returns true when a
+    * (re)train happened. Output columns: (c_id BIGINT,
+    * cv ARRAY<DOUBLE>), single file (a codebook is k × dim doubles —
+    * always tiny). */
   def ensureCodebook(train: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIter: Int, path: String, cacheKey: String): Boolean = {
     // the training parameters are part of the staleness key — a caller
     // that bumps k must never silently reuse old-k geometry
     val fullKey = s"$cacheKey|k=$k|maxIter=$maxIter"
-    val keyFile = java.nio.file.Paths.get(path, "_graft_cache_key")
-    val hit = java.nio.file.Files.exists(keyFile) &&
-      new String(java.nio.file.Files.readAllBytes(keyFile), "UTF-8") == fullKey
-    if (!hit) {
-      val codebook = trainCodebook(train, idCol, vecCol, k, maxIter)
+    val family = new org.apache.hadoop.fs.Path(path).getName
+    graft.exec.ArtifactStore.ensureAt(train.sparkSession, family, fullKey,
+      at = Some(path)) { buildPath =>
+      trainCodebook(train, idCol, vecCol, k, maxIter)
         .select(col(idCol).as("c_id"), col(vecCol).as("cv"))
-      codebook.coalesce(1).write.mode("overwrite").parquet(path)
-      java.nio.file.Files.write(keyFile, fullKey.getBytes("UTF-8"))
-    } else {
-      // refresh the artifact's mtime on every reuse so age-based
-      // cleanup (the per-process sweep in graft.queries.Similarity)
-      // never reaps a directory a live process is still reading
-      try java.nio.file.Files.setLastModifiedTime(
-        java.nio.file.Paths.get(path),
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-      catch { case _: Exception => () }
+        .coalesce(1).write.mode("overwrite").parquet(buildPath)
     }
-    !hit
   }
 
   /** Load-and-search helper over the testdata embeddings table. */

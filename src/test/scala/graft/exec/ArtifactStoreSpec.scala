@@ -94,7 +94,8 @@ class ArtifactStoreSpec extends AnyFunSuite with Matchers with SparkTestSession 
     }
   }
 
-  test("gc reaps stale entries and orphan tmp dirs, leaves fresh and foreign ones") {
+  test("gc reaps stale entries, orphan tmp dirs and old markerless junk; " +
+    "leaves fresh keyed entries and fresh ensureAt families") {
     withRoot { root =>
       val old = System.currentTimeMillis() - 8L * 3600 * 1000
       // stale published entry: marker mtime 8h back
@@ -103,17 +104,148 @@ class ArtifactStoreSpec extends AnyFunSuite with Matchers with SparkTestSession 
       // orphan tmp from a crashed build, also old
       val orphan = new java.io.File(s"$root/fam/.tmp-dead-xyz")
       orphan.mkdirs(); orphan.setLastModified(old)
-      // fresh entry and a foreign (markerless, caller-managed) dir
+      // fresh keyed entry
       ArtifactStore.ensure(spark, "fam", "fresh") { writeOne(_, 2L) }
-      val foreign = new java.io.File(s"$root/q54_centroids/data")
-      foreign.mkdirs(); new java.io.File(s"$root/q54_centroids").setLastModified(old)
+      // fresh ensureAt family (marker at depth 1) must survive...
+      ArtifactStore.ensureAt(spark, "q54_centroids", "kA") { writeOne(_, 3L) }
+      // ...a STALE ensureAt family must go
+      ArtifactStore.ensureAt(spark, "q71_lsh_index", "kB") { writeOne(_, 4L) }
+      new java.io.File(s"$root/q71_lsh_index/_GRAFT_OK").setLastModified(old)
+      // old markerless junk (crashed marker-last build / pre-rename
+      // leftover — no reader ever trusted it) is reaped once old
+      val junk = new java.io.File(s"$root/fam/junk")
+      junk.mkdirs(); junk.setLastModified(old)
       // new process => lazy gc runs before its first build
       ArtifactStore.setRootForTest(Some(root))
-      ArtifactStore.ensure(spark, "fam", "other") { writeOne(_, 3L) }
+      ArtifactStore.ensure(spark, "fam", "other") { writeOne(_, 5L) }
       new java.io.File(s"$root/fam/stale").exists() shouldBe false
       orphan.exists() shouldBe false
+      junk.exists() shouldBe false
       new java.io.File(s"$root/fam/fresh").exists() shouldBe true
-      foreign.exists() shouldBe true
+      new java.io.File(s"$root/q54_centroids").exists() shouldBe true
+      new java.io.File(s"$root/q71_lsh_index").exists() shouldBe false
+    }
+  }
+
+  // ------------------------------------------------------- ensureAt
+
+  test("ensureAt: builds once at the FIXED path, reuses on the same key " +
+    "(even from a fresh process), rebuilds IN PLACE on a key change") {
+    withRoot { root =>
+      val builds = new AtomicInteger()
+      def resolve(key: String, v: Long) =
+        ArtifactStore.ensureAt(spark, "q54_centroids", key) { p =>
+          builds.incrementAndGet(); writeOne(p, v)
+        }
+      resolve("kA", 1L) shouldBe true
+      resolve("kA", 99L) shouldBe false  // same key: reuse, no rebuild
+      builds.get() shouldBe 1
+      spark.read.parquet(s"$root/q54_centroids").collect()
+        .map(_.getLong(0)).toSeq shouldBe Seq(1L)
+      // a fresh process on the same root still reuses (key is IN the
+      // marker, not in any per-process memo)
+      ArtifactStore.setRootForTest(Some(root))
+      resolve("kA", 99L) shouldBe false
+      builds.get() shouldBe 1
+      // key change (regenerated corpus / bumped params): rebuild in
+      // place at the SAME path — the static oracle keeps working
+      resolve("kB", 2L) shouldBe true
+      builds.get() shouldBe 2
+      spark.read.parquet(s"$root/q54_centroids").collect()
+        .map(_.getLong(0)).toSeq shouldBe Seq(2L)
+      // ...and the OLD key no longer matches afterwards
+      resolve("kA", 3L) shouldBe true
+      builds.get() shouldBe 3
+    }
+  }
+
+  test("ensureAt: a markerless leftover at the fixed path is rebuilt, " +
+    "not trusted") {
+    withRoot { root =>
+      writeOne(s"$root/q71_lsh_index", 1L)
+      ArtifactStore.ensureAt(spark, "q71_lsh_index", "k") { writeOne(_, 2L) }
+      spark.read.parquet(s"$root/q71_lsh_index").collect()
+        .map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    }
+  }
+
+  // --------------------------------------- object-store (rename-unsafe)
+
+  /** Root on the `nonatomic` scheme — NonAtomicFs: rename is
+    * copy+delete, setTimes throws. */
+  private def withNonAtomicRoot[A](f: (String, String) => A): A = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.nonatomic.impl", classOf[NonAtomicFs].getName)
+    val local = Files.createTempDirectory("graft-oss").toFile.getAbsolutePath
+    val root = s"nonatomic://$local"
+    ArtifactStore.setRootForTest(Some(root))
+    try f(root, local)
+    finally ArtifactStore.setRootForTest(None)
+  }
+
+  test("object-store mode: publish is marker-LAST copy-in-place — the " +
+    "builder receives the FINAL path (no .tmp sibling to rename), the " +
+    "marker lands after the data, and a fresh process reuses the bytes") {
+    withNonAtomicRoot { (root, local) =>
+      var builtAt: String = null
+      ArtifactStore.ensure(spark, "fam", "k1") { p =>
+        builtAt = p
+        // marker-last: nothing at the destination is certified yet
+        new java.io.File(s"$local/fam/k1/_GRAFT_OK").exists() shouldBe false
+        writeOne(p, 7L)
+      }
+      builtAt should not include "/.tmp-"
+      builtAt should endWith("/fam/k1")
+      new java.io.File(s"$local/fam/k1/_GRAFT_OK").exists() shouldBe true
+      // fresh process: reuse without rebuild
+      ArtifactStore.setRootForTest(Some(root))
+      val p = ArtifactStore.ensure(spark, "fam", "k1") { _ =>
+        fail("rebuilt a published object-store artifact")
+      }
+      spark.read.parquet(p).collect().map(_.getLong(0)).toSeq shouldBe Seq(7L)
+    }
+  }
+
+  test("object-store mode: a crashed (markerless) partial build is " +
+    "cleared and rebuilt; ensureAt's stale key rebuilds in place too") {
+    withNonAtomicRoot { (root, local) =>
+      // crash: data landed, marker never written
+      writeOne(s"$root/fam/k1", 1L)
+      new java.io.File(s"$local/fam/k1").exists() shouldBe true
+      val p = ArtifactStore.ensure(spark, "fam", "k1") { writeOne(_, 2L) }
+      spark.read.parquet(p).collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+      // fixed-path staleness on the same FS class
+      ArtifactStore.ensureAt(spark, "cb", "kA") { writeOne(_, 3L) } shouldBe true
+      ArtifactStore.ensureAt(spark, "cb", "kA") { writeOne(_, 9L) } shouldBe false
+      ArtifactStore.ensureAt(spark, "cb", "kB") { writeOne(_, 4L) } shouldBe true
+      spark.read.parquet(s"$root/cb").collect()
+        .map(_.getLong(0)).toSeq shouldBe Seq(4L)
+    }
+  }
+
+  test("object-store mode: GC liveness falls back to the _GRAFT_TOUCH " +
+    "file when setTimes is unsupported — a touched entry survives gc, " +
+    "an untouched one is reaped") {
+    withNonAtomicRoot { (root, local) =>
+      ArtifactStore.ensure(spark, "fam", "k1") { writeOne(_, 1L) }
+      // age the marker PAST the reuse-touch path but not past gc yet:
+      // a fresh-process reuse must refresh liveness via the touch file
+      // (setTimes throws on this FS)
+      ArtifactStore.setRootForTest(Some(root))
+      ArtifactStore.ensure(spark, "fam", "k1") { _ => fail("rebuild") }
+      val touch = new java.io.File(s"$local/fam/k1/_GRAFT_TOUCH")
+      touch.exists() shouldBe true
+      // marker 8h old but touch fresh => survives a new process's gc
+      val old = System.currentTimeMillis() - 8L * 3600 * 1000
+      new java.io.File(s"$local/fam/k1/_GRAFT_OK").setLastModified(old)
+      ArtifactStore.setRootForTest(Some(root))
+      ArtifactStore.ensure(spark, "fam", "other") { writeOne(_, 2L) }
+      new java.io.File(s"$local/fam/k1").exists() shouldBe true
+      // touch also old => the entry's liveness truly lapsed => reaped
+      touch.setLastModified(old)
+      ArtifactStore.setRootForTest(Some(root))
+      ArtifactStore.ensure(spark, "fam", "third") { writeOne(_, 3L) }
+      new java.io.File(s"$local/fam/k1").exists() shouldBe false
     }
   }
 }
