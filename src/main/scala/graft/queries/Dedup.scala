@@ -849,9 +849,14 @@ object Dedup {
 
   /** q118's full candidate-join + verify pipeline, pre-localization —
     * exposed so PlanSpec can pin the executed shape (steady-state index
-    * scan, hash-only exchanges, codegen intersect-count verify). */
-  private[queries] def q118PairsPlan(spark: SparkSession,
-      dir: String): DataFrame = {
+    * scan, hash-only exchanges, codegen intersect-count verify).
+    * `broadcastLimit` is the injectable doc-count gate for the
+    * broadcast-vs-shuffle array attach (default 2²⁰ docs) — the
+    * pageRank(localLimit) discipline, so Q118GateSpec can FORCE the
+    * at-scale shuffle branch on a fixture instead of leaving it dead
+    * code under test. */
+  private[queries] def q118PairsPlan(spark: SparkSession, dir: String,
+      broadcastLimit: Long = 1L << 20): DataFrame = {
     val t = NGRAM_JACCARD_MIN
     val idx = q118Index(spark, dir)
     val pref = spark.read.parquet(s"$idx/pref")
@@ -890,17 +895,24 @@ object Dedup {
     // replica for 250.6k true pairs) while the array side is corpus-
     // doc-bounded — shuffling and twice-sorting the 19.9M side through
     // a SortMergeJoin to attach 1KB of arrays per row measured 32.2s;
-    // the broadcast form is 3.2s (identical output). Past the gate the
-    // join falls back to shuffle — at that corpus size the arrays no
-    // longer fit an executor, and the sort-merge IS the right plan.
-    val attachA = shArr.select(col("doc_id").as("doc_a"),
+    // the broadcast form is 3.2s (identical output). ONE broadcast
+    // serves BOTH attach joins: the hint sits on the shared shArr scan
+    // and the A/B projections canonicalize identically above it, so
+    // ReuseExchange ships the ~500MB once, not twice (PlanSpec pins
+    // the ReusedExchange — the round-12 advice priced the old
+    // two-broadcast form at double the gate's comment). Past the gate
+    // the join falls back to shuffle — at that corpus size the arrays
+    // no longer fit an executor, and the sort-merge IS the right plan
+    // (Q118GateSpec forces this branch and pins identical output).
+    val broadcastable = shArr.count() <= broadcastLimit
+    val sh = if (broadcastable) broadcast(shArr) else shArr
+    val attachA = sh.select(col("doc_id").as("doc_a"),
       col("harr").as("ha"), col("nsh").as("na"))
-    val attachB = shArr.select(col("doc_id").as("doc_b"),
+    val attachB = sh.select(col("doc_id").as("doc_b"),
       col("harr").as("hb"), col("nsh").as("nb"))
-    val broadcastable = shArr.count() <= (1L << 20)
     val jac = pairs
-      .join(if (broadcastable) broadcast(attachA) else attachA, "doc_a")
-      .join(if (broadcastable) broadcast(attachB) else attachB, "doc_b")
+      .join(attachA, "doc_a")
+      .join(attachB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         // native codegen sort+merge count — semantically
         // size(array_intersect) but allocation-free per row

@@ -96,9 +96,17 @@ object MlQueries {
     * CountVectorizer vocabulary — q29's library surface, value-pinned by
     * MlSpec's full local re-derivation at sf0.001. */
   def tfidfTopTermsWithVocab(spark: SparkSession, dir: String)
+      : (DataFrame, Array[String]) =
+    tfidfTopTermsWithVocab(spark,
+      table(spark, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** Overload over a caller-provided (doc_id, text) frame — q29 passes
+    * a PERSISTED projection shared with its relational twin, so the one
+    * genuinely common input (the raw documents scan, the heaviest cost
+    * both sides share) is paid once while every downstream step stays
+    * independently derived on each side. */
+  def tfidfTopTermsWithVocab(spark: SparkSession, docs: DataFrame)
       : (DataFrame, Array[String]) = {
-    val docs = table(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
     val tokenized = new Tokenizer()
       .setInputCol("text").setOutputCol("raw_tokens").transform(docs)
     val cleaned = new StopWordsRemover()
@@ -269,7 +277,18 @@ object MlQueries {
                TRUE AS ml_matches_relational
         FROM documents ORDER BY doc_id"""),
       run = (spark, dir) => {
-        val (mlTop, vocab) = tfidfTopTermsWithVocab(spark, dir)
+        // ONE persisted scan of the heavy (doc_id, text) projection
+        // feeds both the ml pipeline and the relational twin: the raw
+        // scan is the single input the two sides legitimately share
+        // (they must agree on the corpus BYTES to be comparable at
+        // all), while tokenization onward stays fully independent on
+        // each side — the twin still catches a Tokenizer/StopWords/
+        // NGram/CountVectorizer/IDF regression. Measured A/B at the
+        // 10× replica in PERF.md (round 13).
+        val docs = table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (mlTop, vocab) = tfidfTopTermsWithVocab(spark, docs)
         // relational twin with the PIPELINE's token semantics: lowercase,
         // split on \s (Tokenizer), default-english stopword removal
         // (StopWordsRemover), len>2 — then the q48 tf·idf/top-5 shape,
@@ -279,8 +298,6 @@ object MlQueries {
         // over a 181-element literal array (a linear scan per token:
         // tokens × 181 string compares dominated the twin's 10× wall)
         val stop = StopWordsRemover.loadDefaultStopWords("english").toSeq
-        val docs = table(spark, dir, "documents")
-          .select(col("doc_id"), col("text"))
         val toks = filter(split(lower(col("text")), "\\s"),
           t => length(t) > 2 && !t.isin(stop: _*))
         val n2 = greatest(size(col("tk")) - 1, lit(0))
@@ -314,12 +331,18 @@ object MlQueries {
             transform(
               array_sort(collect_list(struct(col("rank"), col("bigram")))),
               x => x.getField("bigram")), ", ").as("rel_terms"))
-        Q.localized(mlTop
-          .join(relTop, Seq("doc_id"), "left")
+        // the equality check's join carries ONLY (doc_id, two 5-term
+        // strings): mlTop is already a localized relation and the
+        // narrow relTop side broadcasts, so no doc-count-sized hash
+        // exchange ships for a ≤60-byte-per-row comparison
+        val out = Q.localized(mlTop
+          .join(broadcast(relTop), Seq("doc_id"), "left")
           .select(col("doc_id"),
             (col("top_terms") === coalesce(col("rel_terms"), lit("")))
               .as("ml_matches_relational"))
           .orderBy(col("doc_id")))
+        docs.unpersist(blocking = false)
+        out
       })
   )
 }

@@ -87,10 +87,24 @@ object ScaleUp {
     // TIMESTAMP(NANOS) reads (and re-writes) as raw nanos BIGINT under
     // nanosAsLong (session config above); TIMESTAMP(MICROS) testdata
     // round-trips as TIMESTAMP_NTZ. Tables.withEventTime adapts to either
-    // on read, so the replica needs no shape normalization here
+    // on read, so the replica needs no shape normalization here.
+    // The VALUE column gets a deterministic per-row sub-cent jitter
+    // (xxhash64 of the shifted event_id, so copies differ): the source
+    // feed is 2dp-quantized, which kept the replica's distinct-value
+    // set tiny and let the pre-round-13 distinct-raw-value KS look flat
+    // in every bench — the round-12 verdict's point. With the jitter
+    // the 10× replica carries ~|rows| distinct CONTINUOUS doubles per
+    // type, so the grid-bounded q123/q124 is exercised on exactly the
+    // feed shape it was rebuilt for (distribution shift is ≤ 0.01 per
+    // value — PSI buckets and threshold queries are unaffected at their
+    // 10-bucket / decile granularity; nulls stay null)
     rep("events", Seq("event_id", "user_id")) { (df, s) =>
       df.withColumn("event_id", col("event_id") + s)
         .withColumn("user_id", col("user_id") + s)
+        .withColumn("value",
+          col("value") +
+            pmod(xxhash64(col("event_id")), lit(10000L)).cast("double")
+              / lit(1000000.0))
     }
     spark.stop()
   }

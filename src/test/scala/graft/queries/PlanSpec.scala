@@ -635,6 +635,10 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include("ppjoin_index")
     p should not include "arrays_zip" // no shingle re-derivation
     p should include("graft_intersect_count") // the codegen verify kernel
+    // ONE broadcast serves both array-attach joins (A/B projections
+    // canonicalize identically over the shared hinted scan) — the
+    // ~500MB-at-the-gate array side ships once, not twice
+    p should include("ReusedExchange")
     val keys = "Exchange hashpartitioning\\((\\w+#\\d+L?)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     keys should not be empty
