@@ -157,68 +157,10 @@ object DriftOps {
     // differs cross-engine at ~1e-15) absorbed by the 4dp round — the
     // established avg-rounding contract of q01/q13.
     Q("q119_centroid_drift",
-      oracle = Some("""
-        WITH e AS (
-          SELECT vec_id, label,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-                 vec_id % 2 AS half
-          FROM embeddings),
-        dims AS (
-          SELECT label, half,
-                 unnest(range(1, len(v) + 1)) AS dim,
-                 unnest(v) AS x
-          FROM e),
-        cent AS (
-          SELECT label, half, dim, avg(x) AS m, count(*) AS n
-          FROM dims GROUP BY label, half, dim),
-        paired AS (
-          SELECT a.label, a.dim, a.m AS m0, b.m AS m1,
-                 a.n AS n0, b.n AS n1
-          FROM cent a JOIN cent b
-            ON a.label = b.label AND a.dim = b.dim
-            AND a.half = 0 AND b.half = 1),
-        sums AS (
-          SELECT label,
-                 sum(m0 * m1) AS dp, sum(m0 * m0) AS s0,
-                 sum(m1 * m1) AS s1,
-                 sum((m0 - m1) * (m0 - m1)) AS sq,
-                 min(n0) AS n_even, min(n1) AS n_odd
-          FROM paired GROUP BY label)
-        SELECT label,
-               CAST(n_even AS BIGINT) AS n_even,
-               CAST(n_odd AS BIGINT) AS n_odd,
-               round(dp / (sqrt(s0) * sqrt(s1)), 4) AS centroid_cos,
-               round(sqrt(sq), 4) AS centroid_l2
-        FROM sums ORDER BY label"""),
-      run = (spark, dir) => {
-        val cent = table(spark, dir, "embeddings")
-          .select(col("label"),
-            (col("vec_id") % 2).as("half"),
-            posexplode(col("embedding").cast("array<double>"))
-              .as(Seq("dim", "x")))
-          .groupBy("label", "half", "dim")
-          .agg(avg("x").as("m"), count(lit(1)).as("n"))
-        cent.as("a")
-          .join(cent.as("b"),
-            col("a.label") === col("b.label") &&
-              col("a.dim") === col("b.dim") &&
-              col("a.half") === 0 && col("b.half") === 1)
-          .select(col("a.label").as("label"), col("a.m").as("m0"),
-            col("b.m").as("m1"), col("a.n").as("n0"), col("b.n").as("n1"))
-          .groupBy("label")
-          .agg(sum(col("m0") * col("m1")).as("dp"),
-            sum(col("m0") * col("m0")).as("s0"),
-            sum(col("m1") * col("m1")).as("s1"),
-            sum((col("m0") - col("m1")) * (col("m0") - col("m1"))).as("sq"),
-            min("n0").as("n_even"), min("n1").as("n_odd"))
-          .select(col("label"),
-            col("n_even").cast("long").as("n_even"),
-            col("n_odd").cast("long").as("n_odd"),
-            round(col("dp") / (sqrt(col("s0")) * sqrt(col("s1"))), 4)
-              .as("centroid_cos"),
-            round(sqrt(col("sq")), 4).as("centroid_l2"))
-          .orderBy("label")
-      }),
+      oracle = Some(centroidOracleSql),
+      run = (spark, dir) =>
+        centroidFinish(centroidCells(
+          table(spark, dir, "embeddings"), col("vec_id") % 2))),
 
     // ------------------------------------------------------------------
     // q123: TWO-SAMPLE KOLMOGOROV-SMIRNOV drift on the value
@@ -267,6 +209,43 @@ object DriftOps {
         chi2Drift(table(spark, dir, "events")
           .select(col("event_type"), unix_micros(col("ts")).as("us"))))
   )
+
+  /** q119's oracle — ALSO q125's: the streaming twin computes the
+    * identical statistic from the identical split, so one batch-SQL
+    * replay gates both (the psiOracleSql convention). */
+  private[queries] def centroidOracleSql: String = """
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 vec_id % 2 AS half
+          FROM embeddings),
+        dims AS (
+          SELECT label, half,
+                 unnest(range(1, len(v) + 1)) AS dim,
+                 unnest(v) AS x
+          FROM e),
+        cent AS (
+          SELECT label, half, dim, avg(x) AS m, count(*) AS n
+          FROM dims GROUP BY label, half, dim),
+        paired AS (
+          SELECT a.label, a.dim, a.m AS m0, b.m AS m1,
+                 a.n AS n0, b.n AS n1
+          FROM cent a JOIN cent b
+            ON a.label = b.label AND a.dim = b.dim
+            AND a.half = 0 AND b.half = 1),
+        sums AS (
+          SELECT label,
+                 sum(m0 * m1) AS dp, sum(m0 * m0) AS s0,
+                 sum(m1 * m1) AS s1,
+                 sum((m0 - m1) * (m0 - m1)) AS sq,
+                 min(n0) AS n_even, min(n1) AS n_odd
+          FROM paired GROUP BY label)
+        SELECT label,
+               CAST(n_even AS BIGINT) AS n_even,
+               CAST(n_odd AS BIGINT) AS n_odd,
+               round(dp / (sqrt(s0) * sqrt(s1)), 4) AS centroid_cos,
+               round(sqrt(sq), 4) AS centroid_l2
+        FROM sums ORDER BY label"""
 
   /** q123's (and streaming q124's) oracle — one SQL replay gates both,
     * the psiOracleSql convention. Mirrors the 2¹⁶-cell micro-grid:
@@ -492,6 +471,49 @@ object DriftOps {
         sum(when(col("us") < mid, 0L).otherwise(1L)).as("cc"))
       .withColumnRenamed("value", "cell"))
   }
+
+  /** q119's per-(label, half, dim) centroid means over an embeddings
+    * frame — one posexplode pass reducing to a |labels|×2×dims-row
+    * relation. `halfCol` names the epoch split (vec_id parity for the
+    * batch query; a streaming twin computes the current half's cells
+    * from the live stream instead and unions them in). */
+  private[queries] def centroidCells(emb: DataFrame,
+      halfCol: org.apache.spark.sql.Column): DataFrame =
+    emb.select(col("label"), halfCol.as("half"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+      .groupBy("label", "half", "dim")
+      .agg(avg("x").as("m"), count(lit(1)).as("n"))
+
+  /** Centroid-drift arithmetic over a combined (label, half, dim, m, n)
+    * cells relation: pair the two halves per dim, reduce to cosine +
+    * L2 displacement per label. Shared by q119 (batch) and q125
+    * (streaming) so the monitors cannot diverge — the psiFinish/
+    * chi2Finish/ksFinish convention (this closes the monitor matrix:
+    * every drift statistic now has one finish tail feeding both
+    * modes). Float-sum order differences between engines and modes are
+    * absorbed by the 4dp round — the established q01/q13 avg contract. */
+  private[queries] def centroidFinish(cent: DataFrame): DataFrame =
+    cent.as("a")
+      .join(cent.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.dim") === col("b.dim") &&
+          col("a.half") === 0 && col("b.half") === 1)
+      .select(col("a.label").as("label"), col("a.m").as("m0"),
+        col("b.m").as("m1"), col("a.n").as("n0"), col("b.n").as("n1"))
+      .groupBy("label")
+      .agg(sum(col("m0") * col("m1")).as("dp"),
+        sum(col("m0") * col("m0")).as("s0"),
+        sum(col("m1") * col("m1")).as("s1"),
+        sum((col("m0") - col("m1")) * (col("m0") - col("m1"))).as("sq"),
+        min("n0").as("n_even"), min("n1").as("n_odd"))
+      .select(col("label"),
+        col("n_even").cast("long").as("n_even"),
+        col("n_odd").cast("long").as("n_odd"),
+        round(col("dp") / (sqrt(col("s0")) * sqrt(col("s1"))), 4)
+          .as("centroid_cos"),
+        round(sqrt(col("sq")), 4).as("centroid_l2"))
+      .orderBy("label")
 
   /** q114's pipeline over any (event_type, us) frame. */
   private[queries] def chi2Drift(ev: DataFrame): DataFrame = {

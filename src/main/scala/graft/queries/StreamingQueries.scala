@@ -89,6 +89,14 @@ object StreamingQueries {
       spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque*"))
   }
 
+  /** The embeddings file-stream source (q125) — same footer-probed
+    * schema + glob-under-parent discipline as [[eventsStream]]. */
+  private def embeddingsStream(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = rawSchemaCache.getOrElseUpdate(dir + "#embeddings",
+      spark.read.parquet(s"$dir/embeddings.parquet").schema)
+    spark.readStream.schema(rawSchema).parquet(s"$dir/embeddings.parque*")
+  }
+
   /** Shared harness: run `streamed` to completion into a uniquely-named
     * memory sink in `mode`, localize `finish` of the sink table, and drop
     * the temp view — a UUID-named memory sink left registered would leak
@@ -685,6 +693,40 @@ object StreamingQueries {
               .select(col("event_type"), col("cell"),
                 coalesce(col("cr"), lit(0L)).as("cr"),
                 coalesce(col("cc"), lit(0L)).as("cc")))
+        }
+      }),
+
+    // ------------------------------------------------------------------
+    // q125: STREAMING CENTROID DRIFT — q119's semantic monitor on a
+    // live vector feed, completing the drift-monitor matrix: every
+    // statistic (PSI, chi², KS, centroid) now has a batch query and a
+    // streaming twin sharing ONE finish tail and ONE oracle. The
+    // production shape: the reference epoch's per-dim centroid cells
+    // (label, dim, mean, n) are a frozen batch artifact — |labels|×dims
+    // rows — while the CURRENT epoch accumulates from the live
+    // embedding stream as a complete-mode (label, dim) mean whose state
+    // is |labels|×dims regardless of stream volume (the posexplode is
+    // stateless). Final arithmetic is DriftOps.centroidFinish — the
+    // code q119 runs — over the union of frozen and live cells, so the
+    // monitors cannot diverge and q119's oracle replay gates both.
+    Q("q125_stream_centroid",
+      oracle = Some(DriftOps.centroidOracleSql),
+      run = (spark, dir) => {
+        val refCells = Q.localized(DriftOps.centroidCells(
+          graft.io.Tables.table(spark, dir, "embeddings")
+            .filter(col("vec_id") % 2 === 0), lit(0)))
+        val cur = embeddingsStream(spark, dir)
+          .filter(col("vec_id") % 2 === 1)
+          .select(col("label"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("dim", "x")))
+          .groupBy("label", "dim")
+          .agg(avg("x").as("m"), count(lit(1)).as("n"))
+        runToMemorySink(spark, dir, "stream_centroid_", "complete", cur,
+          noDataBatch = false) { sink =>
+          DriftOps.centroidFinish(refCells.unionByName(
+            sink.select(col("label"), lit(1).as("half"), col("dim"),
+              col("m"), col("n"))))
         }
       })
   )
