@@ -212,6 +212,10 @@ object MlQueries {
         val nRows = st.getAs[Long]("n")
         val nPos = st.getAs[Long]("npos")
         val lambda = 0.01
+        // solver's own convergence verdict: L-BFGS stopping before the
+        // iteration cap means it met tol (1e-5 relative objective) —
+        // the second leg of the two-tier flag below
+        val converged = model.summary.totalIterations < model.getMaxIter
         val gradInf = (LrFeatures.indices.map { j =>
           val s = st.getAs[Double](s"s$j")
           // a zero-variance feature has no standardized coordinate:
@@ -249,7 +253,20 @@ object MlQueries {
           if (u.getDouble(1) == 0 || u.getDouble(2) == 0) 0.5
           else u.getDouble(0) / (u.getDouble(1) * u.getDouble(2))
         import spark.implicits._
-        Seq((nRows, nPos, gradInf <= 5e-3, math.abs(binned - exact) <= 0.005))
+        // grad_optimal is TWO-TIER (round-13 advice: a fixed 5e-3 bound
+        // could trip on a legitimately-converged near-tolerance fit at
+        // an untested SF — a false alarm, not silent corruption): the
+        // tight tier is the mathematically expected region (observed
+        // ~1e-6 at every tested SF); the loose tier accepts a fit the
+        // SOLVER declared converged as long as the standardized
+        // gradient is still an order below anything a broken readback
+        // produces (coefficient corruption puts components at O(0.1–1)).
+        // Expected failure modes when this flag trips — both real
+        // defects: gradInf > 5e-2 (mis-read-back / corrupted
+        // coefficients) or the solver exhausting maxIter without
+        // meeting tol (divergence / data pathology).
+        val gradOptimal = gradInf <= 5e-3 || (converged && gradInf <= 5e-2)
+        Seq((nRows, nPos, gradOptimal, math.abs(binned - exact) <= 0.005))
           .toDF("n_rows", "n_pos", "grad_optimal", "auc_matches_exact")
       }),
 
