@@ -324,12 +324,14 @@ object Dedup {
               col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
                 col("a.doc_id") < col("b.doc_id"))
             .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-            .distinct()
-            .withColumn("hamming",
-              bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+                .cast("long").as("hamming"))
+            // hamming BEFORE distinct: the filter is two already-loaded
+            // longs per candidate, so deduping the both-halves collisions
+            // shuffles only surviving pairs (output-sized), not the full
+            // candidate set — and 3 narrow columns, not 4 wide ones
             .filter(col("hamming") <= HAMMING_MAX)
-            .select(col("doc_a"), col("doc_b"), col("hamming"))
+            .distinct()
             .orderBy(col("doc_a"), col("doc_b")))
         sig.unpersist(blocking = false)
         result
