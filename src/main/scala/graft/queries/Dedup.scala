@@ -201,6 +201,34 @@ object Dedup {
       .select(col("doc_id"), bits.as("simhash"))
   }
 
+  /** q19's pair pipeline over a (doc_id, simhash) signature relation —
+    * extracted so PlanSpec can pin the pre-localized physical shape.
+    * An OR of band keys can't hash-partition, so band the signature
+    * into (doc_id, band, key) rows and equi-join on (band, key) — ONE
+    * join + distinct instead of r1's two legs + union (same result:
+    * collide on half 0 or half 1). */
+  private[queries] def q19PairsPlan(sig: DataFrame): DataFrame = {
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(col("simhash") % 65536,
+        floor(col("simhash") / 65536).cast("long"))))
+      .select(col("doc_id"), col("simhash"),
+        col("pos").as("band"), col("col").as("bk"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      // hamming BEFORE distinct: the filter is two already-loaded
+      // longs per candidate, so deduping the both-halves collisions
+      // shuffles only surviving pairs (output-sized), not the full
+      // candidate set — and 3 narrow columns, not 4 wide ones
+      .filter(col("hamming") <= HAMMING_MAX)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Oracle twin of simhashDf (list formulation; identical values). Both
     * sides exclude token-less docs explicitly. */
   private def simhashSqlCte: String = {
@@ -309,30 +337,7 @@ object Dedup {
         // so the explode + 32-aggregate simhash job runs once
         val sig = simhashDf(spark, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // an OR of band keys can't hash-partition, so band the signature
-        // into (doc_id, band, key) rows and equi-join on (band, key) — ONE
-        // join + distinct instead of r1's two legs + union (same result:
-        // collide on half 0 or half 1).
-        val banded = sig.select(col("doc_id"), col("simhash"),
-          posexplode(array(col("simhash") % 65536,
-            floor(col("simhash") / 65536).cast("long"))))
-          .select(col("doc_id"), col("simhash"),
-            col("pos").as("band"), col("col").as("bk"))
-        val result = Q.localized(
-          banded.as("a")
-            .join(banded.as("b"),
-              col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-                col("a.doc_id") < col("b.doc_id"))
-            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-                .cast("long").as("hamming"))
-            // hamming BEFORE distinct: the filter is two already-loaded
-            // longs per candidate, so deduping the both-halves collisions
-            // shuffles only surviving pairs (output-sized), not the full
-            // candidate set — and 3 narrow columns, not 4 wide ones
-            .filter(col("hamming") <= HAMMING_MAX)
-            .distinct()
-            .orderBy(col("doc_a"), col("doc_b")))
+        val result = Q.localized(q19PairsPlan(sig))
         sig.unpersist(blocking = false)
         result
       }),

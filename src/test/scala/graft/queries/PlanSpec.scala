@@ -204,6 +204,31 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     restricted.unpersist(blocking = false)
   }
 
+  test("q19: the pair dedup runs AFTER the hamming cut — the distinct " +
+    "keys are the 3 narrow output columns and the cut is evaluated " +
+    "join-side, so no exchange ever carries the wide pre-filter " +
+    "candidate rows with both raw signatures") {
+    // the registered result is Q.localized (LocalTableScan) — pin the
+    // extracted pair pipeline itself, fed by q18's signature relation
+    val sig = Registry.queries("q18_simhash")(spark, sf0001)
+    val df = Dedup.q19PairsPlan(sig)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0)
+    // a regression that dedups before the filter would key the distinct
+    // on (doc_a, doc_b, sim_a, sim_b) — here it is the narrow triple
+    p should include regex
+      "HashAggregate\\(keys=\\[doc_a#\\d+L, doc_b#\\d+L, hamming#\\d+L\\]"
+    p should not include regex ("HashAggregate\\(keys=\\[[^\\]]*sim")
+    // the bit_count(xor) cut sits below the aggregate (Catalyst pushes
+    // it into the band join itself), so any exchange the distinct DOES
+    // need at larger SF is survivor-sized; and no exchange is keyed on
+    // raw signature columns
+    p should include regex
+      "Join [^\\n]*bit_count[^\\n]*|BroadcastHashJoin [^\\n]*bit_count"
+    p should not include regex ("hashpartitioning\\([^)]*sim")
+  }
+
   test("q35/q69: steady-state plans READ the shared rare-blocked overlap " +
     "artifact — scoring is pure arithmetic over the scan") {
     plan("q35_ngram_jaccard") // first invocation: builds the artifact
