@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed global running totals — the scalable replacement for a
+  * no-partition `Window.orderBy(...)`, whose cumulative frame funnels
+  * the ENTIRE relation through one task (Spark plans it as a
+  * SinglePartition exchange + one Window operator).
+  *
+  * Shape: range-partition on the order column (contiguous, ordered
+  * ranges per partition id — the RangePartitioner contract), compute
+  * each partition's local prefix sums with a pid-partitioned window
+  * (n-way parallel), and add the per-partition exclusive offsets,
+  * which are a |partitions|-sized driver reduction. This is the
+  * classic two-pass distributed scan; every stage is bounded by
+  * |relation| / n per task.
+  *
+  * Values are summed AS LONGS: integer prefix sums are exact under any
+  * association, so the distributed result is bit-identical to the
+  * single-task window — the equivalence [[graft.queries]]' validation
+  * anchors need. (A double version would make the totals depend on
+  * partition boundaries at the ulp level.)
+  *
+  * The pid-stamped frame is persisted before the offsets action: range
+  * boundaries come from a SAMPLING pass, and nothing guarantees a
+  * re-executed exchange resamples identical boundaries — offsets from
+  * partitioning A joined against pids from partitioning B would be
+  * silently wrong. Persisting pins one partitioning for both actions;
+  * the caller unpersists the returned handle once the result is
+  * consumed.
+  */
+object PrefixSum {
+
+  private val Pid = "__graft_range_pid"
+  private val Loc = "__graft_local_cum"
+  private val Off = "__graft_part_offset"
+
+  /** `df` plus `outCol` = sum of `valueCol` (cast to long) over all rows
+    * STRICTLY before this one in ascending `orderCol` order. `orderCol`
+    * must be unique per row (group first — ties would make the
+    * exclusive frame order-dependent in ANY formulation, windowed or
+    * distributed). Returns (result, cachedHandle); the caller
+    * unpersists the handle after consuming the result.
+    */
+  def exclusiveRunningTotal(df: DataFrame, orderCol: String,
+      valueCol: String, outCol: String, partitions: Int = 0)
+      : (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+    else spark.sessionState.conf.numShufflePartitions
+    val withPid = df
+      .repartitionByRange(n, col(orderCol))
+      .withColumn(Pid, spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-partition totals: a |partitions|-sized reduction, then the
+    // exclusive scan over THEM runs on the driver (bounded by n)
+    val totals = withPid.groupBy(col(Pid))
+      .agg(sum(col(valueCol).cast("long")).as("t"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = totals
+      .scanLeft((0, 0L, 0L)) { case ((_, acc, t0), (pid, t)) =>
+        (pid, acc + t0, t)
+      }
+      .drop(1)
+      .map { case (pid, off, _) => (pid, off) }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF(Pid, Off))
+    val w = Window.partitionBy(col(Pid)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val result = withPid
+      .withColumn(Loc,
+        coalesce(sum(col(valueCol).cast("long")).over(w), lit(0L)))
+      .join(offDf, Pid)
+      .withColumn(outCol, col(Loc) + col(Off))
+      .drop(Pid, Loc, Off)
+    (result, withPid)
+  }
+
+  /** Global 1-based dense-position rank of each row in ascending
+    * `orderCol` order (unique `orderCol` — see above): the running count
+    * of rows at or before it. Convenience wrapper over
+    * [[exclusiveRunningTotal]] with a unit weight.
+    */
+  def globalRank(df: DataFrame, orderCol: String, outCol: String,
+      partitions: Int = 0): (DataFrame, DataFrame) = {
+    val one = "__graft_one"
+    val (res, handle) = exclusiveRunningTotal(
+      df.withColumn(one, lit(1L)), orderCol, one, outCol, partitions)
+    (res.withColumn(outCol, col(outCol) + 1L).drop(one), handle)
+  }
+}

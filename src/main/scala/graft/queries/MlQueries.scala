@@ -61,6 +61,57 @@ object MlQueries {
     (assembled, lr.fit(assembled))
   }
 
+  /** Exact Mann-Whitney AUC over a (label, p1) score frame — q28's
+    * verification anchor for the sort-free binned integrator. The U
+    * statistic needs `negBelow`, a GLOBAL exclusive running total of
+    * negatives over distinct scores in ascending order; with nearly-
+    * continuous scores (l_extendedprice is a feature) that relation is
+    * ~row-count-sized, so the branch choice is the repo's standing
+    * size-gate rule (COVERAGE.md; the `pageRank(localLimit)` /
+    * `q118PairsPlan(broadcastLimit)` discipline):
+    *   - at or under `localLimit` rows (gated on the TRAINING row count,
+    *     an upper bound on distinct scores that the caller already has
+    *     from the gradient pass — no extra action): a no-partition
+    *     cumulative window. One task, bounded by the gate.
+    *   - above it: [[graft.operators.PrefixSum.exclusiveRunningTotal]],
+    *     the two-pass range-partitioned distributed scan. Its fixed
+    *     machinery (sampling pass + pinned persist + offsets job) costs
+    *     ~2s at the 10× replica (honest A/B in PERF.md) — which is why
+    *     it is gated rather than unconditional — but every stage is
+    *     |relation|/n per task, so it holds at any SF while the window
+    *     branch's single task would not.
+    * Both branches sum LONGS, so they are bit-identical; MlSpec forces
+    * the distributed branch with localLimit = 0 and pins equality. */
+  private[queries] def exactMannWhitneyAuc(scored: DataFrame,
+      nRows: Long, localLimit: Long = 1L << 20): Double = {
+    val grouped = scored.groupBy(col("p1"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("label")).cast("long").as("pos"))
+      .withColumn("neg", col("cnt") - col("pos"))
+    val uAgg = Seq(
+      sum(col("pos") * (col("negBelow") + col("neg") * 0.5)).as("u"),
+      sum(col("pos")).cast("double").as("p"),
+      sum(col("neg")).cast("double").as("nn"))
+    val u =
+      if (nRows <= localLimit) {
+        val wBelow = Window.orderBy(col("p1"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        grouped
+          .withColumn("negBelow",
+            coalesce(sum(col("neg")).over(wBelow), lit(0L)))
+          .agg(uAgg.head, uAgg.tail: _*)
+          .head()
+      } else {
+        val (ranked, cached) = graft.operators.PrefixSum
+          .exclusiveRunningTotal(grouped, "p1", "neg", "negBelow")
+        val r = ranked.agg(uAgg.head, uAgg.tail: _*).head()
+        cached.unpersist(blocking = false)
+        r
+      }
+    if (u.getDouble(1) == 0 || u.getDouble(2) == 0) 0.5
+    else u.getDouble(0) / (u.getDouble(1) * u.getDouble(2))
+  }
+
   /** The coefficient + AUC readback table, the way the reference's
     * report reads a model back (M1-M4, M11) — the library surface q28
     * exposed through round 11, value-pinned by MlSpec (gradient
@@ -176,10 +227,12 @@ object MlQueries {
     //     NON-converged or mis-read-back model cannot pass it.
     //   auc_matches_exact — the production binned AUC integrator
     //     (BinnedAuc, sort-free) agrees with the exact Mann-Whitney AUC
-    //     to ±0.005; the exact side (a grouped-scores cumulative window —
-    //     needs a global sort over distinct scores) is the VERIFICATION
-    //     anchor priced at test SF, exactly like q30's exact-distinct
-    //     column; production callers read the binned integrator alone.
+    //     to ±0.005; the exact side ([[exactMannWhitneyAuc]]) needs a
+    //     global running total over distinct scores and is size-gated:
+    //     a cumulative window under 2²⁰ training rows, the distributed
+    //     PrefixSum scan above — so the anchor is no longer priced
+    //     "test SF only"; it holds at any SF. Production callers read
+    //     the binned integrator alone.
     // The coefficient sign pattern deliberately is NOT pinned: the
     // synthetic labels carry no feature signal (MlSpec's header — AUC
     // hovers at 0.5), so signs are noise and would flake across SFs;
@@ -235,23 +288,8 @@ object MlQueries {
         // what the coefficient readback + gradient check establish.
         val scored = assembled.select(col("label"), mu.as("p1"))
         val binned = graft.ml.BinnedAuc.auc(scored, "p1", "label")
-        val grouped = scored.groupBy(col("p1"))
-          .agg(count(lit(1)).as("cnt"), sum(col("label")).as("pos"))
-        val wBelow = Window.orderBy(col("p1"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val u = grouped
-          .withColumn("negBelow",
-            coalesce(sum(col("cnt") - col("pos")).over(wBelow), lit(0.0)))
-          .agg(
-            sum(col("pos") * (col("negBelow") + (col("cnt") - col("pos")) * 0.5))
-              .as("u"),
-            sum(col("pos")).as("p"),
-            sum(col("cnt") - col("pos")).as("nn"))
-          .head()
+        val exact = exactMannWhitneyAuc(scored, nRows)
         assembled.unpersist(blocking = false)
-        val exact =
-          if (u.getDouble(1) == 0 || u.getDouble(2) == 0) 0.5
-          else u.getDouble(0) / (u.getDouble(1) * u.getDouble(2))
         import spark.implicits._
         // grad_optimal is TWO-TIER (round-13 advice: a fixed 5e-3 bound
         // could trip on a legitimately-converged near-tolerance fit at

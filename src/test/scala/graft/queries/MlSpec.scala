@@ -97,6 +97,28 @@ class MlSpec extends AnyFunSuite with Matchers with SparkTestSession {
     out("auc") shouldBe exactAuc +- 0.01
   }
 
+  test("q28 exact-AUC size gate: window and distributed-PrefixSum " +
+    "branches are bit-identical (COVERAGE.md standing rule — the " +
+    "at-scale branch must not be dead code under test)") {
+    import org.apache.spark.sql.functions._
+    // real-shaped scored frame: continuous scores with genuine ties
+    // (l_extendedprice collides across rows) and both label classes
+    val scored = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"),
+        (col("l_extendedprice") / (col("l_extendedprice") + lit(50000.0)))
+          .as("p1"))
+    val n = scored.count()
+    n should be > 1000L
+    val local = MlQueries.exactMannWhitneyAuc(scored, n) // n << 2^20
+    // localLimit = 0 forces the PrefixSum branch on the same frame
+    val dist = MlQueries.exactMannWhitneyAuc(scored, n, localLimit = 0L)
+    withClue(s"local=$local dist=$dist: ") { dist shouldBe local }
+    // sanity: a valid AUC, and not degenerate
+    local should be > 0.0
+    local should be < 1.0
+  }
+
   test("q29 value check: engine top-5 equals an independent local TF-IDF " +
     "re-derivation for every document") {
     // Full local reimplementation of the pipeline semantics (lowercase
