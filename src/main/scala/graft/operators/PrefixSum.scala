@@ -81,6 +81,68 @@ object PrefixSum {
     (result, withPid)
   }
 
+  private val PidR = "__graft_pid_r"
+  private val GrpR = "__graft_grp_r"
+
+  /** PER-GROUP exclusive running totals at scale — the replacement for
+    * `Window.partitionBy(group).orderBy(order)` when the group key is
+    * LOW-CARDINALITY AND SKEWED (the packing family's `lang`: at 100 TB
+    * one language is half the corpus, so the per-group window funnels
+    * half the data through ONE task). Same two-pass scan as
+    * [[exclusiveRunningTotal]], grouped:
+    *
+    *   1. range-partition on (group, order) — balanced by DATA VOLUME
+    *      regardless of group skew; a dominant group simply spans many
+    *      partitions, each bounded by |relation|/n rows;
+    *   2. per-(partition, group) local prefix sums — parallel windows,
+    *      every partition's slice bounded;
+    *   3. per-(partition, group) exclusive offsets — a window over the
+    *      TOTALS relation (≤ partitions + |groups| rows for contiguous
+    *      ranges: a group wholly inside one partition contributes one
+    *      row, boundary crossings at most one per partition), broadcast
+    *      back. Long sums → bit-identical to the single-task window.
+    *
+    * Unlike [[exclusiveRunningTotal]] this returns ONE frame and no
+    * persist handle: the grouped scan composes INSIDE lazy registered
+    * query plans (no caller is positioned to unpersist after the final
+    * action), so the pid-stamped frame is pinned through `cut`
+    * ([[graft.exec.Materializer.Local]] by default — an eager
+    * localCheckpoint). The pin is NOT optional: the offsets branch and
+    * the main branch must observe the SAME sampled range boundaries,
+    * and nothing guarantees a re-executed range exchange resamples
+    * identically. `orderCol` must be unique within each group; null
+    * group values are one group (the window-partitioning convention —
+    * the offsets join is null-safe). */
+  def groupedExclusiveRunningTotal(df: DataFrame, groupCol: String,
+      orderCol: String, valueCol: String, outCol: String,
+      partitions: Int = 0,
+      cut: DataFrame => DataFrame = graft.exec.Materializer.Local(_))
+      : DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+    else spark.sessionState.conf.numShufflePartitions
+    val withPid = cut(df
+      .repartitionByRange(n, col(groupCol), col(orderCol))
+      .withColumn(Pid, spark_partition_id()))
+    val wOff = Window.partitionBy(col(GrpR)).orderBy(col(PidR))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withPid.groupBy(col(Pid), col(groupCol))
+      .agg(sum(col(valueCol).cast("long")).as("__t"))
+      .select(col(Pid).as(PidR), col(groupCol).as(GrpR), col("__t"))
+      .withColumn(Off, coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select(col(PidR), col(GrpR), col(Off))
+    val wLoc = Window.partitionBy(col(Pid), col(groupCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withPid
+      .withColumn(Loc,
+        coalesce(sum(col(valueCol).cast("long")).over(wLoc), lit(0L)))
+      .join(broadcast(offsets),
+        col(Pid) === col(PidR) && col(groupCol) <=> col(GrpR), "left")
+      .withColumn(outCol, col(Loc) + coalesce(col(Off), lit(0L)))
+      .drop(Pid, PidR, GrpR, Loc, Off)
+  }
+
   /** Global 1-based dense-position rank of each row in ascending
     * `orderCol` order (unique `orderCol` — see above): the running count
     * of rows at or before it. Convenience wrapper over

@@ -23,6 +23,43 @@ import graft.io.Tables.table
   */
 object EtlPipeline {
 
+  /** The packing family's shared kernel column: exclusive running token
+    * total within `lang` in `doc_id` order — `shard = floor(excl /
+    * budget)` everywhere (q60/q81/q88 from zero, q90 offset by the
+    * corpus total T_L). */
+  private val ExclToks = "__excl_toks"
+
+  /** Size-gated per the COVERAGE.md standing rule. The per-lang
+    * cumulative window is fine at test SF but `lang` is LOW-CARDINALITY
+    * AND SKEWED — at 100 TB one language is half the corpus, and the
+    * window funnels it through ONE task (the q28-anchor shape, per
+    * group). Above the gate the kernel switches to
+    * [[graft.operators.PrefixSum.groupedExclusiveRunningTotal]], the
+    * range-partitioned two-pass scan whose every stage is bounded by
+    * |relation|/n regardless of language skew; long sums make the two
+    * branches bit-identical, so the oracles (which replay the window
+    * form in SQL) gate both. `tableRows` is the gate signal: an upper
+    * bound on `docs`' row count that is cheap at the SOURCE (a parquet
+    * count) — using the bound instead of counting the (possibly
+    * mid-pipeline, tokenized) `docs` relation itself means no extra
+    * derivation pass, and errs only toward the distributed branch.
+    * CorpusOpsSpec forces both branches and pins equality. */
+  private[queries] def exclusiveTokens(docs: org.apache.spark.sql.DataFrame,
+      tokCol: String, tableRows: Long,
+      localLimit: Long = 1L << 20): org.apache.spark.sql.DataFrame =
+    if (tableRows <= localLimit) {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.withColumn(ExclToks,
+        coalesce(sum(col(tokCol).cast("long")).over(w), lit(0L)))
+    } else
+      graft.operators.PrefixSum.groupedExclusiveRunningTotal(
+        docs, "lang", "doc_id", tokCol, ExclToks)
+
+  /** `floor(excl/1000)` — the 1000-token budget shared by the whole
+    * packing family (and both engines' SQL). */
+  private def shardCol: Column = floor(col(ExclToks) / 1000.0)
+
   val defs: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -75,10 +112,13 @@ object EtlPipeline {
     // tokens by cumulative token count; shard id = how many full budgets
     // precede the document's start. Pure window arithmetic — no UDF, no
     // driver loop — so the layout is reproducible and engine-replayable.
-    // Scale shape: one shuffle on the packing partition key (lang here;
-    // (source, day) on a real corpus), then WindowExec streams the
-    // running sum per partition; the shard summary is one more tiny agg.
-    // Packing 100 TB is one window pass.
+    // Scale shape: the running total goes through [[exclusiveTokens]],
+    // the family's size-gated kernel — a per-lang window below the gate,
+    // the grouped distributed prefix scan above it (lang is
+    // low-cardinality and SKEWED: at 100 TB one language is half the
+    // corpus, and a per-lang WindowExec would stream it in ONE task).
+    // Either way the shard summary is one more tiny agg; packing 100 TB
+    // is one bounded-per-task scan, not one task per language.
     Q("q60_shard_packing",
       oracle = Some("""
         WITH toks AS (
@@ -97,13 +137,11 @@ object EtlPipeline {
         GROUP BY lang, shard
         ORDER BY lang, shard"""),
       run = (spark, dir) => {
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        table(spark, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            size(split(col("text"), " ")).as("n_tokens"))
-          .withColumn("shard",
-            floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 1000.0))
+        val docs = table(spark, dir, "documents")
+        val narrow = docs.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        exclusiveTokens(narrow, "n_tokens", docs.count())
+          .withColumn("shard", shardCol)
           .groupBy(col("lang"), col("shard"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("shard_tokens"))
@@ -249,11 +287,12 @@ object EtlPipeline {
             kept.join(surv, Seq("doc_id"), "left_semi"),
             "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
           .select(col("doc_id"), col("lang"), col("n_toks"))
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        samp
-          .withColumn("shard",
-            floor((sum(col("n_toks")).over(w) - col("n_toks")) / 1000.0))
+        // gate on the SOURCE table count (≥ the sampled subset — the
+        // upper-bound contract), so the mid-chain relation is never
+        // re-derived just to count it
+        exclusiveTokens(samp, "n_toks",
+            table(spark, dir, "documents").count())
+          .withColumn("shard", shardCol)
           .groupBy(col("lang"), col("shard"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_toks")).as("shard_tokens"))
@@ -310,13 +349,11 @@ object EtlPipeline {
         QUALIFY position <= 40
         ORDER BY position"""),
       run = (spark, dir) => {
-        val wPack = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val shards = table(spark, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            size(split(col("text"), " ")).as("n_tokens"))
-          .withColumn("shard",
-            floor((sum(col("n_tokens")).over(wPack) - col("n_tokens")) / 1000.0))
+        val docs = table(spark, dir, "documents")
+        val narrow = docs.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        val shards = exclusiveTokens(narrow, "n_tokens", docs.count())
+          .withColumn("shard", shardCol)
           .groupBy(col("lang"), col("shard"))
           .agg(sum(col("n_tokens")).as("shard_tokens"))
         val wts = shards.groupBy(col("lang")).agg(count(lit(1)).as("n_shards"))
@@ -383,20 +420,21 @@ object EtlPipeline {
         ORDER BY lang, shard"""),
       run = (spark, dir) => {
         import graft.operators.Sampling
-        val toks = table(spark, dir, "documents")
+        val docs = table(spark, dir, "documents")
+        val toks = docs
           .select(col("doc_id"), col("lang"),
             size(split(col("text"), " ")).as("n_tokens"),
             Sampling.hashBucket(col("doc_id")).as("b"))
         val corp = toks.where(col("b") < 8000)
           .groupBy(col("lang")).agg(sum(col("n_tokens")).as("t_l"))
-        val wBatch = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        toks.where(col("b") >= 8000)
+        // the batch's own exclusive running total (kernel, gated on the
+        // source-table bound — the batch is a subset), offset by T_L
+        exclusiveTokens(toks.where(col("b") >= 8000).drop("b"),
+            "n_tokens", docs.count())
           .join(broadcast(corp), Seq("lang"), "left")
           .withColumn("t_l", coalesce(col("t_l"), lit(0L)))
           .withColumn("shard",
-            floor((col("t_l") + sum(col("n_tokens")).over(wBatch)
-              - col("n_tokens")) / 1000.0))
+            floor((col("t_l") + col(ExclToks)) / 1000.0))
           .groupBy(col("lang"), col("shard"), col("t_l"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("new_tokens"))

@@ -67,6 +67,57 @@ class PrefixSumSpec extends AnyFunSuite with Matchers with SparkTestSession {
     handle.unpersist(blocking = false)
   }
 
+  test("groupedExclusiveRunningTotal ≡ the per-group window, under " +
+    "adversarial group skew (one dominant group spanning partitions)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 'en' holds 80% of rows — the 100 TB language-skew shape: the
+    // distributed scan must split it across range partitions while the
+    // per-group window oracle runs it through one task
+    val rows = (0 until 2000).map { k =>
+      val g = if (k % 5 < 4) "en" else if (k % 5 == 4 && k % 10 < 8) "de"
+        else null // null lang = one group, the window convention
+      (g, k.toLong, (k % 7).toLong)
+    }
+    val df = rnd.shuffle(rows.toList).toDF("lang", "doc_id", "v")
+    val got = PrefixSum.groupedExclusiveRunningTotal(
+        df, "lang", "doc_id", "v", "below", partitions = 8)
+      .orderBy(asc_nulls_first("lang"), col("doc_id")).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("below")))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val exp = df.withColumn("below",
+        coalesce(sum(col("v")).over(w), lit(0L)))
+      .orderBy(asc_nulls_first("lang"), col("doc_id")).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("below")))
+    got should contain theSameElementsInOrderAs exp
+  }
+
+  test("grouped plan shape: range exchange on (group, order), windows " +
+    "only ever partitioned (pid-stamped or offsets) — no per-group " +
+    "window over the data relation") {
+    import spark.implicits._
+    val df = (0 until 500).map(k => ("g" + k % 3, k.toLong, 1L))
+      .toDF("lang", "doc_id", "v")
+    // cut = identity exposes the FULL plan (the default localCheckpoint
+    // truncates lineage at the pid-stamped frame — a Scan ExistingRDD —
+    // which is exactly its job); plan inspection only, values are
+    // pinned by the equality test above
+    val res = PrefixSum.groupedExclusiveRunningTotal(
+      df, "lang", "doc_id", "v", "below", partitions = 8, cut = identity)
+    res.collect()
+    val p = res.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    p should include("rangepartitioning(lang")
+    // the data-relation window partitions by the stamped pid; a
+    // regression to the skew-prone form would partition by lang alone
+    p should include regex "windowspecdefinition\\(__graft_range_pid"
+    p should not include regex ("windowspecdefinition\\(lang#\\d+, doc_id")
+  }
+
   test("degenerate inputs: empty relation and single partition") {
     import spark.implicits._
     val empty = Seq.empty[(Double, Long)].toDF("key", "v")

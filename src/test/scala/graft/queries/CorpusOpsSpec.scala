@@ -133,6 +133,26 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     lsh should not be empty
   }
 
+  test("packing kernel size gate: the per-lang window and the " +
+    "distributed grouped-PrefixSum branches are bit-identical on real " +
+    "testdata (COVERAGE.md standing rule — q60/q81/q88/q90 all pack " +
+    "through this kernel)") {
+    val docs = graft.io.Tables.table(spark, sf0001, "documents")
+    val narrow = docs.select(col("doc_id"), col("lang"),
+      org.apache.spark.sql.functions.size(split(col("text"), " "))
+        .as("n_tokens"))
+    val n = docs.count()
+    def run(limit: Long) =
+      EtlPipeline.exclusiveTokens(narrow, "n_tokens", n, localLimit = limit)
+        .orderBy(col("lang"), col("doc_id"))
+        .select(col("doc_id"), col("__excl_toks"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val window = run(Long.MaxValue) // n << any limit → window branch
+    val dist = run(0L)              // forces the grouped distributed scan
+    window.length.toLong shouldBe n
+    dist should contain theSameElementsInOrderAs window
+  }
+
   test("q81: shards are contiguous per lang; an over-budget shard means one oversized doc") {
     val rows = Registry.queries("q81_corpus_prep")(spark, sf0001)
       .collect()
