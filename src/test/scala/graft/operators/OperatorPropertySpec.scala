@@ -80,6 +80,33 @@ class OperatorPropertySpec extends AnyFunSuite with Matchers with SparkTestSessi
       .select("id").collect().map(_.getLong(0)).toSet shouldBe small
   }
 
+  test("property: grouped prefix scan ≡ the per-group window across " +
+    "seeds, group counts, skew shapes, and partition counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 1L to 3L; nGroups <- Seq(1, 4); parts <- Seq(2, 16)) {
+      val rnd = new scala.util.Random(seed)
+      // adversarial mix: one group takes ~70% of rows; some groups may
+      // end up empty; values include zeros and negatives; a null group
+      // appears on odd seeds
+      val df = (0 until 800).map { k =>
+        val g =
+          if (seed % 2 == 1 && k % 97 == 0) null
+          else if (rnd.nextInt(10) < 7) "g0"
+          else "g" + (1 + rnd.nextInt(nGroups))
+        (g, k.toLong, rnd.nextInt(21).toLong - 5L)
+      }.toDF("lang", "doc_id", "v")
+      val got = PrefixSum.groupedExclusiveRunningTotal(
+        df, "lang", "doc_id", "v", "e", partitions = parts)
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val exp = df.withColumn("e", coalesce(sum(col("v")).over(w), lit(0L)))
+      withClue(s"seed=$seed nGroups=$nGroups parts=$parts: ") {
+        rows(got) shouldBe rows(exp)
+      }
+    }
+  }
+
   test("property: temperatureMix samples only known strata and is a subset of the corpus") {
     import spark.implicits._
     val docs = ((0 until 900).map(i => (i.toLong, Seq("en", "de", "fr")(i % 3))) ++
