@@ -57,8 +57,12 @@ object PrefixSum {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // per-partition totals: a |partitions|-sized reduction, then the
     // exclusive scan over THEM runs on the driver (bounded by n)
+    // coalesce: a range partition whose values are all NULL sums to
+    // NULL — the window formulation this replaces just skips nulls, so
+    // the scan must treat such a partition as contributing 0 (not NPE
+    // on getLong)
     val totals = withPid.groupBy(col(Pid))
-      .agg(sum(col(valueCol).cast("long")).as("t"))
+      .agg(coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("t"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
@@ -127,7 +131,7 @@ object PrefixSum {
     val wOff = Window.partitionBy(col(GrpR)).orderBy(col(PidR))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = withPid.groupBy(col(Pid), col(groupCol))
-      .agg(sum(col(valueCol).cast("long")).as("__t"))
+      .agg(coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("__t"))
       .select(col(Pid).as(PidR), col(groupCol).as(GrpR), col("__t"))
       .withColumn(Off, coalesce(sum(col("__t")).over(wOff), lit(0L)))
       .select(col(PidR), col(GrpR), col(Off))

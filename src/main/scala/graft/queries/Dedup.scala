@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -37,8 +37,11 @@ import graft.io.Tables.table
   *    relation is first semi-joined down to LSH-candidate docs, and the
   *    per-pair expansion is |pairs| × shingles-per-doc, independent of
   *    shingle df — popular boilerplate shingles cannot go quadratic;
-  *  - SimHash is 32-bit with two 16-bit half bands; hot buckets are AQE
-  *    skew-split at the exchange.
+  *  - SimHash is 64-bit; candidate banding is pigeonhole-complete for
+  *    the hamming threshold and size-gated between 4×16-bit bands
+  *    (small corpora) and C(6,3)=20 block-triple keys (~2^32 key
+  *    cardinality — sub-quadratic candidate growth at scale); hot
+  *    buckets are AQE skew-split at the exchange.
   */
 object Dedup {
 
@@ -47,8 +50,33 @@ object Dedup {
   private val JACCARD_MIN = 0.5
   private val NGRAM_JACCARD_MIN = 0.4
   private val CONTAIN_MIN = 0.5
-  private val SIM_BITS = 32
+  private val SIM_BITS = 64
   private val HAMMING_MAX = 3
+
+  // SimHash banding geometry (q19). Two candidate generators, both
+  // COMPLETE for hamming <= HAMMING_MAX (so the verified pair set is
+  // EXACTLY {pairs at hamming <= 3} either way — the gate is a plan
+  // decision, never a semantics decision):
+  //  - small corpora: 4 bands x 16 bits — <=3 dirty bits dirty <=3 of
+  //    the 4 bands, so at least one band matches exactly (pigeonhole);
+  //    band-key cardinality is FIXED at 2^16, so expected bucket
+  //    occupancy is N/2^16 and the equi-join's candidate output grows
+  //    ~N^2/2^17 — fine to ~10^6 docs, quadratic beyond;
+  //  - at scale (doc count > SimBandLimit): Manku-style block
+  //    combinations (WWW'07 near-dup detection) — the 64 bits split
+  //    into 6 blocks (11,11,11,11,10,10); <=3 dirty bits dirty <=3
+  //    blocks, so >=3 blocks are clean and some TRIPLE of clean blocks
+  //    matches; keying on all C(6,3)=20 block triples (~32-bit keys,
+  //    2^32+ cardinality) keeps expected occupancy N/2^32 — candidate
+  //    growth stays near-linear until N ~ 10^9.
+  private val SIM_BLOCKS = Seq((0, 11), (11, 11), (22, 11), (33, 11),
+    (44, 10), (54, 10))
+  private val SIM_COMBOS: Seq[Seq[Int]] = (0 until SIM_BLOCKS.length)
+    .combinations(SIM_BLOCKS.length - HAMMING_MAX).toSeq
+  /** Injectable doc-count gate between the two q19 candidate
+    * generators (COVERAGE.md standing size-gate rule; Q19GateSpec
+    * forces both branches and pins bitwise equality). */
+  private[queries] val SimBandLimit: Long = 1L << 20
   // q73: nodes above this degree are excluded from triangle enumeration
   // (the join is Σ deg² — a boilerplate hub, exactly what the degree
   // histogram exists to surface, would otherwise quadratic-blow it)
@@ -182,18 +210,29 @@ object Dedup {
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)"""
 
-  /** 32-bit SimHash via explode + 32 conditional-sum aggregates (one
-    * shuffle, partial agg). Bit j weighs hex digit j of md5(token). */
+  /** 64-bit SimHash via explode + 64 conditional-sum aggregates (one
+    * shuffle, partial agg). Bit j weighs bit (j/32) of hex digit
+    * (j%32) of md5(token) — bits 0..31 are bit-0 parities (the r1
+    * 32-bit signature's exact bits), bits 32..63 bit-1 parities. 64
+    * bits because 4x16 banding over them makes hamming<=3 recall a
+    * PIGEONHOLE GUARANTEE rather than a probabilistic trade (Charikar
+    * simhash + Manku WWW'07 banding — the standard web-dedup pair).
+    * Bit 63 lands in the long's sign bit; every consumer extracts
+    * bands as (sig >> off) & mask, which is fill-insensitive for all
+    * our offsets on BOTH engines (verified: arithmetic vs logical
+    * shift only differ above the mask). */
   private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
-    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
     val toks = table(spark, dir, "documents")
       .select(col("doc_id"),
         explode(TextFns.tokens(col("text"))).as("t"))
       .select(col("doc_id"), md5(col("t")).as("m"))
     val sums = (0 until SIM_BITS).map { j =>
-      sum(when(substring(col("m"), j + 1, 1).isin(oddHex: _*), 1)
-        .otherwise(-1)).as(s"c$j")
+      sum(when(substring(col("m"), (j % 32) + 1, 1)
+        .isin(HexWithBit(j / 32): _*), 1).otherwise(-1)).as(s"c$j")
     }
+    // two's-complement addition of DISJOINT bit patterns == bitwise OR,
+    // and every partial sum is representable, so the fold is exact even
+    // with bit 63 (Long.MinValue) in play
     val bits = (0 until SIM_BITS)
       .map(j => when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -201,18 +240,60 @@ object Dedup {
       .select(col("doc_id"), bits.as("simhash"))
   }
 
+  /** Hex digits whose bit `b` (0 or 1) is set — the per-bit ±1 weight
+    * test both engines share. */
+  private val HexWithBit: Array[Seq[String]] = Array(
+    Seq("1", "3", "5", "7", "9", "b", "d", "f"),
+    Seq("2", "3", "6", "7", "a", "b", "e", "f"))
+
+  /** The q19 small-corpus candidate key set: 4 bands x 16 bits —
+    * (band, key) rows, 4 per doc. Complete for hamming <= 3
+    * (pigeonhole over 4 bands); FIXED 2^16 key cardinality. */
+  private[queries] def simBandsSmall(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*)))
+      .select(col("doc_id"), col("simhash"),
+        col("pos").as("band"), col("col").as("bk"))
+
+  /** The q19 at-scale candidate key set: C(6,3)=20 block-triple keys
+    * (band = combo id, key = three blocks packed into ~32 bits, 11
+    * bits per lane). Complete for hamming <= 3 (>= 3 clean blocks out
+    * of 6 ⇒ some keyed triple is wholly clean); key cardinality GROWS
+    * past 2^32, so bucket occupancy stays ~N/2^32 instead of N/2^16 —
+    * the candidate relation is near-linear where the 16-bit bands go
+    * quadratic. 20 rows per doc instead of 4 is the price, paid
+    * exactly when the corpus is large enough for occupancy to matter. */
+  private[queries] def simBandsBlocks(sig: DataFrame): DataFrame = {
+    def blk(b: Int): Column = {
+      val (off, w) = SIM_BLOCKS(b)
+      shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+    }
+    val keys = SIM_COMBOS.map { c =>
+      c.map(blk).reduce((acc, x) => acc * lit(1L << 11) + x)
+    }
+    sig.select(col("doc_id"), col("simhash"), posexplode(array(keys: _*)))
+      .select(col("doc_id"), col("simhash"),
+        col("pos").as("band"), col("col").as("bk"))
+  }
+
   /** q19's pair pipeline over a (doc_id, simhash) signature relation —
     * extracted so PlanSpec can pin the pre-localized physical shape.
     * An OR of band keys can't hash-partition, so band the signature
     * into (doc_id, band, key) rows and equi-join on (band, key) — ONE
-    * join + distinct instead of r1's two legs + union (same result:
-    * collide on half 0 or half 1). */
-  private[queries] def q19PairsPlan(sig: DataFrame): DataFrame = {
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array(col("simhash") % 65536,
-        floor(col("simhash") / 65536).cast("long"))))
-      .select(col("doc_id"), col("simhash"),
-        col("pos").as("band"), col("col").as("bk"))
+    * join + distinct. BOTH band generators are complete for
+    * hamming <= HAMMING_MAX, so the output is exactly {pairs at
+    * hamming <= 3} regardless of the branch: the doc-count gate
+    * (default [[SimBandLimit]], injectable per the standing rule)
+    * only decides the candidate-key cardinality — fixed 2^16 below
+    * it, ~2^32 block-triple keys above it (sub-quadratic candidate
+    * growth; see SIM_BLOCKS note and Q19GateSpec). */
+  private[queries] def q19PairsPlan(sig: DataFrame,
+      bandLimit: Long = SimBandLimit): DataFrame = {
+    val banded =
+      if (sig.count() <= bandLimit) simBandsSmall(sig)
+      else simBandsBlocks(sig)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -221,7 +302,7 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("long").as("hamming"))
       // hamming BEFORE distinct: the filter is two already-loaded
-      // longs per candidate, so deduping the both-halves collisions
+      // longs per candidate, so deduping the multi-band collisions
       // shuffles only surviving pairs (output-sized), not the full
       // candidate set — and 3 narrow columns, not 4 wide ones
       .filter(col("hamming") <= HAMMING_MAX)
@@ -230,11 +311,15 @@ object Dedup {
   }
 
   /** Oracle twin of simhashDf (list formulation; identical values). Both
-    * sides exclude token-less docs explicitly. */
+    * sides exclude token-less docs explicitly. Bit 63's addend embeds as
+    * the decimal Long.MinValue literal; DuckDB's checked BIGINT addition
+    * never overflows on disjoint bit patterns (every partial sum is the
+    * value of a sub-pattern — representable). */
   private def simhashSqlCte: String = {
     val bitTerms = (0 until SIM_BITS).map { j =>
+      val hexes = HexWithBit(j / 32).map(h => s"'$h'").mkString(",")
       val s = s"list_sum(list_transform(hl, m -> CASE WHEN " +
-        s"substr(m, ${j + 1}, 1) IN ('1','3','5','7','9','b','d','f') " +
+        s"substr(m, ${(j % 32) + 1}, 1) IN ($hexes) " +
         "THEN 1 ELSE -1 END))"
       s"(CASE WHEN $s > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
@@ -302,8 +387,9 @@ object Dedup {
       }),
 
     // ------------------------------------------------------------------
-    // q18: 32-bit SimHash signature per document (frequency-weighted
-    // majority over per-token md5 hex digits).
+    // q18: 64-bit SimHash signature per document (frequency-weighted
+    // majority over per-token md5 hex-digit bits; bits 0..31 are the
+    // r1-era 32-bit signature, bits 32..63 the second parity plane).
     Q("q18_simhash",
       oracle = Some(s"""
         $simhashSqlCte
@@ -311,22 +397,25 @@ object Dedup {
       run = (spark, dir) => simhashDf(spark, dir).orderBy(col("doc_id"))),
 
     // ------------------------------------------------------------------
-    // q19: SimHash near-dup pairs. Banding: two 16-bit halves; a pair
-    // must collide on at least one half (hamming ≤ 3 over 32 bits ⇒ not
-    // guaranteed, but the standard recall/cost trade), then verified with
-    // bit_count(xor) ≤ 3. Identical construction on both engines.
+    // q19: SimHash near-dup pairs — EXACT semantics: all pairs at
+    // hamming ≤ 3 over the 64-bit signatures. Candidate generation is
+    // pigeonhole-complete on both engines (any complete generator
+    // yields the identical verified set), so the oracle uses the
+    // simplest complete formulation (4 x 16-bit bands) while the
+    // engine gates between the 16-bit bands and the sub-quadratic
+    // 20-combo block keys on corpus size (see q19PairsPlan).
     Q("q19_simhash_pairs",
       oracle = Some(s"""
         $simhashSqlCte,
         banded AS (
-          SELECT doc_id, simhash,
-                 simhash % 65536 AS b0, simhash // 65536 AS b1
-          FROM sig),
+          SELECT doc_id, simhash, b.band,
+                 (simhash >> (16 * b.band)) & 65535 AS bk
+          FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                           a.simhash AS sim_a, b.simhash AS sim_b
           FROM banded a JOIN banded b
-            ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id)
+            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b,
                CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
         FROM cand

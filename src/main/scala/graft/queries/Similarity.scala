@@ -529,10 +529,17 @@ object Similarity {
           .select(col("vec_id").as("neighbor"),
             round(dot(col("v"), typedLit(pv)) / (col("nrm") * lit(pn)), 4)
               .as("cosine"))
+        // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+        // heaps, driver merges k rows), NOT a global rank window over the
+        // whole bucket: bucket occupancy grows linearly with corpus size,
+        // and a bucket-wide Window.orderBy funnels the entire bucket
+        // through ONE task (the SketchVerify.exactTopK shape; the rank
+        // window that remains runs over ≤ k rows)
+        val top = scored
+          .orderBy(col("cosine").desc, col("neighbor")).limit(TOPK)
         val w = Window.orderBy(col("cosine").desc, col("neighbor"))
-        scored
+        top
           .withColumn("rank", row_number().over(w).cast("long"))
-          .where(col("rank") <= TOPK)
           .select(col("rank"), col("neighbor"), col("cosine"))
           .orderBy(col("rank"))
       }),

@@ -39,13 +39,13 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
-  test("q18: simhash values fit in 32 bits and identical docs collide") {
+  test("q18: simhash signatures use the full 64-bit plane and identical " +
+    "docs collide") {
     val sig = Registry.queries("q18_simhash")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    sig.values.foreach { s =>
-      s should be >= 0L
-      s should be < (1L << 32)
-    }
+    // the upper parity plane (bits 32..63) must actually be populated —
+    // a regression to the 32-bit construction would leave it all-zero
+    sig.values.exists(s => s < 0L || s >= (1L << 32)) shouldBe true
     // exact duplicates (same md5 text) must have identical simhash
     val dupGroups = Registry.queries("q15_dedup_exact")(spark, sf0001).collect()
       .filter(_.getAs[Long]("n_copies") > 1)

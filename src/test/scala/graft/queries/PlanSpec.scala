@@ -182,6 +182,14 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include regex "PartitionFilters:.*sig_hi"
   }
 
+  test("q71: the probe's top-k is TakeOrderedAndProject (per-partition " +
+    "heaps), not a bucket-wide global rank window — bucket occupancy " +
+    "grows with corpus size, so a whole-bucket single-task sort would " +
+    "be the scale bottleneck; the rank window runs over <= k rows") {
+    val p = plan("q71_lsh_index_probe")
+    p should include("TakeOrderedAndProject")
+  }
+
   test("q17/q52/q73: steady-state plans READ the shared neardup pair " +
     "artifact — no shingle re-derivation in any of the three") {
     // the registered results are Q.localized (LocalTableScan), so the

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+/** The q19 candidate-generation size gate, BOTH ways (COVERAGE.md
+  * standing rule: the at-scale branch of a shipped operator must not be
+  * dead code under test), plus the recall GUARANTEE both generators
+  * claim: every pair at hamming <= 3 over the 64-bit signatures is
+  * emitted — pigeonhole over 4x16-bit bands below the gate, pigeonhole
+  * over C(6,3) block-triple keys above it. The ground truth is computed
+  * exhaustively in plain Scala (Long.bitCount over every doc pair), so
+  * a recall hole in EITHER generator — especially at band/block
+  * boundaries or the sign bit — fails loudly. */
+class Q19GateSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  // adversarial signature set: flips placed on band edges (15/16,
+  // 31/32, 47/48), block edges of the (11,11,11,11,10,10) layout
+  // (10/11, 21/22, 32/33, 43/44, 53/54), and the long's sign bit —
+  // plus multi-flip variants up to hamming 4 (which must be EXCLUDED)
+  private val base = 0x5A5A5A5A5A5A5A5AL
+  private val edges =
+    Seq(0, 10, 11, 15, 16, 21, 22, 31, 32, 33, 43, 44, 47, 48, 53, 54, 62, 63)
+  private val multiSub = Seq(0, 15, 16, 31, 32, 47, 48, 63)
+
+  private lazy val sigRows: Seq[(Long, Long)] = {
+    val vs = Seq.newBuilder[Long]
+    vs += base
+    edges.foreach(p => vs += (base ^ (1L << p)))
+    (2 to 4).foreach { k =>
+      multiSub.combinations(k).foreach { c =>
+        vs += c.foldLeft(base)((a, p) => a ^ (1L << p))
+      }
+    }
+    vs.result().zipWithIndex.map { case (s, i) => (i.toLong, s) }
+  }
+
+  private def groundTruth: Seq[(Long, Long, Long)] =
+    (for {
+      (ida, sa) <- sigRows
+      (idb, sb) <- sigRows
+      if ida < idb
+      h = java.lang.Long.bitCount(sa ^ sb).toLong
+      if h <= 3
+    } yield (ida, idb, h)).sortBy(p => (p._1, p._2))
+
+  private def sigDf: DataFrame = {
+    import spark.implicits._
+    sigRows.toDF("doc_id", "simhash")
+  }
+
+  private def pairs(limit: Long): Seq[(Long, Long, Long)] =
+    Dedup.q19PairsPlan(sigDf, bandLimit = limit).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+
+  test("q19 small branch (4x16 bands): exhaustive recall — exactly the " +
+    "hamming<=3 pair set, including sign-bit and band-edge flips") {
+    pairs(Long.MaxValue) shouldBe groundTruth
+  }
+
+  test("q19 at-scale branch (20 block-triple keys, bandLimit=0): " +
+    "bitwise-identical pair set to the small branch's") {
+    val gt = groundTruth
+    gt should not be empty
+    pairs(0L) shouldBe gt
+  }
+
+  test("q19 on real data: both branches agree on sf0.001 documents") {
+    val sig = Registry.queries("q18_simhash")(spark, sf0001)
+      .persist()
+    try {
+      val small = Dedup.q19PairsPlan(sig, bandLimit = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      val blocks = Dedup.q19PairsPlan(sig, bandLimit = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      blocks shouldBe small
+    } finally { sig.unpersist(blocking = false); () }
+  }
+
+  test("block-key construction: sign-bit-only signature lands in block 5 " +
+    "as 512 (fill-insensitive shift+mask), packed into exactly the 10 " +
+    "combos containing block 5") {
+    import spark.implicits._
+    val one = Seq((0L, 1L << 63)).toDF("doc_id", "simhash")
+    val rows = Dedup.simBandsBlocks(one).collect()
+      .map(r => (r.getInt(2).toLong, r.getLong(3))).toSeq // (band, bk)
+    rows should have length 20
+    rows.map(_._1).sorted shouldBe (0L until 20L)
+    val byKey = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    byKey shouldBe Map(0L -> 10, 512L -> 10)
+    // and the small generator puts the sign bit in band 3 as 0x8000
+    val small = Dedup.simBandsSmall(one).collect()
+      .map(r => (r.getInt(2).toLong, r.getLong(3))).sortBy(_._1).toSeq
+    small shouldBe Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 32768L))
+  }
+}
