@@ -48,11 +48,17 @@ import org.apache.spark.sql.SparkSession
   *    `GRAFT_ARTIFACT_ATOMIC=false`) to marker-LAST publication:
   *    build directly at the final path, then write the marker as the
   *    completeness witness. Readers gate on the marker in both modes,
-  *    so a torn artifact is never trusted; the object-store residual
-  *    (two concurrent writers of the SAME key briefly interleaving
-  *    identical bytes — builds are deterministic functions of the
-  *    keyed sources) is documented, not hidden behind a rename that
-  *    was never atomic there.
+  *    so a torn artifact is never trusted. Concurrent SAME-KEY writers
+  *    are serialized by a best-effort lease file (unique token written
+  *    before clearing the path, re-read after a settle; losers poll
+  *    for the winner's marker and reuse its bytes) — without it, two
+  *    interleaved jobs could commit a UNION of both jobs' part files
+  *    under a valid marker, since Spark part names are job-unique
+  *    (a deterministic build does NOT produce identical files). The
+  *    lease is advisory (no atomic create-if-absent through this API
+  *    on object stores), so the residual is two writers landing inside
+  *    each other's lease-visibility window — milliseconds, versus the
+  *    whole build duration unfenced.
   *  - **GC'd**: [[gc]] (run once per process, lazily, before the first
   *    build) deletes entries whose liveness clock is past the age
   *    cutoff and orphaned tmp dirs. Reuse refreshes the clock — via
@@ -80,6 +86,17 @@ object ArtifactStore {
     * (object stores): rewriting this small file refreshes the entry's
     * GC clock instead. Underscore-prefixed, so parquet globs skip it. */
   private val TouchFile = "_GRAFT_TOUCH"
+
+  // Marker-last (object-store) publish lease: a sibling FILE of the
+  // entry (dot-prefixed — sourceKey walks and parquet globs skip it,
+  // and the gc family sweep only looks at directories). Settle =
+  // write→read-back gap that serializes near-simultaneous writers;
+  // poll/wait bound a loser's wait for the winner's marker; TTL lets a
+  // crashed winner's lease be taken over.
+  private val LeaseSettleMillis = 100L
+  private val LeasePollMillis = 200L
+  private val LeaseWaitMillis = 10L * 60 * 1000
+  private val LeaseTtlMillis = 15L * 60 * 1000
 
   /** URI schemes whose rename is copy+delete (non-atomic) — the
     * marker-last publish mode applies. `nonatomic` is the test
@@ -311,10 +328,56 @@ object ArtifactStore {
       // trusts it — clear it, build the complete artifact, and only
       // then write the completeness witness. A crash mid-build leaves a
       // markerless partial that the next resolver clears the same way.
-      try fs.delete(finalPath, true)
-      catch { case _: java.io.IOException => () }
-      build(finalPath.toString)
-      writeMarker(finalPath)
+      // Same-key writers are fenced by a best-effort LEASE: two
+      // unfenced builders interleaving at the final path would commit
+      // a UNION of both jobs' job-unique part files under a valid
+      // marker (duplicated rows) — see the class doc for the residual.
+      val lease = new Path(finalPath.getParent,
+        "._GRAFT_LEASE-" + finalPath.getName)
+      val token = java.util.UUID.randomUUID().toString
+      def leaseIsFresh: Boolean =
+        try fs.getFileStatus(lease).getModificationTime >
+          System.currentTimeMillis() - LeaseTtlMillis
+        catch { case _: java.io.IOException => false }
+      def foreignLease: Boolean =
+        leaseIsFresh &&
+          (try readSmall(fs, lease) != token
+           catch { case _: java.io.IOException => false })
+      def writeLease(): Unit =
+        try {
+          val out = fs.create(lease, true)
+          out.write(token.getBytes("UTF-8")); out.close()
+        } catch { case _: java.io.IOException => () }
+      // true iff the winner's marker appeared while we waited
+      def waitForWinner(): Boolean = {
+        var waited = 0L
+        while (!markerOk && foreignLease && waited < LeaseWaitMillis) {
+          Thread.sleep(LeasePollMillis); waited += LeasePollMillis
+        }
+        markerOk
+      }
+      if (foreignLease && waitForWinner()) {
+        touchEntry(fs, finalPath); return false
+      }
+      writeLease()
+      Thread.sleep(LeaseSettleMillis)
+      if (foreignLease) {
+        // lost the write race inside the settle window: the other
+        // writer's token landed after ours — defer to it
+        if (waitForWinner()) { touchEntry(fs, finalPath); return false }
+        // winner vanished (crash / TTL lapse): take over
+        writeLease()
+        Thread.sleep(LeaseSettleMillis)
+      }
+      try {
+        try fs.delete(finalPath, true)
+        catch { case _: java.io.IOException => () }
+        build(finalPath.toString)
+        writeMarker(finalPath)
+      } finally {
+        try { fs.delete(lease, false); () }
+        catch { case _: java.io.IOException => () }
+      }
       true
     }
   }

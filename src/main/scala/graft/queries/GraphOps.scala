@@ -28,10 +28,12 @@ import graft.io.Tables.table
   *  - Edges and degrees persist across iterations (computed once); the
   *    loop builds a lazy plan over the cached relation, so lineage stays
   *    K-joins deep (K fixed and small), no checkpoint needed.
-  *  - For a web-scale graph whose rank vector outgrows a broadcast, the
-  *    swap is the same loop with a shuffle hash join on src — the loop
-  *    structure and oracle are unchanged; the broadcast is an
-  *    optimization valid exactly while nodes are dimension-sized.
+  *  - For a web-scale graph whose rank vector outgrows the driver and a
+  *    broadcast, a third tier (node-count-gated) runs the same loop with
+  *    a SHUFFLE join of ranks into the src-partitioned edge relation and
+  *    a distributed lineage cut per sweep — the loop structure and
+  *    oracle are unchanged; the broadcast is an optimization valid
+  *    exactly while nodes are dimension-sized.
   *
   * Determinism for the DuckDB oracle: the per-node contribution sum is
   * a float sum whose partial order differs between engines; after K=5
@@ -47,11 +49,15 @@ object GraphOps {
   private val ITERS = 5
 
   /** One PageRank sweep: ranks(node, rank) -> updated ranks. `edges` must
-    * be symmetric; `deg` is out-degree per node; `n` is the node count. */
+    * be symmetric; `deg` is out-degree per node; `n` is the node count.
+    * `ship` decides how the node-sized (rank, outd) relation reaches the
+    * edge relation: `broadcast` while nodes are dimension-sized, identity
+    * (shuffle join) at web scale — the arithmetic is identical. */
   private def sweep(edges: DataFrame, deg: DataFrame, n: Long,
-      ranks: DataFrame): DataFrame =
+      ranks: DataFrame, ship: DataFrame => DataFrame = broadcast(_))
+      : DataFrame =
     edges
-      .join(broadcast(ranks.join(deg, "node")), col("src") === col("node"))
+      .join(ship(ranks.join(deg, "node")), col("src") === col("node"))
       .groupBy(col("dst").as("node2"))
       .agg(sum(col("rank") / col("outd")).as("contrib"))
       .select(col("node2").as("node"),
@@ -123,6 +129,15 @@ object GraphOps {
     * far above and takes the distributed loop. */
   val PageRankLocalLimit: Long = 1L << 20
 
+  /** Node-count gate between the broadcast-sweep tier and the web-scale
+    * shuffle-sweep tier: above this many nodes the per-sweep rank
+    * vector is no longer safe to localize to the driver and broadcast
+    * (2^20 nodes × (node, rank, outd) ≈ 24 MB serialized — the order of
+    * Spark's broadcast comfort zone; a web link graph is 10^9+ nodes).
+    * Injectable per the standing size-gate rule; GraphDriftSpec forces
+    * all three tiers and pins bitwise equality. */
+  val PageRankBroadcastNodeLimit: Long = 1L << 20
+
   /** The q110 pipeline over any symmetric (src, dst) edge frame: returns
     * the driver-localized (node, rank_scaled) result, ranks scaled by N
     * (mean 1.0) and frac4-snapped, ordered by node.
@@ -140,12 +155,13 @@ object GraphOps {
     * contribution shuffle. Both paths share the same arithmetic; the
     * frac4 snap absorbs sum-order ulps either way. */
   private[queries] def pageRank(edges: DataFrame,
-      localLimit: Long = PageRankLocalLimit): DataFrame = {
+      localLimit: Long = PageRankLocalLimit,
+      broadcastNodeLimit: Long = PageRankBroadcastNodeLimit): DataFrame = {
     val pairs = edges.persist()
     val nEdges = pairs.count()
     val result =
       if (nEdges <= localLimit) pageRankLocal(pairs)
-      else pageRankDistributed(pairs)
+      else pageRankDistributed(pairs, broadcastNodeLimit)
     pairs.unpersist()
     result
   }
@@ -178,18 +194,59 @@ object GraphOps {
         org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
-  private def pageRankDistributed(pairs: DataFrame): DataFrame = {
+  /** Tier 2/3 dispatch: the edge relation is too big to collect, so the
+    * sweeps run distributed either way; the NODE count decides how the
+    * rank vector travels. At or under `broadcastNodeLimit` nodes the
+    * vector LOCALIZES after every sweep (broadcasting a lazy plan would
+    * re-execute its lineage — iteration k re-running sweeps 1..k−1,
+    * quadratic in K) and broadcasts into the next contribution shuffle.
+    * Above it, neither the driver nor a broadcast can hold the vector:
+    * [[pageRankShuffle]]. Both tiers share [[sweep]]'s arithmetic; the
+    * frac4 snap absorbs sum-order ulps across all three. */
+  private def pageRankDistributed(pairs: DataFrame,
+      broadcastNodeLimit: Long): DataFrame = {
     val deg = pairs.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outd")).persist()
     val n = deg.count()
-    var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to ITERS)
-      ranks = Q.localized(sweep(pairs, deg, n, ranks))
-    val out = ranks.select(col("node"),
-        (floor(col("rank") * n * 10000 + 0.5) / 10000).as("rank_scaled"))
-      .orderBy(col("node"))
+    val out =
+      if (n <= broadcastNodeLimit) {
+        var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"))
+        for (_ <- 1 to ITERS)
+          ranks = Q.localized(sweep(pairs, deg, n, ranks))
+        snapScaled(ranks, n)
+      } else pageRankShuffle(pairs, deg, n)
     val local = Q.localized(out)
     deg.unpersist()
     local
   }
+
+  /** Web-scale sweep loop (nodes outgrow driver + broadcast): ranks stay
+    * a DISTRIBUTED relation end to end. Per sweep: one node-sized
+    * shuffle joining ranks to degrees, one shuffle join into the
+    * src-partitioned edge relation (the edges were repartitioned on src
+    * ONCE and persisted, so the per-sweep exchange carries only the
+    * node-sized side), one edge-sized contribution groupBy, then a
+    * distributed lineage cut ([[graft.exec.Materializer.Local]]) so
+    * sweep k's plan doesn't nest sweeps 1..k−1. The driver never holds
+    * more than the final frac4-snapped result (the registered query's
+    * bounded-output contract — at true web scale a caller would write
+    * the rank relation to a sink instead of collecting it). */
+  private def pageRankShuffle(pairs0: DataFrame, deg: DataFrame,
+      n: Long): DataFrame = {
+    val pairs = pairs0.repartition(col("src")).persist()
+    var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to ITERS)
+      ranks = graft.exec.Materializer.Local(
+        sweep(pairs, deg, n, ranks, ship = identity))
+    val out = snapScaled(ranks, n)
+    pairs.unpersist()
+    out
+  }
+
+  /** The shared finish: ranks scaled by N (mean 1.0), frac4-snapped,
+    * ordered by node — identical on every tier and in the oracle. */
+  private def snapScaled(ranks: DataFrame, n: Long): DataFrame =
+    ranks.select(col("node"),
+        (floor(col("rank") * n * 10000 + 0.5) / 10000).as("rank_scaled"))
+      .orderBy(col("node"))
 }

@@ -223,6 +223,65 @@ class ArtifactStoreSpec extends AnyFunSuite with Matchers with SparkTestSession 
     }
   }
 
+  // ------------------------------------------- concurrent same-key writers
+
+  /** Two writers racing on the same key through the PUBLIC API (the
+    * real fleet case — ensureAt has no per-process memo, so two
+    * threads here race exactly like two processes). The reader-facing
+    * guarantee under test: the published artifact is ONE job's
+    * complete output, never a union of two jobs' part files
+    * (part names are job-unique, so interleaved commits would
+    * otherwise duplicate rows under a valid marker). */
+  private def raceTwoWriters(): (Int, Seq[(Long, String)]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val builds = new AtomicInteger()
+    // force real overlap where both builders CAN run (atomic mode):
+    // each waits briefly for the other mid-build; under the lease
+    // (object-store mode) only one build runs, so the await times out
+    // harmlessly and the single builder proceeds
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def writer(tag: String): Thread = {
+      val t = new Thread(() => {
+        ArtifactStore.ensureAt(spark, "racefam", "k1") { p =>
+          builds.incrementAndGet()
+          try barrier.await(2, java.util.concurrent.TimeUnit.SECONDS)
+          catch { case _: Exception => () }
+          Seq(1L, 2L, 3L).toDF("v").withColumn("w", lit(tag))
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        }
+        ()
+      })
+      t.start(); t
+    }
+    val ts = Seq(writer("a"), writer("b"))
+    ts.foreach(_.join(120000))
+    val rows = spark.read.parquet(ArtifactStore.fixedPath("racefam"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    (builds.get(), rows)
+  }
+
+  test("atomic mode: two concurrent same-key ensureAt writers publish " +
+    "exactly one complete artifact — the loser's rename is detected " +
+    "and discarded, never unioned in") {
+    withRoot { _ =>
+      val (_, rows) = raceTwoWriters()
+      rows.map(_._1).sorted shouldBe Seq(1L, 2L, 3L) // 3 rows, not 6
+      rows.map(_._2).distinct should have length 1   // ONE job's files
+    }
+  }
+
+  test("object-store mode: the publish lease serializes two concurrent " +
+    "same-key writers — one builds, the other waits for the marker and " +
+    "reuses; no part-file union") {
+    withNonAtomicRoot { (_, _) =>
+      val (builds, rows) = raceTwoWriters()
+      builds shouldBe 1
+      rows.map(_._1).sorted shouldBe Seq(1L, 2L, 3L)
+      rows.map(_._2).distinct should have length 1
+    }
+  }
+
   test("object-store mode: GC liveness falls back to the _GRAFT_TOUCH " +
     "file when setTimes is unsupported — a touched entry survives gc, " +
     "an untouched one is reaped") {

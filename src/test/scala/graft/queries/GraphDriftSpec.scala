@@ -62,6 +62,28 @@ class GraphDriftSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("q110: the WEB-SCALE shuffle-sweep tier (localLimit = 0, " +
+    "broadcastNodeLimit = 0) is bitwise equal to both lower tiers on " +
+    "every fixture") {
+    // tier-3 forcing (standing size-gate rule): the rank vector never
+    // localizes or broadcasts — ranks join the src-partitioned edges by
+    // shuffle with a distributed lineage cut per sweep — and the frac4
+    // snap must still absorb the different float-sum order completely
+    val fixtures = Seq(
+      sym(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L),       // star
+      sym(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L),       // cycle
+      sym(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L),       // mixed degree
+      sym((1L to 12L).flatMap(a =>                       // denser blob
+        (a + 1 to 12L).filter(b => (a * 7 + b * 13) % 3 == 0)
+          .map(b => a -> b)): _*))
+    for (e <- fixtures) {
+      val local = GraphOps.pageRank(e).collect().toSeq
+      val shuffle = GraphOps.pageRank(e, localLimit = 0L,
+        broadcastNodeLimit = 0L).collect().toSeq
+      shuffle shouldBe local
+    }
+  }
+
   // ---------------------------------------------------------------- q111
 
   test("q111: doc written in target vocabulary outweighs one with " +
