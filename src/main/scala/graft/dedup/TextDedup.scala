@@ -168,8 +168,9 @@ object TextDedup {
 
   /** (doc_id, mh1..mhN) MinHash signatures of a shingle relation via one
     * partial-agg groupBy, double-hashed (graft.functions.TextFns: g_k =
-    * h1 + k·h2 from ONE md5 per shingle row — 1 digest instead of
-    * numHashes, and the agg state is N longs, not N 32-char strings).
+    * (h1 + k·h2) mod 2^56 from ONE md5 per shingle row — 1 digest
+    * instead of numHashes, and the agg state is N longs, not N 32-char
+    * strings; the mod is load-bearing, see TextFns.Km56Mask).
     * The two-step select keeps the md5 in its own projection so it is
     * computed once per row (CollapseProject declines to inline a
     * non-cheap alias used twice). Single signature definition for
@@ -179,8 +180,12 @@ object TextDedup {
     val hp = sh.select(col("doc_id"), md5(col("s")).as("m"))
       .select(col("doc_id"),
         TextFns.hash56(col("m"), 1).as("h1"), TextFns.hash56(col("m"), 15).as("h2"))
+    // the & mask makes the family MODULAR — without it the upper g_k's
+    // argmin collapses onto the smallest-h2 shingle and LSH band
+    // precision degrades from j² toward j (TextFns.Km56Mask)
     val mins = (1 to numHashes).map(k =>
-      min(col("h1") + lit(k.toLong) * col("h2")).as(s"mh$k"))
+      min((col("h1") + lit(k.toLong) * col("h2"))
+        .bitwiseAND(lit(TextFns.Km56Mask))).as(s"mh$k"))
     hp.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 

@@ -49,19 +49,32 @@ object TextFns {
   def hash56(md5HexCol: Column, off: Int): Column =
     conv(substring(md5HexCol, off, 14), 16, 10).cast("long")
 
+  /** The 2^56−1 mask that makes the double-hash family MODULAR —
+    * g_k = (h1 + k·h2) mod 2^56. The mod is LOAD-BEARING, not hygiene:
+    * without wraparound, h1 + k·h2 for k ≥ 2 is dominated by k·h2, so
+    * every upper hash's argmin collapses onto the smallest-h2 element
+    * and the r=2 bands all key the SAME shingle — band precision
+    * degrades from j² toward j and LSH candidates blow up ~50× at
+    * megadoc scale (measured: DedupScaleProbe, 1.5M docs — 57.7M
+    * implied candidates unmasked vs 1.08M masked vs 1.01M with 8 fully
+    * independent digests). Identical on both engines: BIGINT & is
+    * exact, and h1 + 127·h2 < 2^63 so nothing overflows first. */
+  val Km56Mask: Long = (1L << 56) - 1
+
   /** One MinHash value (k-th hash function) over a shingle ARRAY via
-    * Kirsch-Mitzenmacher double hashing: g_k = h1 + k·h2 from ONE md5
-    * per element instead of one digest per element per hash function —
-    * 8× fewer digests for the standard 8-hash signature, and the min
-    * runs over longs, not 32-char strings (smaller agg state, cheaper
-    * compares). A valid independent family for MinHash-style use, and
-    * engine-portable: DuckDB replays it with substr + hex-cast
-    * arithmetic ([[sql.minhashFromMd5List]]).
+    * modular Kirsch-Mitzenmacher double hashing: g_k = (h1 + k·h2)
+    * mod 2^56 from ONE md5 per element instead of one digest per
+    * element per hash function — 8× fewer digests for the standard
+    * 8-hash signature, and the min runs over longs, not 32-char
+    * strings (smaller agg state, cheaper compares). See [[Km56Mask]]
+    * for why the mod is required. Engine-portable: DuckDB replays it
+    * with substr + hex-cast arithmetic ([[sql.minhashFromMd5List]]).
     * Returns null on an empty shingle array (array_min of empty). */
   def minhashBand(shingleCol: Column, band: Int): Column =
     array_min(transform(shingleCol, s => {
       val m = md5(s)
-      hash56(m, 1) + lit(band.toLong) * hash56(m, 15)
+      (hash56(m, 1) + lit(band.toLong) * hash56(m, 15))
+        .bitwiseAND(lit(Km56Mask))
     }))
 
   /** 16-bit SimHash over the token multiset (frequency-weighted): bit j is
@@ -112,13 +125,16 @@ object TextFns {
 
     def minhashBand(shingleCol: String, band: Int): String =
       s"list_min(list_transform($shingleCol, s -> " +
-        s"${hash56("md5(s)", 1)} + $band * ${hash56("md5(s)", 15)}))"
+        s"(${hash56("md5(s)", 1)} + $band * ${hash56("md5(s)", 15)}) " +
+        s"& ${TextFns.Km56Mask}))"
 
     /** Same family over a PRE-HASHED md5-hex list column — the oracle's
-      * efficient form (one md5 per element shared by every band). */
+      * efficient form (one md5 per element shared by every band). The
+      * & mask is the modular KM reduction ([[TextFns.Km56Mask]]). */
     def minhashFromMd5List(md5ListCol: String, band: Int): String =
       s"list_min(list_transform($md5ListCol, m -> " +
-        s"${hash56("m", 1)} + $band * ${hash56("m", 15)}))"
+        s"(${hash56("m", 1)} + $band * ${hash56("m", 15)}) " +
+        s"& ${TextFns.Km56Mask}))"
 
     def simhash16(md5ListCol: String): String =
       (0 until 16).map { j =>

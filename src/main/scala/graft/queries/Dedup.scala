@@ -23,8 +23,10 @@ import graft.io.Tables.table
   *    all stay inside whole-stage codegen;
   *  - MinHash signatures come from a partial-agg groupBy (map-side
   *    combine) over DOUBLE-HASHED values — one md5 per shingle row split
-  *    into two 56-bit halves, g_k = h1 + k·h2 (Kirsch-Mitzenmacher), so
-  *    the 8-hash signature costs 1 digest instead of 8 and the agg state
+  *    into two 56-bit halves, g_k = (h1 + k·h2) mod 2^56 (MODULAR
+  *    Kirsch-Mitzenmacher; the mod is what keeps the per-k argmins
+  *    independent — see TextFns.Km56Mask), so the 8-hash signature
+  *    costs 1 digest instead of 8 and the agg state
   *    is 8 longs; shuffle rows are (doc_id, 8×8B), never documents;
   *  - LSH bands use r=2 rows per band (bucket key = md5(mh_i‖mh_j)), so
   *    two docs collide on a band with probability jaccard² — this keeps
@@ -221,7 +223,7 @@ object Dedup {
     * bands as (sig >> off) & mask, which is fill-insensitive for all
     * our offsets on BOTH engines (verified: arithmetic vs logical
     * shift only differ above the mask). */
-  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def simhashDf(spark: SparkSession, dir: String): DataFrame = {
     val toks = table(spark, dir, "documents")
       .select(col("doc_id"),
         explode(TextFns.tokens(col("text"))).as("t"))
@@ -951,19 +953,16 @@ object Dedup {
     * pageRank(localLimit) discipline, so Q118GateSpec can FORCE the
     * at-scale shuffle branch on a fixture instead of leaving it dead
     * code under test. */
-  private[queries] def q118PairsPlan(spark: SparkSession, dir: String,
-      broadcastLimit: Long = 1L << 20): DataFrame = {
+  /** q118's candidate-pair relation over the prefix index: equi-join on
+    * prefix shingle hash with the PPJoin length + positional filters —
+    * a true pair's overlap o >= ceil(t(na+nb)/(1+t)) and beyond the
+    * first shared element only min(na-rk_a, nb-rk_b) shared elements
+    * can remain; both bounds hold at the globally-smallest shared
+    * element. Extracted so DedupScaleProbe can count candidates
+    * (the growth-evidence harness) on exactly the executed relation. */
+  private[queries] def q118Candidates(pref: DataFrame): DataFrame = {
     val t = NGRAM_JACCARD_MIN
-    val idx = q118Index(spark, dir)
-    val pref = spark.read.parquet(s"$idx/pref")
-    val shArr = spark.read.parquet(s"$idx/sharr")
-    // candidate join with the PPJoin length + positional filters:
-    // a true pair's overlap o >= ceil(t(na+nb)/(1+t)) and beyond the
-    // first shared element only min(na-rk_a, nb-rk_b) shared
-    // elements can remain - both bounds hold at the globally-
-    // smallest shared element, so recall stays perfect while the
-    // measured sf0.1 candidate count drops 522k -> 205k
-    val pairs = pref.as("a")
+    pref.as("a")
       .join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") >= ceil(lit(t) * col("b.n")) &&
@@ -973,6 +972,18 @@ object Dedup {
             ceil(lit(t) * (col("a.n") + col("b.n")) / lit(1 + t)))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  private[queries] def q118PairsPlan(spark: SparkSession, dir: String,
+      broadcastLimit: Long = 1L << 20): DataFrame = {
+    val t = NGRAM_JACCARD_MIN
+    val idx = q118Index(spark, dir)
+    val pref = spark.read.parquet(s"$idx/pref")
+    val shArr = spark.read.parquet(s"$idx/sharr")
+    // candidate join with the PPJoin length + positional filters (see
+    // q118Candidates) — recall stays perfect while the measured sf0.1
+    // candidate count drops 522k -> 205k
+    val pairs = q118Candidates(pref)
     // array-intersect verify over 56-BIT HASH arrays (the q102
     // "strings never shuffle" discipline): every stage of this
     // query - canonical order, prefix join, verify - runs in the
@@ -1103,8 +1114,12 @@ object Dedup {
     * artifact, not a re-derivation). */
   private[queries] def verifiedPairsIndexed(spark: SparkSession,
       dir: String): DataFrame = {
+    // "-mkm1" versions the DERIVATION (round 14's modular-KM minhash):
+    // a formula change must change the artifact key, or a store shared
+    // across engine versions serves pairs computed with the old hashes
     val path = graft.exec.ArtifactStore.ensure(spark, "neardup_pair_index",
-      graft.exec.ArtifactStore.sourceKey(spark, dir, "documents")) { p =>
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "documents")
+        + "-mkm1") { p =>
       val (pairs, cached) = graft.dedup.TextDedup.nearDuplicatePairsPlan(
         table(spark, dir, "documents"), "doc_id", "text",
         JACCARD_MIN, NUM_HASHES)
@@ -1138,13 +1153,15 @@ object Dedup {
   // q78's durable materialized dedup index (ArtifactStore: built at
   // most once per corpus across processes, read-only afterwards — the
   // q78 query never appends, so sharing is sound; Bench's steady state
-  // pays only the batch side). The "-v2" key suffix versions the INDEX
-  // FORMAT (round 12 added the harr verify table): a format bump must
-  // change the artifact key, or a store shared across engine versions
-  // would serve stale-layout bytes to the new reader.
+  // pays only the batch side). The "-v3" key suffix versions the INDEX
+  // FORMAT + DERIVATION (v2: round 12 added the harr verify table;
+  // v3: round 14's modular-KM minhash changed the stored band keys): a
+  // format or formula bump must change the artifact key, or a store
+  // shared across engine versions would serve stale bytes to the new
+  // reader.
   private def q78Index(spark: SparkSession, dir: String): String =
     graft.exec.ArtifactStore.ensure(spark, "q78_dedup_index",
-      graft.exec.ArtifactStore.sourceKey(spark, dir, "documents") + "-v2") { path =>
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "documents") + "-v3") { path =>
       graft.dedup.TextDedup.buildDedupIndex(
         q78Split(spark, dir)._1, "doc_id", "text", path)
     }

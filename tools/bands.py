@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Per-query timing bands from recorded captures — so drift gets judged
+against measured variance instead of prose.
+
+Scans the committed BENCH_r*.json and target/bench_*.json capture files,
+groups them by scale (the `sf` field: testdata sfN vs scale replicas),
+and for every query reports min / median / max across captures plus the
+latest capture's value and its position in the band. Writes
+target/bands_<scale>.json and prints a drift table: queries whose latest
+value sits ABOVE the recorded band (not merely above the median) are the
+only ones worth a regression discussion.
+
+Usage: python3 tools/bands.py [--scale sf0.1|10x] [--latest FILE]
+"""
+import argparse
+import glob
+import json
+import statistics
+import sys
+from pathlib import Path
+
+
+def load_captures():
+    """(scale_tag, path, queries-dict, meta) for every parseable capture."""
+    out = []
+    for pat in ("BENCH_r*.json", "target/bench_*.json"):
+        for p in sorted(glob.glob(pat)):
+            try:
+                d = json.loads(Path(p).read_text())
+            except Exception:
+                continue
+            # driver wrapper files carry the real capture under `parsed`
+            if "parsed" in d and isinstance(d.get("parsed"), dict):
+                d = d["parsed"]
+            if not isinstance(d, dict) or "queries" not in d:
+                continue
+            sf = str(d.get("sf", ""))
+            if "scale10x" in sf or "10x" in p:
+                tag = "10x"
+            elif "scale300x" in sf:
+                tag = "300x"
+            elif "sf0.1" in sf:
+                tag = "sf0.1"
+            else:
+                tag = sf or "unknown"
+            out.append((tag, p, d["queries"],
+                        {k: d.get(k) for k in
+                         ("runs", "load_warning", "finished_at")}))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="sf0.1")
+    ap.add_argument("--latest", default=None,
+                    help="capture file to judge against the band "
+                         "(default: the newest matching capture)")
+    args = ap.parse_args()
+
+    caps = [c for c in load_captures() if c[0] == args.scale]
+    if not caps:
+        sys.exit(f"no captures for scale {args.scale}")
+    latest_path = args.latest or caps[-1][1]
+    latest = next((q for _, p, q, _ in caps if p == latest_path), None)
+    if latest is None:
+        try:
+            d = json.loads(Path(latest_path).read_text())
+            latest = (d.get("parsed") or d)["queries"]
+        except Exception:
+            sys.exit(f"cannot read latest capture {latest_path}")
+
+    hist = {}
+    for _, p, qs, _ in caps:
+        for q, v in qs.items():
+            if isinstance(v, (int, float)):
+                hist.setdefault(q, []).append(float(v))
+
+    bands = {}
+    above = []
+    for q in sorted(hist):
+        vs = sorted(hist[q])
+        b = {"n": len(vs), "min": vs[0], "median": statistics.median(vs),
+             "max": vs[-1]}
+        lv = latest.get(q)
+        if isinstance(lv, (int, float)):
+            b["latest"] = lv
+            b["above_band"] = lv > vs[-1] + 1e-9
+            if b["above_band"]:
+                above.append((q, lv, vs[-1]))
+        bands[q] = b
+
+    out = Path(f"target/bands_{args.scale}.json")
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps(
+        {"scale": args.scale, "captures": [p for _, p, _, _ in caps],
+         "latest": latest_path, "bands": bands}, indent=1))
+    print(f"[bands] {args.scale}: {len(caps)} captures, "
+          f"{len(bands)} queries -> {out}")
+    print(f"[bands] latest = {latest_path}")
+    if above:
+        print(f"[bands] {len(above)} queries ABOVE their recorded band:")
+        for q, lv, mx in sorted(above, key=lambda t: t[2] - t[1]):
+            print(f"  {q}: latest {lv:.2f}s > band max {mx:.2f}s "
+                  f"(+{lv - mx:.2f}s)")
+    else:
+        print("[bands] no query above its recorded band")
+
+
+if __name__ == "__main__":
+    main()
