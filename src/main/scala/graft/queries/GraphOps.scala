@@ -235,9 +235,13 @@ object GraphOps {
       n: Long): DataFrame = {
     val pairs = pairs0.repartition(col("src")).persist()
     var ranks = deg.select(col("node"), lit(1.0 / n).as("rank"))
+    // shuffle_hash on the NODE-sized side: a sort-merge join would
+    // re-SORT the edge relation every sweep (measured 22.7s -> 104.6s
+    // over 5 sweeps on the 272M-edge 300x graph); hashing the rank
+    // side streams the pre-partitioned edges sort-free
     for (_ <- 1 to ITERS)
       ranks = graft.exec.Materializer.Local(
-        sweep(pairs, deg, n, ranks, ship = identity))
+        sweep(pairs, deg, n, ranks, ship = _.hint("shuffle_hash")))
     val out = snapScaled(ranks, n)
     pairs.unpersist()
     out
