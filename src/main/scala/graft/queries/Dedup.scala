@@ -33,12 +33,14 @@ import graft.io.Tables.table
   *    candidate counts near-linear on corpora with heavy shared
   *    boilerplate (a 1-row band degenerates to "shares any one popular
   *    shingle", which is quadratic);
-  *  - Jaccard verification is a PAIR-DRIVEN co-shingle COUNT (expand each
-  *    candidate pair with one side's shingles, semi-match the other side),
-  *    not an array intersect — no document-sized rows move; the shingle
-  *    relation is first semi-joined down to LSH-candidate docs, and the
-  *    per-pair expansion is |pairs| × shingles-per-doc, independent of
-  *    shingle df — popular boilerplate shingles cannot go quadratic;
+  *  - Jaccard verification runs in the HASH DOMAIN (the q118
+  *    representation): the shingle relation is semi-joined down to
+  *    candidate docs, each doc's distinct shingle set becomes one
+  *    sorted 56-bit-hash array, and the per-pair intersection is the
+  *    codegen IntersectCount merge over two attached arrays — cost
+  *    ∝ |pairs|, independent of shingle df (popular boilerplate
+  *    shingles cannot go quadratic), and exchanges carry longs, never
+  *    shingle strings;
   *  - SimHash is 64-bit; candidate banding is pigeonhole-complete for
   *    the hamming threshold and size-gated between 4×16-bit bands
   *    (small corpora) and C(6,3)=20 block-triple keys (~2^32 key
@@ -467,7 +469,7 @@ object Dedup {
     // document living inside a long one, which symmetric Jaccard
     // structurally misses (the union term drowns the small side). The
     // candidate generation reuses q35's rare-shingle blocking and the
-    // overlap counting reuses the pair-driven TextDedup.pairOverlapPlan
+    // overlap counting reuses the hash-array TextDedup.pairOverlapPlan
     // core (cost ∝ candidates, never all-pairs) — only the scoring rule
     // differs, so the scale properties are q35's.
     Q("q69_containment",
