@@ -237,7 +237,7 @@ object TextDedup {
     * (deterministic min-id survivor), (2) exactly duplicates any corpus
     * document (anti-join on the 32-byte content hash — the shuffle never
     * carries text), or (3) NEARLY duplicates a corpus document (MinHash
-    * LSH candidates across the two sides, pair-driven Jaccard >=
+    * LSH candidates across the two sides, hash-array Jaccard >=
     * `threshold`). Returns the surviving batch rows.
     *
     * The corpus is never compared against ITSELF — its internal

@@ -505,7 +505,7 @@ object Dedup {
     // ------------------------------------------------------------------
     // q52: the FULL fuzzy-dedup pipeline end to end, hash-verified —
     // exact dedup (min-id survivor per md5(text)), MinHash r=2-band LSH
-    // candidates over the survivors, pair-driven Jaccard verify ≥ 0.5,
+    // candidates over the survivors, hash-array Jaccard verify ≥ 0.5,
     // connected-components clustering (min-label propagation), drop every
     // doc whose cluster has a smaller id. The Spark side runs the
     // graft.dedup.TextDedup.deduplicate library API verbatim; the oracle
@@ -888,8 +888,8 @@ object Dedup {
     // inside BOTH prefixes — candidates have PERFECT RECALL (unlike
     // LSH), while the rare-first order makes the equi-join on prefix
     // shingles near-minimal (frequent boilerplate shingles land at the
-    // tails and never generate pairs). Verification reuses the shared
-    // pair-driven TextDedup core.
+    // tails and never generate pairs). Verification uses the same
+    // hash-array representation as the shared TextDedup core.
     //
     // Scale shape: df histogram is one groupBy; per-doc ordering is one
     // window partitioned by doc; the prefix explode carries ~(1−t) of
