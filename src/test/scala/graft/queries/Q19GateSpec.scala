@@ -83,6 +83,50 @@ class Q19GateSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally { sig.unpersist(blocking = false); () }
   }
 
+  test("property sweep: on random signature sets, both generators equal " +
+    "the exhaustive hamming<=3 ground truth (seeded, 3 distributions)") {
+    import spark.implicits._
+    // three corpus shapes: uniform random, clustered (perturbations of
+    // few centers — the near-dup regime), and low-entropy (few distinct
+    // values — maximal collisions). Deterministic LCG, no java.util.
+    var seed = 0x9E3779B97F4A7C15L
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    def corpus(kind: Int): Seq[(Long, Long)] = {
+      val vs = kind match {
+        case 0 => Seq.fill(120)(next())
+        case 1 =>
+          val centers = Seq.fill(6)(next())
+          (0 until 120).map { i =>
+            val c = centers(i % 6)
+            // flip 0..5 pseudo-random bits
+            (0 until (i % 6)).foldLeft(c)((a, j) =>
+              a ^ (1L << (math.floorMod(next(), 64)).toInt))
+          }
+        case _ => (0 until 120).map(i => (i % 7).toLong * 0x0101010101010101L)
+      }
+      vs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    }
+    for (kind <- 0 to 2) {
+      val rows = corpus(kind)
+      val gt = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb).toLong
+        if h <= 3
+      } yield (ia, ib, h)).sortBy(p => (p._1, p._2))
+      val df = rows.toDF("doc_id", "simhash")
+      def run(limit: Long) = Dedup.q19PairsPlan(df, bandLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      withClue(s"corpus kind $kind (small branch): ") {
+        run(Long.MaxValue) shouldBe gt
+      }
+      withClue(s"corpus kind $kind (blocks branch): ") {
+        run(0L) shouldBe gt
+      }
+    }
+  }
+
   test("block-key construction: sign-bit-only signature lands in block 5 " +
     "as 512 (fill-insensitive shift+mask), packed into exactly the 10 " +
     "combos containing block 5") {
