@@ -84,6 +84,10 @@ object Bench {
           spark.catalog.clearCache()
         }
       }
+      // stderr progress marker (stdout stays one parseable JSON line):
+      // lets an operator attribute a long silent stretch to a QUERY
+      // instead of thread-dump archaeology
+      System.err.println(s"BENCH: running $name")
       val attempts = Seq.fill(runs)(once())
       val ok = attempts.collect { case Right(t) => t }.sorted
       val errs = attempts.collect { case Left(e) => e }
