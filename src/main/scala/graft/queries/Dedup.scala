@@ -66,7 +66,9 @@ object Dedup {
   //    band-key cardinality is FIXED at 2^16, so expected bucket
   //    occupancy is N/2^16 and the equi-join's candidate output grows
   //    ~N^2/2^17 — fine to ~10^6 docs, quadratic beyond;
-  //  - at scale (doc count > SimBandLimit): Manku-style block
+  //  - at scale (doc count > SimBandLimit, or the candidate census
+  //    over the 16-bit buckets exceeds SimCensusPerDocLimit per doc —
+  //    the density-adaptive part of the gate): Manku-style block
   //    combinations (WWW'07 near-dup detection) — the 64 bits split
   //    into 6 blocks (11,11,11,11,10,10); <=3 dirty bits dirty <=3
   //    blocks, so >=3 blocks are clean and some TRIPLE of clean blocks
@@ -77,10 +79,28 @@ object Dedup {
     (44, 10), (54, 10))
   private val SIM_COMBOS: Seq[Seq[Int]] = (0 until SIM_BLOCKS.length)
     .combinations(SIM_BLOCKS.length - HAMMING_MAX).toSeq
-  /** Injectable doc-count gate between the two q19 candidate
-    * generators (COVERAGE.md standing size-gate rule; Q19GateSpec
-    * forces both branches and pins bitwise equality). */
+  /** Injectable doc-count CEILING for the q19 16-bit-band generator
+    * (COVERAGE.md standing size-gate rule; Q19GateSpec forces both
+    * branches and pins bitwise equality). Past this count the block
+    * branch is taken unconditionally — expected 16-bit occupancy
+    * N/2^16 makes the small branch structurally wrong there, so not
+    * even the census (below) is worth a pass. */
   private[queries] val SimBandLimit: Long = 1L << 20
+  /** Below [[SimBandLimit]] the branch choice is DENSITY-ADAPTIVE, not
+    * doc-count-only: PERF.md's round-14 measurements show the true
+    * crossover depends on duplication density (at 500k docs the 16-bit
+    * branch still wins on a lightly-duplicated corpus, 2.9s vs 7.1s,
+    * while losing 2× on a duplication-heavy one). So the plan decision
+    * reads the data: [[candidateCensus]] counts EXACTLY the candidate
+    * pairs the 16-bit join would generate (one partial-agg pass over
+    * ≤ 4·2^16 buckets), and the 16-bit branch is kept only while that
+    * count stays under this multiple of the doc count. Calibration
+    * from the measured regimes: salted 500k docs ran 125 cand/doc and
+    * the 16-bit branch was 2.4× FASTER; family 500k ran ~3,700
+    * cand/doc and the block branch was 2× faster — the modelled
+    * break-even (join-probe cost per candidate vs the block branch's
+    * fixed 20-rows/doc explode+shuffle) sits between, at ~640. */
+  private[queries] val SimCensusPerDocLimit: Long = 640L
   // q73: nodes above this degree are excluded from triangle enumeration
   // (the join is Σ deg² — a boilerplate hub, exactly what the degree
   // histogram exists to surface, would otherwise quadratic-blow it)
@@ -282,22 +302,45 @@ object Dedup {
         col("pos").as("band"), col("col").as("bk"))
   }
 
+  /** EXACT candidate-pair count a banded key relation would feed the
+    * equi-join: Σ n·(n−1)/2 over (band, bk) bucket sizes. One
+    * partial-agg pass (map-side combine into ≤ 4·2^16 groups for the
+    * 16-bit generator), so the census costs a scan of the — persisted —
+    * signature relation, never a join. n·(n−1) is even, so the
+    * shiftright halving is exact Long arithmetic end to end (Column./
+    * would go through double and lose exactness past 2^53). */
+  private[queries] def candidateCensus(banded: DataFrame): Long =
+    banded.groupBy(col("band"), col("bk")).count()
+      .agg(coalesce(
+        sum(shiftright(col("count") * (col("count") - 1), 1)),
+        lit(0L)).as("c"))
+      .head.getLong(0)
+
   /** q19's pair pipeline over a (doc_id, simhash) signature relation —
     * extracted so PlanSpec can pin the pre-localized physical shape.
     * An OR of band keys can't hash-partition, so band the signature
     * into (doc_id, band, key) rows and equi-join on (band, key) — ONE
     * join + distinct. BOTH band generators are complete for
     * hamming <= HAMMING_MAX, so the output is exactly {pairs at
-    * hamming <= 3} regardless of the branch: the doc-count gate
-    * (default [[SimBandLimit]], injectable per the standing rule)
-    * only decides the candidate-key cardinality — fixed 2^16 below
-    * it, ~2^32 block-triple keys above it (sub-quadratic candidate
-    * growth; see SIM_BLOCKS note and Q19GateSpec). */
+    * hamming <= 3} regardless of the branch: the gate (doc-count
+    * ceiling [[SimBandLimit]] + the [[candidateCensus]] density test
+    * against [[SimCensusPerDocLimit]], both injectable per the
+    * standing rule) only decides the candidate-key cardinality —
+    * fixed 2^16 on the small branch, ~2^32 block-triple keys on the
+    * block branch (sub-quadratic candidate growth; see SIM_BLOCKS
+    * note and Q19GateSpec, which forces all three gate paths). */
   private[queries] def q19PairsPlan(sig: DataFrame,
-      bandLimit: Long = SimBandLimit): DataFrame = {
-    val banded =
-      if (sig.count() <= bandLimit) simBandsSmall(sig)
-      else simBandsBlocks(sig)
+      bandLimit: Long = SimBandLimit,
+      censusPerDoc: Long = SimCensusPerDocLimit): DataFrame = {
+    val banded = {
+      val n = sig.count()
+      if (n > bandLimit) simBandsBlocks(sig)
+      else {
+        val small = simBandsSmall(sig)
+        if (candidateCensus(small) <= censusPerDoc * n) small
+        else simBandsBlocks(sig)
+      }
+    }
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&

@@ -52,8 +52,10 @@ class Q19GateSpec extends AnyFunSuite with Matchers with SparkTestSession {
     sigRows.toDF("doc_id", "simhash")
   }
 
-  private def pairs(limit: Long): Seq[(Long, Long, Long)] =
-    Dedup.q19PairsPlan(sigDf, bandLimit = limit).collect()
+  private def pairs(limit: Long,
+      censusPerDoc: Long = Long.MaxValue): Seq[(Long, Long, Long)] =
+    Dedup.q19PairsPlan(sigDf, bandLimit = limit,
+        censusPerDoc = censusPerDoc).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(p => (p._1, p._2)).toSeq
 
@@ -69,11 +71,36 @@ class Q19GateSpec extends AnyFunSuite with Matchers with SparkTestSession {
     pairs(0L) shouldBe gt
   }
 
+  test("q19 density trip (censusPerDoc=-1 flips to blocks below the " +
+    "doc-count ceiling): identical pair set — the adaptive gate is a " +
+    "plan decision, never a semantics decision") {
+    pairs(Long.MaxValue, censusPerDoc = -1L) shouldBe groundTruth
+  }
+
+  test("candidateCensus counts exactly the pairs the 16-bit join would " +
+    "generate: sum of n(n-1)/2 over (band, bk) buckets") {
+    import spark.implicits._
+    // 3 docs sharing all 4 band keys + 1 disjoint: 4 buckets of 3 and
+    // 4 of 1 -> 4*3 + 0 = 12; and that equals the join's pre-filter
+    // candidate row count on the same relation
+    val rows = Seq((0L, 0L), (1L, 0L), (2L, 0L),
+      (3L, -1L)).toDF("doc_id", "simhash")
+    val banded = Dedup.simBandsSmall(rows)
+    Dedup.candidateCensus(banded) shouldBe 12L
+    val joined = banded.as("a").join(banded.as("b"),
+      $"a.band" === $"b.band" && $"a.bk" === $"b.bk" &&
+        $"a.doc_id" < $"b.doc_id").count()
+    joined shouldBe 12L
+    // empty relation: census is 0, not null
+    Dedup.candidateCensus(banded.limit(0)) shouldBe 0L
+  }
+
   test("q19 on real data: both branches agree on sf0.001 documents") {
     val sig = Registry.queries("q18_simhash")(spark, sf0001)
       .persist()
     try {
-      val small = Dedup.q19PairsPlan(sig, bandLimit = Long.MaxValue)
+      val small = Dedup.q19PairsPlan(sig, bandLimit = Long.MaxValue,
+          censusPerDoc = Long.MaxValue)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .sortBy(p => (p._1, p._2)).toSeq
       val blocks = Dedup.q19PairsPlan(sig, bandLimit = 0L)
@@ -115,7 +142,8 @@ class Q19GateSpec extends AnyFunSuite with Matchers with SparkTestSession {
         if h <= 3
       } yield (ia, ib, h)).sortBy(p => (p._1, p._2))
       val df = rows.toDF("doc_id", "simhash")
-      def run(limit: Long) = Dedup.q19PairsPlan(df, bandLimit = limit)
+      def run(limit: Long) = Dedup.q19PairsPlan(df, bandLimit = limit,
+          censusPerDoc = Long.MaxValue)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .sortBy(p => (p._1, p._2)).toSeq
       withClue(s"corpus kind $kind (small branch): ") {
