@@ -23,6 +23,12 @@ object Materializer {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
   }
 
+  /** No cut at all — the caller owns lineage management (or is only
+    * inspecting the plan, which every eager cut above would erase). */
+  case object Passthrough extends Materializer {
+    def apply(df: DataFrame): DataFrame = df
+  }
+
   /** Reliable RDD checkpoint to `sparkContext.setCheckpointDir` (HDFS /
     * object store on a cluster): the cut survives executor loss, so a
     * 100 TB fuzzy-dedup run (~15 chained jobs) resumes from the last cut

@@ -987,8 +987,86 @@ object Dedup {
         // 3.4s). The verified pair set is result-sized; sort it as a
         // local relation.
         Q.localized(q118PairsPlan(spark, dir))
-          .orderBy(col("doc_a"), col("doc_b")))
+          .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ------------------------------------------------------------------
+    // q127: EDIT-DISTANCE-1 SIMILARITY JOIN via deletion-neighborhood
+    // blocking (FastSS; Bocek et al. 2007) — the string-similarity
+    // family the set-based detectors cannot express: entity names
+    // within ONE edit (typo-grade record linkage over insert / delete /
+    // substitute). The blocking is pigeonhole-COMPLETE for k = 1, the
+    // same contract as q19's bands: keys(s) = {s} ∪ {s with char i
+    // deleted}, and ed(s,t) ≤ 1 forces a shared key — a substitution at
+    // i makes del(s,i) = del(t,i); an insert/delete makes deleting the
+    // extra char from the longer yield the shorter itself (its pos-0
+    // key). Sharing a key only bounds ed ≤ 2, so survivors are verified
+    // with a THRESHOLD-bounded levenshtein (banded DP, early exit).
+    // Scale shape: the candidate-key space GROWS with the name
+    // dictionary (keys are name-specific variants, never a fixed key
+    // space — the q19 lesson, pre-applied), so bucket occupancy tracks
+    // type-level near-duplication, not corpus size; the exchange
+    // carries (64-bit xxhash of the variant, short name) — a hash
+    // collision can only ADD a candidate, never lose one, and the
+    // levenshtein verify kills it; the verify filter runs BEFORE the
+    // pair distinct (only survivors dedup — q19's exchange rule); the
+    // dictionary build is one hash-agg distinct, vocabulary-sized. The
+    // oracle replays exact semantics O(n²) with a length prefilter —
+    // affordable at oracle scale, which is exactly why the engine side
+    // blocks instead of scanning pairs.
+    Q("q127_editdist_join",
+      oracle = Some("""
+        WITH n AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM n a JOIN n b
+          ON a.p_name < b.p_name
+          AND abs(length(a.p_name) - length(b.p_name)) <= 1
+        WHERE levenshtein(a.p_name, b.p_name) <= 1
+        ORDER BY name_a, name_b"""),
+      run = (spark, dir) => {
+        val names = table(spark, dir, "part")
+          .select(col("p_name").as("name")).distinct()
+        // localize before the total order (q118's rationale: a global
+        // sort samples its child, executing the join pipeline twice;
+        // the verified pair set is result-sized)
+        Q.localized(editDist1Pairs(names))
+          .orderBy(col("name_a"), col("name_b"))
+      })
   )
+
+  /** q127's pair pipeline over a single-column (`name`) relation —
+    * extracted so the spec can drive it against exhaustive in-JVM
+    * ground truth and PlanSpec can pin the physical shape. Emits
+    * (name_a, name_b, dist) for every distinct unordered pair of
+    * distinct names at levenshtein distance exactly 1 (two DISTINCT
+    * strings are never at distance 0, and `name_a < name_b` already
+    * forces distinctness whatever the input's multiplicity). */
+  private[queries] def editDist1Pairs(names: DataFrame): DataFrame = {
+    // pos 0 keeps the name itself; pos i ∈ 1..len deletes char i. One
+    // substr/concat formula covers both ends (substr(1, -1) = "" and
+    // substr(len+1, ·) = ""), staying inside whole-stage codegen — no
+    // interpreted higher-order transform lambda on the hot path.
+    val variant = concat(
+      col("name").substr(lit(1), col("pos") - 1),
+      col("name").substr(col("pos") + 1, length(col("name"))))
+    val keyed = names
+      .select(col("name"),
+        explode(sequence(lit(0), length(col("name")))).as("pos"))
+      .select(col("name"), xxhash64(variant).as("vk"))
+      // repeated chars make duplicate variants ("aab" → "ab" twice);
+      // one distinct here keeps the join from multiplying them
+      .distinct()
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.vk") === col("b.vk") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name"), 1).cast("long")
+          .as("dist"))
+      // threshold levenshtein returns -1 past the bound; distinct
+      // strings are never at 0 — exact-1 is the full ≤1 semantics
+      .filter(col("dist") === 1)
+      .distinct()
+  }
 
   /** q118's full candidate-join + verify pipeline, pre-localization —
     * exposed so PlanSpec can pin the executed shape (steady-state index

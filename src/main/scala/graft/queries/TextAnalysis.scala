@@ -481,6 +481,37 @@ object TextAnalysis {
       }),
 
     // ------------------------------------------------------------------
+    // q126: BLOOM-PREFILTERED DECONTAMINATION — q46's semantics through
+    // the sketch-then-verify contract (the q89 shape, instantiated for
+    // membership): a driver-built Bloom filter over the eval shingle
+    // hashes (~1.2 bytes/item at 1% fpp — KBs where the exact hash set
+    // is GBs at a real eval-suite scale) probes every corpus shingle
+    // MAP-SIDE inside the scan stage via the native codegen
+    // graft_might_contain expression, so ~all clean documents'
+    // shingles die before any exchange; only might-match survivors
+    // reach the exact confirming semi-join, which removes the
+    // fpp-bounded false positives. Result is EXACTLY the exact-join
+    // answer (no false negatives by Bloom contract), which is why a
+    // DuckDB oracle can gate it: the sketch is a plan optimization,
+    // never a semantics change. Output is the flagged id list (q46
+    // reports the aggregate split; a pipeline DROPS by id).
+    Q("q126_bloom_decontam",
+      oracle = Some(s"""
+        $q46ShinglesCte,
+        eval_sh AS (
+          SELECT DISTINCT s FROM ex WHERE doc_id < 10)
+        SELECT DISTINCT doc_id FROM ex
+        WHERE doc_id >= 10 AND s IN (SELECT s FROM eval_sh)
+        ORDER BY doc_id"""),
+      run = (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        graft.text.Decontamination.contaminatedBloom(
+            docs.filter(col("doc_id") >= 10),
+            docs.filter(col("doc_id") < 10), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      }),
+
+    // ------------------------------------------------------------------
     // q48: bigram TF-IDF top-5 per document in pure relational form — the
     // oracle-checkable twin of q29's spark.ml pipeline (M6-M10 semantics:
     // tokens, short-token filter, adjacent bigrams, tf × smoothed idf

@@ -55,10 +55,16 @@ object Decontamination {
       .persist(MEMORY_AND_DISK)
     val nEval = math.max(evalSh.count(), 1L)
     val bloom = evalSh.stat.bloomFilter("h", nEval, fpp)
-    val bloomB = docs.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf { h: String => bloomB.value.mightContainString(h) }
+    // codegen probe expression, not a UDF: the prefilter's whole point
+    // is to run inside the scan stage's fused pipeline before anything
+    // shuffles — a Scala UDF would box every hash and fence codegen
+    // right there. The serialized filter ships as a plan literal (the
+    // InjectRuntimeFilter pattern); executors deserialize once per task
+    // binary via the expression's cached reference.
+    val bloomBytes = org.apache.spark.sql.graft.SketchExprs.serialize(bloom)
     val out = mat(shingleHashes(docs, idCol, textCol)
-      .filter(mightContain(col("h")))
+      .filter(org.apache.spark.sql.graft.SketchExprs
+        .bloomMightContain(bloomBytes, col("h")))
       .join(broadcast(evalSh), Seq("h"), "left_semi")
       .select(col("graft_doc_id").as(idCol)).distinct())
     evalSh.unpersist(blocking = false)

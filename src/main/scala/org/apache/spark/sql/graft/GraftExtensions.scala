@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotProductDescriptor)
     ext.injectFunction(GraftFunctions.intersectCountDescriptor)
+    ext.injectFunction(GraftFunctions.bloomMightContainDescriptor)
   }
 }
 
@@ -48,9 +49,25 @@ object GraftFunctions {
       IntersectCount(exprs.head, exprs(1))
     })
 
+  val bloomMightContainDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_might_contain"),
+    new ExpressionInfo(classOf[BloomMightContain].getName, null,
+      "graft_might_contain",
+      "graft_might_contain(bloom, value) - membership probe of a " +
+        "bigint/string/binary value against a serialized BloomFilter " +
+        "(binary literal); no false negatives, fpp-bounded false " +
+        "positives.", ""),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"graft_might_contain expects 2 arguments, got ${exprs.length}")
+      BloomMightContain(exprs.head, exprs(1))
+    })
+
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
-    Seq(dotProductDescriptor, intersectCountDescriptor).foreach {
+    Seq(dotProductDescriptor, intersectCountDescriptor,
+      bloomMightContainDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

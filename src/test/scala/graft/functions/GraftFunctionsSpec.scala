@@ -79,4 +79,57 @@ class GraftFunctionsSpec extends AnyFunSuite with Matchers with SparkTestSession
     df.queryExecution.executedPlan.toString should include("*(1) Project")
     df.collect().map(_.getLong(0)).sum shouldBe 6L // one hit per row + id=3 row
   }
+
+  test("graft_might_contain: no false negatives over every put type, " +
+    "string hashing matches mightContainString, null value → null") {
+    import org.apache.spark.sql.graft.SketchExprs
+    import org.apache.spark.util.sketch.BloomFilter
+    import spark.implicits._
+    val bf = BloomFilter.create(1000, 0.01)
+    (0L until 50L).foreach(bf.putLong)
+    Seq("alpha", "beta", "gamma", "").foreach(bf.putString)
+    val bytes = SketchExprs.serialize(bf)
+    // longs: every inserted value must probe true (no false negatives)
+    val longs = (0L until 50L).toDF("v")
+      .select(SketchExprs.bloomMightContain(bytes, $"v").as("hit"))
+      .collect().map(_.getBoolean(0))
+    all(longs) shouldBe true
+    // strings: the expression hashes UTF8String.getBytes — must equal
+    // the driver-side mightContainString on hits AND on misses
+    val probe = Seq("alpha", "beta", "gamma", "", "delta", "αβ")
+    val got = probe.toDF("s")
+      .select($"s", SketchExprs.bloomMightContain(bytes, $"s").as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    probe.foreach { s => got(s) shouldBe bf.mightContainString(s) }
+    Seq("alpha", "beta", "gamma", "").foreach(s => got(s) shouldBe true)
+    // null probe value → null result
+    Seq(Option.empty[String]).toDF("s")
+      .select(SketchExprs.bloomMightContain(bytes, $"s").as("hit"))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("graft_might_contain is SQL-callable, participates in whole-stage " +
+    "codegen, and rejects a non-foldable filter argument") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.graft.SketchExprs
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(100, 0.01)
+    Seq(2L, 3L).foreach(bf.putLong)
+    val hex = SketchExprs.serialize(bf).map("%02X".format(_)).mkString
+    val df = spark.range(5).selectExpr(
+      s"graft_might_contain(X'$hex', id) AS hit")
+    df.queryExecution.executedPlan.toString should include("*(1) Project")
+    // only the no-false-negative direction is deterministic — assert
+    // the planted values, not the misses
+    val hits = df.collect().map(_.getBoolean(0))
+    hits(2) shouldBe true
+    hits(3) shouldBe true
+    // non-foldable filter argument is a type-check error
+    val e = intercept[Exception] {
+      spark.range(1)
+        .selectExpr("graft_might_contain(encode(CAST(id AS STRING), 'utf-8'), id)")
+        .collect()
+    }
+    e.getMessage.toLowerCase should include("foldable")
+  }
 }

@@ -706,4 +706,48 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
       p should not include "BatchEvalPython"
     }
   }
+
+  test("q126: the bloom probe is a codegen Filter on the semi-join's " +
+    "PROBE side (below the join — clean shingles die map-side before " +
+    "any exchange), not a ScalaUDF fence") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.io.Tables.table(spark, sf0001, "documents")
+    val df = graft.text.Decontamination.contaminatedBloom(
+      docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+      "doc_id", "text", mat = graft.exec.Materializer.Passthrough)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0)
+    p should include("graft_might_contain")
+    p should not include "ScalaUDF"
+    p should not include "BatchEvalPython"
+    // tree prints parents above children: the probe filter must sit
+    // BELOW the confirming semi-join
+    val joinAt = p.indexOf("LeftSemi")
+    val probeAt = p.indexOf("graft_might_contain")
+    joinAt should be >= 0
+    probeAt should be > joinAt
+  }
+
+  test("q127: the candidate join is an equi-join on the 64-bit variant " +
+    "hash, and the levenshtein verify runs BEFORE the pair distinct — " +
+    "only survivors reach the dedup exchange") {
+    import org.apache.spark.sql.functions.col
+    val names = graft.io.Tables.table(spark, sf0001, "part")
+      .select(col("p_name").as("name")).distinct()
+    val df = Dedup.editDist1Pairs(names)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      .split("== Initial Plan ==")(0)
+    // equi-join on vk (hash-partitionable); never a nested-loop fallback
+    p should include("vk")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // the pair distinct aggregates the verified output columns, with the
+    // levenshtein cut evaluated join-side (below the aggregate)
+    val aggAt = p.indexOf("HashAggregate(keys=[name_a")
+    val levAt = p.indexOf("levenshtein")
+    aggAt should be >= 0
+    levAt should be > aggAt
+  }
 }
