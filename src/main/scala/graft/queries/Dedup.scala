@@ -329,18 +329,26 @@ object Dedup {
     * fixed 2^16 on the small branch, ~2^32 block-triple keys on the
     * block branch (sub-quadratic candidate growth; see SIM_BLOCKS
     * note and Q19GateSpec, which forces all three gate paths). */
+  /** The gate decision itself, exposed with its reason string so the
+    * evidence harness (DedupScaleProbe) reports the branch the REAL
+    * plan takes rather than re-deriving the rule. */
+  private[queries] def q19BandedChoice(sig: DataFrame,
+      bandLimit: Long = SimBandLimit,
+      censusPerDoc: Long = SimCensusPerDocLimit): (DataFrame, String) = {
+    val n = sig.count()
+    if (n > bandLimit) (simBandsBlocks(sig), s"blocks:doc-count=$n")
+    else {
+      val small = simBandsSmall(sig)
+      val c = candidateCensus(small)
+      if (c <= censusPerDoc * n) (small, s"small:census=$c")
+      else (simBandsBlocks(sig), s"blocks:census=$c")
+    }
+  }
+
   private[queries] def q19PairsPlan(sig: DataFrame,
       bandLimit: Long = SimBandLimit,
       censusPerDoc: Long = SimCensusPerDocLimit): DataFrame = {
-    val banded = {
-      val n = sig.count()
-      if (n > bandLimit) simBandsBlocks(sig)
-      else {
-        val small = simBandsSmall(sig)
-        if (candidateCensus(small) <= censusPerDoc * n) small
-        else simBandsBlocks(sig)
-      }
-    }
+    val banded = q19BandedChoice(sig, bandLimit, censusPerDoc)._1
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&

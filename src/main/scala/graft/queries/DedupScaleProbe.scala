@@ -80,6 +80,9 @@ object DedupScaleProbe {
       val (cSmall, tSmall) = timed(cand(Dedup.simBandsSmall(sig)))
       val (cBlocks, tBlocks) = timed(cand(Dedup.simBandsBlocks(sig)))
       val (pairs, tPairs) = timed(Dedup.q19PairsPlan(sig).count())
+      // what the production gate actually decides on this corpus (the
+      // density-adaptive census choice, with its reason)
+      val branch = Dedup.q19BandedChoice(sig)._2
       sig.unpersist(blocking = false)
       out ++= s""","n_docs":$nDocs,"q19_cand_small":$cSmall"""
       out ++= f""","q19_cand_small_secs":$tSmall%.2f"""
@@ -87,6 +90,7 @@ object DedupScaleProbe {
       out ++= f""","q19_cand_blocks_secs":$tBlocks%.2f"""
       out ++= s""","q19_pairs":$pairs"""
       out ++= f""","q19_secs":$tPairs%.2f"""
+      out ++= s""","q19_branch":"$branch""""
     }
 
     if (metrics("q17")) {
