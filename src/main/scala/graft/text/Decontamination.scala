@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * runs on md5(shingle) keys, so only 32-byte hashes ever shuffle.
   *
   * Two paths with IDENTICAL output:
-  *  - [[contaminated]]: probe shingles semi-join the (small, broadcast)
-  *    eval shingle set.
+  *  - [[contaminated]]: probe shingles semi-join the eval shingle set
+  *    (broadcast under [[BroadcastEvalLimit]], hash-partitioned past
+  *    it — an eval SUITE's shingle set outgrows any broadcast).
   *  - [[contaminatedBloom]]: a driver-built Bloom filter over the eval
   *    hashes pre-filters the probe side BEFORE the confirming semi-join.
   *    The confirming join removes Bloom false positives, so the result
@@ -23,6 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
+  /** Eval-shingle-count gate for the confirming semi-join (COVERAGE.md
+    * standing size-gate rule; DecontaminationSpec forces both
+    * branches): below it the distinct eval hash set broadcasts (one
+    * scan of the probe side, no shuffle); above it — a real eval SUITE
+    * can carry tens of millions of distinct shingles, too big to ship
+    * to every executor — the semi-join is left to hash-partition both
+    * sides, which is exactly when the Bloom prefilter earns its keep:
+    * only might-match survivors (true matches + fpp·|probe|) reach the
+    * exchange, so the shuffled volume tracks the CONTAMINATION rate,
+    * not the corpus. ~32 B per md5 hash ⇒ 2²² hashes ≈ 128 MB
+    * broadcast, the same ceiling the q118 array side uses. */
+  private[text] val BroadcastEvalLimit: Long = 1L << 22
+
   /** (graft_doc_id, h) — md5 over the SHARED 3-token shingle relation
     * (graft.dedup.TextDedup.shingleRows: single source of truth for the
     * shingle construction across the dedup/decontamination surface). */
@@ -31,14 +45,34 @@ object Decontamination {
     graft.dedup.TextDedup.shingleRows(df, idCol, textCol)
       .select(col("doc_id").as("graft_doc_id"), md5(col("s")).as("h"))
 
-  /** Ids of `docs` sharing any 3-token shingle with `evalDocs` (exact). */
+  /** The confirming semi-join, gate applied: `nEval` distinct eval
+    * hashes — broadcast under [[BroadcastEvalLimit]], hash-partitioned
+    * past it. Identical output either way (a join strategy is a plan
+    * decision, never a semantics decision). */
+  private def confirmSemiJoin(probe: DataFrame, evalSh: DataFrame,
+      nEval: Long, broadcastLimit: Long): DataFrame =
+    if (nEval <= broadcastLimit)
+      probe.join(broadcast(evalSh), Seq("h"), "left_semi")
+    else probe.join(evalSh, Seq("h"), "left_semi")
+
+  /** Ids of `docs` sharing any 3-token shingle with `evalDocs` (exact).
+    * `mat` cuts lineage after the result materializes so the persisted
+    * eval set can unpersist (pass Passthrough only for plan
+    * inspection — the eval relation then recomputes on execution). */
   def contaminated(docs: DataFrame, evalDocs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      broadcastLimit: Long = BroadcastEvalLimit,
+      mat: graft.exec.Materializer = graft.exec.Materializer.Local): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val evalSh = shingleHashes(evalDocs, idCol, textCol)
       .select(col("h")).distinct()
-    shingleHashes(docs, idCol, textCol)
-      .join(broadcast(evalSh), Seq("h"), "left_semi")
-      .select(col("graft_doc_id").as(idCol)).distinct()
+      .persist(MEMORY_AND_DISK)
+    val nEval = evalSh.count()
+    val out = mat(confirmSemiJoin(
+        shingleHashes(docs, idCol, textCol), evalSh, nEval, broadcastLimit)
+      .select(col("graft_doc_id").as(idCol)).distinct())
+    evalSh.unpersist(blocking = false)
+    out
   }
 
   /** Same result as [[contaminated]], with a Bloom pre-filter on the
@@ -48,7 +82,8 @@ object Decontamination {
     * graft.exec.Materializer — pass Reliable/Parquet on a cluster). */
   def contaminatedBloom(docs: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, fpp: Double = 0.01,
-      mat: graft.exec.Materializer = graft.exec.Materializer.Local): DataFrame = {
+      mat: graft.exec.Materializer = graft.exec.Materializer.Local,
+      broadcastLimit: Long = BroadcastEvalLimit): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val evalSh = shingleHashes(evalDocs, idCol, textCol)
       .select(col("h")).distinct()
@@ -62,10 +97,11 @@ object Decontamination {
     // InjectRuntimeFilter pattern); executors deserialize once per task
     // binary via the expression's cached reference.
     val bloomBytes = org.apache.spark.sql.graft.SketchExprs.serialize(bloom)
-    val out = mat(shingleHashes(docs, idCol, textCol)
-      .filter(org.apache.spark.sql.graft.SketchExprs
-        .bloomMightContain(bloomBytes, col("h")))
-      .join(broadcast(evalSh), Seq("h"), "left_semi")
+    val out = mat(confirmSemiJoin(
+        shingleHashes(docs, idCol, textCol)
+          .filter(org.apache.spark.sql.graft.SketchExprs
+            .bloomMightContain(bloomBytes, col("h"))),
+        evalSh, nEval, broadcastLimit)
       .select(col("graft_doc_id").as(idCol)).distinct())
     evalSh.unpersist(blocking = false)
     out

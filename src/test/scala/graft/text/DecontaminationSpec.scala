@@ -33,6 +33,40 @@ class DecontaminationSpec extends AnyFunSuite with Matchers with SparkTestSessio
     bloom shouldBe exact // confirming semi-join removes all Bloom FPs
   }
 
+  test("broadcast gate, BOTH branches (standing size-gate rule): " +
+    "broadcastLimit=0 (auto-broadcast off, the PairOverlapGateSpec " +
+    "precedent — at real scale the threshold does this naturally) " +
+    "forces a non-broadcast confirming semi-join with identical ids") {
+    val expected = Decontamination
+      .contaminated(probe, evalSet, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val shuffledExact = Decontamination.contaminated(
+        probe, evalSet, "doc_id", "text", broadcastLimit = 0L)
+      val shuffledBloom = Decontamination.contaminatedBloom(
+        probe, evalSet, "doc_id", "text", broadcastLimit = 0L)
+      shuffledExact.collect().map(_.getLong(0)).toSet shouldBe expected
+      shuffledBloom.collect().map(_.getLong(0)).toSet shouldBe expected
+      // the forced branch must actually change the plan: inspect the
+      // pre-materialized pipeline (Passthrough keeps the plan alive)
+      val p = Decontamination.contaminated(
+          probe, evalSet, "doc_id", "text", broadcastLimit = 0L,
+          mat = graft.exec.Materializer.Passthrough)
+        .queryExecution.executedPlan.toString
+      p should include("LeftSemi")
+      p should not include "BroadcastHashJoin"
+    } finally spark.conf.set(thresholdKey, prev)
+    // and below the gate the explicit broadcast hint plans as one
+    val pb = Decontamination.contaminated(
+        probe, evalSet, "doc_id", "text",
+        mat = graft.exec.Materializer.Passthrough)
+      .queryExecution.executedPlan.toString
+    pb should include("BroadcastHashJoin")
+  }
+
   test("a planted verbatim copy of an eval doc is flagged; disjoint text is not") {
     import spark.implicits._
     val evalD = Seq(1L -> "the secret benchmark answer is forty two exactly")
