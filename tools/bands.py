@@ -23,7 +23,11 @@ from pathlib import Path
 def load_captures():
     """(scale_tag, path, queries-dict, meta) for every parseable capture."""
     out = []
-    for pat in ("BENCH_r*.json", "target/bench_*.json"):
+    # captures/ is the COMMITTED band history (target/ dies with every
+    # snapshot, and the driver's sf0.1 BENCH_r*.json wrappers are
+    # truncated) — official per-session captures get copied there so
+    # the variance record survives across sessions
+    for pat in ("BENCH_r*.json", "captures/*.json", "target/bench_*.json"):
         for p in sorted(glob.glob(pat)):
             try:
                 d = json.loads(Path(p).read_text())
