@@ -37,6 +37,25 @@ object Decontamination {
     * broadcast, the same ceiling the q118 array side uses. */
   private[text] val BroadcastEvalLimit: Long = 1L << 22
 
+  /** Plan-literal budget for the serialized Bloom filter: 2²⁸ bits =
+    * 32 MB. The filter ships inside the expression tree (task binary —
+    * broadcast once per stage, but serialized with the plan), so it
+    * must not scale with the eval suite: past the optimal-size budget
+    * the filter DEGRADES (higher effective fpp → more clean shingles
+    * survive to the exact confirming join) instead of growing — a
+    * throughput trade, never a correctness one. */
+  private[text] val MaxFilterBits: Long = 1L << 28
+
+  /** Bloom sizing under the budget: the optimal bit count for
+    * (n, fpp) — m = ⌈−n·ln p / ln²2⌉, the standard formula
+    * `util.sketch.BloomFilter.create` uses — capped at `cap`. */
+  private[text] def boundedBloomBits(n: Long, fpp: Double, cap: Long): Long = {
+    val optimal =
+      math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2)))
+        .toLong
+    math.max(1L, math.min(optimal, cap))
+  }
+
   /** (graft_doc_id, h) — md5 over the SHARED 3-token shingle relation
     * (graft.dedup.TextDedup.shingleRows: single source of truth for the
     * shingle construction across the dedup/decontamination surface). */
@@ -89,7 +108,8 @@ object Decontamination {
       .select(col("h")).distinct()
       .persist(MEMORY_AND_DISK)
     val nEval = math.max(evalSh.count(), 1L)
-    val bloom = evalSh.stat.bloomFilter("h", nEval, fpp)
+    val bloom = evalSh.stat.bloomFilter("h", nEval,
+      boundedBloomBits(nEval, fpp, MaxFilterBits))
     // codegen probe expression, not a UDF: the prefilter's whole point
     // is to run inside the scan stage's fused pipeline before anything
     // shuffles — a Scala UDF would box every hash and fence codegen

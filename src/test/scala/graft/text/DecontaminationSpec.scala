@@ -67,6 +67,23 @@ class DecontaminationSpec extends AnyFunSuite with Matchers with SparkTestSessio
     pb should include("BroadcastHashJoin")
   }
 
+  test("bloom sizing: optimal bits below the budget, CAPPED (fpp " +
+    "degrades, bytes don't grow) once a 100M-shingle eval suite would " +
+    "blow the plan-literal budget") {
+    // n=1M @ 1%: optimal ≈ 9.59M bits — well under the 2^28 cap
+    val small = Decontamination.boundedBloomBits(1000000L, 0.01,
+      Decontamination.MaxFilterBits)
+    small should be < Decontamination.MaxFilterBits
+    small shouldBe math.ceil(
+      -1000000L * math.log(0.01) / (math.log(2) * math.log(2))).toLong
+    // n=100M @ 1%: optimal ≈ 959M bits — capped at 2^28 (32 MB)
+    Decontamination.boundedBloomBits(100000000L, 0.01,
+      Decontamination.MaxFilterBits) shouldBe Decontamination.MaxFilterBits
+    // degenerate inputs stay sane
+    Decontamination.boundedBloomBits(1L, 0.5,
+      Decontamination.MaxFilterBits) should be >= 1L
+  }
+
   test("a planted verbatim copy of an eval doc is flagged; disjoint text is not") {
     import spark.implicits._
     val evalD = Seq(1L -> "the secret benchmark answer is forty two exactly")
