@@ -97,6 +97,13 @@ object StreamingQueries {
     spark.readStream.schema(rawSchema).parquet(s"$dir/embeddings.parque*")
   }
 
+  /** The documents file-stream source (q128) — same discipline. */
+  private def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = rawSchemaCache.getOrElseUpdate(dir + "#documents",
+      spark.read.parquet(s"$dir/documents.parquet").schema)
+    spark.readStream.schema(rawSchema).parquet(s"$dir/documents.parque*")
+  }
+
   /** Shared harness: run `streamed` to completion into a uniquely-named
     * memory sink in `mode`, localize `finish` of the sink table, and drop
     * the temp view — a UUID-named memory sink left registered would leak
@@ -727,6 +734,70 @@ object StreamingQueries {
           DriftOps.centroidFinish(refCells.unionByName(
             sink.select(col("label"), lit(1).as("half"), col("dim"),
               col("m"), col("n"))))
+        }
+      }),
+
+    // ------------------------------------------------------------------
+    // q128: STREAMING DECONTAMINATION — q126's sketch-then-verify
+    // contract on a live document feed (the ingest-time screen a
+    // training pipeline runs as crawl data lands, instead of a
+    // lake-wide batch sweep later). The eval suite is STATIC by nature:
+    // its distinct shingle hashes and the Bloom filter over them are
+    // built once in batch before the stream starts. Per micro-batch,
+    // everything up to the aggregation is STATELESS: shingle explode,
+    // the codegen graft_might_contain probe (map-side — clean
+    // documents' shingles die inside the scan stage of every batch),
+    // and the stream-static broadcast semi-join that removes Bloom
+    // false positives. The only state is the complete-mode per-doc
+    // count, keyed by CONTAMINATED doc ids only — state tracks
+    // contamination volume, not stream volume. Output is richer than
+    // q126's id list: (doc_id, n_matched shingle occurrences), the
+    // severity signal an ingest gate thresholds on. One oracle replays
+    // the exact batch semantics — a Bloom false negative, a shingle
+    // mismatch between the batch and stream constructions, or
+    // cross-batch count drift would all break the hash.
+    Q("q128_stream_decontam",
+      oracle = Some(s"""
+        WITH tkq128 AS (
+          SELECT doc_id, ${graft.functions.TextFns.sql.tokens} AS tk
+          FROM documents),
+        exq128 AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS s
+          FROM tkq128 WHERE len(tk) >= 3),
+        evq128 AS (SELECT DISTINCT s FROM exq128 WHERE doc_id < 10)
+        SELECT doc_id, count(*) AS n_matched
+        FROM exq128
+        WHERE doc_id >= 10 AND s IN (SELECT s FROM evq128)
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      run = (spark, dir) => {
+        import org.apache.spark.sql.graft.SketchExprs
+        // batch-side eval prep (static suite): distinct md5 hashes +
+        // the size-bounded Bloom over them (Decontamination's sizing)
+        val evalSh = Q.localized(
+          graft.dedup.TextDedup.shingleRows(
+              graft.io.Tables.table(spark, dir, "documents")
+                .filter(col("doc_id") < 10), "doc_id", "text")
+            .select(md5(col("s")).as("h")).distinct())
+        val bloom = {
+          val n = math.max(evalSh.count(), 1L)
+          evalSh.stat.bloomFilter("h", n,
+            graft.text.Decontamination.boundedBloomBits(
+              n, 0.01, graft.text.Decontamination.MaxFilterBits))
+        }
+        val bloomBytes = SketchExprs.serialize(bloom)
+        val flagged = graft.dedup.TextDedup.shingleRows(
+            documentsStream(spark, dir).filter(col("doc_id") >= 10),
+            "doc_id", "text")
+          .select(col("doc_id"), md5(col("s")).as("h"))
+          .filter(SketchExprs.bloomMightContain(bloomBytes, col("h")))
+          .join(broadcast(evalSh), Seq("h"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_matched"))
+        runToMemorySink(spark, dir, "stream_decontam_", "complete",
+          flagged, noDataBatch = false) {
+          _.select(col("doc_id"), col("n_matched")).orderBy(col("doc_id"))
         }
       })
   )

@@ -44,12 +44,12 @@ object Decontamination {
     * the filter DEGRADES (higher effective fpp → more clean shingles
     * survive to the exact confirming join) instead of growing — a
     * throughput trade, never a correctness one. */
-  private[text] val MaxFilterBits: Long = 1L << 28
+  private[graft] val MaxFilterBits: Long = 1L << 28
 
   /** Bloom sizing under the budget: the optimal bit count for
     * (n, fpp) — m = ⌈−n·ln p / ln²2⌉, the standard formula
     * `util.sketch.BloomFilter.create` uses — capped at `cap`. */
-  private[text] def boundedBloomBits(n: Long, fpp: Double, cap: Long): Long = {
+  private[graft] def boundedBloomBits(n: Long, fpp: Double, cap: Long): Long = {
     val optimal =
       math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2)))
         .toLong
