@@ -1049,7 +1049,10 @@ object Dedup {
     * distinct names at levenshtein distance exactly 1 (two DISTINCT
     * strings are never at distance 0, and `name_a < name_b` already
     * forces distinctness whatever the input's multiplicity). */
-  private[queries] def editDist1Pairs(names: DataFrame): DataFrame = {
+  /** q127's candidate-key relation (name, vk) — exposed separately so
+    * the growth-evidence probe can census the candidate join the same
+    * way q19's census does. */
+  private[queries] def editDist1Keys(names: DataFrame): DataFrame = {
     // pos 0 keeps the name itself; pos i ∈ 1..len deletes char i. One
     // substr/concat formula covers both ends (substr(1, -1) = "" and
     // substr(len+1, ·) = ""), staying inside whole-stage codegen — no
@@ -1057,13 +1060,17 @@ object Dedup {
     val variant = concat(
       col("name").substr(lit(1), col("pos") - 1),
       col("name").substr(col("pos") + 1, length(col("name"))))
-    val keyed = names
+    names
       .select(col("name"),
         explode(sequence(lit(0), length(col("name")))).as("pos"))
       .select(col("name"), xxhash64(variant).as("vk"))
       // repeated chars make duplicate variants ("aab" → "ab" twice);
       // one distinct here keeps the join from multiplying them
       .distinct()
+  }
+
+  private[queries] def editDist1Pairs(names: DataFrame): DataFrame = {
+    val keyed = editDist1Keys(names)
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.vk") === col("b.vk") && col("a.name") < col("b.name"))
