@@ -30,6 +30,7 @@ object Similarity {
   private val QUERY_N = 32
   private val CENTROID_MOD = 101 // ~1% of vectors play IVF coarse centroids
   private val TOPK = 10
+  private val HARDNEG_K = 5 // q129: negatives per probe for a contrastive batch
   // the synthetic vectors have no planted duplicates (max within-label
   // cosine ≈ 0.47 at sf0.01) — 0.35 surfaces the genuinely correlated tail
   private val NEARDUP_COS = 0.35
@@ -176,6 +177,61 @@ object Similarity {
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= TOPK)
           .select(col("q_id"), col("rank"), col("neighbor"), col("cosine"))
+          .orderBy(col("q_id"), col("rank"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q129: HARD-NEGATIVE MINING — the contrastive-training data op:
+    // for each probe, the top-k most-similar vectors with a DIFFERENT
+    // label (similar-but-wrong-class is exactly what a retrieval /
+    // embedding trainer wants as negatives; random negatives are too
+    // easy and same-label neighbors are positives). q20's scale shape
+    // verbatim — constant-size probe set broadcast (md5-order top
+    // QUERY_N, the q75 construction), one LINEAR corpus scan scoring
+    // codegen dot products, per-probe window top-k — plus the label
+    // anti-condition evaluated join-side, so candidates never include
+    // positives. Work is n × QUERY_N regardless of corpus size; the
+    // per-probe rank partitions by q_id (map-side WindowGroupLimit
+    // below one hash exchange of probe-count × k rows).
+    Q("q129_hard_negatives",
+      oracle = Some(s"""
+        $normedCte,
+        qs AS (
+          SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $QUERY_N),
+        scored AS (
+          SELECT q_id, vec_id AS neighbor, label AS neg_label,
+                 round(list_sum(list_transform(range(1, len(v) + 1),
+                                               i -> v[i] * qv[i])) / (nrm * qn), 4)
+                   AS cosine
+          FROM n, qs WHERE label <> q_label)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank,
+               neighbor, neg_label, cosine
+        FROM scored
+        QUALIFY rank <= $HARDNEG_K
+        ORDER BY q_id, rank"""),
+      run = (spark, dir) => {
+        val n = normed(spark, dir)
+        val qs = n
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(QUERY_N)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("neighbor").asc)
+        n.crossJoin(broadcast(qs))
+          .filter(col("label") =!= col("q_label"))
+          .select(col("q_id"), col("vec_id").as("neighbor"),
+            col("label").as("neg_label"),
+            round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
+              .as("cosine"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= HARDNEG_K)
+          .select(col("q_id"), col("rank"), col("neighbor"),
+            col("neg_label"), col("cosine"))
           .orderBy(col("q_id"), col("rank"))
       }),
 

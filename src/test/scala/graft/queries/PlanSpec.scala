@@ -346,6 +346,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include("BroadcastNestedLoopJoin")
   }
 
+  test("q129: same linear-scan shape as q20 — codegen dot product, " +
+    "broadcast probe set via TakeOrderedAndProject, label " +
+    "anti-condition join-side, map-side WindowGroupLimit on the " +
+    "per-probe rank") {
+    val p = plan("q129_hard_negatives")
+    p should include("graft_dot")
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastNestedLoopJoin")
+    p should include("WindowGroupLimit")
+  }
+
   test("dedup verify plan (q17's shape): candidate restriction and pair-driven " +
     "intersection are LeftSemi joins; no shingle-keyed self-join, no cartesian") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
