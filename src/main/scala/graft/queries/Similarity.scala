@@ -395,6 +395,108 @@ object Similarity {
       }),
 
     // ------------------------------------------------------------------
+    // q130: ANN RECALL EVALUATION — the engine measures its own
+    // approximate search: recall@k of q36's IVF (nprobe=1, ring
+    // codebook) against the exact brute-force top-k over the SAME
+    // probe set. Every serving deployment needs this number before it
+    // trusts an index (the IVF trade is documented prose everywhere
+    // else — here it's a measured, oracle-gated quantity). Both sides
+    // rank on the 4dp-rounded cosine with neighbor tie-break, so the
+    // top-k sets are deterministic and identical across engines and
+    // the per-probe intersection compares exactly. Scale shape: the
+    // IVF side is q36's (cell-partitioned probe, corpus never shuffles
+    // for assignment); the exact side is one linear scan against the
+    // broadcast probe set; the intersection joins two k-bounded
+    // relations. The probe set reuses q36's modulus sample BECAUSE the
+    // evaluation must cover the same queries as the index under test —
+    // an eval run samples its probes; it does not scan as a fraction
+    // of the lake.
+    Q("q130_ann_recall",
+      oracle = Some(s"""
+        $normedCte,
+        cents AS (
+          SELECT vec_id AS c_id, v AS cv, nrm AS cn
+          FROM n WHERE vec_id % $CENTROID_MOD = 0),
+        assigned AS (
+          SELECT vec_id, c_id FROM (
+            SELECT n.vec_id, c_id,
+                   row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn), 6) DESC,
+                              c_id) AS rn
+            FROM n, cents)
+          WHERE rn = 1),
+        qsr AS (
+          SELECT n.vec_id AS q_id, v AS qv, nrm AS qn, a.c_id AS qcell
+          FROM n JOIN assigned a ON n.vec_id = a.vec_id
+          WHERE n.vec_id % $QUERY_MOD = 0),
+        ivf_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
+                              n.vec_id) AS rk
+            FROM n JOIN assigned a ON n.vec_id = a.vec_id
+            JOIN qsr ON a.c_id = qsr.qcell
+            WHERE n.vec_id <> q_id)
+          WHERE rk <= $TOPK),
+        ex_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
+                              n.vec_id) AS rk
+            FROM n, qsr
+            WHERE n.vec_id <> q_id)
+          WHERE rk <= $TOPK),
+        hits AS (
+          SELECT q_id, count(*) AS n_hit
+          FROM ivf_topk JOIN ex_topk USING (q_id, neighbor)
+          GROUP BY q_id)
+        SELECT q.q_id,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               round(coalesce(h.n_hit, 0) / ($TOPK * 1.0), 4) AS recall_at_k
+        FROM qsr q LEFT JOIN hits h ON q.q_id = h.q_id
+        ORDER BY q.q_id"""),
+      run = (spark, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // four passes over the (narrow) normalized relation: centroid
+        // slice, cell assignment, probe slice, exact scan — persist once
+        val n = normed(spark, dir).persist(MEMORY_AND_DISK)
+        val cents = n.filter(col("vec_id") % CENTROID_MOD === 0)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"),
+            col("nrm").as("cn"))
+        val ivf = ivfSearch(n, cents, nprobe = 1)
+          .select(col("q_id"), col("neighbor"))
+        val probes = n.filter(col("vec_id") % QUERY_MOD === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("neighbor").asc)
+        val exact = n.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor"),
+            round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
+              .as("cosine"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TOPK)
+          .select(col("q_id"), col("neighbor"))
+        val hits = ivf.join(exact, Seq("q_id", "neighbor"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        val result = Q.localized(
+          probes.select(col("q_id")).join(hits, Seq("q_id"), "left")
+            .select(col("q_id"),
+              coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+              round(coalesce(col("n_hit"), lit(0L)) / (TOPK * 1.0), 4)
+                .as("recall_at_k")))
+        n.unpersist(blocking = false)
+        result.orderBy(col("q_id"))
+      }),
+
+    // ------------------------------------------------------------------
     // q64: INT8 SCALAR QUANTIZATION of the embedding column — the 4×
     // storage/bandwidth cut an ANN index applies before it ever computes
     // a distance. Symmetric per-vector scheme: q[d] = round(v[d] * 127 /
