@@ -17,14 +17,18 @@ import graft.io.Tables.table
   */
 object Relational {
 
-  /** Exact money arithmetic: accumulate in DECIMAL(18,2)-derived types so the
-    * sum is identical regardless of partial-aggregation order, then cast to
-    * double for a stable cross-engine representation. */
+  /** Exact money arithmetic in the INTEGER domain (Q.cents/Q.bps): each
+    * row quantizes with floor(x*scale + 0.5) — pure IEEE double work,
+    * bit-identical in both engines — and the BIGINT sum is exact under
+    * any partial-aggregation order. (The previous DECIMAL(18,2)
+    * accumulation was retired by the first 10x-replica gate run:
+    * Spark's double->DECIMAL cast rounds HALF_UP, DuckDB's half-even,
+    * so rows landing exactly on a half-cent diverged by 0.01.) */
   private[queries] def revenueExpr: Column =
     round(
-      sum(col("l_extendedprice").cast("decimal(18,2)") *
-        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-        .cast("double"),
+      sum(Q.cents(col("l_extendedprice")) *
+        (lit(10000L) - Q.bps(col("l_discount"))))
+        / 1000000.0,
       2)
 
   val defs: Seq[Q] = Seq(
@@ -216,8 +220,9 @@ object Relational {
       oracle = Some("""
         SELECT p_brand,
                count(*) AS n_items,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                              (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+               round(sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) *
+                              (10000 - CAST(floor((l_discount) * 10000 + 0.5) AS BIGINT)))
+                              / 1000000.0, 2) AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
         ORDER BY revenue DESC, p_brand"""),
@@ -239,7 +244,7 @@ object Relational {
       oracle = Some("""
         SELECT r_name,
                count(*) AS n_orders,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+               round(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS total_price
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
@@ -257,7 +262,7 @@ object Relational {
           .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"))
           .agg(count(lit(1)).as("n_orders"),
-            round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            Q.dollars(sum(Q.cents(col("o_totalprice"))))
               .as("total_price"))
           .orderBy(col("r_name"))
       }),
@@ -276,7 +281,7 @@ object Relational {
                CASE WHEN grouping(r_name) = 1 THEN 'ALL' ELSE r_name END AS region,
                CASE WHEN grouping(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
                count(*) AS n_customers,
-               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
+               round(sum(CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS total_acctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -299,7 +304,7 @@ object Relational {
             when(grouping(col("n_name")) === 1, "ALL")
               .otherwise(col("n_name")).as("nation"),
             count(lit(1)).as("n_customers"),
-            round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+            Q.dollars(sum(Q.cents(col("c_acctbal"))))
               .as("total_acctbal"))
           .select(col("grp_id"), col("region"), col("nation"),
             col("n_customers"), col("total_acctbal"))
@@ -656,7 +661,7 @@ object Relational {
     // list freely (drop a grouping and the plan shrinks with it).
     // Same determinism conventions as q63: grouping-bit grp_id,
     // 'ALL'/-1 sentinels so every output column is non-null and totally
-    // orderable, money as DECIMAL(18,2)-accumulated doubles.
+    // orderable, money summed as integer cents (Q.cents).
     // Scale shape: Spark expands grouping sets BEFORE the aggregate
     // (one Expand + one partial-agg'd hash shuffle keyed on the
     // grouping id + keys) — cost scales with |sets| × input, all
@@ -673,8 +678,8 @@ object Relational {
                CASE WHEN grouping(yr) = 1 THEN CAST(-1 AS BIGINT)
                     ELSE yr END AS yr_g,
                count(*) AS n_orders,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                 AS DOUBLE), 2) AS total_price
+               round(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT))
+                 / 100.0, 2) AS total_price
         FROM o
         GROUP BY GROUPING SETS ((pri, yr), (pri), (yr), ())
         ORDER BY grp_id, pri_g, yr_g"""),
@@ -693,8 +698,7 @@ object Relational {
             when(grouping(pri) === 1, "ALL").otherwise(pri).as("pri_g"),
             when(grouping(yr) === 1, -1L).otherwise(yr).as("yr_g"),
             count(lit(1)).as("n_orders"),
-            round(sum(col("o_totalprice").cast("decimal(18,2)"))
-              .cast("double"), 2).as("total_price"))
+            Q.dollars(sum(Q.cents(col("o_totalprice")))).as("total_price"))
           .select(col("grp_id"), col("pri_g"), col("yr_g"),
             col("n_orders"), col("total_price"))
           .orderBy(col("grp_id"), col("pri_g"), col("yr_g"))

@@ -407,10 +407,13 @@ object Similarity {
     // IVF side is q36's (cell-partitioned probe, corpus never shuffles
     // for assignment); the exact side is one linear scan against the
     // broadcast probe set; the intersection joins two k-bounded
-    // relations. The probe set reuses q36's modulus sample BECAUSE the
-    // evaluation must cover the same queries as the index under test —
-    // an eval run samples its probes; it does not scan as a fraction
-    // of the lake.
+    // relations. The evaluated probes are a FIXED-COUNT md5-order
+    // sample (the q20 construction) drawn FROM q36's modulus probe
+    // universe — a subset of the index's own queries, so the number
+    // evaluates the index under test, while the exact ground-truth
+    // scan stays n × QUERY_N at any corpus size (an unlimited modulus
+    // probe set would make ground truth n²/mod — the exact quadratic
+    // shape the q20 lesson retired).
     Q("q130_ann_recall",
       oracle = Some(s"""
         $normedCte,
@@ -430,7 +433,9 @@ object Similarity {
         qsr AS (
           SELECT n.vec_id AS q_id, v AS qv, nrm AS qn, a.c_id AS qcell
           FROM n JOIN assigned a ON n.vec_id = a.vec_id
-          WHERE n.vec_id % $QUERY_MOD = 0),
+          WHERE n.vec_id % $QUERY_MOD = 0
+          ORDER BY md5(CAST(n.vec_id AS VARCHAR)), n.vec_id
+          LIMIT $QUERY_N),
         ivf_topk AS (
           SELECT q_id, neighbor FROM (
             SELECT q_id, n.vec_id AS neighbor,
@@ -472,6 +477,8 @@ object Similarity {
         val ivf = ivfSearch(n, cents, nprobe = 1)
           .select(col("q_id"), col("neighbor"))
         val probes = n.filter(col("vec_id") % QUERY_MOD === 0)
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(QUERY_N)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("nrm").as("qn"))
         val w = Window.partitionBy(col("q_id"))

@@ -171,7 +171,7 @@ object StreamingQueries {
   private def windowAgg(stream: DataFrame, w: org.apache.spark.sql.Column) =
     stream.groupBy(w.as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+        Q.dollars(sum(Q.cents(col("value"))))
           .as("total_value"))
 
   val defs: Seq[Q] = Seq(
@@ -182,7 +182,7 @@ object StreamingQueries {
       oracle = Some("""
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
                count(*) AS n,
-               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+               round(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS total_value
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2"""),
@@ -210,7 +210,7 @@ object StreamingQueries {
           FROM events)
         SELECT epoch_us(w_start) AS w_start_us, event_type,
                count(*) AS n,
-               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+               round(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS total_value
         FROM expanded
         GROUP BY w_start, event_type
         ORDER BY w_start_us, event_type"""),
@@ -241,7 +241,7 @@ object StreamingQueries {
           FROM events)
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
                count(*) AS n,
-               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+               round(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS total_value
         FROM events, m
         WHERE epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY)
               <= wm_us
@@ -263,7 +263,7 @@ object StreamingQueries {
       oracle = Some("""
         SELECT v.user_id AS user_id,
                count(*) AS n_pairs,
-               round(CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS attributed_value
+               round(sum(CAST(floor((p.value) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS attributed_value
         FROM events v JOIN events p
           ON v.user_id = p.user_id
          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 12 HOUR
@@ -302,7 +302,7 @@ object StreamingQueries {
             noDataBatch = false) {
           _.groupBy(col("v_user").as("user_id"))
             .agg(count(lit(1)).as("n_pairs"),
-              round(sum(col("p_value").cast("decimal(18,2)")).cast("double"), 2)
+              Q.dollars(sum(Q.cents(col("p_value"))))
                 .as("attributed_value"))
             .orderBy(col("user_id"))
         }
@@ -320,7 +320,7 @@ object StreamingQueries {
       oracle = Some("""
         SELECT n_name,
                count(*) AS n_events,
-               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+               round(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS total_value
         FROM events JOIN nation ON user_id % 25 = n_nationkey
         GROUP BY 1
         ORDER BY 1"""),
@@ -332,7 +332,7 @@ object StreamingQueries {
             .join(dim, pmod(col("user_id"), lit(25L)) === col("n_nationkey"))
             .groupBy(col("n_name"))
             .agg(count(lit(1)).as("n_events"),
-              round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+              Q.dollars(sum(Q.cents(col("value"))))
                 .as("total_value"))) {
           _.select(col("n_name"), col("n_events"), col("total_value"))
             .orderBy(col("n_name"))
@@ -382,8 +382,8 @@ object StreamingQueries {
         SELECT user_id,
                count(*) AS n_rows,
                count(value) AS n_matched,
-               round(CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0)
-                     AS DOUBLE), 2) AS attributed_value
+               round(coalesce(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)), 0)
+                     / 100.0, 2) AS attributed_value
         FROM unioned
         GROUP BY 1
         ORDER BY 1"""),
@@ -407,8 +407,7 @@ object StreamingQueries {
           _.groupBy(col("v_user").as("user_id"))
             .agg(count(lit(1)).as("n_rows"),
               count(col("p_value")).as("n_matched"),
-              round(coalesce(sum(col("p_value").cast("decimal(18,2)")),
-                lit(0).cast("decimal(18,2)")).cast("double"), 2)
+              Q.dollars(coalesce(sum(Q.cents(col("p_value"))), lit(0L)))
                 .as("attributed_value"))
             .orderBy(col("user_id"))
         }

@@ -50,15 +50,21 @@ object WindowQueries {
       }),
 
     // ------------------------------------------------------------------
-    // q13: running (cumulative) sum per user — explicit ROWS frame so both
-    // engines accumulate in identical forced order (prefix sum: no
-    // partial-agg reordering possible).
+    // q13: running (cumulative) sum per user — explicit ROWS frame, money
+    // in the integer cents domain (Q.cents). A raw double prefix sum is
+    // NOT reorder-free cross-engine even with a forced frame order:
+    // DuckDB evaluates windowed sums over a segment tree, so its double
+    // additions associate differently than Spark's sequential frame —
+    // the first 10×-gate run caught a ±0.01 divergence. BIGINT cents
+    // accumulate exactly under any association.
     Q("q13_window_running_sum",
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT event_id, user_id,
-               round(sum(value) OVER (PARTITION BY user_id
-                                      ORDER BY epoch_us(ts), event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               ${Q.dollarsSql(
+                 s"""sum(${Q.centsSql("value")})
+                     OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")}
                  AS run_value
         FROM events
         ORDER BY event_id"""),
@@ -68,7 +74,7 @@ object WindowQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         table(spark, dir, "events")
           .select(col("event_id"), col("user_id"),
-            round(sum(col("value")).over(w), 2).as("run_value"))
+            Q.dollars(sum(Q.cents(col("value"))).over(w)).as("run_value"))
           .orderBy(col("event_id"))
       }),
 
@@ -450,13 +456,13 @@ object WindowQueries {
     // peers of the current value) — deterministic without a tie-break in
     // the frame itself; the output order key still carries event_id.
     Q("q74_range_frame",
-      oracle = Some("""
+      oracle = Some(s"""
         WITH t AS (
-          SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events)
+          SELECT user_id, event_id, epoch_us(ts) AS tus,
+                 ${Q.centsSql("value")} AS v FROM events)
         SELECT user_id, event_id,
                CAST(count(*) OVER w AS BIGINT) AS n_1h,
-               round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
-                 AS sum_1h
+               ${Q.dollarsSql("sum(v) OVER w")} AS sum_1h
         FROM t
         WINDOW w AS (PARTITION BY user_id ORDER BY tus
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -467,10 +473,12 @@ object WindowQueries {
         table(spark, dir, "events")
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("tus"),
-            col("value").cast("decimal(18,2)").as("v"))
+            // integer cents (Q.cents): DuckDB's segment-tree window sum
+            // reorders double/decimal additions; BIGINT is association-free
+            Q.cents(col("value")).as("v"))
           .select(col("user_id"), col("event_id"),
             count(lit(1)).over(w).as("n_1h"),
-            round(sum(col("v")).over(w).cast("double"), 2).as("sum_1h"))
+            Q.dollars(sum(col("v")).over(w)).as("sum_1h"))
           .orderBy(col("user_id"), col("event_id"))
       }),
 

@@ -64,8 +64,11 @@ def main():
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # testdata ships one file per table; Spark-written replicas
+        # (ScaleUp) ship a DIRECTORY of part files under the same name
+        p = Path(sf_dir, f"{t}.parquet")
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     ok, bad, noracle = [], [], []
     for name in sorted(set(list(oracle) +
