@@ -24,12 +24,23 @@ object Relational {
     * accumulation was retired by the first 10x-replica gate run:
     * Spark's double->DECIMAL cast rounds HALF_UP, DuckDB's half-even,
     * so rows landing exactly on a half-cent diverged by 0.01.) */
-  private[queries] def revenueExpr: Column =
-    round(
-      sum(Q.cents(col("l_extendedprice")) *
-        (lit(10000L) - Q.bps(col("l_discount"))))
-        / 1000000.0,
-      2)
+  private[queries] def revenueExpr: Column = {
+    val micro = sum(Q.cents(col("l_extendedprice")) *
+      (lit(10000L) - Q.bps(col("l_discount"))))
+    // the 2dp rounding ALSO happens in integer space: micro-dollar sums
+    // pass 2^53 at the 10x replica (q92's biggest group: 9.3e15), so a
+    // double detour before the rounding is lossy, and round-on-double
+    // at a half-cent boundary is engine-specific anyway (Spark rounds
+    // the EXACT BigDecimal expansion HALF_UP; DuckDB multiplies by 100
+    // and rounds the double product) — the second divergence the first
+    // 10x gate run caught. Floor-div of the +5000-biased micro sum is
+    // half-up for the non-negative sums revenue always is; decimal(38,0)
+    // keeps every intermediate exact. Oracle twin: (micro + 5000) //
+    // 10000 (DuckDB hugeint integer division).
+    val cents = floor((micro.cast("decimal(38,0)") + lit(5000L)) /
+      lit(10000L).cast("decimal(38,0)")).cast("long")
+    Q.dollars(cents)
+  }
 
   val defs: Seq[Q] = Seq(
 
@@ -220,9 +231,9 @@ object Relational {
       oracle = Some("""
         SELECT p_brand,
                count(*) AS n_items,
-               round(sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) *
+               round(((sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) *
                               (10000 - CAST(floor((l_discount) * 10000 + 0.5) AS BIGINT)))
-                              / 1000000.0, 2) AS revenue
+                              + 5000) // 10000) / 100.0, 2) AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
         ORDER BY revenue DESC, p_brand"""),

@@ -67,9 +67,9 @@ object ScaleOps {
       oracle = Some("""
         SELECT n_name,
                count(*) AS n_items,
-               round(sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) *
+               round(((sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) *
                               (10000 - CAST(floor((l_discount) * 10000 + 0.5) AS BIGINT)))
-                              / 1000000.0, 2) AS revenue
+                              + 5000) // 10000) / 100.0, 2) AS revenue
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
@@ -115,9 +115,9 @@ object ScaleOps {
       oracle = Some("""
         SELECT coalesce(n_name, '(no supplier)') AS n_name,
                count(*) AS n_items,
-               round(sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) *
+               round(((sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) *
                               (10000 - CAST(floor((l_discount) * 10000 + 0.5) AS BIGINT)))
-                              / 1000000.0, 2) AS revenue
+                              + 5000) // 10000) / 100.0, 2) AS revenue
         FROM lineitem LEFT JOIN (
           SELECT s_suppkey, n_name
           FROM supplier JOIN nation ON s_nationkey = n_nationkey
@@ -396,9 +396,9 @@ object ScaleOps {
         SELECT o_orderpriority,
                CAST(year(o_orderdate) AS BIGINT) AS o_year,
                count(*) AS n_items,
-               round(sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) *
+               round(((sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) *
                               (10000 - CAST(floor((l_discount) * 10000 + 0.5) AS BIGINT)))
-                              / 1000000.0, 2)
+                              + 5000) // 10000) / 100.0, 2)
                  AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority, o_year
@@ -459,9 +459,9 @@ object ScaleOps {
           FROM lineitem)
         SELECT l_shipyear,
                count(*) AS n_items,
-               round(sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) *
+               round(((sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT) *
                               (10000 - CAST(floor((l_discount) * 10000 + 0.5) AS BIGINT)))
-                              / 1000000.0, 2)
+                              + 5000) // 10000) / 100.0, 2)
                  AS revenue
         FROM f JOIN d ON f.l_shipyear = d.yr
         GROUP BY l_shipyear
