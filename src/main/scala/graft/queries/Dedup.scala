@@ -340,7 +340,11 @@ object Dedup {
     else {
       val small = simBandsSmall(sig)
       val c = candidateCensus(small)
-      if (c <= censusPerDoc * n) (small, s"small:census=$c")
+      // Overflow-safe form of `c <= censusPerDoc * n`: a spec-injected
+      // censusPerDoc of Long.MaxValue ("never trip") must behave as a
+      // true infinity, but MaxValue * n wraps negative for even n and
+      // would silently flip the branch. Division can't overflow.
+      if (c / math.max(n, 1L) <= censusPerDoc) (small, s"small:census=$c")
       else (simBandsBlocks(sig), s"blocks:census=$c")
     }
   }

@@ -80,9 +80,16 @@ object DedupScaleProbe {
       val (cSmall, tSmall) = timed(cand(Dedup.simBandsSmall(sig)))
       val (cBlocks, tBlocks) = timed(cand(Dedup.simBandsBlocks(sig)))
       val (pairs, tPairs) = timed(Dedup.q19PairsPlan(sig).count())
-      // what the production gate actually decides on this corpus (the
-      // density-adaptive census choice, with its reason)
-      val branch = Dedup.q19BandedChoice(sig)._2
+      // what the production gate decides on this corpus, derived from
+      // the ALREADY-measured nDocs/cSmall (same rule as
+      // Dedup.q19BandedChoice) — re-invoking the gate here would
+      // re-run sig.count() plus a full census scan untimed, doubling
+      // probe wall time at the 1M-doc scales this targets
+      val branch =
+        if (nDocs > Dedup.SimBandLimit) s"blocks:doc-count=$nDocs"
+        else if (cSmall / math.max(nDocs, 1L) <= Dedup.SimCensusPerDocLimit)
+          s"small:census=$cSmall"
+        else s"blocks:census=$cSmall"
       sig.unpersist(blocking = false)
       out ++= s""","n_docs":$nDocs,"q19_cand_small":$cSmall"""
       out ++= f""","q19_cand_small_secs":$tSmall%.2f"""

@@ -155,6 +155,18 @@ class Q19GateSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("gate arithmetic is overflow-safe: censusPerDoc=Long.MaxValue on " +
+    "an EVEN doc count still reads 'never trip' (the naive limit*n " +
+    "product wraps to -n for even n and silently flipped to blocks)") {
+    import spark.implicits._
+    // 4 docs (even), all colliding in every band -> census 24 > 0, so a
+    // wrapped-negative limit would reject the small branch
+    val rows = (0L until 4L).map(i => (i, 0L)).toDF("doc_id", "simhash")
+    val (_, reason) = Dedup.q19BandedChoice(rows,
+      bandLimit = Long.MaxValue, censusPerDoc = Long.MaxValue)
+    reason should startWith("small:")
+  }
+
   test("block-key construction: sign-bit-only signature lands in block 5 " +
     "as 512 (fill-insensitive shift+mask), packed into exactly the 10 " +
     "combos containing block 5") {

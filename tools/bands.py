@@ -27,6 +27,7 @@ def load_captures():
     # snapshot, and the driver's sf0.1 BENCH_r*.json wrappers are
     # truncated) — official per-session captures get copied there so
     # the variance record survives across sessions
+    seen = set()  # a capture copied captures/ <-> target/ counts once
     for pat in ("BENCH_r*.json", "captures/*.json", "target/bench_*.json"):
         for p in sorted(glob.glob(pat)):
             try:
@@ -38,6 +39,11 @@ def load_captures():
                 d = d["parsed"]
             if not isinstance(d, dict) or "queries" not in d:
                 continue
+            ident = (str(d.get("finished_at", "")), str(d.get("sf", "")),
+                     json.dumps(d["queries"], sort_keys=True))
+            if ident in seen:
+                continue
+            seen.add(ident)
             sf = str(d.get("sf", ""))
             if "scale10x" in sf or "10x" in p:
                 tag = "10x"
