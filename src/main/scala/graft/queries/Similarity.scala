@@ -28,8 +28,21 @@ object Similarity {
   // count (constant at any corpus scale), where QUERY_MOD bounds by
   // fraction (broadcast grows with the corpus)
   private val QUERY_N = 32
-  private val CENTROID_MOD = 101 // ~1% of vectors play IVF coarse centroids
+  // IVF coarse-codebook size ceiling (see VectorSearch.derivedK): k =
+  // min(budget, ceil(sqrt(N))). The codebook broadcast and per-vector
+  // assignment cost are bounded by the budget at ANY corpus size; below
+  // it k ≈ √N balances assignment (N·k) against cell scans (N/k). The
+  // retired vec_id%101 construction grew |cents| linearly with the
+  // corpus — a broadcast OOM plus N²/101 assignment dot products.
+  private[queries] val CENTROID_BUDGET: Long =
+    graft.similarity.VectorSearch.CentroidBudget
   private val TOPK = 10
+  // q131's swept serving dial: curve points {1,2,4,8}, recall target in
+  // basis points (8000 = the 0.8 recall@10 a deployment typically
+  // demands before trusting an index)
+  private[queries] val NPROBES: Seq[Long] = Seq(1L, 2L, 4L, 8L)
+  private[queries] val NPROBE_MAX: Long = NPROBES.max
+  private[queries] val RECALL_TARGET_BP: Long = 8000L
   private val HARDNEG_K = 5 // q129: negatives per probe for a contrastive batch
   // the synthetic vectors have no planted duplicates (max within-label
   // cosine ≈ 0.47 at sf0.01) — 0.35 surfaces the genuinely correlated tail
@@ -62,6 +75,36 @@ object Similarity {
       SELECT vec_id, label, v,
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
       FROM e)"""
+
+  /** The deterministic BOUNDED coarse codebook shared by q36/q100/q130:
+    * the k = [[graft.similarity.VectorSearch.derivedK]](N, budget) vectors
+    * ranking first in md5(vec_id) order (the q20/q75 fixed-sample
+    * construction — an unbiased, engine-independent shuffle of the ids).
+    * orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    * top-k heaps, k narrow rows to the driver merge — no global sort,
+    * no Window. The one count() job prunes to a zero-column scan.
+    * `budget` is injectable so CodebookSpec can force the capped branch;
+    * production always runs the default. */
+  private[queries] def boundedCents(n: DataFrame,
+      budget: Long = CENTROID_BUDGET): DataFrame = {
+    val k = graft.similarity.VectorSearch.derivedK(n.count(), budget)
+    n.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+  }
+
+  /** SQL twin of [[boundedCents]] (consumes normedCte's `n`, emits
+    * `cents(c_id, cv, cn)`): row_number over the same md5 order, kept
+    * while rn <= least(budget, ceil(sqrt(count))). */
+  private def centsCte: String = s"""
+        cnt AS (SELECT count(*) AS n_rows FROM n),
+        cents AS (
+          SELECT c_id, cv, cn FROM (
+            SELECT vec_id AS c_id, v AS cv, nrm AS cn,
+                   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                      vec_id) AS crn
+            FROM n) c, cnt
+          WHERE crn <= least($CENTROID_BUDGET,
+                             CAST(ceil(sqrt(n_rows)) AS BIGINT)))"""
 
   /** Where q54 materializes its trained codebook so the DuckDB oracle can
     * replay the identical search over the identical centroids (KMeans
@@ -111,7 +154,7 @@ object Similarity {
     * scoring expansion (see assignCells) and never shuffles for the
     * probe either; only (q_id, neighbor, cosine) triples move for the
     * final ranking. */
-  private def ivfSearch(n: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+  private[queries] def ivfSearch(n: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val assigned = assignCells(n, cents)
     val qs = probeCells(n.filter(col("vec_id") % QUERY_MOD === 0), cents, nprobe)
     val wRank = Window.partitionBy(col("q_id"))
@@ -263,19 +306,20 @@ object Similarity {
 
     // ------------------------------------------------------------------
     // q36: IVF-style ANN — the 100 TB scale path for q20. A deterministic
-    // coarse codebook (every vec_id ≡ 0 mod 101 plays "trained centroid"),
-    // each vector assigned to its nearest centroid cell (argmax cosine,
-    // broadcast centroids — the corpus never shuffles for assignment),
-    // then exact top-k only WITHIN the query's cell. Recall follows the
-    // IVF nprobe=1 trade; both engines run the identical construction so
-    // results compare exactly. Cell-assignment scores are rounded to 6dp
-    // before the argmax tie-break (engine-independent ordering).
+    // BOUNDED coarse codebook (boundedCents: the k = min(2^16, ceil(√N))
+    // vectors first in md5(vec_id) order play "trained centroid"), each
+    // vector assigned to its nearest centroid cell (argmax cosine,
+    // broadcast centroids — the corpus never shuffles for assignment,
+    // and the broadcast is budget-capped at any corpus size), then exact
+    // top-k only WITHIN the query's cell. Recall follows the IVF
+    // nprobe=1 trade (measured by q130; the nprobe dial by q131); both
+    // engines run the identical construction so results compare exactly.
+    // Cell-assignment scores are rounded to 6dp before the argmax
+    // tie-break (engine-independent ordering).
     Q("q36_ann_ivf",
       oracle = Some(s"""
         $normedCte,
-        cents AS (
-          SELECT vec_id AS c_id, v AS cv, nrm AS cn
-          FROM n WHERE vec_id % $CENTROID_MOD = 0),
+        $centsCte,
         assigned AS (
           SELECT vec_id, c_id FROM (
             SELECT n.vec_id, c_id,
@@ -306,9 +350,7 @@ object Similarity {
         ORDER BY q_id, rank"""),
       run = (spark, dir) => {
         val n = normed(spark, dir)
-        val cents = n.filter(col("vec_id") % CENTROID_MOD === 0)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-        ivfSearch(n, cents, nprobe = 1)
+        ivfSearch(n, boundedCents(n), nprobe = 1)
       }),
 
     // ------------------------------------------------------------------
@@ -417,9 +459,7 @@ object Similarity {
     Q("q130_ann_recall",
       oracle = Some(s"""
         $normedCte,
-        cents AS (
-          SELECT vec_id AS c_id, v AS cv, nrm AS cn
-          FROM n WHERE vec_id % $CENTROID_MOD = 0),
+        $centsCte,
         assigned AS (
           SELECT vec_id, c_id FROM (
             SELECT n.vec_id, c_id,
@@ -471,9 +511,7 @@ object Similarity {
         // four passes over the (narrow) normalized relation: centroid
         // slice, cell assignment, probe slice, exact scan — persist once
         val n = normed(spark, dir).persist(MEMORY_AND_DISK)
-        val cents = n.filter(col("vec_id") % CENTROID_MOD === 0)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"),
-            col("nrm").as("cn"))
+        val cents = boundedCents(n)
         val ivf = ivfSearch(n, cents, nprobe = 1)
           .select(col("q_id"), col("neighbor"))
         val probes = n.filter(col("vec_id") % QUERY_MOD === 0)
@@ -502,6 +540,124 @@ object Similarity {
         n.unpersist(blocking = false)
         result.orderBy(col("q_id"))
       }),
+
+    // ------------------------------------------------------------------
+    // q131: RECALL-vs-NPROBE CURVE — q130 measures what nprobe=1 costs
+    // in recall; this query CLOSES the loop by sweeping the IVF's one
+    // serving dial (nprobe ∈ {1,2,4,8}) against the same exact ground
+    // truth and electing the cheapest setting that clears the recall
+    // target (80% = 8000 bp), falling back to the deepest probe when
+    // none does — the measured number now drives a serving decision
+    // instead of sitting as prose. Construction: candidates are scored
+    // ONCE, tagged with their cell's per-query rank (crank), then the
+    // four curve points reuse that one relation through a tiny
+    // broadcast theta-join (crank <= nprobe) — the corpus is scanned
+    // once for assignment and once for ground truth regardless of how
+    // many nprobe points the curve has. Recall is reported in integer
+    // BASIS POINTS (floor(sum_hits·10⁴ / (probes·k))) — the
+    // integer-cents discipline: no cross-engine double-rounding seam.
+    // Scale shape: ground truth is the q20 linear scan (n × QUERY_N);
+    // the IVF side probes ≤ 8 cells per query over the budget-capped
+    // codebook; everything after candidate scoring is (probes × k)-
+    // bounded. Determinism: 6dp cell ranks with c_id tie-break, 4dp
+    // cosines with neighbor tie-break — the q36 rules verbatim.
+    Q("q131_ann_nprobe_curve",
+      oracle = Some(s"""
+        $normedCte,
+        $centsCte,
+        assigned AS (
+          SELECT vec_id, c_id FROM (
+            SELECT n.vec_id, c_id,
+                   row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn), 6) DESC,
+                              c_id) AS rn
+            FROM n, cents)
+          WHERE rn = 1),
+        qsr AS (
+          SELECT vec_id AS q_id, v AS qv, nrm AS qn
+          FROM n
+          WHERE vec_id % $QUERY_MOD = 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $QUERY_N),
+        qcells AS (
+          SELECT q_id, qv, qn, c_id AS qcell, crank FROM (
+            SELECT q_id, qv, qn, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(qv) + 1),
+                                    i -> qv[i] * cv[i])) / (qn * cn), 6) DESC,
+                              c_id) AS crank
+            FROM qsr, cents)
+          WHERE crank <= $NPROBE_MAX),
+        cand AS (
+          SELECT q_id, crank, n.vec_id AS neighbor,
+                 round(list_sum(list_transform(range(1, len(v) + 1),
+                                i -> v[i] * qv[i])) / (nrm * qn), 4) AS cosine
+          FROM n JOIN assigned a ON n.vec_id = a.vec_id
+          JOIN qcells qc ON a.c_id = qc.qcell
+          WHERE n.vec_id <> q_id),
+        ps AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (2), (4), (8))
+               AS t(nprobe)),
+        candp AS (
+          SELECT nprobe, q_id, neighbor, cosine
+          FROM cand JOIN ps ON crank <= nprobe),
+        ivf_topk AS (
+          SELECT nprobe, q_id, neighbor FROM (
+            SELECT nprobe, q_id, neighbor,
+                   row_number() OVER (PARTITION BY nprobe, q_id
+                                      ORDER BY cosine DESC, neighbor) AS rk
+            FROM candp)
+          WHERE rk <= $TOPK),
+        ex_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
+                              n.vec_id) AS rk
+            FROM n, qsr
+            WHERE n.vec_id <> q_id)
+          WHERE rk <= $TOPK),
+        hits AS (
+          SELECT nprobe, q_id, count(*) AS n_hit
+          FROM ivf_topk JOIN ex_topk USING (q_id, neighbor)
+          GROUP BY nprobe, q_id),
+        perq AS (
+          SELECT g.nprobe, g.q_id, coalesce(h.n_hit, 0) AS n_hit
+          FROM (SELECT nprobe, q_id FROM ps, qsr) g
+          LEFT JOIN hits h ON g.nprobe = h.nprobe AND g.q_id = h.q_id),
+        cc AS (SELECT nprobe, count(*) AS total_candidates
+               FROM candp GROUP BY nprobe),
+        curve AS (
+          SELECT p.nprobe,
+                 CAST(count(*) AS BIGINT) AS n_probes,
+                 CAST(sum(n_hit) AS BIGINT) AS sum_hits,
+                 CAST(min(n_hit) AS BIGINT) AS min_hits
+          FROM perq p GROUP BY p.nprobe),
+        curve2 AS (
+          SELECT c.nprobe, n_probes, sum_hits, min_hits,
+                 CAST(floor((sum_hits * 10000.0) / (n_probes * $TOPK))
+                      AS BIGINT) AS recall_bp,
+                 CAST(coalesce(cc.total_candidates, 0) AS BIGINT)
+                   AS total_candidates
+          FROM curve c LEFT JOIN cc ON c.nprobe = cc.nprobe),
+        curve3 AS (
+          SELECT *, CAST(CASE WHEN recall_bp >= $RECALL_TARGET_BP
+                              THEN 1 ELSE 0 END AS BIGINT) AS meets_target
+          FROM curve2),
+        sel AS (
+          SELECT CASE WHEN max(meets_target) = 1
+                      THEN min(CASE WHEN meets_target = 1 THEN nprobe END)
+                      ELSE max(nprobe) END AS chosen_p
+          FROM curve3)
+        SELECT c.nprobe, n_probes, sum_hits, min_hits, recall_bp,
+               total_candidates, meets_target,
+               CAST(CASE WHEN c.nprobe = s.chosen_p THEN 1 ELSE 0 END
+                    AS BIGINT) AS chosen
+        FROM curve3 c, sel s
+        ORDER BY c.nprobe"""),
+      run = (spark, dir) => nprobeCurve(spark, dir)),
 
     // ------------------------------------------------------------------
     // q64: INT8 SCALAR QUANTIZATION of the embedding column — the 4×
@@ -780,17 +936,21 @@ object Similarity {
     // tie-break (the q36 rule); the dominated-drop rule is a pure
     // function of (cell, vec_id order, cosine cut) — no RNG, no
     // iteration order. Output: the per-cell census a dedup run reports.
-    // Scale shape: the codebook broadcasts (k vectors); assignment is
-    // one broadcast pass over the corpus; the pairwise stage shuffles
-    // on c_id and is quadratic only WITHIN a cell — k grows with the
-    // corpus so cell size (n/k) stays bounded, the SemDeDup contract.
+    // Scale shape: the codebook broadcasts (k = min(2^16, ceil(√N))
+    // vectors — budget-capped, never corpus-proportional); assignment is
+    // one broadcast pass over the corpus (N·k dot products, ≤ N·√N and
+    // constant-per-vector past the cap); the pairwise stage shuffles on
+    // c_id and is quadratic only WITHIN a cell. Cell size averages N/k
+    // ≈ √N below the cap — the within-cell cost is the declared
+    // SemDeDup trade (the paper's construction is per-cell quadratic
+    // too); AnnScaleProbe measures the realized cell-size distribution
+    // and implied pair counts on scale replicas (PERF.md) rather than
+    // asserting boundedness the construction doesn't provide.
     // No driver-side anything; summary rows = k.
     Q("q100_semantic_dedup",
       oracle = Some(s"""
         $normedCte,
-        cents AS (
-          SELECT vec_id AS c_id, v AS cv, nrm AS cn
-          FROM n WHERE vec_id % $CENTROID_MOD = 0),
+        $centsCte,
         assigned AS (
           SELECT vec_id, c_id FROM (
             SELECT n.vec_id, c_id,
@@ -819,11 +979,8 @@ object Similarity {
         ORDER BY c_id"""),
       run = (spark, dir) => {
         val n = normed(spark, dir)
-        val cents = n.filter(col("vec_id") % CENTROID_MOD === 0)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"),
-            col("nrm").as("cn"))
         semanticDedupCensus(n.select(col("vec_id"), col("v"), col("nrm")),
-          cents, NEARDUP_COS)
+          boundedCents(n), NEARDUP_COS)
       }),
 
     // ------------------------------------------------------------------
@@ -1012,6 +1169,93 @@ object Similarity {
         }.toDF("rank", "vec_id", "relevance", "max_sim", "mmr_score")
       })
   )
+
+  /** q131's pipeline as a callable: sweep nprobe ∈ [[NPROBES]] of the
+    * bounded-codebook IVF against exact ground truth over the fixed
+    * probe set, one curve row per nprobe with integer-bp recall and the
+    * serving election (smallest nprobe clearing [[RECALL_TARGET_BP]],
+    * else the deepest). Candidates are scored once with their cell's
+    * per-query rank; the curve points reuse that relation via a 4-row
+    * broadcast theta-join — no per-point corpus rescans. */
+  private[queries] def nprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val n = normed(spark, dir).persist(MEMORY_AND_DISK)
+    val cents = boundedCents(n)
+    val assigned = assignCells(n, cents)
+    val probes = n.filter(col("vec_id") % QUERY_MOD === 0)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(QUERY_N)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // per-query cell ranking to depth NPROBE_MAX (a window over the
+    // QUERY_N × k expansion — probe-set-sized, never corpus-sized)
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cscore").desc, col("c_id").asc)
+    val qcells = probes.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
+        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
+          .as("cscore"))
+      .withColumn("crank", row_number().over(wCell).cast("long"))
+      .filter(col("crank") <= NPROBE_MAX)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("qcell"),
+        col("crank"))
+    val cand = assigned.join(broadcast(qcells), col("c_id") === col("qcell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("crank"), col("vec_id").as("neighbor"),
+        round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
+          .as("cosine"))
+    val wx = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    val exact = n.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wx))
+      .filter(col("rank") <= TOPK)
+      .select(col("q_id"), col("neighbor"))
+    val ps = NPROBES.toDF("nprobe")
+    val candP = cand.join(broadcast(ps), col("crank") <= col("nprobe"))
+    val wIvf = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    val ivfTop = candP.withColumn("rk", row_number().over(wIvf))
+      .filter(col("rk") <= TOPK)
+      .select(col("nprobe"), col("q_id"), col("neighbor"))
+    val hits = ivfTop.join(exact, Seq("q_id", "neighbor"))
+      .groupBy(col("nprobe"), col("q_id")).agg(count(lit(1)).as("n_hit"))
+    val grid = probes.select(col("q_id")).crossJoin(ps)
+    val perQ = grid.join(hits, Seq("nprobe", "q_id"), "left")
+      .select(col("nprobe"), col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    val candCount = candP.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("total_candidates"))
+    val curve = perQ.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("n_hit")).as("sum_hits"),
+        min(col("n_hit")).as("min_hits"))
+      .join(candCount, Seq("nprobe"), "left")
+      .withColumn("total_candidates",
+        coalesce(col("total_candidates"), lit(0L)))
+      .withColumn("recall_bp",
+        floor((col("sum_hits") * lit(10000.0)) / (col("n_probes") * lit(TOPK)))
+          .cast("long"))
+      .withColumn("meets_target",
+        (col("recall_bp") >= RECALL_TARGET_BP).cast("long"))
+    val election = curve.agg(
+      max(col("meets_target")).as("any_meets"),
+      min(when(col("meets_target") === 1L, col("nprobe"))).as("min_meet"),
+      max(col("nprobe")).as("max_p"))
+    val result = Q.localized(curve.crossJoin(broadcast(election))
+      .withColumn("chosen",
+        when((col("any_meets") === 1L && col("nprobe") === col("min_meet")) ||
+          (col("any_meets") === 0L && col("nprobe") === col("max_p")), 1L)
+          .otherwise(0L))
+      .select(col("nprobe"), col("n_probes"), col("sum_hits"),
+        col("min_hits"), col("recall_bp"), col("total_candidates"),
+        col("meets_target"), col("chosen"))
+      .orderBy(col("nprobe")))
+    n.unpersist(blocking = false)
+    result
+  }
 
   /** q100's pipeline as a callable (the SemDeDup construction): assign
     * each vector of `n` (vec_id, v, nrm) to its nearest centroid of

@@ -135,9 +135,36 @@ object VectorSearch {
   }
 
   /** Convenience: deterministic id-ring codebook for corpora without a
-    * trained quantizer (every id ≡ 0 mod `mod`). */
+    * trained quantizer (every id ≡ 0 mod `mod`). CAUTION — a modulus
+    * codebook's cardinality tracks the corpus LINEARLY (|cents| = n/mod):
+    * the broadcast grows without bound and flat assignment degenerates to
+    * n²/mod dot products. Prefer [[derivedK]]-sized codebooks (q36's
+    * construction) or [[trainCodebook]] for anything that scales. */
   def ringCentroids(corpus: DataFrame, idCol: String, mod: Int): DataFrame =
     corpus.filter(col(idCol) % mod === 0)
+
+  /** Default coarse-quantizer size ceiling: 2^16 centroids ≈ 34 MB of
+    * 64-dim doubles — comfortably broadcastable, and the flat-assignment
+    * cost past the cap is n·2^16 dot products, the standard large-scale
+    * IVF shape (FAISS-style indexes cap their coarse codebooks the same
+    * way). */
+  val CentroidBudget: Long = 1L << 16
+
+  /** The coarse-quantizer size rule: k = min(budget, ceil(sqrt(n))),
+    * floored at 1. k ≈ √n balances the two costs a flat IVF pays —
+    * assignment (n·k dot products) and per-probe cell scans (n/k rows) —
+    * so both grow as n^1.5 until the budget caps k, after which the
+    * centroid broadcast and the per-vector assignment work are CONSTANT
+    * in the corpus size. A codebook whose size tracks the corpus
+    * linearly (the retired vec_id-modulus construction) fails both ways
+    * at once: the broadcast grows to an executor OOM and assignment is
+    * quadratic. Pure function of (n, budget) so the DuckDB oracle can
+    * mirror it with least(budget, ceil(sqrt(count(*)))). */
+  def derivedK(n: Long, budget: Long = CentroidBudget): Int = {
+    require(budget >= 1, s"centroid budget must be >= 1, got $budget")
+    val root = math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toLong
+    math.max(1L, math.min(budget, root)).toInt
+  }
 
   /** Train a coarse quantizer: spark.ml KMeans over L2-NORMALIZED input
     * vectors, fixed seed for reproducibility. Normalizing the inputs
