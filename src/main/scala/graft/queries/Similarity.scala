@@ -280,6 +280,13 @@ object Similarity {
 
     // ------------------------------------------------------------------
     // q21: embedding-cosine near-duplicate pairs, blocked by label.
+    // BASELINE ONLY — NOT THE SCALE PATH. Within-label all-pairs is
+    // QUADRATIC by its declared exact semantics (the ground truth the
+    // LSH family approximates; a size gate can't apply because swapping
+    // the generator changes the exact pair-set the oracle pins). The
+    // registry-level guard below fails LOUDLY past Q21_MAX_VECS instead
+    // of silently burning 20 minutes on a 300× replica; serve
+    // q67_lsh_neardup / q79_embedding_dedup at scale.
     Q("q21_embedding_neardup",
       oracle = Some(s"""
         $normedCte
@@ -292,17 +299,7 @@ object Similarity {
                                       i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)
               >= $NEARDUP_COS
         ORDER BY vec_a, vec_b"""),
-      run = (spark, dir) => {
-        val n = normed(spark, dir)
-        val cos = cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
-        n.as("a")
-          .join(n.as("b"),
-            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-          .filter(cos >= NEARDUP_COS)
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            round(cos, 4).as("cosine"))
-          .orderBy(col("vec_a"), col("vec_b"))
-      }),
+      run = (spark, dir) => q21Plan(normed(spark, dir))),
 
     // ------------------------------------------------------------------
     // q36: IVF-style ANN — the 100 TB scale path for q20. A deterministic
@@ -1169,6 +1166,36 @@ object Similarity {
         }.toDF("rank", "vec_id", "relevance", "max_sim", "mmr_score")
       })
   )
+
+  /** q21's brute-force ceiling: past this many vectors the within-label
+    * quadratic stops being a tractable baseline (≈3×10¹⁰ candidate dot
+    * products at the ceiling with this corpus's ~6-label blocking) and
+    * the guard fails loudly instead of letting a scheduler serve it.
+    * 10×-replica scale (20k vectors) runs fine; a 300× replica
+    * (600k) trips it — by design. */
+  private[queries] val Q21_MAX_VECS = 250000L
+
+  /** q21's plan with its baseline guard; `maxVecs` injectable so
+    * CodebookSpec can force the refusal branch. */
+  private[queries] def q21Plan(n: DataFrame,
+      maxVecs: Long = Q21_MAX_VECS): DataFrame = {
+    val cnt = n.count()
+    require(cnt <= maxVecs,
+      s"q21_embedding_neardup is the declared BRUTE-FORCE baseline: " +
+        s"within-label all-pairs is quadratic by its exact semantics, and " +
+        s"$cnt vectors exceeds the $maxVecs-vector baseline ceiling. " +
+        s"At this scale serve the LSH family instead: q67_lsh_neardup " +
+        s"(bucketed candidates + exact verify) or q79_embedding_dedup " +
+        s"(end-to-end dedup).")
+    val cos = cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+    n.as("a")
+      .join(n.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cos >= NEARDUP_COS)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cos, 4).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
 
   /** q131's pipeline as a callable: sweep nprobe ∈ [[NPROBES]] of the
     * bounded-codebook IVF against exact ground truth over the fixed

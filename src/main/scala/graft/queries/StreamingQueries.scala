@@ -790,7 +790,7 @@ object StreamingQueries {
             documentsStream(spark, dir).filter(col("doc_id") >= 10),
             "doc_id", "text")
           .select(col("doc_id"), md5(col("s")).as("h"))
-          .filter(SketchExprs.bloomMightContain(bloomBytes, col("h")))
+          .filter(SketchExprs.bloomProbe(spark, bloomBytes, col("h")))
           .join(broadcast(evalSh), Seq("h"), "left_semi")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_matched"))

@@ -102,7 +102,9 @@ object Decontamination {
   def contaminatedBloom(docs: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, fpp: Double = 0.01,
       mat: graft.exec.Materializer = graft.exec.Materializer.Local,
-      broadcastLimit: Long = BroadcastEvalLimit): DataFrame = {
+      broadcastLimit: Long = BroadcastEvalLimit,
+      literalShipLimit: Long =
+        org.apache.spark.sql.graft.SketchExprs.LiteralShipLimit): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val evalSh = shingleHashes(evalDocs, idCol, textCol)
       .select(col("h")).distinct()
@@ -113,14 +115,19 @@ object Decontamination {
     // codegen probe expression, not a UDF: the prefilter's whole point
     // is to run inside the scan stage's fused pipeline before anything
     // shuffles — a Scala UDF would box every hash and fence codegen
-    // right there. The serialized filter ships as a plan literal (the
-    // InjectRuntimeFilter pattern); executors deserialize once per task
-    // binary via the expression's cached reference.
+    // right there. Ship mode is SketchExprs.bloomProbe's size gate
+    // (injectable here so DecontaminationSpec can force both): a plan
+    // literal under the 8 MB ceiling (the InjectRuntimeFilter pattern —
+    // executors deserialize once per task binary via the expression's
+    // cached reference), a TorrentBroadcast past it (bytes once per
+    // executor, per-JVM deserialized-filter cache) so task-binary size
+    // and plan stringification stay bounded while the fpp-degrading
+    // 32 MB sizing cap — and beyond — remains available.
     val bloomBytes = org.apache.spark.sql.graft.SketchExprs.serialize(bloom)
     val out = mat(confirmSemiJoin(
         shingleHashes(docs, idCol, textCol)
-          .filter(org.apache.spark.sql.graft.SketchExprs
-            .bloomMightContain(bloomBytes, col("h"))),
+          .filter(org.apache.spark.sql.graft.SketchExprs.bloomProbe(
+            docs.sparkSession, bloomBytes, col("h"), literalShipLimit)),
         evalSh, nEval, broadcastLimit)
       .select(col("graft_doc_id").as(idCol)).distinct())
     evalSh.unpersist(blocking = false)

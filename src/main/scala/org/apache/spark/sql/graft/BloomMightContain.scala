@@ -95,12 +95,113 @@ case class BloomMightContain(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-JVM cache of deserialized Bloom filters keyed by broadcast id, so
+  * [[BloomMightContainBroadcast]] pays the readFrom cost once per
+  * EXECUTOR rather than once per task (the broadcast bytes themselves
+  * are already fetched once per executor by TorrentBroadcast; this
+  * extends the same amortization to the deserialized object). Entries
+  * live for the executor's lifetime — a Bloom prefilter is MBs and a
+  * session builds a handful, so no eviction pressure in practice. */
+object BloomBroadcastCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]()
+  def get(b: org.apache.spark.broadcast.Broadcast[Array[Byte]]): BloomFilter =
+    cache.computeIfAbsent(b.id,
+      _ => BloomFilter.readFrom(new ByteArrayInputStream(b.value)))
+}
+
+/** [[BloomMightContain]]'s BROADCAST-shipped twin: identical probe
+  * semantics, but the serialized filter travels as a TorrentBroadcast
+  * referenced from the expression instead of a plan literal. Past a few
+  * MB the literal mode hurts twice — the bytes serialize into every
+  * stage's task binary AND bloat plan stringification/canonicalization —
+  * while a broadcast ships the handle in the plan and the bytes once per
+  * executor. The ship mode is a plan decision, never a semantics one
+  * (DecontaminationSpec forces both and compares results bitwise);
+  * [[SketchExprs.bloomProbe]] applies the size gate. */
+case class BloomMightContainBroadcast(
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "graft_might_contain_bcast"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: probe value must be BIGINT, STRING or BINARY, " +
+        s"got ${dt.catalogString}")
+  }
+
+  @transient private lazy val filter: BloomFilter =
+    BloomBroadcastCache.get(bcast)
+
+  /** Called from generated code (the expression itself is the codegen
+    * reference object — serializing it ships only the broadcast handle
+    * plus the child expression, never the filter bytes). */
+  def probeLong(v: Long): Boolean = filter.mightContainLong(v)
+  def probeBytes(v: Array[Byte]): Boolean = filter.mightContainBinary(v)
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case LongType => filter.mightContainLong(v.asInstanceOf[Long])
+    case StringType =>
+      filter.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+    case BinaryType => filter.mightContainBinary(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloomBcast", this,
+      classOf[BloomMightContainBroadcast].getName)
+    nullSafeCodeGen(ctx, ev, v => child.dataType match {
+      case LongType => s"${ev.value} = $ref.probeLong($v);"
+      case StringType => s"${ev.value} = $ref.probeBytes($v.getBytes());"
+      case BinaryType => s"${ev.value} = $ref.probeBytes($v);"
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContainBroadcast =
+    copy(child = newChild)
+}
+
 object SketchExprs {
   /** Column-API entry point: probe `value` against serialized filter
     * bytes (from `BloomFilter.writeTo`). */
   def bloomMightContain(filterBytes: Array[Byte], value: Column): Column =
     ExpressionUtils.column(BloomMightContain(
       Literal(filterBytes, BinaryType), ExpressionUtils.expression(value)))
+
+  /** Broadcast-shipped probe (see [[BloomMightContainBroadcast]]). */
+  def bloomMightContainBroadcast(
+      bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      value: Column): Column =
+    ExpressionUtils.column(BloomMightContainBroadcast(
+      bcast, ExpressionUtils.expression(value)))
+
+  /** Literal-ship ceiling for [[bloomProbe]]: 8 MB. Under it the plan
+    * literal is simplest (no broadcast lifecycle); past it task-binary
+    * size and plan stringification grow with the filter, so the bytes
+    * move to a TorrentBroadcast while the 32 MB sizing cap
+    * (Decontamination.MaxFilterBits — and beyond, for callers that
+    * raise it) stays available. */
+  val LiteralShipLimit: Long = 8L * 1024 * 1024
+
+  /** The ship-mode gate: plan literal under `literalLimit` serialized
+    * bytes, TorrentBroadcast past it. Identical results either way —
+    * the gate is a plan decision (DecontaminationSpec forces both
+    * modes). The broadcast is registered with the session's
+    * ContextCleaner, so it is GC'd with the last plan that references
+    * it. */
+  def bloomProbe(spark: org.apache.spark.sql.SparkSession,
+      filterBytes: Array[Byte], value: Column,
+      literalLimit: Long = LiteralShipLimit): Column =
+    if (filterBytes.length <= literalLimit)
+      bloomMightContain(filterBytes, value)
+    else
+      bloomMightContainBroadcast(
+        spark.sparkContext.broadcast(filterBytes), value)
 
   /** Serialize a built filter for embedding as the literal argument. */
   def serialize(filter: BloomFilter): Array[Byte] = {

@@ -118,6 +118,18 @@ class CodebookSpec extends AnyFunSuite with Matchers with SparkTestSession {
     rows.find(_._4 == 1L).get._1 shouldBe expectChosen
   }
 
+  test("q21 baseline guard: past the vector ceiling the quadratic " +
+    "brute-force refuses loudly and names the scale path; under it the " +
+    "plan runs") {
+    val n = normedEmb
+    val e = the[IllegalArgumentException] thrownBy
+      Similarity.q21Plan(n, maxVecs = 1L)
+    e.getMessage should include("q67_lsh_neardup")
+    e.getMessage should include("q79_embedding_dedup")
+    // under the ceiling the guard is transparent
+    Similarity.q21Plan(n).count() should be >= 0L
+  }
+
   test("q131 ties to q130: the nprobe=1 curve point's sum_hits equals " +
     "q130's total hits (same index, same probes, same ground truth)") {
     val curve1 = Registry.queries("q131_ann_nprobe_curve")(spark, sf0001)

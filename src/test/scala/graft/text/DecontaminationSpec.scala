@@ -84,6 +84,74 @@ class DecontaminationSpec extends AnyFunSuite with Matchers with SparkTestSessio
       Decontamination.MaxFilterBits) should be >= 1L
   }
 
+  test("ship-mode gate, BOTH branches: literalShipLimit=0 forces the " +
+    "TorrentBroadcast expression, default keeps the plan literal — " +
+    "identical flagged ids, and the forced plan carries the bcast " +
+    "probe instead of the literal one") {
+    val viaLiteral = Decontamination
+      .contaminatedBloom(probe, evalSet, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val viaBcast = Decontamination.contaminatedBloom(
+        probe, evalSet, "doc_id", "text", literalShipLimit = 0L)
+      .collect().map(_.getLong(0)).toSet
+    viaBcast shouldBe viaLiteral
+    // the forced branch must actually change the shipped expression
+    val pB = Decontamination.contaminatedBloom(
+        probe, evalSet, "doc_id", "text", literalShipLimit = 0L,
+        mat = graft.exec.Materializer.Passthrough)
+      .queryExecution.executedPlan.toString
+    pB should include("graft_might_contain_bcast")
+    val pL = Decontamination.contaminatedBloom(
+        probe, evalSet, "doc_id", "text",
+        mat = graft.exec.Materializer.Passthrough)
+      .queryExecution.executedPlan.toString
+    pL should include("graft_might_contain")
+    pL should not include "graft_might_contain_bcast"
+  }
+
+  test("broadcast-shipped probe: no false negatives across put types, " +
+    "codegen participation (no ScalaUDF / interpreted fence in the " +
+    "projection), per-JVM cache keyed by broadcast id") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.SketchExprs
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(1000, 0.01)
+    (0L until 100L).foreach(bf.putLong)
+    bf.putString("hello")
+    bf.putBinary(Array[Byte](1, 2, 3))
+    val bytes = SketchExprs.serialize(bf)
+    val bcast = spark.sparkContext.broadcast(bytes)
+    // longs: every inserted value must hit
+    val hitsL = (0L until 100L).toDF("v")
+      .select(SketchExprs.bloomMightContainBroadcast(bcast, $"v").as("hit"))
+      .collect().map(_.getBoolean(0))
+    all(hitsL) shouldBe true
+    // strings hash as their UTF-8 bytes (putString ≡ putBinary(utf8))
+    Seq("hello").toDF("s")
+      .select(SketchExprs.bloomMightContainBroadcast(bcast, $"s").as("hit"))
+      .collect().head.getBoolean(0) shouldBe true
+    // binary
+    Seq(Array[Byte](1, 2, 3)).toDF("b")
+      .select(SketchExprs.bloomMightContainBroadcast(bcast, $"b").as("hit"))
+      .collect().head.getBoolean(0) shouldBe true
+    // and the broadcast twin agrees with the literal expression on a
+    // mixed member/non-member probe set (bit-identical hashing)
+    val probeVals = ((0L until 100L) ++ (1000L until 1100L)).toDF("v")
+    val both = probeVals.select(
+        SketchExprs.bloomMightContain(bytes, $"v").as("lit"),
+        SketchExprs.bloomMightContainBroadcast(bcast, $"v").as("bc"))
+      .collect()
+    both.foreach(r => r.getBoolean(0) shouldBe r.getBoolean(1))
+    // codegen: the filter condition compiles without an eval fence
+    // (spark.range, not a LocalRelation — ConvertToLocalRelation would
+    // constant-fold the probe away at planning time)
+    val plan = spark.range(0, 200).select($"id".as("v"))
+      .filter(SketchExprs.bloomMightContainBroadcast(bcast, $"v"))
+      .queryExecution.executedPlan.toString
+    plan should include("graft_might_contain_bcast")
+    plan should not include "ScalaUDF"
+  }
+
   test("a planted verbatim copy of an eval doc is flagged; disjoint text is not") {
     import spark.implicits._
     val evalD = Seq(1L -> "the secret benchmark answer is forty two exactly")
