@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Candidate-growth evidence harness for the EMBEDDING family — the
+  * DedupScaleProbe sibling COVERAGE.md's growth-audit table cites for
+  * the IVF / SemDeDup / hyperplane-LSH rows. On N× replicas of a source
+  * embeddings table it measures, with the production code paths:
+  *
+  *  - `ivf`: the bounded codebook's k = derivedK(N), codebook-build and
+  *    full nearest-centroid assignment times, the realized cell-size
+  *    distribution (max / avg / p99), the implied q100 within-cell pair
+  *    count Σ cell·(cell−1)/2 (SemDeDup's quadratic stage, measured
+  *    instead of argued), and the registered q36 search end to end.
+  *  - `lsh`: bucket-occupancy census of the q65/q67/q79 hyperplane
+  *    signature at the registered 8 bits AND at the widened
+  *    ~log₂(N) bits the in-code contract prescribes for bigger corpora
+  *    — implied candidates Σ n·(n−1)/2, hottest bucket, bucket count.
+  *    This replaces the one argument-only growth claim in the audit
+  *    with measured curves (the q17/q19/q118/q127 discipline).
+  *
+  * Replica construction: copy c shifts vec_id by c·SHIFT and ROTATES
+  * the embedding components by c positions (norm-preserving, so cosine
+  * geometry within a copy is intact while copies decorrelate — rotated
+  * gaussian-ish vectors land in different cells/buckets; a raw copy
+  * would just multiply every cell N-fold and measure nothing).
+  *
+  * Run: runMain graft.queries.AnnScaleProbe <srcSfDir> <copies>
+  *        [metrics csv: ivf,lsh] [outBase]
+  * Prints one JSON line per invocation.
+  */
+object AnnScaleProbe {
+
+  private val SHIFT = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val copies = args(1).toInt
+    val metrics: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet
+      else Set("ivf", "lsh")
+    val outBase = if (args.length > 3) args(3) else "target/ann_scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.io.Tables.NANOS_AS_LONG, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = s"$outBase/x$copies"
+    buildIfAbsent(spark, src, dir, copies)
+
+    val out = new StringBuilder(s"""{"copies":$copies""")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    import graft.functions.VectorFns.{l2norm, toDoubleArray}
+    val n = graft.io.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVecs = n.count()
+    out ++= s""","n_vecs":$nVecs"""
+
+    if (metrics("ivf")) {
+      // codebook build (count + TakeOrderedAndProject) with the
+      // production path, then one full assignment pass
+      val ((cents, k), tCents) = timed {
+        val c = Similarity.boundedCents(n)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (c, c.count())
+      }
+      val (cellStats, tAssign) = timed {
+        graft.similarity.VectorSearch.assignCells(n, cents)
+          .groupBy(col("c_id")).agg(count(lit(1)).as("sz"))
+          .agg(max(col("sz")).as("max_cell"),
+            avg(col("sz")).as("avg_cell"),
+            expr("percentile_approx(sz, 0.99)").as("p99_cell"),
+            sum(col("sz") * (col("sz") - 1) / 2).cast("long")
+              .as("implied_pairs"),
+            count(lit(1)).as("n_cells"))
+          .collect().head
+      }
+      // the registered q36 search end to end over the replica
+      val (q36Rows, tQ36) = timed(
+        Similarity.ivfSearch(n, cents, nprobe = 1).count())
+      cents.unpersist(blocking = false)
+      out ++= s""","ivf_k":$k"""
+      out ++= f""","ivf_codebook_secs":$tCents%.2f"""
+      out ++= s""","ivf_assign_dots":${nVecs * k}"""
+      out ++= f""","ivf_assign_secs":$tAssign%.2f"""
+      out ++= s""","ivf_max_cell":${cellStats.getLong(0)}"""
+      out ++= f""","ivf_avg_cell":${cellStats.getDouble(1)}%.1f"""
+      out ++= s""","ivf_p99_cell":${cellStats.getLong(2)}"""
+      out ++= s""","ivf_implied_q100_pairs":${cellStats.getLong(3)}"""
+      out ++= s""","ivf_n_cells":${cellStats.getLong(4)}"""
+      out ++= s""","q36_rows":$q36Rows"""
+      out ++= f""","q36_secs":$tQ36%.2f"""
+    }
+
+    if (metrics("lsh")) {
+      // registered width and the contract's widened ~log2(N) width
+      val widened = math.min(63,
+        math.max(8, math.ceil(math.log(nVecs.toDouble) / math.log(2)).toInt))
+      for ((bits, tag) <- Seq((8, "lsh8"), (widened, "lshw"))) {
+        val (occ, tOcc) = timed {
+          n.select(Similarity.signatureColBits(bits).as("signature"))
+            .groupBy(col("signature")).agg(count(lit(1)).as("b"))
+            .agg(sum(col("b") * (col("b") - 1) / 2).cast("long").as("cand"),
+              max(col("b")).as("hottest"), count(lit(1)).as("buckets"))
+            .collect().head
+        }
+        out ++= s""","${tag}_bits":$bits"""
+        out ++= s""","${tag}_cand_implied":${occ.getLong(0)}"""
+        out ++= s""","${tag}_hottest":${occ.getLong(1)}"""
+        out ++= s""","${tag}_buckets":${occ.getLong(2)}"""
+        out ++= f""","${tag}_secs":$tOcc%.2f"""
+      }
+    }
+
+    n.unpersist(blocking = false)
+    out ++= "}"
+    println(out.result())
+    spark.stop()
+  }
+
+  /** Embeddings-only replica at `dir`: `copies` id-shifted,
+    * component-rotated copies. Reused if already on disk with the right
+    * row count. */
+  private def buildIfAbsent(spark: SparkSession, src: String, dir: String,
+      copies: Int): Unit = {
+    val path = s"$dir/embeddings.parquet"
+    val base = spark.read.parquet(s"$src/embeddings.parquet")
+    val want = base.count() * copies
+    val have =
+      try spark.read.parquet(path).count()
+      catch { case _: Exception => -1L }
+    if (have == want) return
+    val dim = 64
+    val scaled = (0 until copies).map { i =>
+      val shifted = base.withColumn("vec_id", col("vec_id") + lit(i * SHIFT))
+      val rot = i % dim
+      if (rot == 0) shifted
+      else shifted.withColumn("embedding",
+        expr(s"concat(slice(embedding, ${rot + 1}, ${dim - rot}), " +
+          s"slice(embedding, 1, $rot))"))
+    }.reduce(_ unionByName _)
+    scaled.repartition(32).write.mode("overwrite").parquet(path)
+  }
+}

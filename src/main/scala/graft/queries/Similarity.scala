@@ -106,6 +106,100 @@ object Similarity {
           WHERE crn <= least($CENTROID_BUDGET,
                              CAST(ceil(sqrt(n_rows)) AS BIGINT)))"""
 
+  /** The q131 oracle's CTE chain (normed corpus → bounded codebook →
+    * assignment → evaluated probe sample → ranked probe cells →
+    * once-scored candidates → per-nprobe curve → election `sel`),
+    * shared with q132 which appends its serving CTEs after `sel`. */
+  private def nprobeCurveCtes: String = s"""
+        $normedCte,
+        $centsCte,
+        assigned AS (
+          SELECT vec_id, c_id FROM (
+            SELECT n.vec_id, c_id,
+                   row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              c_id) AS rn
+            FROM n, cents)
+          WHERE rn = 1),
+        qsr AS (
+          SELECT vec_id AS q_id, v AS qv, nrm AS qn
+          FROM n
+          WHERE vec_id % $QUERY_MOD = 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $QUERY_N),
+        qcells AS (
+          SELECT q_id, qv, qn, c_id AS qcell, crank FROM (
+            SELECT q_id, qv, qn, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(qv) + 1),
+                                    i -> qv[i] * cv[i])) / (qn * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              c_id) AS crank
+            FROM qsr, cents)
+          WHERE crank <= $NPROBE_MAX),
+        cand AS (
+          SELECT q_id, crank, n.vec_id AS neighbor,
+                 round(list_sum(list_transform(range(1, len(v) + 1),
+                                i -> v[i] * qv[i])) / (nrm * qn), 4) AS cosine
+          FROM n JOIN assigned a ON n.vec_id = a.vec_id
+          JOIN qcells qc ON a.c_id = qc.qcell
+          WHERE n.vec_id <> q_id),
+        ps AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (2), (4), (8))
+               AS t(nprobe)),
+        candp AS (
+          SELECT nprobe, q_id, neighbor, cosine
+          FROM cand JOIN ps ON crank <= nprobe),
+        ivf_topk AS (
+          SELECT nprobe, q_id, neighbor FROM (
+            SELECT nprobe, q_id, neighbor,
+                   row_number() OVER (PARTITION BY nprobe, q_id
+                                      ORDER BY cosine DESC, neighbor) AS rk
+            FROM candp)
+          WHERE rk <= $TOPK),
+        ex_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
+                              n.vec_id) AS rk
+            FROM n, qsr
+            WHERE n.vec_id <> q_id)
+          WHERE rk <= $TOPK),
+        hits AS (
+          SELECT nprobe, q_id, count(*) AS n_hit
+          FROM ivf_topk JOIN ex_topk USING (q_id, neighbor)
+          GROUP BY nprobe, q_id),
+        perq AS (
+          SELECT g.nprobe, g.q_id, coalesce(h.n_hit, 0) AS n_hit
+          FROM (SELECT nprobe, q_id FROM ps, qsr) g
+          LEFT JOIN hits h ON g.nprobe = h.nprobe AND g.q_id = h.q_id),
+        cc AS (SELECT nprobe, count(*) AS total_candidates
+               FROM candp GROUP BY nprobe),
+        curve AS (
+          SELECT p.nprobe,
+                 CAST(count(*) AS BIGINT) AS n_probes,
+                 CAST(sum(n_hit) AS BIGINT) AS sum_hits,
+                 CAST(min(n_hit) AS BIGINT) AS min_hits
+          FROM perq p GROUP BY p.nprobe),
+        curve2 AS (
+          SELECT c.nprobe, n_probes, sum_hits, min_hits,
+                 CAST(floor((sum_hits * 10000.0) / (n_probes * $TOPK))
+                      AS BIGINT) AS recall_bp,
+                 CAST(coalesce(cc.total_candidates, 0) AS BIGINT)
+                   AS total_candidates
+          FROM curve c LEFT JOIN cc ON c.nprobe = cc.nprobe),
+        curve3 AS (
+          SELECT *, CAST(CASE WHEN recall_bp >= $RECALL_TARGET_BP
+                              THEN 1 ELSE 0 END AS BIGINT) AS meets_target
+          FROM curve2),
+        sel AS (
+          SELECT CASE WHEN max(meets_target) = 1
+                      THEN min(CASE WHEN meets_target = 1 THEN nprobe END)
+                      ELSE max(nprobe) END AS chosen_p
+          FROM curve3)"""
+
   /** Where q54 materializes its trained codebook so the DuckDB oracle can
     * replay the identical search over the identical centroids (KMeans
     * centers aren't SQL-reproducible; the search given a codebook is).
@@ -311,7 +405,7 @@ object Similarity {
     // top-k only WITHIN the query's cell. Recall follows the IVF
     // nprobe=1 trade (measured by q130; the nprobe dial by q131); both
     // engines run the identical construction so results compare exactly.
-    // Cell-assignment scores are rounded to 6dp before the argmax
+    // Cell-assignment scores rank in integer micro-units (floor(cos·10⁶+0.5), the Q.cents construction) before the argmax
     // tie-break (engine-independent ordering).
     Q("q36_ann_ivf",
       oracle = Some(s"""
@@ -322,8 +416,8 @@ object Similarity {
             SELECT n.vec_id, c_id,
                    row_number() OVER (
                      PARTITION BY n.vec_id
-                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
-                                    i -> v[i] * cv[i])) / (nrm * cn), 6) DESC,
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
                               c_id) AS rn
             FROM n, cents)
           WHERE rn = 1),
@@ -376,8 +470,8 @@ object Similarity {
             SELECT n.vec_id, c_id,
                    row_number() OVER (
                      PARTITION BY n.vec_id
-                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
-                                    i -> v[i] * cv[i])) / (nrm * cn), 6) DESC,
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
                               c_id) AS rn
             FROM n, cents)
           WHERE rn = 1),
@@ -386,8 +480,8 @@ object Similarity {
             SELECT n.vec_id AS q_id, v AS qv, nrm AS qn, c_id AS qcell,
                    row_number() OVER (
                      PARTITION BY n.vec_id
-                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
-                                    i -> v[i] * cv[i])) / (nrm * cn), 6) DESC,
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
                               c_id) AS rn
             FROM n, cents
             WHERE n.vec_id % $QUERY_MOD = 0)
@@ -462,8 +556,8 @@ object Similarity {
             SELECT n.vec_id, c_id,
                    row_number() OVER (
                      PARTITION BY n.vec_id
-                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
-                                    i -> v[i] * cv[i])) / (nrm * cn), 6) DESC,
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
                               c_id) AS rn
             FROM n, cents)
           WHERE rn = 1),
@@ -556,98 +650,11 @@ object Similarity {
     // Scale shape: ground truth is the q20 linear scan (n × QUERY_N);
     // the IVF side probes ≤ 8 cells per query over the budget-capped
     // codebook; everything after candidate scoring is (probes × k)-
-    // bounded. Determinism: 6dp cell ranks with c_id tie-break, 4dp
+    // bounded. Determinism: micro-unit cell ranks with c_id tie-break, 4dp
     // cosines with neighbor tie-break — the q36 rules verbatim.
     Q("q131_ann_nprobe_curve",
       oracle = Some(s"""
-        $normedCte,
-        $centsCte,
-        assigned AS (
-          SELECT vec_id, c_id FROM (
-            SELECT n.vec_id, c_id,
-                   row_number() OVER (
-                     PARTITION BY n.vec_id
-                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
-                                    i -> v[i] * cv[i])) / (nrm * cn), 6) DESC,
-                              c_id) AS rn
-            FROM n, cents)
-          WHERE rn = 1),
-        qsr AS (
-          SELECT vec_id AS q_id, v AS qv, nrm AS qn
-          FROM n
-          WHERE vec_id % $QUERY_MOD = 0
-          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-          LIMIT $QUERY_N),
-        qcells AS (
-          SELECT q_id, qv, qn, c_id AS qcell, crank FROM (
-            SELECT q_id, qv, qn, c_id,
-                   row_number() OVER (PARTITION BY q_id
-                     ORDER BY round(list_sum(list_transform(range(1, len(qv) + 1),
-                                    i -> qv[i] * cv[i])) / (qn * cn), 6) DESC,
-                              c_id) AS crank
-            FROM qsr, cents)
-          WHERE crank <= $NPROBE_MAX),
-        cand AS (
-          SELECT q_id, crank, n.vec_id AS neighbor,
-                 round(list_sum(list_transform(range(1, len(v) + 1),
-                                i -> v[i] * qv[i])) / (nrm * qn), 4) AS cosine
-          FROM n JOIN assigned a ON n.vec_id = a.vec_id
-          JOIN qcells qc ON a.c_id = qc.qcell
-          WHERE n.vec_id <> q_id),
-        ps AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (2), (4), (8))
-               AS t(nprobe)),
-        candp AS (
-          SELECT nprobe, q_id, neighbor, cosine
-          FROM cand JOIN ps ON crank <= nprobe),
-        ivf_topk AS (
-          SELECT nprobe, q_id, neighbor FROM (
-            SELECT nprobe, q_id, neighbor,
-                   row_number() OVER (PARTITION BY nprobe, q_id
-                                      ORDER BY cosine DESC, neighbor) AS rk
-            FROM candp)
-          WHERE rk <= $TOPK),
-        ex_topk AS (
-          SELECT q_id, neighbor FROM (
-            SELECT q_id, n.vec_id AS neighbor,
-                   row_number() OVER (PARTITION BY q_id
-                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
-                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
-                              n.vec_id) AS rk
-            FROM n, qsr
-            WHERE n.vec_id <> q_id)
-          WHERE rk <= $TOPK),
-        hits AS (
-          SELECT nprobe, q_id, count(*) AS n_hit
-          FROM ivf_topk JOIN ex_topk USING (q_id, neighbor)
-          GROUP BY nprobe, q_id),
-        perq AS (
-          SELECT g.nprobe, g.q_id, coalesce(h.n_hit, 0) AS n_hit
-          FROM (SELECT nprobe, q_id FROM ps, qsr) g
-          LEFT JOIN hits h ON g.nprobe = h.nprobe AND g.q_id = h.q_id),
-        cc AS (SELECT nprobe, count(*) AS total_candidates
-               FROM candp GROUP BY nprobe),
-        curve AS (
-          SELECT p.nprobe,
-                 CAST(count(*) AS BIGINT) AS n_probes,
-                 CAST(sum(n_hit) AS BIGINT) AS sum_hits,
-                 CAST(min(n_hit) AS BIGINT) AS min_hits
-          FROM perq p GROUP BY p.nprobe),
-        curve2 AS (
-          SELECT c.nprobe, n_probes, sum_hits, min_hits,
-                 CAST(floor((sum_hits * 10000.0) / (n_probes * $TOPK))
-                      AS BIGINT) AS recall_bp,
-                 CAST(coalesce(cc.total_candidates, 0) AS BIGINT)
-                   AS total_candidates
-          FROM curve c LEFT JOIN cc ON c.nprobe = cc.nprobe),
-        curve3 AS (
-          SELECT *, CAST(CASE WHEN recall_bp >= $RECALL_TARGET_BP
-                              THEN 1 ELSE 0 END AS BIGINT) AS meets_target
-          FROM curve2),
-        sel AS (
-          SELECT CASE WHEN max(meets_target) = 1
-                      THEN min(CASE WHEN meets_target = 1 THEN nprobe END)
-                      ELSE max(nprobe) END AS chosen_p
-          FROM curve3)
+        $nprobeCurveCtes
         SELECT c.nprobe, n_probes, sum_hits, min_hits, recall_bp,
                total_candidates, meets_target,
                CAST(CASE WHEN c.nprobe = s.chosen_p THEN 1 ELSE 0 END
@@ -655,6 +662,57 @@ object Similarity {
         FROM curve3 c, sel s
         ORDER BY c.nprobe"""),
       run = (spark, dir) => nprobeCurve(spark, dir)),
+
+    // ------------------------------------------------------------------
+    // q132: SERVING AT THE ELECTED NPROBE — the last arc of the
+    // measure→decide→act loop (q130 measures, q131 decides, this
+    // SERVES): rerun q131's election, then answer the FULL modulus
+    // query load (not just the evaluated sample — the sample elects,
+    // serving applies) with the q36 IVF at the elected depth. Output
+    // is q36's (q_id, rank, neighbor, cosine) shape, so the two
+    // queries diff directly: the recall the election just bought is
+    // visible row-by-row. Scale shape: the election is q131's
+    // (bounded); the serve is q54's multi-cell probe (cells partition
+    // the corpus — disjoint candidate unions, no dedup), corpus
+    // assignment never shuffles, nprobe ≤ 8 cells per query. A
+    // deployment would persist the codebook + assignment as artifacts
+    // (the q54/q71 ensureAt path) instead of recomputing; here both
+    // stages recompute so the oracle stays artifact-free.
+    Q("q132_ann_auto_nprobe",
+      oracle = Some(s"""
+        $nprobeCurveCtes,
+        qall AS (
+          SELECT q_id, qv, qn, qcell, crank FROM (
+            SELECT n.vec_id AS q_id, v AS qv, nrm AS qn, c_id AS qcell,
+                   row_number() OVER (PARTITION BY n.vec_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              c_id) AS crank
+            FROM n, cents
+            WHERE n.vec_id % $QUERY_MOD = 0)
+          WHERE crank <= (SELECT chosen_p FROM sel)),
+        served AS (
+          SELECT q_id, n.vec_id AS neighbor,
+                 round(list_sum(list_transform(range(1, len(v) + 1),
+                                i -> v[i] * qv[i])) / (nrm * qn), 4) AS cosine
+          FROM n JOIN assigned a ON n.vec_id = a.vec_id
+          JOIN qall ON a.c_id = qall.qcell
+          WHERE n.vec_id <> q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor)
+                    AS BIGINT) AS rank,
+               neighbor, cosine
+        FROM served
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""),
+      run = (spark, dir) => {
+        val chosen = nprobeCurve(spark, dir)
+          .filter(col("chosen") === 1L)
+          .select(col("nprobe")).collect().head.getLong(0).toInt
+        val n = normed(spark, dir)
+        ivfSearch(n, boundedCents(n), nprobe = chosen)
+      }),
 
     // ------------------------------------------------------------------
     // q64: INT8 SCALAR QUANTIZATION of the embedding column — the 4×
@@ -929,7 +987,7 @@ object Similarity {
     // apart; cells miss pairs straddling a centroid boundary), which is
     // why production pipelines run SemDeDup as a separate pass — and
     // why this engine carries both.
-    // Determinism: assignment ranks 6dp-rounded cosines with a c_id
+    // Determinism: assignment ranks micro-unit cosine scores with a c_id
     // tie-break (the q36 rule); the dominated-drop rule is a pure
     // function of (cell, vec_id order, cosine cut) — no RNG, no
     // iteration order. Output: the per-cell census a dedup run reports.
@@ -953,8 +1011,8 @@ object Similarity {
             SELECT n.vec_id, c_id,
                    row_number() OVER (
                      PARTITION BY n.vec_id
-                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
-                                    i -> v[i] * cv[i])) / (nrm * cn), 6) DESC,
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
                               c_id) AS rn
             FROM n, cents)
           WHERE rn = 1),
@@ -1220,8 +1278,8 @@ object Similarity {
       .orderBy(col("cscore").desc, col("c_id").asc)
     val qcells = probes.crossJoin(broadcast(cents))
       .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
-        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
-          .as("cscore"))
+        graft.similarity.VectorSearch.scoreMu(
+          cosine(col("qv"), col("cv"), col("qn"), col("cn"))).as("cscore"))
       .withColumn("crank", row_number().over(wCell).cast("long"))
       .filter(col("crank") <= NPROBE_MAX)
       .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("qcell"),
@@ -1286,7 +1344,7 @@ object Similarity {
 
   /** q100's pipeline as a callable (the SemDeDup construction): assign
     * each vector of `n` (vec_id, v, nrm) to its nearest centroid of
-    * `cents` (c_id, cv, cn) by 6dp-rounded cosine with a c_id tie-break,
+    * `cents` (c_id, cv, cn) by micro-unit cosine score with a c_id tie-break,
     * then within each cell drop every vector that has a lower-vec_id
     * cell-mate at cosine >= `cut`. Returns the per-cell census
     * (c_id, n_vectors, n_dropped, n_survivors) ordered by c_id.
@@ -1378,14 +1436,35 @@ object Similarity {
   // <clinit>; `final val` literals are compile-time constants)
   private final val LSH_BITS = 8
   private final val EMBED_DIM = 64
-  private[queries] lazy val hyperplanes: Array[Array[Double]] =
-    Array.tabulate(LSH_BITS) { b =>
+
+  /** The plane construction at ANY width (the in-code contract says
+    * deployments widen LSH_BITS ~ log₂(N) as a corpus-sizing decision;
+    * AnnScaleProbe measures bucket occupancy at widened widths on scale
+    * replicas so that claim carries numbers — PERF.md round-15). Bits
+    * beyond 63 would overflow the BIGINT signature; 63 planes already
+    * key 9.2×10¹⁸ buckets. */
+  private[queries] def hyperplanesFor(bits: Int): Array[Array[Double]] = {
+    require(bits >= 1 && bits <= 63, s"LSH bits must be in [1,63], got $bits")
+    Array.tabulate(bits) { b =>
       val md = java.security.MessageDigest.getInstance("MD5")
       Array.tabulate(EMBED_DIM) { d =>
         val h = md.digest(s"${b}_${d}".getBytes("UTF-8"))
         if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
       }
     }
+  }
+
+  /** [[signatureCol]] at a parameterized width — same per-bit sign rule,
+    * so the width-8 prefix of a wider signature IS the registered
+    * signature (widening only splits buckets, never merges). */
+  private[queries] def signatureColBits(bits: Int): org.apache.spark.sql.Column =
+    hyperplanesFor(bits).zipWithIndex.map { case (signs, b) =>
+      when(round(dot(col("v"), typedLit(signs.toSeq)), 6) >= 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private[queries] lazy val hyperplanes: Array[Array[Double]] =
+    hyperplanesFor(LSH_BITS)
 
   private def hyperplaneSqlUnion: String =
     hyperplanes.zipWithIndex.map { case (signs, b) =>

@@ -58,44 +58,55 @@ object VectorSearch {
     out
   }
 
+  /** The assignment/probe ranking score in integer MICRO-units:
+    * floor(cos·10⁶ + 0.5) — the Q.cents construction (pure IEEE double
+    * arithmetic, bit-identical in both engines; the retired 6dp `round`
+    * depended on each engine's decimal-rounding path). Oracle twin:
+    * `CAST(floor(cosExpr * 1000000.0 + 0.5) AS BIGINT)`. */
+  private[graft] def scoreMu(cos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(cos * lit(1000000.0) + lit(0.5)).cast("long")
+
   /** Nearest-cell (argmax) assignment of every vector in normed `n`
-    * (vec_id, v, nrm) against broadcast centroids `cents` (c_id, cv, cn):
-    * 6dp-rounded cosine, c_id tie-break — engine-independent. Implemented
-    * as a PARTIAL AGGREGATE (`max_by` over a (score, -c_id) struct, where
-    * max(-c_id) on a score tie is exactly "min c_id"), NOT a window rank:
-    * the n×k crossJoin expansion reduces to one row per vector map-side,
-    * in the same stage as the broadcast join, so the exchange carries n
-    * rows — never n×k. At 100 TB with k ∝ corpus that is the difference
-    * between a bounded and an unbounded shuffle. (The struct ordering
-    * buffer plans as a SortAggregate rather than hash agg — a local,
-    * spillable per-partition sort; still strictly cheaper than the old
-    * shape, which shuffled the expansion AND sorted it per window
-    * partition.) Returns (vec_id, v, nrm, c_id). */
-  private[graft] def assignCells(n: DataFrame, cents: DataFrame): DataFrame =
-    n.crossJoin(broadcast(cents))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("c_id"), struct(
-          round(cosine(col("v"), col("cv"), col("nrm"), col("cn")), 6).as("s"),
-          (-col("c_id")).as("tb"))).as("c_id"),
-        first(col("v")).as("v"),
-        first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
+    * (vec_id, v, nrm) against centroids `cents` (c_id, cv, cn): max
+    * micro-unit cosine score ([[scoreMu]]), min-c_id tie-break —
+    * engine-independent. Implemented as the NATIVE map-side expression
+    * [[org.apache.spark.sql.graft.NearestCentroid]]: the codebook
+    * (bounded by [[CentroidBudget]] — collected here, ≤ ~34 MB) ships
+    * as a TorrentBroadcast and each row is assigned by a fused k×dim
+    * primitive loop INSIDE the scan stage — no row expansion, no
+    * aggregate, no sort, no exchange. The crossJoin→partial-max_by shape
+    * this replaces forced a SortAggregate that sorted the n×k expansion
+    * carrying the vectors (AnnScaleProbe: 124.8 s for 200k × 448; this
+    * path does the same 89.6 M dot products map-side in seconds).
+    * Returns (vec_id, v, nrm, c_id). */
+  private[graft] def assignCells(n: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.CentroidExprs
+    val rows = cents.select(col("c_id").cast("long"), col("cv"), col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val bc = n.sparkSession.sparkContext.broadcast(
+      CentroidExprs.centroidSet(rows.toSeq))
+    n.select(col("vec_id"), col("v"), col("nrm"),
+      CentroidExprs.nearestCentroid(bc, col("v"), col("nrm")).as("c_id"))
+  }
 
   /** The `nprobe` nearest cells per QUERY vector in normed `queries`
-    * (vec_id, v, nrm), same (score desc, c_id asc) rule. An argmax can't
-    * produce a top-k, so this is a collect+sort+slice aggregate instead
-    * of `max_by` — still partial (collect_list combines map-side), and it
-    * only ever runs over the query subset, so the k-entry pre-slice
-    * buffers are bounded by design; the full corpus never takes this
-    * path. Emits one (q_id, qv, qn, qcell) row per probed cell. */
+    * (vec_id, v, nrm), same (score desc, c_id asc) rule over the same
+    * [[scoreMu]] micro-units (probe and assignment MUST rank identically
+    * or a corpus-member query could probe a different cell than it was
+    * assigned to). An argmax can't produce a top-k, so this stays a
+    * collect+sort+slice aggregate over the crossJoin — it only ever runs
+    * over the query subset, so the k-entry pre-slice buffers are bounded
+    * by design; the full corpus never takes this path. Emits one
+    * (q_id, qv, qn, qcell) row per probed cell. */
   private[graft] def probeCells(queries: DataFrame, cents: DataFrame,
       nprobe: Int): DataFrame =
     queries.crossJoin(broadcast(cents))
       .groupBy(col("vec_id"))
       .agg(
         slice(array_sort(collect_list(struct(
-          (-round(cosine(col("v"), col("cv"), col("nrm"), col("cn")), 6)).as("ns"),
+          (-scoreMu(cosine(col("v"), col("cv"), col("nrm"), col("cn"))))
+            .as("ns"),
           col("c_id")))), 1, nprobe).as("cells"),
         first(col("v")).as("v"),
         first(col("nrm")).as("nrm"))

@@ -1,0 +1,117 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** An immutable coarse-quantizer codebook for [[NearestCentroid]]:
+  * parallel arrays (ids ASCENDING — the tie-break relies on scan order),
+  * pre-extracted to primitives so the per-row loop touches no Catalyst
+  * containers. Built via [[CentroidExprs.centroidSet]]. */
+case class CentroidSet(ids: Array[Long], vecs: Array[Array[Double]],
+    nrms: Array[Double]) {
+  require(ids.nonEmpty, "empty centroid set")
+  require(ids.length == vecs.length && ids.length == nrms.length,
+    "centroid arrays must be parallel")
+  require(ids.zip(ids.tail).forall { case (a, b) => a < b },
+    "centroid ids must be strictly ascending (first-wins tie-break = min c_id)")
+}
+
+/** Native nearest-centroid assignment: for a row's (vec, nrm), return the
+  * c_id of the broadcast codebook centroid maximizing the cosine score in
+  * integer MICRO-units — floor(cos·10⁶ + 0.5), the Q.cents construction:
+  * pure IEEE double arithmetic both engines evaluate bit-identically, so
+  * the DuckDB oracle mirrors the ranking with
+  * `CAST(floor(cosExpr * 1000000.0 + 0.5) AS BIGINT) DESC, c_id` — ties
+  * break to the MIN c_id (strict `>` over an id-ascending scan).
+  *
+  * Why a custom Expression (SURVEY §7.3 escalation ladder), and why not
+  * the crossJoin→partial-max_by aggregate it replaces: the max_by(struct)
+  * buffer forces a SortAggregate, which SORTS the n×k join expansion
+  * carrying the full vectors (first(v) rides the buffer) — AnnScaleProbe
+  * measured 124.8 s for a 200k-vector × 448-centroid assignment (89.6 M
+  * dot products that are ~2 s of raw FLOPs) with the sorter spilling
+  * ~1 KB-wide rows. This expression is ONE map-side pass in the scan
+  * stage: no row expansion, no aggregate, no sort, no exchange — the
+  * per-row cost is exactly k fused dot products (same tight loop as
+  * [[DotProduct]], same left-to-right accumulation the oracle's
+  * list_sum(list_transform) replays).
+  *
+  * The codebook ships as a TorrentBroadcast (the
+  * [[BloomMightContainBroadcast]] pattern — bytes once per executor, the
+  * expression serializes only the handle) and is bounded by construction:
+  * VectorSearch.CentroidBudget caps k at 2¹⁶ (≈34 MB of 64-dim doubles).
+  */
+case class NearestCentroid(bcast: Broadcast[CentroidSet],
+    left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: expected (array<double> vector, double norm), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  /** Called from generated code (the expression is its own codegen
+    * reference object; serializing it ships the broadcast handle, never
+    * the codebook). */
+  def assign(v: ArrayData, nr: Double): Long = {
+    val cs = bcast.value
+    val ids = cs.ids
+    val vecs = cs.vecs
+    val nrms = cs.nrms
+    var bestMu = Long.MinValue
+    var bestId = ids(0)
+    var c = 0
+    while (c < ids.length) {
+      val cv = vecs(c)
+      val n = math.min(v.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
+      val mu = math.floor(s / (nr * nrms(c)) * 1000000.0 + 0.5).toLong
+      if (mu > bestMu) { bestMu = mu; bestId = ids(c) }
+      c += 1
+    }
+    bestId
+  }
+
+  override def nullSafeEval(v: Any, nr: Any): Any =
+    assign(v.asInstanceOf[ArrayData], nr.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftNearestCentroid", this,
+      classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, (v, nr) => s"${ev.value} = $ref.assign($v, $nr);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(left = newLeft, right = newRight)
+}
+
+object CentroidExprs {
+  /** Build the broadcastable codebook from parallel collections, sorting
+    * by id (the tie-break contract). */
+  def centroidSet(rows: Seq[(Long, Array[Double], Double)]): CentroidSet = {
+    val sorted = rows.sortBy(_._1).toArray
+    CentroidSet(sorted.map(_._1), sorted.map(_._2), sorted.map(_._3))
+  }
+
+  /** Column-API entry point: nearest centroid id for (vec, nrm). */
+  def nearestCentroid(bcast: Broadcast[CentroidSet], vec: Column,
+      nrm: Column): Column =
+    ExpressionUtils.column(NearestCentroid(bcast,
+      ExpressionUtils.expression(vec), ExpressionUtils.expression(nrm)))
+}

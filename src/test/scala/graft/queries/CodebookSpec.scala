@@ -118,6 +118,42 @@ class CodebookSpec extends AnyFunSuite with Matchers with SparkTestSession {
     rows.find(_._4 == 1L).get._1 shouldBe expectChosen
   }
 
+  test("q132 serves at the elected nprobe: realized recall on the " +
+    "evaluated sample EQUALS the elected curve row's recall_bp (the " +
+    "election and the serve are the same construction end to end)") {
+    val curve = Registry.queries("q131_ann_nprobe_curve")(spark, sf0001)
+      .filter(col("chosen") === 1L).collect().head
+    val electedBp = curve.getAs[Long]("recall_bp")
+    val served = Registry.queries("q132_ann_auto_nprobe")(spark, sf0001)
+      .select(col("q_id"), col("neighbor"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the evaluated sample + its exact ground truth, rebuilt
+    // independently (q20's construction)
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFns.cosine
+    val n = normedEmb
+    val probes = n.filter(col("vec_id") % 53 === 0)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(32)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    val exact = n.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("neighbor"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sampleQs = exact.map(_._1).distinct
+    val hits = exact.count(served.contains)
+    val realizedBp =
+      math.floor(hits * 10000.0 / (sampleQs.length * 10)).toLong
+    realizedBp shouldBe electedBp
+  }
+
   test("q21 baseline guard: past the vector ceiling the quadratic " +
     "brute-force refuses loudly and names the scale path; under it the " +
     "plan runs") {

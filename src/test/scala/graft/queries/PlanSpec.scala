@@ -392,12 +392,18 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
       p should include("BroadcastHashJoin") // cell-probe join
       p should not include "SortMergeJoin"
       p should not include "CartesianProduct"
-      // cell assignment is a PARTIAL max_by argmax: the n×k crossJoin
-      // expansion reduces map-side in the broadcast-join stage, so the
-      // vec_id exchange carries one row per vector — never n×k rows.
-      // (A Window rank here would shuffle the whole expansion.)
-      p should include("partial_max_by")
-      p should include regex "hashpartitioning\\(vec_id"
+      // cell assignment is the NATIVE map-side expression: one fused
+      // k×dim loop per row inside the scan stage — no n×k expansion,
+      // no aggregate, no sort, no vec_id exchange at all (the retired
+      // max_by shape sorted the expansion carrying the vectors:
+      // AnnScaleProbe measured 124.8 s at 200k×448)
+      p should include("graft_nearest_centroid")
+      p should not include "partial_max_by"
+      // no SortAggregate anywhere: the corpus-side assignment is
+      // aggregate-free, and the probe-side nprobe ranking (the one
+      // remaining vec_id aggregate — QUERY-set-sized by construction)
+      // hash-aggregates its collect_list
+      p should not include "SortAggregate"
       p should include regex "hashpartitioning\\(q_id" // final ranking window
     } finally cached.foreach(_.unpersist(blocking = false))
   }
@@ -498,13 +504,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should not include "Generate"
   }
 
-  test("q100: SemDeDup centroid assignment is a partial max_by argmax — the " +
-    "n×k broadcast-join expansion reduces map-side, never reaching an exchange") {
+  test("q100: SemDeDup centroid assignment is the native map-side " +
+    "nearest-centroid expression — no n×k expansion, no aggregate/sort, " +
+    "no assignment exchange") {
     val p = Registry.queries("q100_semantic_dedup")(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
-    p should include("partial_max_by")
-    // the old shape ranked the expansion through a vec_id Window (a full
-    // n×k shuffle) then joined assignments back to the corpus; both are gone
+    p should include("graft_nearest_centroid")
+    p should not include "partial_max_by"
+    // the pre-r15 shapes ranked the expansion through a vec_id Window
+    // (full n×k shuffle) or sorted it under a max_by SortAggregate
+    // carrying the vectors; both are gone
     p should not include "Window"
     p should not include "CartesianProduct"
   }
