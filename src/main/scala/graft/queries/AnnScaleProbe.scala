@@ -106,6 +106,34 @@ object AnnScaleProbe {
       out ++= f""","q36_secs":$tQ36%.2f"""
     }
 
+    if (metrics("ivf2")) {
+      // two-level assignment (q133's path) vs flat on the same corpus:
+      // time the full pass and measure the grouping approximation
+      // directly as the fraction of vectors whose two-level cell
+      // differs from the flat argmax cell
+      val (flat, tFlat) = timed {
+        val a = graft.similarity.VectorSearch
+          .assignCells(n, Similarity.boundedCents(n))
+          .select(col("vec_id"), col("c_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        a.count(); a
+      }
+      val (two, tTwo) = timed {
+        val a = n.select(col("vec_id"),
+            Similarity.twoLevelAssignCol(n).as("c_id2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        a.count(); a
+      }
+      val agree = flat.join(two, Seq("vec_id"))
+        .agg(avg(when(col("c_id") === col("c_id2"), 1.0).otherwise(0.0)))
+        .collect().head.getDouble(0)
+      flat.unpersist(blocking = false)
+      two.unpersist(blocking = false)
+      out ++= f""","ivf2_flat_secs":$tFlat%.2f"""
+      out ++= f""","ivf2_two_secs":$tTwo%.2f"""
+      out ++= f""","ivf2_agree":$agree%.4f"""
+    }
+
     if (metrics("lsh")) {
       // registered width and the contract's widened ~log2(N) width
       val widened = math.min(63,

@@ -86,11 +86,15 @@ object Similarity {
     * `budget` is injectable so CodebookSpec can force the capped branch;
     * production always runs the default. */
   private[queries] def boundedCents(n: DataFrame,
-      budget: Long = CENTROID_BUDGET): DataFrame = {
-    val k = graft.similarity.VectorSearch.derivedK(n.count(), budget)
+      budget: Long = CENTROID_BUDGET): DataFrame =
+    centsPrefix(n, graft.similarity.VectorSearch.derivedK(n.count(), budget))
+
+  /** The first `k` vectors of the md5(vec_id) order as centroids —
+    * [[boundedCents]] with the size already derived (q133 needs the
+    * k- and √k-prefixes of the SAME ranking). */
+  private[queries] def centsPrefix(n: DataFrame, k: Int): DataFrame =
     n.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-  }
 
   /** SQL twin of [[boundedCents]] (consumes normedCte's `n`, emits
     * `cents(c_id, cv, cn)`): row_number over the same md5 order, kept
@@ -715,6 +719,103 @@ object Similarity {
       }),
 
     // ------------------------------------------------------------------
+    // q133: TWO-LEVEL (hierarchical) IVF — the past-the-budget-cap
+    // assignment shape: pick the nearest of s = ceil(√k) SUPER
+    // centroids (the √k-prefix of the same md5-order codebook), then
+    // the nearest centroid WITHIN that super's group — s + k/s ≈ 2√k
+    // dot products per row instead of k (at the 2¹⁶ cap: ~512 vs
+    // 65,536 — the 128× that keeps a trillion-row assignment pass
+    // tractable). APPROXIMATE relative to flat q36 (boundary vectors
+    // can land one group over), which is why it is its OWN registered
+    // query with an oracle replaying the identical two-level rule —
+    // never a silent swap under q36. Degenerates to exactly the flat
+    // assignment when s = k (CodebookSpec forces the identity). All
+    // ranking in micro-units with min-id ties at both levels; a super
+    // always anchors its own group, so byte-identical centroid vectors
+    // under different ids (replica corpora) can't empty a group.
+    // Search output is q36's shape at nprobe=1 over the two-level
+    // cells; queries take their own assignment cell (corpus members).
+    // Honest number: on ISOTROPIC synthetic vectors only ~22% of
+    // assignments match the flat argmax (AnnScaleProbe ivf2 at 30×) —
+    // with no cluster structure every vector is a boundary vector, the
+    // hierarchical shortcut's worst case; real clustered embeddings sit
+    // near a super's core. The q130/q131 recall machinery is the
+    // deployment's election tool between flat and two-level.
+    Q("q133_ann_ivf_2level",
+      oracle = Some(s"""
+        $normedCte,
+        cnt AS (SELECT count(*) AS n_rows FROM n),
+        kk AS (SELECT least($CENTROID_BUDGET,
+                            CAST(ceil(sqrt(n_rows)) AS BIGINT)) AS k
+               FROM cnt),
+        ss AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS s FROM kk),
+        ranked AS (
+          SELECT vec_id AS c_id, v AS cv, nrm AS cn,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                    vec_id) AS crn
+          FROM n),
+        cents AS (SELECT c_id, cv, cn FROM ranked, kk WHERE crn <= k),
+        supers AS (SELECT c_id AS s_id, cv AS sv, cn AS sn
+                   FROM ranked, ss WHERE crn <= s),
+        centgrp AS (
+          SELECT s_id AS c_id, s_id FROM supers
+          UNION ALL
+          SELECT c_id, s_id FROM (
+            SELECT c.c_id, s.s_id,
+                   row_number() OVER (PARTITION BY c.c_id
+                     ORDER BY CAST(floor(list_sum(list_transform(
+                                    range(1, len(c.cv) + 1),
+                                    i -> c.cv[i] * s.sv[i])) / (c.cn * s.sn)
+                                    * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              s.s_id) AS rn
+            FROM cents c, supers s
+            WHERE c.c_id NOT IN (SELECT s_id FROM supers))
+          WHERE rn = 1),
+        rowsuper AS (
+          SELECT vec_id, s_id FROM (
+            SELECT n.vec_id, s.s_id,
+                   row_number() OVER (PARTITION BY n.vec_id
+                     ORDER BY CAST(floor(list_sum(list_transform(
+                                    range(1, len(v) + 1),
+                                    i -> v[i] * s.sv[i])) / (nrm * s.sn)
+                                    * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              s.s_id) AS rn
+            FROM n, supers s)
+          WHERE rn = 1),
+        assigned AS (
+          SELECT vec_id, c_id FROM (
+            SELECT n.vec_id, g.c_id,
+                   row_number() OVER (PARTITION BY n.vec_id
+                     ORDER BY CAST(floor(list_sum(list_transform(
+                                    range(1, len(v) + 1),
+                                    i -> v[i] * c.cv[i])) / (nrm * c.cn)
+                                    * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              g.c_id) AS rn
+            FROM n JOIN rowsuper rs USING (vec_id)
+            JOIN centgrp g ON g.s_id = rs.s_id
+            JOIN cents c ON c.c_id = g.c_id)
+          WHERE rn = 1),
+        qs AS (
+          SELECT n.vec_id AS q_id, v AS qv, nrm AS qn, a.c_id AS qcell
+          FROM n JOIN assigned a ON n.vec_id = a.vec_id
+          WHERE n.vec_id % $QUERY_MOD = 0),
+        scored AS (
+          SELECT q_id, n.vec_id AS neighbor,
+                 round(list_sum(list_transform(range(1, len(v) + 1),
+                                i -> v[i] * qv[i])) / (nrm * qn), 4) AS cosine
+          FROM n JOIN assigned a ON n.vec_id = a.vec_id
+          JOIN qs ON a.c_id = qs.qcell
+          WHERE n.vec_id <> q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank,
+               neighbor, cosine
+        FROM scored
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""),
+      run = (spark, dir) => twoLevelSearch(spark, dir)),
+
+    // ------------------------------------------------------------------
     // q64: INT8 SCALAR QUANTIZATION of the embedding column — the 4×
     // storage/bandwidth cut an ANN index applies before it ever computes
     // a distance. Symmetric per-vector scheme: q[d] = round(v[d] * 127 /
@@ -1253,6 +1354,50 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cos, 4).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** q133's two-level assignment column over a normed relation: collect
+    * the k-prefix codebook ONCE (ordered — TakeOrderedAndProject returns
+    * md5-rank order, so the √k-prefix is `take(s)` of the same array),
+    * group it on the driver ([[graft.similarity.VectorSearch
+    * .groupedCodebook]]), broadcast, assign map-side. `s` injectable so
+    * CodebookSpec can force the s = k ≡ flat identity. */
+  private[queries] def twoLevelAssignCol(n: DataFrame,
+      sOverride: Option[Int] = None): org.apache.spark.sql.Column = {
+    import graft.similarity.VectorSearch
+    val k = VectorSearch.derivedK(n.count())
+    val s = sOverride.getOrElse(math.ceil(math.sqrt(k.toDouble)).toInt)
+    val centRows = centsPrefix(n, k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val grouped = VectorSearch.groupedCodebook(
+      centRows.toSeq, centRows.take(s).toSeq)
+    val bc = n.sparkSession.sparkContext.broadcast(grouped)
+    org.apache.spark.sql.graft.CentroidExprs
+      .nearestCentroidTwoLevel(bc, col("v"), col("nrm"))
+  }
+
+  /** q133's pipeline as a callable: two-level assignment for corpus AND
+    * queries (corpus-member queries probe their own cell — the q36
+    * rule), then exact top-k within the probed cell. */
+  private[queries] def twoLevelSearch(spark: SparkSession, dir: String): DataFrame = {
+    val n = normed(spark, dir)
+    val assigned = n.select(col("vec_id"), col("v"), col("nrm"),
+      twoLevelAssignCol(n).as("c_id"))
+    val qs = assigned.filter(col("vec_id") % QUERY_MOD === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("c_id").as("qcell"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    Q.localized(assigned
+      .join(broadcast(qs), col("c_id") === col("qcell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= TOPK)
+      .select(col("q_id"), col("rank"), col("neighbor"), col("cosine"))
+      .orderBy(col("q_id"), col("rank")))
   }
 
   /** q131's pipeline as a callable: sweep nprobe ∈ [[NPROBES]] of the

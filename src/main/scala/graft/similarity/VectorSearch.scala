@@ -245,6 +245,48 @@ object VectorSearch {
     }
   }
 
+  /** Build a two-level codebook on the driver (inputs are bounded by
+    * [[CentroidBudget]] by construction): `supers` must be a PREFIX
+    * subset of `cents` (q133 uses the first ceil(√k) of the md5-order
+    * codebook); every non-super centroid joins its nearest super's
+    * group by the same micro-unit score + min-id rule the expression
+    * applies per row, and a super always anchors its own group — so no
+    * group is empty even when replica corpora carry byte-identical
+    * centroid vectors under different ids. Per-row assignment cost
+    * through [[org.apache.spark.sql.graft.NearestCentroidTwoLevel]] is
+    * s + |group| ≈ 2√k dot products instead of k. */
+  def groupedCodebook(cents: Seq[(Long, Array[Double], Double)],
+      supers: Seq[(Long, Array[Double], Double)])
+      : org.apache.spark.sql.graft.GroupedCentroidSet = {
+    import org.apache.spark.sql.graft.{CentroidExprs, GroupedCentroidSet}
+    val sSorted = supers.sortBy(_._1).toArray
+    val superIdSet = sSorted.map(_._1).toSet
+    val sIdx = sSorted.map(_._1).zipWithIndex.toMap
+    val members = Array.fill(sSorted.length)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)])
+    cents.foreach { case c @ (cid, cv, cn) =>
+      if (superIdSet(cid)) members(sIdx(cid)) += c
+      else {
+        var bestMu = Long.MinValue
+        var best = 0
+        var k = 0
+        while (k < sSorted.length) {
+          val (_, sv, sn) = sSorted(k)
+          val n = math.min(cv.length, sv.length)
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += cv(i) * sv(i); i += 1 }
+          val mu = math.floor(s / (cn * sn) * 1000000.0 + 0.5).toLong
+          if (mu > bestMu) { bestMu = mu; best = k } // asc scan: min id ties
+          k += 1
+        }
+        members(best) += c
+      }
+    }
+    GroupedCentroidSet(sSorted.map(_._1), sSorted.map(_._2),
+      sSorted.map(_._3), members.map(b => CentroidExprs.centroidSet(b.toSeq)))
+  }
+
   /** Load-and-search helper over the testdata embeddings table. */
   def searchTestdata(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val emb = graft.io.Tables.table(spark, sfDir, "embeddings")

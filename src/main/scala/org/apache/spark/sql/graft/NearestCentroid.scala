@@ -101,6 +101,95 @@ case class NearestCentroid(bcast: Broadcast[CentroidSet],
     copy(left = newLeft, right = newRight)
 }
 
+/** A two-level codebook for [[NearestCentroidTwoLevel]]: level-1
+  * "super" centroids (parallel arrays, ids ascending) and, for each
+  * super, the [[CentroidSet]] of level-2 centroids grouped under it.
+  * Every group is non-empty by construction (a super centroid is always
+  * a member of its own group — see Similarity.twoLevelGrouped). */
+case class GroupedCentroidSet(superIds: Array[Long],
+    superVecs: Array[Array[Double]], superNrms: Array[Double],
+    groups: Array[CentroidSet]) {
+  require(superIds.nonEmpty, "empty super-centroid set")
+  require(superIds.length == superVecs.length &&
+    superIds.length == superNrms.length &&
+    superIds.length == groups.length, "grouped arrays must be parallel")
+  require(superIds.zip(superIds.tail).forall { case (a, b) => a < b },
+    "super ids must be strictly ascending")
+}
+
+/** Two-level nearest-centroid assignment — the past-the-budget-cap
+  * shape: pick the nearest of s ≈ √k SUPER centroids, then the nearest
+  * level-2 centroid WITHIN that super's group, so the per-row cost is
+  * s + k/s ≈ 2√k dot products instead of k. APPROXIMATE relative to the
+  * flat argmax (a vector near a super-cell boundary can land in a
+  * neighboring group's centroid) — which is why this is its own
+  * registered query (q133) with its own oracle replaying the identical
+  * two-level rule, never a silent swap under q36. Same micro-unit
+  * score and min-id tie-breaks as [[NearestCentroid]] at both levels;
+  * degenerates to EXACTLY the flat assignment when every centroid is a
+  * super (s = k — CodebookSpec forces the identity). */
+case class NearestCentroidTwoLevel(bcast: Broadcast[GroupedCentroidSet],
+    left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_nearest_centroid_2l"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: expected (array<double> vector, double norm), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  def assign(v: ArrayData, nr: Double): Long = {
+    val gs = bcast.value
+    var bestMu = Long.MinValue
+    var bestIdx = 0
+    var c = 0
+    while (c < gs.superIds.length) {
+      val cv = gs.superVecs(c)
+      val n = math.min(v.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
+      val mu = math.floor(s / (nr * gs.superNrms(c)) * 1000000.0 + 0.5).toLong
+      if (mu > bestMu) { bestMu = mu; bestIdx = c }
+      c += 1
+    }
+    val group = gs.groups(bestIdx)
+    var gBestMu = Long.MinValue
+    var gBestId = group.ids(0)
+    c = 0
+    while (c < group.ids.length) {
+      val cv = group.vecs(c)
+      val n = math.min(v.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
+      val mu = math.floor(s / (nr * group.nrms(c)) * 1000000.0 + 0.5).toLong
+      if (mu > gBestMu) { gBestMu = mu; gBestId = group.ids(c) }
+      c += 1
+    }
+    gBestId
+  }
+
+  override def nullSafeEval(v: Any, nr: Any): Any =
+    assign(v.asInstanceOf[ArrayData], nr.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftNearestCentroid2L", this,
+      classOf[NearestCentroidTwoLevel].getName)
+    nullSafeCodeGen(ctx, ev, (v, nr) => s"${ev.value} = $ref.assign($v, $nr);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroidTwoLevel =
+    copy(left = newLeft, right = newRight)
+}
+
 object CentroidExprs {
   /** Build the broadcastable codebook from parallel collections, sorting
     * by id (the tie-break contract). */
@@ -113,5 +202,11 @@ object CentroidExprs {
   def nearestCentroid(bcast: Broadcast[CentroidSet], vec: Column,
       nrm: Column): Column =
     ExpressionUtils.column(NearestCentroid(bcast,
+      ExpressionUtils.expression(vec), ExpressionUtils.expression(nrm)))
+
+  /** Column-API entry point: two-level nearest centroid id. */
+  def nearestCentroidTwoLevel(bcast: Broadcast[GroupedCentroidSet],
+      vec: Column, nrm: Column): Column =
+    ExpressionUtils.column(NearestCentroidTwoLevel(bcast,
       ExpressionUtils.expression(vec), ExpressionUtils.expression(nrm)))
 }

@@ -99,6 +99,43 @@ class CodebookSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally { n.unpersist(blocking = false); () }
   }
 
+  test("q133 two-level assignment degenerates to EXACTLY the flat " +
+    "argmax when every centroid is a super (s = k) — the approximation " +
+    "is the grouping, not the scoring") {
+    val n = normedEmb.persist()
+    try {
+      val k = VectorSearch.derivedK(n.count())
+      val twoLevel = n.select(col("vec_id"),
+          Similarity.twoLevelAssignCol(n, sOverride = Some(k)).as("c_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val flat = VectorSearch.assignCells(n, Similarity.boundedCents(n))
+        .select(col("vec_id"), col("c_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      twoLevel should not be empty
+      twoLevel shouldBe flat
+    } finally { n.unpersist(blocking = false); () }
+  }
+
+  test("groupedCodebook: byte-identical super vectors under different " +
+    "ids can't empty a group (self-anchoring), and non-super centroids " +
+    "join their nearest super with min-id ties") {
+    val vA = Array(1.0, 0.0)
+    val vB = Array(0.0, 1.0)
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    // supers 5 and 9 are byte-identical: without self-anchoring, 9's
+    // group would be empty (its own vector argmaxes to 5) and a row
+    // landing on super 9 would have no level-2 candidates
+    val supers = Seq((5L, vA, nrm(vA)), (9L, vA, nrm(vA)))
+    val cents = supers ++ Seq((20L, vB, nrm(vB)), (30L, vA, nrm(vA)))
+    val g = VectorSearch.groupedCodebook(cents, supers)
+    g.groups.foreach(_.ids should not be empty)
+    g.superIds.toSeq shouldBe Seq(5L, 9L)
+    // 30 (== vA) ties between identical supers 5 and 9 -> min id 5;
+    // 20 (orthogonal vB) ties at score 0 for both -> min id 5 too
+    g.groups(0).ids.toSet shouldBe Set(5L, 20L, 30L)
+    g.groups(1).ids.toSet shouldBe Set(9L)
+  }
+
   test("q131 curve: recall_bp monotone in nprobe (superset candidates " +
     "can only displace non-true members), exactly one elected row, and " +
     "the election rule holds") {
