@@ -134,6 +134,31 @@ object AnnScaleProbe {
       out ++= f""","ivf2_agree":$agree%.4f"""
     }
 
+    if (metrics("pq")) {
+      // q134 encode pass (codebook build + full-corpus native encode)
+      // and the q135 ADC serve end to end, against the q20 exact scan
+      // on the same replica — the compute/memory-traffic trade as a
+      // measured curve (COVERAGE.md growth-audit PQ row cites this)
+      import org.apache.spark.sql.graft.PqExprs
+      val (cb, tCb) = timed(Similarity.pqCodebook(n))
+      val bc = spark.sparkContext.broadcast(cb)
+      val (nCodes, tEnc) = timed {
+        n.select(col("vec_id"),
+          posexplode(PqExprs.pqEncode(bc, col("v")))).count()
+      }
+      val (adcRows, tAdc) = timed(
+        Registry.queries("q135_pq_adc_topk")(spark, dir).count())
+      val (exactRows, tExact) = timed(
+        Registry.queries("q20_ann_cosine")(spark, dir).count())
+      out ++= f""","pq_codebook_secs":$tCb%.2f"""
+      out ++= s""","pq_codes":$nCodes"""
+      out ++= f""","pq_encode_secs":$tEnc%.2f"""
+      out ++= s""","pq_adc_rows":$adcRows"""
+      out ++= f""","pq_adc_secs":$tAdc%.2f"""
+      out ++= s""","q20_rows":$exactRows"""
+      out ++= f""","q20_secs":$tExact%.2f"""
+    }
+
     if (metrics("lsh")) {
       // registered width and the contract's widened ~log2(N) width
       val widened = math.min(63,

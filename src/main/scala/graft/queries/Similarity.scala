@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorFns._
 import graft.io.Tables.table
 
+import org.apache.spark.sql.graft.{PqCodebook, PqExprs, PqLuts}
+
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
   * q20 is the brute-force cosine top-k baseline: score every (query, row)
@@ -60,6 +62,18 @@ object Similarity {
   private val MMR_K = 5
   private val MMR_POOL = 64
 
+  // PQ geometry (q134/q135): PQ_M contiguous subspaces of PQ_SUB dims
+  // over the 64-dim embeddings, PQ_KSUB sub-centroids per subspace.
+  // Codes are PQ_M small ints per vector — a deployment packs them at
+  // log2(KSUB) = 4 bits each (4 bytes/vector vs 512 bytes of float64s,
+  // 128×), which is what lets a 100 TB embedding lake's PQ index live
+  // in executor memory. The codebook is KSUB full vectors (~8 KB) —
+  // constant at any corpus size, vs the corpus-sized broadcast the
+  // r14 verdict retired from the IVF family.
+  private[queries] val PQ_M = 8
+  private[queries] val PQ_KSUB = 16
+  private[queries] val PQ_SUB = 8
+
   private def normed(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -109,6 +123,54 @@ object Similarity {
             FROM n) c, cnt
           WHERE crn <= least($CENTROID_BUDGET,
                              CAST(ceil(sqrt(n_rows)) AS BIGINT)))"""
+
+  /** The deterministic PQ codebook (q134/q135): the [[PQ_KSUB]] vectors
+    * ranking first in md5(vec_id) order — [[centsPrefix]]'s construction
+    * at a FIXED size, so sub-centroid c of subspace j is dims
+    * [j·SUB, (j+1)·SUB) of full vector c and the code domain is the
+    * 1-based md5-order rank (the oracle's row_number). The collect is
+    * KSUB rows — model-sized, the q54-codebook discipline; ordered
+    * because TakeOrderedAndProject returns md5-rank order (the
+    * twoLevelAssignCol contract). */
+  private[queries] def pqCodebook(n: DataFrame): PqCodebook = {
+    val rows = n
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(PQ_KSUB).select(col("v")).collect()
+    PqCodebook(PQ_M, PQ_KSUB, PQ_SUB, rows.map(_.getSeq[Double](0).toArray))
+  }
+
+  /** The subspace index relation j ∈ [1, PQ_M] as an inline VALUES list
+    * (the q131 nprobe-points pattern — a table-function `range` would
+    * read as a relation reference to RegistrySpec's table audit). */
+  private def pqJs: String =
+    "(VALUES (CAST(1 AS BIGINT)), " +
+      (2 to PQ_M).map(j => s"($j)").mkString(", ") + ") AS r(j)"
+
+  /** Shared q134/q135 oracle CTEs (consume normedCte's `n`): md5-prefix
+    * codebook `sel(cv, c)`, per-(vector, subspace, sub-centroid) squared
+    * L2 distance in integer micro-units `subd`, and the per-(vector,
+    * subspace) argmin `best` (min d2_mu, ties to min c — the strict-<
+    * code-ascending scan PqEncode runs). Subspace slices are absolute
+    * offsets into the full vectors — no list-slice semantics in play,
+    * the identical index arithmetic the expression's fused loop uses. */
+  private def pqCtes: String = s"""
+        sel AS (
+          SELECT v AS cv,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                    vec_id) AS c
+          FROM n QUALIFY c <= $PQ_KSUB),
+        subd AS (
+          SELECT n.vec_id, j, s.c,
+                 CAST(floor(list_sum(list_transform(range(1, $PQ_SUB + 1),
+                        i -> (v[(j-1)*$PQ_SUB + i] - cv[(j-1)*$PQ_SUB + i])
+                           * (v[(j-1)*$PQ_SUB + i] - cv[(j-1)*$PQ_SUB + i])))
+                      * 1000000.0 + 0.5) AS BIGINT) AS d2_mu
+          FROM n, sel s, $pqJs),
+        best AS (
+          SELECT vec_id, j, c, d2_mu,
+                 row_number() OVER (PARTITION BY vec_id, j
+                                    ORDER BY d2_mu, c) AS rn
+          FROM subd)"""
 
   /** The q131 oracle's CTE chain (normed corpus → bounded codebook →
     * assignment → evaluated probe sample → ranked probe cells →
@@ -814,6 +876,139 @@ object Similarity {
         QUALIFY rank <= $TOPK
         ORDER BY q_id, rank"""),
       run = (spark, dir) => twoLevelSearch(spark, dir)),
+
+    // ------------------------------------------------------------------
+    // q134: PRODUCT-QUANTIZATION ENCODING (Jégou/Douze/Schmid, TPAMI
+    // 2011) — the index-build half of PQ compression, complementing
+    // q64's int8 scalar quantization (4×) with the vector-codebook
+    // scheme real ANN serving uses: split the 64-dim embedding into
+    // PQ_M contiguous subspaces, quantize each slice to the nearest of
+    // PQ_KSUB sub-centroids by squared L2, emit (subspace, code,
+    // quantization error). Packed at log2(KSUB) bits/code a vector is 4
+    // bytes instead of 512 — the 128× that puts a 100 TB embedding
+    // lake's search structure in memory. Scale shape: the codebook is
+    // KSUB full vectors (~8 KB broadcast, CONSTANT in the corpus — the
+    // q36-rework discipline), and encoding is the native
+    // graft_pq_encode expression: one scan-stage call per row, m·ksub
+    // fused sub-distances, no n×(m·ksub) join expansion, no argmin
+    // aggregate, no exchange (the SortAggregate-over-expansion shape
+    // AnnScaleProbe measured 124.8 s vs seconds map-side). Distances
+    // rank in integer micro-units (floor(d2·10⁶ + 0.5), ties to the
+    // MIN code) so the oracle's row_number replays the argmin exactly.
+    Q("q134_pq_codes",
+      oracle = Some(s"""
+        $normedCte,
+        $pqCtes
+        SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(c AS BIGINT) AS code,
+               d2_mu
+        FROM best WHERE rn = 1
+        ORDER BY vec_id, j"""),
+      run = (spark, dir) => {
+        val n = normed(spark, dir)
+        val bc = spark.sparkContext.broadcast(pqCodebook(n))
+        n.select(col("vec_id"),
+            posexplode(PqExprs.pqEncode(bc, col("v"))))
+          .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"),
+            col("col.code").as("code"), col("col.d2_mu").as("d2_mu"))
+          .orderBy(col("vec_id"), col("j"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q135: ADC TOP-K OVER PQ CODES (asymmetric distance computation) —
+    // the serving half of q134: each probe precomputes its m×ksub
+    // lookup table ONCE (every sub-centroid × every subspace — m·ksub·
+    // subDim mults per probe), then scoring a candidate is m table
+    // lookups + m adds against the candidate's CODES — no multiplies,
+    // and the scan side never touches the 512-byte vector, only the
+    // ~4-byte code word plus the stored norm. That asymmetry is the PQ
+    // serving win at 100 TB: compute per candidate drops ~64× and scan
+    // memory traffic ~100×, while the probe side keeps full precision.
+    // Scale shape: probes are the fixed-count md5-order sample (q20's
+    // construction — broadcast of QUERY_N (q_id, qn) pairs plus a
+    // QUERY_N·m·ksub-double LUT broadcast, both CONSTANT in the
+    // corpus); the scan is one linear pass (the declared full-scan ADC
+    // baseline — restricting it to IVF cells is exactly q36's
+    // composition, and q130/q131's recall machinery prices either).
+    // The approximate score floor(Σ_j lut[code_j] / (qn·nrm) · 10⁶ +
+    // 0.5) sums subspaces in j order — the identical left-to-right
+    // adds the oracle's list_sum replays — and ranks as BIGINT with
+    // neighbor tie-break, so both engines emit the same top-k bitwise.
+    // In a deployment the codes come from q134's materialized output;
+    // the gate is stateless so the scan recomputes them inline (same
+    // expression, same codebook broadcast).
+    Q("q135_pq_adc_topk",
+      oracle = Some(s"""
+        $normedCte,
+        $pqCtes,
+        codes AS (
+          SELECT vec_id, list(c ORDER BY j) AS code
+          FROM best WHERE rn = 1 GROUP BY vec_id),
+        qsr AS (
+          SELECT vec_id AS q_id, v AS qv, nrm AS qn
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $QUERY_N),
+        lut AS (
+          SELECT q_id, j, s.c,
+                 list_sum(list_transform(range(1, $PQ_SUB + 1),
+                   i -> qv[(j-1)*$PQ_SUB + i] * cv[(j-1)*$PQ_SUB + i])) AS lv
+          FROM qsr, sel s, $pqJs),
+        lutl AS (
+          SELECT q_id, list(lv ORDER BY j, c) AS lt
+          FROM lut GROUP BY q_id),
+        scored AS (
+          SELECT l.q_id, cd.vec_id AS neighbor,
+                 CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
+                        j -> lt[(j-1)*$PQ_KSUB + code[j]]))
+                      / (q.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT)
+                   AS adc_mu
+          FROM codes cd
+          JOIN n n2 ON cd.vec_id = n2.vec_id
+          CROSS JOIN lutl l
+          JOIN qsr q ON l.q_id = q.q_id
+          WHERE cd.vec_id <> l.q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_mu DESC, neighbor)
+                    AS BIGINT) AS rank,
+               neighbor, adc_mu
+        FROM scored
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""),
+      run = (spark, dir) => {
+        val n = normed(spark, dir)
+        val cb = pqCodebook(n)
+        val bcCb = spark.sparkContext.broadcast(cb)
+        val probes = n
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(QUERY_N)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        // bounded collect: QUERY_N rows — each probe's LUT is built
+        // driver-side with the same left-to-right product-sums the
+        // oracle's per-(j, c) list_sum computes
+        val pRows = probes.collect()
+        val bcLut = spark.sparkContext.broadcast(PqLuts(PQ_M, PQ_KSUB,
+          pRows.map(r => r.getLong(0) ->
+            PqExprs.buildLut(cb, r.getSeq[Double](1).toArray)).toMap))
+        val qsLite = probes.select(col("q_id"), col("qn"))
+        val wRank = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_mu").desc, col("neighbor").asc)
+        n.select(col("vec_id"), col("nrm"),
+            transform(PqExprs.pqEncode(bcCb, col("v")),
+              s => s.getField("code")).as("codes"))
+          .crossJoin(broadcast(qsLite))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("num",
+            PqExprs.pqAdcNum(bcLut, col("q_id"), col("codes")))
+          .withColumn("adc_mu",
+            floor(col("num") / (col("qn") * col("nrm")) * lit(1000000.0)
+              + lit(0.5)).cast("long"))
+          .select(col("q_id"), col("vec_id").as("neighbor"), col("adc_mu"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= TOPK)
+          .select(col("q_id"), col("rank"), col("neighbor"), col("adc_mu"))
+          .orderBy(col("q_id"), col("rank"))
+      }),
 
     // ------------------------------------------------------------------
     // q64: INT8 SCALAR QUANTIZATION of the embedding column — the 4×
