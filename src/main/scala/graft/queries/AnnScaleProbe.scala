@@ -150,6 +150,25 @@ object AnnScaleProbe {
         Registry.queries("q135_pq_adc_topk")(spark, dir).count())
       val (exactRows, tExact) = timed(
         Registry.queries("q20_ann_cosine")(spark, dir).count())
+      // the DEPLOYMENT shape: codes materialized once (q134's
+      // artifact), the serve scans code words + norms only — never
+      // the 512-byte vectors. This is the number the stateless q135
+      // (which re-encodes inline) hides behind fixed overhead.
+      val codesPath = s"$dir/pq_codes.parquet"
+      val (_, tMat) = timed {
+        n.select(col("vec_id"), col("nrm"),
+            transform(org.apache.spark.sql.graft.PqExprs
+              .pqEncode(bc, col("v")), s => s.getField("code"))
+              .as("codes"))
+          .write.mode("overwrite").parquet(codesPath)
+      }
+      val (servedRows, tServe) = timed(
+        Similarity.pqAdcServe(spark.read.parquet(codesPath),
+          Similarity.pqProbes(n), cb).count())
+      def dirBytes(p: String): Long = {
+        val d = new java.io.File(p)
+        if (!d.exists()) 0L else d.listFiles().map(_.length()).sum
+      }
       out ++= f""","pq_codebook_secs":$tCb%.2f"""
       out ++= s""","pq_codes":$nCodes"""
       out ++= f""","pq_encode_secs":$tEnc%.2f"""
@@ -157,6 +176,11 @@ object AnnScaleProbe {
       out ++= f""","pq_adc_secs":$tAdc%.2f"""
       out ++= s""","q20_rows":$exactRows"""
       out ++= f""","q20_secs":$tExact%.2f"""
+      out ++= f""","pq_materialize_secs":$tMat%.2f"""
+      out ++= s""","pq_served_rows":$servedRows"""
+      out ++= f""","pq_serve_secs":$tServe%.2f"""
+      out ++= s""","pq_codes_bytes":${dirBytes(codesPath)}"""
+      out ++= s""","pq_vectors_bytes":${dirBytes(s"$dir/embeddings.parquet")}"""
     }
 
     if (metrics("lsh")) {

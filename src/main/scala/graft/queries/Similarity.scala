@@ -172,6 +172,49 @@ object Similarity {
                                     ORDER BY d2_mu, c) AS rn
           FROM subd)"""
 
+  /** q135's probe set: the q20 fixed-count md5-order sample as
+    * (q_id, qv, qn) — constant broadcast/LUT size at any corpus. */
+  private[queries] def pqProbes(n: DataFrame): DataFrame =
+    n.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(QUERY_N)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+
+  /** q135's serve: collect the bounded probe set (QUERY_N rows — each
+    * probe's LUT is built driver-side with the same left-to-right
+    * product-sums the oracle's per-(j, c) list_sum computes), broadcast
+    * the (q_id, qn) pairs + LUTs, score every (candidate, probe) with
+    * the native ADC expression over the candidate's CODES, per-probe
+    * top-k. `coded` carries (vec_id, nrm, codes) — inline-encoded in
+    * the registered query (the gate is stateless), or read from q134's
+    * materialized output in a deployment (AnnScaleProbe's pq metric
+    * measures that shape: the scan touches code words + norms only,
+    * never the vectors). */
+  private[queries] def pqAdcServe(coded: DataFrame, probes: DataFrame,
+      cb: PqCodebook): DataFrame = {
+    val spark = coded.sparkSession
+    val pRows = probes.collect()
+    val bcLut = spark.sparkContext.broadcast(PqLuts(PQ_M, PQ_KSUB,
+      pRows.map(r => r.getLong(0) ->
+        PqExprs.buildLut(cb, r.getSeq[Double](1).toArray)).toMap))
+    val qsLite = probes.select(col("q_id"), col("qn"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_mu").desc, col("neighbor").asc)
+    coded
+      .crossJoin(broadcast(qsLite))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("num",
+        PqExprs.pqAdcNum(bcLut, col("q_id"), col("codes")))
+      .withColumn("adc_mu",
+        floor(col("num") / (col("qn") * col("nrm")) * lit(1000000.0)
+          + lit(0.5)).cast("long"))
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("adc_mu"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= TOPK)
+      .select(col("q_id"), col("rank"), col("neighbor"), col("adc_mu"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** The q131 oracle's CTE chain (normed corpus → bounded codebook →
     * assignment → evaluated probe sample → ranked probe cells →
     * once-scored candidates → per-nprobe curve → election `sel`),
@@ -978,36 +1021,10 @@ object Similarity {
         val n = normed(spark, dir)
         val cb = pqCodebook(n)
         val bcCb = spark.sparkContext.broadcast(cb)
-        val probes = n
-          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-          .limit(QUERY_N)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("nrm").as("qn"))
-        // bounded collect: QUERY_N rows — each probe's LUT is built
-        // driver-side with the same left-to-right product-sums the
-        // oracle's per-(j, c) list_sum computes
-        val pRows = probes.collect()
-        val bcLut = spark.sparkContext.broadcast(PqLuts(PQ_M, PQ_KSUB,
-          pRows.map(r => r.getLong(0) ->
-            PqExprs.buildLut(cb, r.getSeq[Double](1).toArray)).toMap))
-        val qsLite = probes.select(col("q_id"), col("qn"))
-        val wRank = Window.partitionBy(col("q_id"))
-          .orderBy(col("adc_mu").desc, col("neighbor").asc)
-        n.select(col("vec_id"), col("nrm"),
-            transform(PqExprs.pqEncode(bcCb, col("v")),
-              s => s.getField("code")).as("codes"))
-          .crossJoin(broadcast(qsLite))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("num",
-            PqExprs.pqAdcNum(bcLut, col("q_id"), col("codes")))
-          .withColumn("adc_mu",
-            floor(col("num") / (col("qn") * col("nrm")) * lit(1000000.0)
-              + lit(0.5)).cast("long"))
-          .select(col("q_id"), col("vec_id").as("neighbor"), col("adc_mu"))
-          .withColumn("rank", row_number().over(wRank).cast("long"))
-          .filter(col("rank") <= TOPK)
-          .select(col("q_id"), col("rank"), col("neighbor"), col("adc_mu"))
-          .orderBy(col("q_id"), col("rank"))
+        val coded = n.select(col("vec_id"), col("nrm"),
+          transform(PqExprs.pqEncode(bcCb, col("v")),
+            s => s.getField("code")).as("codes"))
+        pqAdcServe(coded, pqProbes(n), cb)
       }),
 
     // ------------------------------------------------------------------
