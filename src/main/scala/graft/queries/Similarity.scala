@@ -190,13 +190,21 @@ object Similarity {
     * materialized output in a deployment (AnnScaleProbe's pq metric
     * measures that shape: the scan touches code words + norms only,
     * never the vectors). */
-  private[queries] def pqAdcServe(coded: DataFrame, probes: DataFrame,
-      cb: PqCodebook): DataFrame = {
-    val spark = coded.sparkSession
+  /** Collect the bounded probe set (QUERY_N rows) and broadcast each
+    * probe's m×ksub LUT, built driver-side with the same left-to-right
+    * product-sums the oracle's per-(j, c) list_sum computes. */
+  private[queries] def pqLutBroadcast(probes: DataFrame, cb: PqCodebook)
+      : org.apache.spark.broadcast.Broadcast[PqLuts] = {
+    val spark = probes.sparkSession
     val pRows = probes.collect()
-    val bcLut = spark.sparkContext.broadcast(PqLuts(PQ_M, PQ_KSUB,
+    spark.sparkContext.broadcast(PqLuts(PQ_M, PQ_KSUB,
       pRows.map(r => r.getLong(0) ->
         PqExprs.buildLut(cb, r.getSeq[Double](1).toArray)).toMap))
+  }
+
+  private[queries] def pqAdcServe(coded: DataFrame, probes: DataFrame,
+      cb: PqCodebook): DataFrame = {
+    val bcLut = pqLutBroadcast(probes, cb)
     val qsLite = probes.select(col("q_id"), col("qn"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_mu").desc, col("neighbor").asc)
@@ -1025,6 +1033,208 @@ object Similarity {
           transform(PqExprs.pqEncode(bcCb, col("v")),
             s => s.getField("code")).as("codes"))
         pqAdcServe(coded, pqProbes(n), cb)
+      }),
+
+    // ------------------------------------------------------------------
+    // q136: IVF-PQ — the canonical composition (the FAISS IVFPQ shape):
+    // q36's bounded-codebook cell restriction bounds COMPUTE (each
+    // probe scans one √N-ish cell, not the corpus) while q134's codes
+    // bound MEMORY TRAFFIC (the scanned cell contributes 4-byte code
+    // words, not 512-byte vectors) — at 100 TB the two compose into
+    // cell-local ADC lookups over an in-memory code table, the only
+    // shape that serves a billion-vector lake from RAM. Both quantizers
+    // are the deterministic md5-prefix constructions their parents
+    // registered (coarse k = min(2¹⁶, ceil(√N)); PQ m×ksub fixed), both
+    // assignments run as native scan-stage expressions, and probes are
+    // corpus members taking their OWN cell (the q36/q133 rule) at
+    // nprobe = 1 — deeper probing is q132's election applied here
+    // unchanged, and the recall trade (coarse cell misses × PQ score
+    // distortion) is priced by the same q130/q131 machinery. Scoring,
+    // ranking and tie-breaks are q135's bitwise (micro-unit BIGINT ADC,
+    // neighbor asc), so the three relatives diff row-by-row: q20 =
+    // exact full scan, q135 = ADC full scan, q136 = ADC cell scan.
+    Q("q136_ivfpq_topk",
+      oracle = Some(s"""
+        $normedCte,
+        $centsCte,
+        assigned AS (
+          SELECT vec_id, c_id FROM (
+            SELECT n.vec_id, c_id,
+                   row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              c_id) AS rn
+            FROM n, cents)
+          WHERE rn = 1),
+        $pqCtes,
+        pcodes AS (
+          SELECT vec_id, list(c ORDER BY j) AS code
+          FROM best WHERE rn = 1 GROUP BY vec_id),
+        qsr AS (
+          SELECT vec_id AS q_id, v AS qv, nrm AS qn
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $QUERY_N),
+        qcell AS (
+          SELECT q_id, qn, a.c_id AS qcell
+          FROM qsr JOIN assigned a ON qsr.q_id = a.vec_id),
+        lut AS (
+          SELECT q_id, j, s.c,
+                 list_sum(list_transform(range(1, $PQ_SUB + 1),
+                   i -> qv[(j-1)*$PQ_SUB + i] * cv[(j-1)*$PQ_SUB + i])) AS lv
+          FROM qsr, sel s, $pqJs),
+        lutl AS (
+          SELECT q_id, list(lv ORDER BY j, c) AS lt
+          FROM lut GROUP BY q_id),
+        scored AS (
+          SELECT qc.q_id, cd.vec_id AS neighbor,
+                 CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
+                        j -> lt[(j-1)*$PQ_KSUB + code[j]]))
+                      / (qc.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT)
+                   AS adc_mu
+          FROM pcodes cd
+          JOIN n n2 ON cd.vec_id = n2.vec_id
+          JOIN assigned a ON cd.vec_id = a.vec_id
+          JOIN qcell qc ON a.c_id = qc.qcell
+          JOIN lutl l ON l.q_id = qc.q_id
+          WHERE cd.vec_id <> qc.q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_mu DESC, neighbor)
+                    AS BIGINT) AS rank,
+               neighbor, adc_mu
+        FROM scored
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""),
+      run = (spark, dir) => {
+        val n = normed(spark, dir)
+        val cents = boundedCents(n)
+        val cb = pqCodebook(n)
+        val bcCb = spark.sparkContext.broadcast(cb)
+        val assigned = assignCells(n, cents)
+        val coded = assigned.select(col("vec_id"), col("nrm"), col("c_id"),
+          transform(PqExprs.pqEncode(bcCb, col("v")),
+            s => s.getField("code")).as("codes"))
+        val probes = pqProbes(n)
+        val bcLut = pqLutBroadcast(probes, cb)
+        // probes take their own assigned cell — one broadcast hash join
+        // against the corpus-sized assignment, QUERY_N rows out
+        val qs = assigned
+          .join(broadcast(probes), col("vec_id") === col("q_id"))
+          .select(col("q_id"), col("qn"), col("c_id").as("qcell"))
+        val wRank = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_mu").desc, col("neighbor").asc)
+        coded
+          .join(broadcast(qs), col("c_id") === col("qcell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("num",
+            PqExprs.pqAdcNum(bcLut, col("q_id"), col("codes")))
+          .withColumn("adc_mu",
+            floor(col("num") / (col("qn") * col("nrm")) * lit(1000000.0)
+              + lit(0.5)).cast("long"))
+          .select(col("q_id"), col("vec_id").as("neighbor"), col("adc_mu"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= TOPK)
+          .select(col("q_id"), col("rank"), col("neighbor"), col("adc_mu"))
+          .orderBy(col("q_id"), col("rank"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q137: PQ RECALL EVALUATION — q130's discipline applied to the
+    // OTHER approximation axis: q130 measures what the IVF's cell
+    // restriction costs (candidate misses), this measures what PQ's
+    // score quantization costs (ranking distortion) — recall@10 of
+    // q135's ADC full scan vs q20's exact cosine top-k over the SAME
+    // md5-prefix probe set. Full-scan ADC sees every candidate, so any
+    // recall loss here is PURELY the 8×16 codebook's score error — the
+    // number a deployment needs to split an observed IVF-PQ recall
+    // (q136) into its cell-miss and quantization components before
+    // deciding whether to raise nprobe (q131/q132's dial) or widen the
+    // PQ codebook. Same scale shape as q130: one linear ADC pass + one
+    // linear exact pass, everything after is (probes × k)-bounded.
+    Q("q137_pq_recall",
+      oracle = Some(s"""
+        $normedCte,
+        $pqCtes,
+        pcodes AS (
+          SELECT vec_id, list(c ORDER BY j) AS code
+          FROM best WHERE rn = 1 GROUP BY vec_id),
+        qsr AS (
+          SELECT vec_id AS q_id, v AS qv, nrm AS qn
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $QUERY_N),
+        lut AS (
+          SELECT q_id, j, s.c,
+                 list_sum(list_transform(range(1, $PQ_SUB + 1),
+                   i -> qv[(j-1)*$PQ_SUB + i] * cv[(j-1)*$PQ_SUB + i])) AS lv
+          FROM qsr, sel s, $pqJs),
+        lutl AS (
+          SELECT q_id, list(lv ORDER BY j, c) AS lt
+          FROM lut GROUP BY q_id),
+        adc_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT l.q_id, cd.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY l.q_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
+                                    j -> lt[(j-1)*$PQ_KSUB + code[j]]))
+                                  / (q.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              cd.vec_id) AS rk
+            FROM pcodes cd
+            JOIN n n2 ON cd.vec_id = n2.vec_id
+            CROSS JOIN lutl l
+            JOIN qsr q ON l.q_id = q.q_id
+            WHERE cd.vec_id <> l.q_id)
+          WHERE rk <= $TOPK),
+        ex_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
+                              n.vec_id) AS rk
+            FROM n, qsr
+            WHERE n.vec_id <> q_id)
+          WHERE rk <= $TOPK),
+        hits AS (
+          SELECT q_id, count(*) AS n_hit
+          FROM adc_topk JOIN ex_topk USING (q_id, neighbor)
+          GROUP BY q_id)
+        SELECT q.q_id,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               round(coalesce(h.n_hit, 0) / ($TOPK * 1.0), 4) AS recall_at_k
+        FROM qsr q LEFT JOIN hits h ON q.q_id = h.q_id
+        ORDER BY q.q_id"""),
+      run = (spark, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val n = normed(spark, dir).persist(MEMORY_AND_DISK)
+        val cb = pqCodebook(n)
+        val bcCb = spark.sparkContext.broadcast(cb)
+        val coded = n.select(col("vec_id"), col("nrm"),
+          transform(PqExprs.pqEncode(bcCb, col("v")),
+            s => s.getField("code")).as("codes"))
+        val probes = pqProbes(n)
+        val adc = pqAdcServe(coded, probes, cb)
+          .select(col("q_id"), col("neighbor"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("neighbor").asc)
+        val exact = n.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor"),
+            round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
+              .as("cosine"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TOPK)
+          .select(col("q_id"), col("neighbor"))
+        val hits = adc.join(exact, Seq("q_id", "neighbor"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        val result = Q.localized(
+          probes.select(col("q_id")).join(hits, Seq("q_id"), "left")
+            .select(col("q_id"),
+              coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+              round(coalesce(col("n_hit"), lit(0L)) / (TOPK * 1.0), 4)
+                .as("recall_at_k")))
+        n.unpersist(blocking = false)
+        result.orderBy(col("q_id"))
       }),
 
     // ------------------------------------------------------------------
