@@ -357,6 +357,25 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include("WindowGroupLimit")
   }
 
+  test("q135/q136: PQ serving plans — native encode + ADC expressions in " +
+    "codegen spans; q136's cell restriction is a broadcast equi-join " +
+    "(the corpus never shuffles for scoring), probe rank map-side " +
+    "WindowGroupLimit") {
+    val p135 = plan("q135_pq_adc_topk")
+    p135 should include("graft_pq_encode")
+    p135 should include("graft_pq_adc_num")
+    p135 should include("codegen id")
+    p135 should include("BroadcastNestedLoopJoin") // constant probe set
+    p135 should include("WindowGroupLimit")
+    val p136 = plan("q136_ivfpq_topk")
+    p136 should include("graft_pq_encode")
+    p136 should include("graft_pq_adc_num")
+    p136 should include("graft_nearest_centroid") // coarse cells map-side
+    p136 should include("BroadcastHashJoin")      // cell-keyed, not cartesian
+    (p136 should not).include("CartesianProduct")
+    p136 should include("WindowGroupLimit")
+  }
+
   test("dedup verify plan (q17's shape): candidate restriction and pair-driven " +
     "intersection are LeftSemi joins; no shingle-keyed self-join, no cartesian") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
