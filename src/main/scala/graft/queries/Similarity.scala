@@ -62,6 +62,11 @@ object Similarity {
   private val MMR_K = 5
   private val MMR_POOL = 64
 
+  // q138's swept serving dial: PQ codebook widths (each a PREFIX of
+  // the full md5-order codebook, so one distance relation at the full
+  // width serves every curve point), elected against RECALL_TARGET_BP
+  private[queries] val PQ_WIDTHS: Seq[Int] = Seq(4, 8, 16)
+
   // PQ geometry (q134/q135): PQ_M contiguous subspaces of PQ_SUB dims
   // over the 64-dim embeddings, PQ_KSUB sub-centroids per subspace.
   // Codes are PQ_M small ints per vector — a deployment packs them at
@@ -197,7 +202,9 @@ object Similarity {
       : org.apache.spark.broadcast.Broadcast[PqLuts] = {
     val spark = probes.sparkSession
     val pRows = probes.collect()
-    spark.sparkContext.broadcast(PqLuts(PQ_M, PQ_KSUB,
+    // stride/geometry from the codebook itself — q138 serves PREFIX
+    // codebooks narrower than PQ_KSUB through this same path
+    spark.sparkContext.broadcast(PqLuts(cb.m, cb.ksub,
       pRows.map(r => r.getLong(0) ->
         PqExprs.buildLut(cb, r.getSeq[Double](1).toArray)).toMap))
   }
@@ -1235,6 +1242,166 @@ object Similarity {
                 .as("recall_at_k")))
         n.unpersist(blocking = false)
         result.orderBy(col("q_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q138: PQ WIDTH CURVE + ELECTION — q131's measure→decide
+    // discipline applied to the PQ axis: q137 measures what the 8×16
+    // codebook costs in recall; this sweeps the codebook width
+    // (ksub ∈ {4, 8, 16}) against the same exact ground truth and
+    // elects the NARROWEST width clearing the recall target (else the
+    // widest) — the quantization number now drives the
+    // compression-vs-recall decision a deployment actually makes
+    // (every halving of ksub is one fewer code bit per subspace).
+    // Construction exploits the prefix property: width-w sub-centroids
+    // are the first w rows of the SAME md5-order codebook, so the
+    // oracle computes ONE distance relation at the full width and each
+    // curve point is an argmin over c ≤ w — no per-width corpus
+    // rescans; the Spark side encodes per width with prefix codebooks
+    // (three map-side passes, still linear). LUT entries for c ≤ w are
+    // width-independent (same sub-centroids), so every width scores
+    // with the same table values. Recall in integer basis points, the
+    // q131 election rule verbatim.
+    Q("q138_pq_width_curve",
+      oracle = Some(s"""
+        $normedCte,
+        $pqCtes,
+        ws AS (SELECT * FROM (VALUES (CAST(4 AS BIGINT)), (8), (16))
+               AS t(ksub)),
+        bestw AS (
+          SELECT w.ksub, vec_id, j, c, d2_mu,
+                 row_number() OVER (PARTITION BY w.ksub, vec_id, j
+                                    ORDER BY d2_mu, c) AS rn
+          FROM subd, ws w WHERE c <= w.ksub),
+        codesw AS (
+          SELECT ksub, vec_id, list(c ORDER BY j) AS code
+          FROM bestw WHERE rn = 1 GROUP BY ksub, vec_id),
+        qsr AS (
+          SELECT vec_id AS q_id, v AS qv, nrm AS qn
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $QUERY_N),
+        lut AS (
+          SELECT q_id, j, s.c,
+                 list_sum(list_transform(range(1, $PQ_SUB + 1),
+                   i -> qv[(j-1)*$PQ_SUB + i] * cv[(j-1)*$PQ_SUB + i])) AS lv
+          FROM qsr, sel s, $pqJs),
+        lutl AS (
+          SELECT q_id, list(lv ORDER BY j, c) AS lt
+          FROM lut GROUP BY q_id),
+        adc_topk AS (
+          SELECT ksub, q_id, neighbor FROM (
+            SELECT cd.ksub, l.q_id, cd.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY cd.ksub, l.q_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
+                                    j -> lt[(j-1)*$PQ_KSUB + code[j]]))
+                                  / (q.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              cd.vec_id) AS rk
+            FROM codesw cd
+            JOIN n n2 ON cd.vec_id = n2.vec_id
+            CROSS JOIN lutl l
+            JOIN qsr q ON l.q_id = q.q_id
+            WHERE cd.vec_id <> l.q_id)
+          WHERE rk <= $TOPK),
+        ex_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
+                              n.vec_id) AS rk
+            FROM n, qsr
+            WHERE n.vec_id <> q_id)
+          WHERE rk <= $TOPK),
+        hits AS (
+          SELECT ksub, q_id, count(*) AS n_hit
+          FROM adc_topk JOIN ex_topk USING (q_id, neighbor)
+          GROUP BY ksub, q_id),
+        perq AS (
+          SELECT g.ksub, g.q_id, coalesce(h.n_hit, 0) AS n_hit
+          FROM (SELECT ksub, q_id FROM ws, qsr) g
+          LEFT JOIN hits h ON g.ksub = h.ksub AND g.q_id = h.q_id),
+        curve AS (
+          SELECT ksub,
+                 CAST(count(*) AS BIGINT) AS n_probes,
+                 CAST(sum(n_hit) AS BIGINT) AS sum_hits,
+                 CAST(min(n_hit) AS BIGINT) AS min_hits
+          FROM perq GROUP BY ksub),
+        curve2 AS (
+          SELECT ksub, n_probes, sum_hits, min_hits,
+                 CAST(floor((sum_hits * 10000.0) / (n_probes * $TOPK))
+                      AS BIGINT) AS recall_bp
+          FROM curve),
+        curve3 AS (
+          SELECT *, CAST(CASE WHEN recall_bp >= $RECALL_TARGET_BP
+                              THEN 1 ELSE 0 END AS BIGINT) AS meets_target
+          FROM curve2),
+        selw AS (
+          SELECT CASE WHEN max(meets_target) = 1
+                      THEN min(CASE WHEN meets_target = 1 THEN ksub END)
+                      ELSE max(ksub) END AS chosen_w
+          FROM curve3)
+        SELECT c.ksub, n_probes, sum_hits, min_hits, recall_bp,
+               meets_target,
+               CAST(CASE WHEN c.ksub = s.chosen_w THEN 1 ELSE 0 END
+                    AS BIGINT) AS chosen
+        FROM curve3 c, selw s
+        ORDER BY c.ksub"""),
+      run = (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val n = normed(spark, dir).persist(MEMORY_AND_DISK)
+        val cbFull = pqCodebook(n)
+        val probes = pqProbes(n)
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("neighbor").asc)
+        val exact = n.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor"),
+            round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
+              .as("cosine"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TOPK)
+          .select(col("q_id"), col("neighbor"))
+        val curves = PQ_WIDTHS.map { wk =>
+          val cbW = PqCodebook(PQ_M, wk, PQ_SUB, cbFull.cents.take(wk))
+          val bcW = spark.sparkContext.broadcast(cbW)
+          val coded = n.select(col("vec_id"), col("nrm"),
+            transform(PqExprs.pqEncode(bcW, col("v")),
+              s => s.getField("code")).as("codes"))
+          pqAdcServe(coded, probes, cbW)
+            .select(lit(wk.toLong).as("ksub"), col("q_id"), col("neighbor"))
+        }.reduce(_ unionByName _)
+        val hits = curves.join(exact, Seq("q_id", "neighbor"))
+          .groupBy(col("ksub"), col("q_id"))
+          .agg(count(lit(1)).as("n_hit"))
+        val perq = PQ_WIDTHS.map(_.toLong).toDF("ksub")
+          .crossJoin(probes.select(col("q_id")))
+          .join(hits, Seq("ksub", "q_id"), "left")
+          .select(col("ksub"), col("q_id"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        val curve = perq.groupBy(col("ksub")).agg(
+            count(lit(1)).cast("long").as("n_probes"),
+            sum(col("n_hit")).cast("long").as("sum_hits"),
+            min(col("n_hit")).cast("long").as("min_hits"))
+          .withColumn("recall_bp",
+            floor(col("sum_hits") * 10000.0 / (col("n_probes") * lit(TOPK)))
+              .cast("long"))
+          .withColumn("meets_target",
+            when(col("recall_bp") >= RECALL_TARGET_BP, 1L).otherwise(0L))
+        // election over the |PQ_WIDTHS|-row curve — result-sized, the
+        // Q.localized discipline
+        val rs = curve.orderBy(col("ksub")).collect()
+        val met = rs.filter(_.getAs[Long]("meets_target") == 1L)
+        val chosenW =
+          if (met.nonEmpty) met.map(_.getAs[Long]("ksub")).min
+          else rs.map(_.getAs[Long]("ksub")).max
+        val out = rs.toSeq.map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            if (r.getLong(0) == chosenW) 1L else 0L))
+          .toDF("ksub", "n_probes", "sum_hits", "min_hits", "recall_bp",
+            "meets_target", "chosen")
+        n.unpersist(blocking = false)
+        out.orderBy(col("ksub"))
       }),
 
     // ------------------------------------------------------------------

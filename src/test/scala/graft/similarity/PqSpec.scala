@@ -120,6 +120,26 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("q138 curve contract: recall_bp monotone in ksub (wider codebook " +
+    "never loses recall on the same ground truth), exactly one elected " +
+    "row, and the full-width point ties to q137's total") {
+    val curve = graft.queries.Registry
+      .queries("q138_pq_width_curve")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("ksub"))
+    curve.length shouldBe 3
+    val bps = curve.map(_.getAs[Long]("recall_bp"))
+    bps.zip(bps.tail).foreach { case (a, b) => b should be >= a }
+    curve.count(_.getAs[Long]("chosen") == 1L) shouldBe 1
+    // the ksub=16 curve point IS q137's measurement (same codebook,
+    // same probes, same ground truth) — the two queries must agree
+    val full = curve.last
+    full.getAs[Long]("ksub") shouldBe 16L
+    val q137Total = graft.queries.Registry
+      .queries("q137_pq_recall")(spark, sf0001)
+      .collect().map(_.getAs[Long]("n_hit")).sum
+    full.getAs[Long]("sum_hits") shouldBe q137Total
+  }
+
   test("codegen path: encode + ADC through a real projection; null " +
     "vectors stay null") {
     import spark.implicits._
