@@ -79,7 +79,7 @@ object Similarity {
   private[queries] val PQ_KSUB = 16
   private[queries] val PQ_SUB = 8
 
-  private def normed(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def normed(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         toDoubleArray(col("embedding")).as("v"))
@@ -229,6 +229,16 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("neighbor"), col("adc_mu"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** q134's complete oracle — shared verbatim by q139, the streaming
+    * encode twin (one replay gates both, the q119/q125 discipline). */
+  private[queries] def pqCodesOracleSql: String = s"""
+        $normedCte,
+        $pqCtes
+        SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(c AS BIGINT) AS code,
+               d2_mu
+        FROM best WHERE rn = 1
+        ORDER BY vec_id, j"""
 
   /** The q131 oracle's CTE chain (normed corpus → bounded codebook →
     * assignment → evaluated probe sample → ranked probe cells →
@@ -954,13 +964,7 @@ object Similarity {
     // rank in integer micro-units (floor(d2·10⁶ + 0.5), ties to the
     // MIN code) so the oracle's row_number replays the argmin exactly.
     Q("q134_pq_codes",
-      oracle = Some(s"""
-        $normedCte,
-        $pqCtes
-        SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(c AS BIGINT) AS code,
-               d2_mu
-        FROM best WHERE rn = 1
-        ORDER BY vec_id, j"""),
+      oracle = Some(pqCodesOracleSql),
       run = (spark, dir) => {
         val n = normed(spark, dir)
         val bc = spark.sparkContext.broadcast(pqCodebook(n))

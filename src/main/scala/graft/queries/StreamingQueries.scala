@@ -798,6 +798,37 @@ object StreamingQueries {
           flagged, noDataBatch = false) {
           _.select(col("doc_id"), col("n_matched")).orderBy(col("doc_id"))
         }
+      }),
+
+    // ------------------------------------------------------------------
+    // q139: STREAMING PQ ENCODE — q134's index-build half running at
+    // INGEST: as vectors land on the stream, each row is assigned its
+    // m sub-codes by the same native graft_pq_encode expression, so
+    // the PQ code table a deployment serves from (q135/q136) is built
+    // incrementally instead of by a lake-wide batch sweep later. The
+    // codebook is STATIC by nature (the KSUB md5-prefix vectors) and
+    // is built once in batch before the stream starts — the q128
+    // Bloom-filter discipline. Everything per micro-batch is a
+    // STATELESS map (encode inside the scan stage, posexplode): no
+    // watermark, no aggregation, ZERO state at any stream volume —
+    // contrast q128, whose state tracks contamination volume. Output
+    // is q134's relation exactly, append-mode; ONE oracle (q134's,
+    // verbatim) gates both the batch and streaming constructions —
+    // the q119/q125 twin discipline.
+    Q("q139_stream_pq_codes",
+      oracle = Some(Similarity.pqCodesOracleSql),
+      run = (spark, dir) => {
+        import org.apache.spark.sql.graft.PqExprs
+        val cb = Similarity.pqCodebook(Similarity.normed(spark, dir))
+        val bc = spark.sparkContext.broadcast(cb)
+        val enc = embeddingsStream(spark, dir)
+          .select(col("vec_id"), posexplode(
+            PqExprs.pqEncode(bc, col("embedding").cast("array<double>"))))
+          .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"),
+            col("col.code").as("code"), col("col.d2_mu").as("d2_mu"))
+        runToMemorySink(spark, dir, "stream_pq_", "append", enc) {
+          _.orderBy(col("vec_id"), col("j"))
+        }
       })
   )
 }
