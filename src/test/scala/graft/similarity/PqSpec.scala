@@ -120,6 +120,34 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("prefix property (q138's construction): width-w codes equal the " +
+    "argmin over the first w rows of the full codebook, and per-subspace " +
+    "quantization error is weakly decreasing in width") {
+    val full = randomCb()
+    val widths = Seq(1, 2, KSUB)
+    (0 until 100).foreach { _ =>
+      val v = Array.fill(DIM)(next())
+      val byWidth = widths.map { w =>
+        val e = encodeOf(PqCodebook(M, w, SUB, full.cents.take(w)))
+        val got = e.encode(new GenericArrayData(v))
+        (0 until M).map { j =>
+          val r = got.getStruct(j, 2); (r.getLong(0), r.getLong(1))
+        }
+      }
+      // each width's codes are a legal argmin over its prefix
+      widths.zip(byWidth).foreach { case (w, codes) =>
+        val ref = refEncode(PqCodebook(M, w, SUB, full.cents.take(w)), v)
+        codes shouldBe ref
+      }
+      // widening never increases the chosen sub-distance
+      byWidth.map(_.map(_._2)).sliding(2).foreach {
+        case Seq(narrow, wide) =>
+          narrow.zip(wide).foreach { case (a, b) => b should be <= a }
+        case _ =>
+      }
+    }
+  }
+
   test("q138 curve contract: recall_bp monotone in ksub (wider codebook " +
     "never loses recall on the same ground truth), exactly one elected " +
     "row, and the full-width point ties to q137's total") {
