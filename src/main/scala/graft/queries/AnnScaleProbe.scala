@@ -150,6 +150,8 @@ object AnnScaleProbe {
         Registry.queries("q135_pq_adc_topk")(spark, dir).count())
       val (exactRows, tExact) = timed(
         Registry.queries("q20_ann_cosine")(spark, dir).count())
+      val (ivfpqRows, tIvfpq) = timed(
+        Registry.queries("q136_ivfpq_topk")(spark, dir).count())
       // the DEPLOYMENT shape: codes materialized once (q134's
       // artifact), the serve scans code words + norms only — never
       // the 512-byte vectors. This is the number the stateless q135
@@ -176,6 +178,8 @@ object AnnScaleProbe {
       out ++= f""","pq_adc_secs":$tAdc%.2f"""
       out ++= s""","q20_rows":$exactRows"""
       out ++= f""","q20_secs":$tExact%.2f"""
+      out ++= s""","ivfpq_rows":$ivfpqRows"""
+      out ++= f""","ivfpq_secs":$tIvfpq%.2f"""
       out ++= f""","pq_materialize_secs":$tMat%.2f"""
       out ++= s""","pq_served_rows":$servedRows"""
       out ++= f""","pq_serve_secs":$tServe%.2f"""
