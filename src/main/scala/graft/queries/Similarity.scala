@@ -230,6 +230,35 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q140/q141's quantized relation: q64's symmetric per-vector int8
+    * scheme kept as integer-valued DOUBLES (|sv_i| ≤ 127 and their
+    * 64-term product-sums ≤ ~10⁶ are all exactly representable, so the
+    * native dot product is EXACT in both engines and needs no integer
+    * type plumbing), zero vectors (amax = 0) excluded — cosine against
+    * them is undefined and the predicate is mirrored in the oracle.
+    * Keeps v/nrm alongside (q141's exact side needs them). */
+  private[queries] def sq8(n: DataFrame): DataFrame =
+    n.withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .where(col("amax") > 0)
+      .withColumn("sv",
+        expr("transform(v, x -> round((x * 127.0D) / amax, 0))"))
+
+  /** SQL twin of [[sq8]] + the md5-prefix probe slice over the
+    * SURVIVING relation (both engines filter before sampling). */
+  private def sqCtes: String = s"""
+        sq AS (
+          SELECT vec_id, v, nrm, amax,
+                 list_transform(v, x -> round((x * 127.0) / amax)) AS sv
+          FROM (SELECT vec_id, v, nrm,
+                       list_max(list_transform(v, x -> abs(x))) AS amax
+                FROM n) m
+          WHERE amax > 0),
+        qsq AS (
+          SELECT vec_id AS q_id, v AS qv, sv AS qsv, nrm AS qn,
+                 amax AS qa
+          FROM sq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $QUERY_N)"""
+
   /** q134's complete oracle — shared verbatim by q139, the streaming
     * encode twin (one replay gates both, the q119/q125 discipline). */
   private[queries] def pqCodesOracleSql: String = s"""
@@ -1406,6 +1435,151 @@ object Similarity {
             "meets_target", "chosen")
         n.unpersist(blocking = false)
         out.orderBy(col("ksub"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q140: SQ8 TOP-K — the search q64's int8 quantization exists for,
+    // filling the middle of the quantization menu: SQ8 pays 4× memory
+    // for near-exact recall where PQ (q135) pays 128× for coarse
+    // recall; q141/q137 price both so a deployment picks on measured
+    // numbers. The scheme is q64's symmetric per-vector int8, kept as
+    // integer-valued doubles: |sv_i| ≤ 127, so every 64-term integer
+    // dot product (≤ ~10⁶) is exactly representable and the SAME
+    // native graft_dot expression scores it — bit-identical in both
+    // engines with NO rounding seam until the final micro-snap. The
+    // approximate cosine rescales the integer dot by the two vectors'
+    // quantization steps over their true norms:
+    // idot·qa·xa / (127²·qn·xn). Scale shape is q20's verbatim —
+    // constant md5-prefix probe broadcast, one linear scan, per-probe
+    // WindowGroupLimit — with the scan side reading the int8 column
+    // (4× fewer bytes than float32, 8× than these float64 doubles).
+    // Zero vectors are excluded on BOTH sides (cosine undefined).
+    Q("q140_sq8_topk",
+      oracle = Some(s"""
+        $normedCte,
+        $sqCtes,
+        scored AS (
+          SELECT q_id, s.vec_id AS neighbor,
+                 CAST(floor(list_sum(list_transform(range(1, len(s.sv) + 1),
+                        i -> s.sv[i] * qsv[i]))
+                      * qa * s.amax / (16129.0 * (qn * s.nrm))
+                      * 1000000.0 + 0.5) AS BIGINT) AS sq_mu
+          FROM sq s, qsq
+          WHERE s.vec_id <> q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY sq_mu DESC, neighbor)
+                    AS BIGINT) AS rank,
+               neighbor, sq_mu
+        FROM scored
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""),
+      run = (spark, dir) => {
+        val s = sq8(normed(spark, dir))
+          .select(col("vec_id"), col("nrm"), col("amax"), col("sv"))
+        val probes = s
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(QUERY_N)
+          .select(col("vec_id").as("q_id"), col("sv").as("qsv"),
+            col("nrm").as("qn"), col("amax").as("qa"))
+        val wRank = Window.partitionBy(col("q_id"))
+          .orderBy(col("sq_mu").desc, col("neighbor").asc)
+        s.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("idot", dot(col("sv"), col("qsv")))
+          .withColumn("sq_mu",
+            floor(col("idot") * col("qa") * col("amax")
+              / (lit(16129.0) * (col("qn") * col("nrm")))
+              * lit(1000000.0) + lit(0.5)).cast("long"))
+          .select(col("q_id"), col("vec_id").as("neighbor"), col("sq_mu"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= TOPK)
+          .select(col("q_id"), col("rank"), col("neighbor"), col("sq_mu"))
+          .orderBy(col("q_id"), col("rank"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q141: SQ8 RECALL — q137's measurement for the int8 axis:
+    // recall@10 of q140's quantized ranking vs the exact cosine top-k
+    // over the same probes. With q137 (PQ, 128× compression) and this
+    // (SQ8, 4×), the quantization menu is priced end to end — the
+    // compression-vs-recall table a deployment actually chooses from,
+    // all oracle-gated numbers instead of datasheet claims.
+    Q("q141_sq8_recall",
+      oracle = Some(s"""
+        $normedCte,
+        $sqCtes,
+        sq_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, s.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(s.sv) + 1),
+                                    i -> s.sv[i] * qsv[i]))
+                                  * qa * s.amax / (16129.0 * (qn * s.nrm))
+                                  * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              s.vec_id) AS rk
+            FROM sq s, qsq
+            WHERE s.vec_id <> q_id)
+          WHERE rk <= $TOPK),
+        ex_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, s.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(s.v) + 1),
+                                    i -> s.v[i] * qv[i])) / (s.nrm * qn), 4) DESC,
+                              s.vec_id) AS rk
+            FROM sq s, qsq
+            WHERE s.vec_id <> q_id)
+          WHERE rk <= $TOPK),
+        hits AS (
+          SELECT q_id, count(*) AS n_hit
+          FROM sq_topk JOIN ex_topk USING (q_id, neighbor)
+          GROUP BY q_id)
+        SELECT q.q_id,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               round(coalesce(h.n_hit, 0) / ($TOPK * 1.0), 4) AS recall_at_k
+        FROM qsq q LEFT JOIN hits h ON q.q_id = h.q_id
+        ORDER BY q.q_id"""),
+      run = (spark, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val s = sq8(normed(spark, dir)).persist(MEMORY_AND_DISK)
+        val probes = s
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(QUERY_N)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("sv").as("qsv"), col("nrm").as("qn"), col("amax").as("qa"))
+        val wSq = Window.partitionBy(col("q_id"))
+          .orderBy(col("sq_mu").desc, col("neighbor").asc)
+        val sqTop = s.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("idot", dot(col("sv"), col("qsv")))
+          .select(col("q_id"), col("vec_id").as("neighbor"),
+            floor(col("idot") * col("qa") * col("amax")
+              / (lit(16129.0) * (col("qn") * col("nrm")))
+              * lit(1000000.0) + lit(0.5)).cast("long").as("sq_mu"))
+          .withColumn("rank", row_number().over(wSq).cast("long"))
+          .filter(col("rank") <= TOPK)
+          .select(col("q_id"), col("neighbor"))
+        val wEx = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("neighbor").asc)
+        val exact = s.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor"),
+            round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
+              .as("cosine"))
+          .withColumn("rank", row_number().over(wEx).cast("long"))
+          .filter(col("rank") <= TOPK)
+          .select(col("q_id"), col("neighbor"))
+        val hits = sqTop.join(exact, Seq("q_id", "neighbor"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        val result = Q.localized(
+          probes.select(col("q_id")).join(hits, Seq("q_id"), "left")
+            .select(col("q_id"),
+              coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+              round(coalesce(col("n_hit"), lit(0L)) / (TOPK * 1.0), 4)
+                .as("recall_at_k")))
+        s.unpersist(blocking = false)
+        result.orderBy(col("q_id"))
       }),
 
     // ------------------------------------------------------------------
