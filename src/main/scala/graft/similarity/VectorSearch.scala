@@ -193,20 +193,29 @@ object VectorSearch {
     * (init steps + Lloyd iterations), and a train-sized relation spread
     * over corpus-sized partitioning pays per-job task-scheduling
     * overhead ~partitions times over — size it to the sample, not the
-    * corpus. */
+    * corpus.
+    *
+    * `normalize = false` fits RAW euclidean k-means instead — the PQ
+    * sub-codebook case (q142): subspace slices are quantized by plain
+    * squared-L2 geometry, and unit-normalizing an 8-dim slice would
+    * train centers for a sphere the data does not live on. */
   def trainCodebook(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       maxIter: Int = 10, seed: Long = 42L,
-      trainPartitions: Int = 8, initMode: String = "k-means||"): DataFrame = {
+      trainPartitions: Int = 8, initMode: String = "k-means||",
+      normalize: Boolean = true): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.feature.Normalizer
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.types._
     val spark = corpus.sparkSession
-    val feats = new Normalizer().setP(2.0)
-      .setInputCol("raw").setOutputCol("features")
-      .transform(corpus.select(
-        array_to_vector(toDoubleArray(col(vecCol))).as("raw"))
-        .coalesce(trainPartitions))
+    val raw = corpus.select(
+      array_to_vector(toDoubleArray(col(vecCol))).as("raw"))
+      .coalesce(trainPartitions)
+    val feats =
+      if (normalize)
+        new Normalizer().setP(2.0)
+          .setInputCol("raw").setOutputCol("features").transform(raw)
+      else raw.withColumnRenamed("raw", "features")
     val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
       .setInitMode(initMode).setFeaturesCol("features").fit(feats)
     import scala.jdk.CollectionConverters._
