@@ -317,8 +317,84 @@ object CurationOps {
         FROM w ORDER BY weight_micros DESC, doc_id LIMIT 50"""),
       run = (spark, dir) =>
         dsirTopK(table(spark, dir, "documents"),
-          col("source").isin("src0", "src1"), 50))
+          col("source").isin("src0", "src1"), 50)),
+
+    // ------------------------------------------------------------------
+    // q145: OVERLAPPING-WINDOW CHUNKING WITH PROVENANCE — the RAG-prep
+    // operator q84's disjoint grid cannot express: retrieval corpora
+    // chunk with OVERLAP (stride < window) so no answer span is ever
+    // split across a boundary without a second chunk covering it whole.
+    // Rule: starts 1, 1+S, 1+2S, … for n_chunks = max(1,
+    // ceil((n−W)/S)+1) windows of W tokens (only the LAST may run
+    // short), giving complete coverage with W−S tokens of overlap
+    // between neighbors. Output is the chunk-store relation a retrieval
+    // system indexes: (doc_id, chunk_no, start_tok, n_toks, n_chars,
+    // chunk_hash) — provenance maps a hit back to its source span, and
+    // the 56-bit fingerprint feeds chunk-level dedup (q84) without ever
+    // carrying text. Scale shape: MAP-ONLY — tokenize, a bounded
+    // ~n/S-per-doc explode built by slice (codegen, the q84
+    // construction), fixed-width hashing; no shuffle before the
+    // deterministic output sort. The chunk-count arithmetic is pure
+    // IEEE (small-integer divide, ceil) so both engines build the
+    // identical grid.
+    Q("q145_chunk_overlap",
+      oracle = Some(s"""
+        WITH tkq145 AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk
+          FROM documents WHERE text IS NOT NULL),
+        base AS (
+          SELECT doc_id, tk, len(tk) AS n FROM tkq145 WHERE len(tk) > 0),
+        grid AS (
+          SELECT doc_id, tk, n, ix.i
+          FROM base, LATERAL (
+            SELECT unnest(range(0, CAST(greatest(1,
+              ceil((n - $ChunkW) / $ChunkS.0) + 1) AS BIGINT))) AS i) ix),
+        ch AS (
+          SELECT doc_id, i + 1 AS chunk_no, i * $ChunkS + 1 AS start_tok,
+                 least(n - i * $ChunkS, $ChunkW) AS n_toks,
+                 array_to_string(
+                   tk[i * $ChunkS + 1 : least(n, i * $ChunkS + $ChunkW)],
+                   ' ') AS ctext
+          FROM grid)
+        SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+               CAST(start_tok AS BIGINT) AS start_tok,
+               CAST(n_toks AS BIGINT) AS n_toks,
+               CAST(length(ctext) AS BIGINT) AS n_chars,
+               ${TextFns.sql.hash56("md5(ctext)", 1)} AS chunk_hash
+        FROM ch ORDER BY doc_id, chunk_no"""),
+      run = (spark, dir) => chunkOverlap(table(spark, dir, "documents")))
   )
+
+  /** q145's chunk geometry: W-token windows every S tokens (W−S overlap).
+    * 32/24 is the miniature of the 512/384-ish production RAG defaults —
+    * the GEOMETRY is the operator; the sizes are deployment dials. */
+  private[queries] val ChunkW = 32
+  private[queries] val ChunkS = 24
+
+  /** q145's pipeline over any (doc_id, text) frame: the overlapping
+    * chunk-store relation (see the Q above for the full rationale). */
+  private[queries] def chunkOverlap(docs: DataFrame): DataFrame = {
+    val tk = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .withColumn("n", size(col("tk")).cast("long"))
+    tk.select(col("doc_id"), col("n"), posexplode(transform(
+        sequence(lit(0L),
+          greatest(lit(1L),
+            ceil((col("n") - ChunkW) / lit(ChunkS.toDouble)) + 1L) - 1),
+        i => struct(
+          (i * ChunkS + 1).as("start_tok"),
+          array_join(slice(col("tk"), (i * ChunkS + 1).cast("int"),
+            lit(ChunkW)), " ").as("ctext")))))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("long").as("chunk_no"),
+        col("col.start_tok").as("start_tok"),
+        least(col("n") - col("col.start_tok") + 1, lit(ChunkW.toLong))
+          .as("n_toks"),
+        length(col("col.ctext")).cast("long").as("n_chars"),
+        TextFns.hash56(md5(col("col.ctext")), 1).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
 
   /** q111's pipeline over any (doc_id, source, text) frame: the driver-
     * localized top-k raw docs by DSIR importance weight. `isTarget`

@@ -1043,8 +1043,90 @@ object Dedup {
         // the verified pair set is result-sized)
         Q.localized(editDist1Pairs(names))
           .orderBy(col("name_a"), col("name_b"))
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q146: TRAIN/TEST SPLIT-LEAKAGE AUDIT — the check every eval split
+    // needs before a benchmark number is trusted: a test doc with a
+    // TRAIN near-duplicate measures memorization, not generalization
+    // (the published-split contamination studies' core finding). The
+    // audit composes two registered constructions verbatim — q85's
+    // deterministic hash split and q17's MinHash-verified near-dup pair
+    // graph — and classifies every verified pair by the split pair it
+    // straddles: (split_a, split_b, n_pairs, n_leaked_docs), sides
+    // normalized by sensitivity rank (train < val < test) so split_a is
+    // always the less-sensitive side, and n_leaked_docs counting the
+    // DISTINCT docs on the MORE-sensitive side of cross-split pairs —
+    // the val/test rows whose eval integrity is compromised (same-split
+    // dup pairs are dedup's business, not leakage: 0 there).
+    // Scale shape: the split label is a PURE HASH of doc_id (the q85
+    // Sampling.hashSplit function, applied to each pair side under the
+    // same 'split' domain), so the audit never joins back to the corpus
+    // — it is a MAP over the shared pair artifact
+    // (verifiedPairsIndexed, built once per corpus) plus a ≤ 6-group
+    // rollup: pair-graph-sized, never corpus-sized, zero data-scale
+    // shuffles. The oracle re-derives pairs AND split labels inline.
+    Q("q146_split_leakage",
+      oracle = Some(s"""
+        WITH $verifiedPairsCteBody,
+        spl AS (
+          SELECT doc_a, doc_b,
+                 CASE
+                   WHEN (CAST(('0x' || substr(md5('split|' || CAST(doc_a AS VARCHAR)), 1, 6))
+                         AS BIGINT) % 10000) < 9000 THEN 0
+                   WHEN (CAST(('0x' || substr(md5('split|' || CAST(doc_a AS VARCHAR)), 1, 6))
+                         AS BIGINT) % 10000) < 9500 THEN 1
+                   ELSE 2 END AS ra,
+                 CASE
+                   WHEN (CAST(('0x' || substr(md5('split|' || CAST(doc_b AS VARCHAR)), 1, 6))
+                         AS BIGINT) % 10000) < 9000 THEN 0
+                   WHEN (CAST(('0x' || substr(md5('split|' || CAST(doc_b AS VARCHAR)), 1, 6))
+                         AS BIGINT) % 10000) < 9500 THEN 1
+                   ELSE 2 END AS rb
+          FROM vp),
+        nm AS (
+          SELECT CASE least(ra, rb) WHEN 0 THEN 'train' WHEN 1 THEN 'val'
+                   ELSE 'test' END AS split_a,
+                 CASE greatest(ra, rb) WHEN 0 THEN 'train' WHEN 1 THEN 'val'
+                   ELSE 'test' END AS split_b,
+                 CASE WHEN ra = rb THEN NULL
+                      WHEN ra < rb THEN doc_b ELSE doc_a END AS leaked_doc
+          FROM spl)
+        SELECT split_a, split_b, count(*) AS n_pairs,
+               CAST(count(DISTINCT leaked_doc) AS BIGINT) AS n_leaked_docs
+        FROM nm GROUP BY split_a, split_b
+        ORDER BY split_a, split_b"""),
+      run = (spark, dir) =>
+        splitLeakageCensus(verifiedPairsIndexed(spark, dir)))
   )
+
+  /** q146's census over any (doc_a, doc_b) pair frame: label each side
+    * with q85's hash split (recomputed — the label is a pure function of
+    * the id, so the corpus is never rejoined), normalize by sensitivity
+    * rank (train < val < test), count pairs and distinct compromised
+    * more-sensitive-side docs per split pair. */
+  private[queries] def splitLeakageCensus(pairs: DataFrame): DataFrame = {
+    import graft.operators.Sampling
+    val fracs = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    def rk(c: org.apache.spark.sql.Column) =
+      when(c === "train", 0).when(c === "val", 1).otherwise(2)
+    val labeled = Sampling.hashSplit(
+      Sampling.hashSplit(pairs, "doc_a", fracs, "spa"),
+      "doc_b", fracs, "spb")
+    labeled
+      .select(
+        when(rk(col("spa")) <= rk(col("spb")), col("spa"))
+          .otherwise(col("spb")).as("split_a"),
+        when(rk(col("spa")) <= rk(col("spb")), col("spb"))
+          .otherwise(col("spa")).as("split_b"),
+        when(rk(col("spa")) === rk(col("spb")), lit(null).cast("long"))
+          .when(rk(col("spa")) < rk(col("spb")), col("doc_b"))
+          .otherwise(col("doc_a")).as("leaked_doc"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("leaked_doc")).as("n_leaked_docs"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
 
   /** q127's pair pipeline over a single-column (`name`) relation —
     * extracted so the spec can drive it against exhaustive in-JVM

@@ -25,7 +25,7 @@ import org.apache.spark.sql.graft.{PqCodebook, PqExprs, PqLuts}
   */
 object Similarity {
 
-  private val QUERY_MOD = 53 // ~2% of vec_ids serve as the query set
+  private[queries] val QUERY_MOD = 53 // ~2% of vec_ids serve as the query set
   // q20's FIXED-COUNT query sample size: bounds the broadcast side by
   // count (constant at any corpus scale), where QUERY_MOD bounds by
   // fraction (broadcast grows with the corpus)
@@ -38,7 +38,7 @@ object Similarity {
   // corpus — a broadcast OOM plus N²/101 assignment dot products.
   private[queries] val CENTROID_BUDGET: Long =
     graft.similarity.VectorSearch.CentroidBudget
-  private val TOPK = 10
+  private[queries] val TOPK = 10
   // q131's swept serving dial: curve points {1,2,4,8}, recall target in
   // basis points (8000 = the 0.8 recall@10 a deployment typically
   // demands before trusting an index)
@@ -283,6 +283,43 @@ object Similarity {
                d2_mu
         FROM best WHERE rn = 1
         ORDER BY vec_id, j"""
+
+  /** q36's complete oracle (bounded codebook → assignment → modulus
+    * probe set taking its own cell → exact in-cell top-k). Shared
+    * verbatim with q144's streaming serve — the q134/q139 twin
+    * discipline: ONE oracle gates both the batch and streaming
+    * constructions, so any drift between them breaks the hash. */
+  private[queries] def ivfServeOracleSql: String = s"""
+        $normedCte,
+        $centsCte,
+        assigned AS (
+          SELECT vec_id, c_id FROM (
+            SELECT n.vec_id, c_id,
+                   row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              c_id) AS rn
+            FROM n, cents)
+          WHERE rn = 1),
+        qs AS (
+          SELECT n.vec_id AS q_id, v AS qv, nrm AS qn, a.c_id AS qcell
+          FROM n JOIN assigned a ON n.vec_id = a.vec_id
+          WHERE n.vec_id % $QUERY_MOD = 0),
+        scored AS (
+          SELECT q_id, n.vec_id AS neighbor,
+                 round(list_sum(list_transform(range(1, len(v) + 1),
+                                i -> v[i] * qv[i])) / (nrm * qn), 4) AS cosine
+          FROM n JOIN assigned a ON n.vec_id = a.vec_id
+          JOIN qs ON a.c_id = qs.qcell
+          WHERE n.vec_id <> q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank,
+               neighbor, cosine
+        FROM scored
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""
 
   /** The q131 oracle's CTE chain (normed corpus → bounded codebook →
     * assignment → evaluated probe sample → ranked probe cells →
@@ -638,37 +675,7 @@ object Similarity {
     // Cell-assignment scores rank in integer micro-units (floor(cos·10⁶+0.5), the Q.cents construction) before the argmax
     // tie-break (engine-independent ordering).
     Q("q36_ann_ivf",
-      oracle = Some(s"""
-        $normedCte,
-        $centsCte,
-        assigned AS (
-          SELECT vec_id, c_id FROM (
-            SELECT n.vec_id, c_id,
-                   row_number() OVER (
-                     PARTITION BY n.vec_id
-                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
-                                    i -> v[i] * cv[i])) / (nrm * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
-                              c_id) AS rn
-            FROM n, cents)
-          WHERE rn = 1),
-        qs AS (
-          SELECT n.vec_id AS q_id, v AS qv, nrm AS qn, a.c_id AS qcell
-          FROM n JOIN assigned a ON n.vec_id = a.vec_id
-          WHERE n.vec_id % $QUERY_MOD = 0),
-        scored AS (
-          SELECT q_id, n.vec_id AS neighbor,
-                 round(list_sum(list_transform(range(1, len(v) + 1),
-                                i -> v[i] * qv[i])) / (nrm * qn), 4) AS cosine
-          FROM n JOIN assigned a ON n.vec_id = a.vec_id
-          JOIN qs ON a.c_id = qs.qcell
-          WHERE n.vec_id <> q_id)
-        SELECT q_id,
-               CAST(row_number() OVER (PARTITION BY q_id
-                                       ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank,
-               neighbor, cosine
-        FROM scored
-        QUALIFY rank <= $TOPK
-        ORDER BY q_id, rank"""),
+      oracle = Some(ivfServeOracleSql),
       run = (spark, dir) => {
         val n = normed(spark, dir)
         ivfSearch(n, boundedCents(n), nprobe = 1)

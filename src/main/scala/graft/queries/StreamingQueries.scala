@@ -829,6 +829,74 @@ object StreamingQueries {
         runToMemorySink(spark, dir, "stream_pq_", "append", enc) {
           _.orderBy(col("vec_id"), col("j"))
         }
+      }),
+
+    // ------------------------------------------------------------------
+    // q144: STREAMING ANN SERVING — the QUERY-side twin of q139's
+    // ingest-side encode, completing the online ANN story: probe
+    // vectors arrive on a live stream and each is answered with its
+    // exact in-cell top-k against the STATIC materialized index (q36's
+    // bounded-codebook IVF — the index is batch-built before the stream
+    // starts, the q128/q139 static-side discipline). Per micro-batch:
+    // probe normalization and nearest-cell routing run MAP-SIDE inside
+    // the batch's scan stage (the native graft_nearest_centroid
+    // expression over the broadcast codebook — stateless), then one
+    // stream-static equi-join on the cell id scans only the probed
+    // cells (≈ batch_probes × √N candidate rows, never the corpus), and
+    // the per-probe top-k accumulates through the typed TopKAgg
+    // aggregator — partial buffers combine map-side, so streaming state
+    // is ≤ k entries PER PROBE EVER SEEN: state tracks query volume,
+    // not corpus volume (each probe lands in exactly one batch, so its
+    // k-entry buffer is complete the moment its batch commits). Scores,
+    // ranks and tie-breaks are q36's bitwise (4dp cosine desc, neighbor
+    // asc — TopKAgg's payload order via fixed-width ids); ONE oracle
+    // (q36's, verbatim) gates both the batch and streaming serves.
+    Q("q144_stream_ann_serve",
+      oracle = Some(Similarity.ivfServeOracleSql),
+      run = (spark, dir) => {
+        import spark.implicits._
+        import graft.functions.TopKAgg
+        import graft.functions.VectorFns.{cosine, l2norm, toDoubleArray}
+        // batch-side static index: normed corpus, bounded codebook,
+        // map-side cell assignment — persisted for the stream's lifetime
+        // so "batch-built index" holds in the PLAN too (an unpersisted
+        // static side is re-executed per micro-batch; a deployment reads
+        // the materialized assignment from the ArtifactStore instead,
+        // the q54/q142 discipline)
+        val n = Similarity.normed(spark, dir)
+        val cents = Similarity.boundedCents(n)
+        val assigned = graft.similarity.VectorSearch.assignCells(n, cents)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // probe stream: the q36 modulus probe set arriving live; per-row
+        // normalize + route to the nearest cell — stateless map
+        val probes = graft.similarity.VectorSearch.assignCells(
+          embeddingsStream(spark, dir)
+            .filter(col("vec_id") % Similarity.QUERY_MOD === 0)
+            .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+            .withColumn("nrm", l2norm(col("v"))),
+          cents)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"), col("c_id").as("qcell"))
+        val scored = probes
+          .join(assigned, col("qcell") === col("c_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(
+            format_string("%019d", col("q_id")).as("key"),
+            round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
+              .as("score"),
+            format_string("%019d", col("vec_id")).as("payload"))
+          .as[TopKAgg.ScoredRow]
+          .groupByKey(_.key).agg(TopKAgg.topK(Similarity.TOPK))
+          .toDF("key", "entries")
+        try runToMemorySink(spark, dir, "stream_ann_", "complete", scored,
+          noDataBatch = false) {
+          _.select(col("key").cast("long").as("q_id"),
+              posexplode(col("entries")))
+            .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("col.payload").cast("long").as("neighbor"),
+              col("col.score").as("cosine"))
+            .orderBy(col("q_id"), col("rank"))
+        } finally assigned.unpersist(blocking = false)
       })
   )
 }

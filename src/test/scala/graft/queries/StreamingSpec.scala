@@ -32,6 +32,27 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .map(_.name).count(_.startsWith("stream_tumbling_")) shouldBe 0
   }
 
+  test("q144: streaming ANN serve equals the batch IVF serve (q36) bitwise") {
+    // the twin discipline made executable: the online serve and the batch
+    // serve share one oracle, so they must agree row-for-row — any drift
+    // in probe routing, scoring, or tie-breaks between the streaming and
+    // batch constructions fails here before it reaches the gate
+    def rows(name: String) =
+      Registry.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val streamed = rows("q144_stream_ann_serve")
+    val batch = rows("q36_ann_ivf")
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
+  test("q144 leaves no temp view behind (memory sink dropped per invocation)") {
+    Registry.queries("q144_stream_ann_serve")(spark, sf0001).collect()
+    spark.catalog.listTables().collect()
+      .map(_.name).count(_.startsWith("stream_ann_")) shouldBe 0
+  }
+
   test("watermark bounds state: late rows beyond the watermark are dropped (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
