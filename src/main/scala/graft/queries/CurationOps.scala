@@ -338,7 +338,106 @@ object CurationOps {
     // IEEE (small-integer divide, ceil) so both engines build the
     // identical grid.
     Q("q145_chunk_overlap",
+      oracle = Some(chunkOverlapOracleSql),
+      run = (spark, dir) => chunkOverlap(table(spark, dir, "documents"))),
+
+    // ------------------------------------------------------------------
+    // q147: TOKEN-BUDGET CORPUS SELECTION — the quality-greedy cut every
+    // budgeted training run makes: given a token budget (here half the
+    // corpus — scale-relative so the decision is real at every sf),
+    // keep the highest-quality documents whose cumulative token count
+    // fits. Greedy-by-quality is the canonical selection rule
+    // (quality-ranked prefix under a budget); the relational form is a
+    // prefix sum over the quality order, and THAT is the 100 TB
+    // problem: a naive `sum() OVER (ORDER BY quality)` funnels the
+    // whole corpus through ONE window task. This query runs it through
+    // the distributed PrefixSum kernel instead (range-partition on the
+    // order key, per-partition local scans, a ≤|partitions|-row driver
+    // scan for the offsets — the q28/q90 discipline). The order key
+    // packs (quality desc, doc_id asc) into ONE long — 4dp quality
+    // micro-units in the high bits, doc_id below 2⁴⁰ headroom — so the
+    // range exchange samples fixed-width keys. Quality is q23's exact
+    // formula (shared snap), the budget an exact integer halving, and
+    // the output the per-source census of what made the cut: the
+    // mixture a budget actually buys, which is how a curation team
+    // reads a selection before shipping it.
+    Q("q147_budget_select",
       oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, source, ${TextFns.sql.tokens} AS tk
+          FROM documents),
+        f0 AS (
+          SELECT doc_id, source, len(tk) AS n_toks,
+                 ${TextAnalysis.markerCountSql(TextAnalysis.enStop)} AS n_stop,
+                 len(list_distinct(tk)) AS n_distinct
+          FROM toks WHERE len(tk) > 0),
+        f AS (
+          SELECT doc_id, source, n_toks,
+                 CAST(floor((0.3 * least(n_toks / 100.0, 1.0) +
+                             0.4 * (n_stop * 1.0 / n_toks) +
+                             0.3 * (n_distinct * 1.0 / n_toks)) * 10000 + 0.5)
+                      AS BIGINT) AS qmu
+          FROM f0),
+        k AS (
+          SELECT *, (10000 - qmu) * 1099511627776 + doc_id AS ord FROM f),
+        c AS (
+          SELECT *, coalesce(sum(n_toks) OVER (
+                      ORDER BY ord
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cum_before
+          FROM k),
+        b AS (SELECT CAST(floor(sum(n_toks) / 2.0) AS BIGINT) AS budget FROM f)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               min(qmu) / 10000.0 AS min_quality
+        FROM c, b WHERE cum_before + n_toks <= budget
+        GROUP BY source ORDER BY source"""),
+      run = (spark, dir) => {
+        val f = table(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) > 0)
+          .select(col("doc_id"), col("source"),
+            size(col("tk")).cast("long").as("n_toks"),
+            TextAnalysis.markerCount(col("tk"), TextAnalysis.enStop)
+              .as("n_stop"),
+            size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
+          .withColumn("qmu",
+            floor((lit(0.3) * least(col("n_toks") / 100.0, lit(1.0)) +
+              lit(0.4) * (col("n_stop") * lit(1.0) / col("n_toks")) +
+              lit(0.3) * (col("n_distinct") * lit(1.0) / col("n_toks")))
+              * 10000 + 0.5).cast("long"))
+          .drop("n_stop", "n_distinct")
+          .withColumn("ord",
+            (lit(10000L) - col("qmu")) * lit(1L << 40) + col("doc_id"))
+        val (ranked, cached) = graft.operators.PrefixSum
+          .exclusiveRunningTotal(f, "ord", "n_toks", "cum_before")
+        // budget from the already-persisted pid-stamped frame — one
+        // cached-scan agg, no second corpus read
+        val budget = math.floor(
+          cached.agg(sum(col("n_toks"))).head().getLong(0) / 2.0).toLong
+        val census = Q.localized(ranked
+          .filter(col("cum_before") + col("n_toks") <= budget)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            (min(col("qmu")) / 10000.0).as("min_quality"))
+          .orderBy(col("source")))
+        cached.unpersist(blocking = false)
+        census
+      })
+  )
+
+  /** q145's chunk geometry: W-token windows every S tokens (W−S overlap).
+    * 32/24 is the miniature of the 512/384-ish production RAG defaults —
+    * the GEOMETRY is the operator; the sizes are deployment dials. */
+  private[queries] val ChunkW = 32
+  private[queries] val ChunkS = 24
+
+  /** q145's complete oracle — shared verbatim with q148's streaming
+    * chunker (the q134/q139 twin discipline: one oracle gates both the
+    * batch and ingest-time constructions). */
+  private[queries] def chunkOverlapOracleSql: String = s"""
         WITH tkq145 AS (
           SELECT doc_id, ${TextFns.sql.tokens} AS tk
           FROM documents WHERE text IS NOT NULL),
@@ -361,19 +460,13 @@ object CurationOps {
                CAST(n_toks AS BIGINT) AS n_toks,
                CAST(length(ctext) AS BIGINT) AS n_chars,
                ${TextFns.sql.hash56("md5(ctext)", 1)} AS chunk_hash
-        FROM ch ORDER BY doc_id, chunk_no"""),
-      run = (spark, dir) => chunkOverlap(table(spark, dir, "documents")))
-  )
+        FROM ch ORDER BY doc_id, chunk_no"""
 
-  /** q145's chunk geometry: W-token windows every S tokens (W−S overlap).
-    * 32/24 is the miniature of the 512/384-ish production RAG defaults —
-    * the GEOMETRY is the operator; the sizes are deployment dials. */
-  private[queries] val ChunkW = 32
-  private[queries] val ChunkS = 24
-
-  /** q145's pipeline over any (doc_id, text) frame: the overlapping
-    * chunk-store relation (see the Q above for the full rationale). */
-  private[queries] def chunkOverlap(docs: DataFrame): DataFrame = {
+  /** q145's chunk relation over any (doc_id, text) frame, UNORDERED —
+    * every operator is a stateless map (tokenize, slice-built explode,
+    * hashing), so the same plan runs over a batch frame AND inside a
+    * micro-batch (q148's ingest-time twin). */
+  private[queries] def chunkRows(docs: DataFrame): DataFrame = {
     val tk = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) > 0)
@@ -393,8 +486,12 @@ object CurationOps {
           .as("n_toks"),
         length(col("col.ctext")).cast("long").as("n_chars"),
         TextFns.hash56(md5(col("col.ctext")), 1).as("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk_no"))
   }
+
+  /** q145's pipeline over any (doc_id, text) frame: the overlapping
+    * chunk-store relation (see the Q above for the full rationale). */
+  private[queries] def chunkOverlap(docs: DataFrame): DataFrame =
+    chunkRows(docs).orderBy(col("doc_id"), col("chunk_no"))
 
   /** q111's pipeline over any (doc_id, source, text) frame: the driver-
     * localized top-k raw docs by DSIR importance weight. `isTarget`

@@ -897,6 +897,26 @@ object StreamingQueries {
               col("col.score").as("cosine"))
             .orderBy(col("q_id"), col("rank"))
         } finally assigned.unpersist(blocking = false)
+      }),
+
+    // ------------------------------------------------------------------
+    // q148: STREAMING CHUNKER — q145's RAG-prep chunk store built at
+    // INGEST (the q139 discipline on the text side): documents landing
+    // on the stream are tokenized, windowed and fingerprinted inside
+    // each micro-batch's scan stage, so the chunk store a retrieval
+    // system indexes grows with the crawl instead of by a lake-wide
+    // batch sweep later. Every operator is a STATELESS map (the
+    // chunkRows plan verbatim — tokenize, slice-built explode, hashing):
+    // no watermark, no aggregation, ZERO state at any stream volume.
+    // Append-mode output is q145's relation exactly; ONE oracle (q145's,
+    // verbatim) gates both constructions.
+    Q("q148_stream_chunks",
+      oracle = Some(CurationOps.chunkOverlapOracleSql),
+      run = (spark, dir) => {
+        val chunks = CurationOps.chunkRows(documentsStream(spark, dir))
+        runToMemorySink(spark, dir, "stream_chunks_", "append", chunks) {
+          _.orderBy(col("doc_id"), col("chunk_no"))
+        }
       })
   )
 }

@@ -174,4 +174,39 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkTestSession {
       sorted.last._4 should be <= W
     }
   }
+
+  // ---------------------------------------------------------------- q147
+
+  test("q147: census equals an independent driver-side greedy replay over " +
+    "q23's scores; selected volume respects the budget") {
+    // independent replay: q23 supplies (doc_id, n_toks, quality); the
+    // test re-runs the greedy fit rule in plain Scala and compares the
+    // per-source census bitwise
+    val qual = Registry.queries("q23_quality_score")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val src = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ordered = qual.toSeq
+      .map { case (id, (n, q)) =>
+        (id, n, math.floor(q * 10000 + 0.5).toLong) }
+      .sortBy { case (id, _, qmu) => ((10000 - qmu) << 40) + id }
+    val budget = math.floor(ordered.map(_._2).sum / 2.0).toLong
+    var cum = 0L
+    val sel = ordered.flatMap { case (id, n, qmu) =>
+      val keep = cum + n <= budget
+      cum += n
+      if (keep) Some((src(id), n, qmu)) else None
+    }
+    val expected = sel.groupBy(_._1).map { case (s, xs) =>
+      (s, xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).min / 10000.0)
+    }.toSet
+    val got = Registry.queries("q147_budget_select")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    got.toSet shouldBe expected
+    got.map(_._3).sum should be <= budget
+    got should not be empty
+  }
 }

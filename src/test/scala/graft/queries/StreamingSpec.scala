@@ -53,6 +53,16 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .map(_.name).count(_.startsWith("stream_ann_")) shouldBe 0
   }
 
+  test("q148: ingest-time chunker equals the batch chunker (q145) bitwise") {
+    def rows(name: String) =
+      Registry.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+    val streamed = rows("q148_stream_chunks")
+    streamed shouldBe rows("q145_chunk_overlap")
+    streamed should not be empty
+  }
+
   test("watermark bounds state: late rows beyond the watermark are dropped (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
