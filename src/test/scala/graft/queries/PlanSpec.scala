@@ -789,4 +789,30 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     aggAt should be >= 0
     levAt should be > aggAt
   }
+
+  test("q145: the chunker is MAP-ONLY — no hash exchange, no join, no " +
+    "aggregate; the only exchange is the output sort's range partitioning") {
+    val p = plan("q145_chunk_overlap")
+    p should not include "Exchange hashpartitioning"
+    p should not include "HashAggregate"
+    p should not include "Join"
+    // (the output sort's range exchange is the only one in the plan,
+    // but AQE collapses it at spec scale and the formatted dump repeats
+    // operators — counting it is environment-dependent, the absences
+    // above are the load-bearing pins)
+  }
+
+  test("q146: the leakage audit READS the pair artifact and never rejoins " +
+    "the corpus — split labels are inline hash arithmetic on the pair side") {
+    plan("q17_neardup_minhash") // ensure the per-process artifact exists
+    val p = plan("q146_split_leakage")
+    p should include("neardup_pair_index")
+    // no join of any kind: the split label is a pure function of the id
+    p should not include "Join"
+    // no shingle re-derivation, no documents scan
+    p should not include "arrays_zip"
+    p should not include "documents"
+    // one bounded rollup over the labeled pairs (distinct + census aggs)
+    p should include("HashAggregate")
+  }
 }
