@@ -425,8 +425,140 @@ object CurationOps {
           .orderBy(col("source")))
         cached.unpersist(blocking = false)
         census
+      }),
+
+    // ------------------------------------------------------------------
+    // q149: MIXTURE-WEIGHT OPTIMIZATION (the DoReMi shape, Xie et al.
+    // 2023, in relational form) — the iterative loop that TUNES q68's
+    // static mixture dial: start uniform over domains, repeatedly
+    // up-weight domains whose loss exceeds the current weighted mean
+    // (multiplicative-weights update, the DoReMi minimax step with a
+    // relational loss proxy — q23's quality deficit stands in for the
+    // per-domain excess loss a proxy model supplies in the paper; q28
+    // owns actual training). Emits the full weight trajectory (round,
+    // source, loss_bp, weight_pp10k) — the artifact a data team reads
+    // to set sampling rates for the next training run.
+    //
+    // Scale shape: the corpus is touched ONCE (the q149 rollup:
+    // groupBy source over doc-level integer quality — map-side
+    // partials, |domains| rows out); the T-round loop then runs on the
+    // DOMAIN-sized relation driver-side — model-sized by construction,
+    // the q111/q122 discipline. Cross-engine exactness: losses in
+    // integer basis points, weights in integer parts-per-10⁴,
+    // multiplier (2·10⁴ + excess) ∈ [10⁴, 3·10⁴] so raw products stay
+    // ≤ 3·10⁸ and every floor(a·10⁴/b) sees EXACT doubles (< 2⁵³) —
+    // both engines perform the identical IEEE division and floor, so
+    // the whole trajectory compares bitwise. The oracle unrolls the T
+    // rounds as chained CTE blocks (the q122 pattern).
+    Q("q149_mixture_reweight",
+      oracle = Some(mixtureReweightOracleSql),
+      run = (spark, dir) => {
+        val k = MixRounds
+        // the one corpus pass: per-domain doc counts + integer quality sum
+        val d = table(spark, dir, "documents")
+          .select(col("source"), TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) > 0)
+          .select(col("source"),
+            size(col("tk")).cast("long").as("n_toks"),
+            TextAnalysis.markerCount(col("tk"), TextAnalysis.enStop)
+              .as("n_stop"),
+            size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
+          .withColumn("qmu",
+            floor((lit(0.3) * least(col("n_toks") / 100.0, lit(1.0)) +
+              lit(0.4) * (col("n_stop") * lit(1.0) / col("n_toks")) +
+              lit(0.3) * (col("n_distinct") * lit(1.0) / col("n_toks")))
+              * 10000 + 0.5).cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("qmu")).as("s_qmu"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        // domain-sized driver loop — pure Long/IEEE arithmetic mirrored
+        // term-for-term by the oracle's unrolled CTEs
+        val loss = d.map { case (s, n, sq) =>
+          s -> (10000L - math.floor(sq.toDouble / n.toDouble).toLong)
+        }
+        val w0 = math.floor(10000.0 / loss.length).toLong
+        var w = loss.map { case (s, l) => (s, l, w0) }
+        val traj = Seq.newBuilder[(Long, String, Long, Long)]
+        traj ++= w.map { case (s, l, wi) => (0L, s, l, wi) }
+        for (r <- 1 to k) {
+          val swl = w.map { case (_, l, wi) => wi * l }.sum
+          val sw = w.map(_._3).sum
+          val lbar = math.floor(swl.toDouble / sw.toDouble).toLong
+          val raw = w.map { case (s, l, wi) =>
+            (s, l, wi * (20000L + l - lbar)) }
+          val sraw = raw.map(_._3).sum
+          w = raw.map { case (s, l, rv) =>
+            (s, l, math.floor(rv.toDouble * 10000.0 / sraw.toDouble).toLong) }
+          traj ++= w.map { case (s, l, wi) => (r.toLong, s, l, wi) }
+        }
+        import spark.implicits._
+        traj.result()
+          .toDF("round", "source", "loss_bp", "weight_pp10k")
+          .orderBy(col("round"), col("source"))
       })
   )
+
+  /** q149's round count — enough for the weights to visibly separate
+    * while keeping the unrolled oracle readable. */
+  private val MixRounds = 6
+
+  /** One oracle round: weighted-mean loss over w{r-1}, multiplicative
+    * raw update, re-normalization to parts-per-10⁴ — every intermediate
+    * an exact-in-double integer, the identical ops the driver loop runs.
+    * MATERIALIZED + window-form aggregates are load-bearing: each CTE is
+    * referenced twice (next round + the trajectory union), and DuckDB
+    * re-inlines plain CTEs per reference — the unrolled chain would
+    * re-derive the corpus pass 2^rounds times without the pin. */
+  private def mixRoundCtes(r: Int): String = s"""
+        x$r AS MATERIALIZED (
+          SELECT source, loss,
+                 w * (20000 + loss -
+                      CAST(floor(sum(w * loss) OVER () * 1.0 /
+                                 sum(w) OVER ()) AS BIGINT)) AS raw
+          FROM w${r - 1}),
+        w$r AS MATERIALIZED (
+          SELECT source, loss,
+                 CAST(floor(raw * 10000.0 / sum(raw) OVER ()) AS BIGINT) AS w
+          FROM x$r)"""
+
+  private def mixtureReweightOracleSql: String = {
+    val rounds = (1 to MixRounds).map(mixRoundCtes).mkString(",")
+    val union = (0 to MixRounds)
+      .map(r => s"SELECT $r AS r, source, loss, w FROM w$r")
+      .mkString("\n          UNION ALL ")
+    s"""
+        WITH toks AS (
+          SELECT doc_id, source, ${TextFns.sql.tokens} AS tk
+          FROM documents),
+        f0 AS (
+          SELECT source, len(tk) AS n_toks,
+                 ${TextAnalysis.markerCountSql(TextAnalysis.enStop)} AS n_stop,
+                 len(list_distinct(tk)) AS n_distinct
+          FROM toks WHERE len(tk) > 0),
+        f AS (
+          SELECT source,
+                 CAST(floor((0.3 * least(n_toks / 100.0, 1.0) +
+                             0.4 * (n_stop * 1.0 / n_toks) +
+                             0.3 * (n_distinct * 1.0 / n_toks)) * 10000 + 0.5)
+                      AS BIGINT) AS qmu
+          FROM f0),
+        dl AS MATERIALIZED (
+          SELECT source,
+                 10000 - CAST(floor(sum(qmu) * 1.0 / count(*)) AS BIGINT)
+                   AS loss
+          FROM f GROUP BY source),
+        w0 AS MATERIALIZED (
+          SELECT source, loss,
+                 CAST(floor(10000.0 / count(*) OVER ()) AS BIGINT) AS w
+          FROM dl),$rounds
+        SELECT CAST(r AS BIGINT) AS round, source,
+               CAST(loss AS BIGINT) AS loss_bp,
+               CAST(w AS BIGINT) AS weight_pp10k
+        FROM ($union)
+        ORDER BY round, source"""
+  }
 
   /** q145's chunk geometry: W-token windows every S tokens (W−S overlap).
     * 32/24 is the miniature of the 512/384-ish production RAG defaults —

@@ -209,4 +209,50 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkTestSession {
     got.map(_._3).sum should be <= budget
     got should not be empty
   }
+
+  // ---------------------------------------------------------------- q149
+
+  test("q149: trajectory equals an independent driver-side replay of the " +
+    "multiplicative-weights loop; round 0 uniform; mass approximately " +
+    "conserved; above-average-loss domains gain weight in round 1") {
+    val rows = Registry.queries("q149_mixture_reweight")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val losses = rows.filter(_._1 == 0L).map(x => x._2 -> x._3)
+      .sortBy(_._1)
+    // independent replay in plain Scala from the round-0 losses
+    val w0 = math.floor(10000.0 / losses.length).toLong
+    var w = losses.map { case (s, l) => (s, l, w0) }
+    var expected = w.map { case (s, l, wi) => (0L, s, l, wi) }
+    for (r <- 1 to 6) {
+      val lbar = math.floor(
+        w.map { case (_, l, wi) => wi * l }.sum.toDouble /
+          w.map(_._3).sum.toDouble).toLong
+      val raw = w.map { case (s, l, wi) => (s, l, wi * (20000L + l - lbar)) }
+      val sraw = raw.map(_._3).sum
+      w = raw.map { case (s, l, rv) =>
+        (s, l, math.floor(rv.toDouble * 10000.0 / sraw.toDouble).toLong) }
+      expected = expected ++ w.map { case (s, l, wi) => (r.toLong, s, l, wi) }
+    }
+    rows.toSet shouldBe expected.toSet
+    // round 0 uniform
+    rows.filter(_._1 == 0L).map(_._4).distinct.length shouldBe 1
+    // normalization keeps total mass within floor-rounding of 10^4
+    (0L to 6L).foreach { r =>
+      val tot = rows.filter(_._1 == r).map(_._4).sum
+      tot should be <= 10000L
+      tot should be > 10000L - losses.length
+    }
+    // directional sanity: in round 1 every above-weighted-mean-loss
+    // domain's weight is >= every below-mean domain's weight change
+    val lbar0 = math.floor(
+      losses.map { case (_, l) => w0 * l }.sum.toDouble /
+        (w0 * losses.length).toDouble).toLong
+    val r1 = rows.filter(_._1 == 1L).map(x => x._2 -> x._4).toMap
+    val lmap = losses.toMap
+    r1.foreach { case (s, w1) =>
+      if (lmap(s) > lbar0) w1 should be >= w0
+      if (lmap(s) < lbar0 - 1) w1 should be <= w0
+    }
+  }
 }
