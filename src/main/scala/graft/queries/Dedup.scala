@@ -1097,7 +1097,91 @@ object Dedup {
         FROM nm GROUP BY split_a, split_b
         ORDER BY split_a, split_b"""),
       run = (spark, dir) =>
-        splitLeakageCensus(verifiedPairsIndexed(spark, dir)))
+        splitLeakageCensus(verifiedPairsIndexed(spark, dir))),
+
+    // ------------------------------------------------------------------
+    // q150: SPLIT-LEAKAGE REPAIR — q146's measurement feeding the ACT
+    // (the q131→q132 measure→decide discipline on the leakage axis):
+    // decontaminate TRAIN against the eval splits by dropping every
+    // train doc that is a near-duplicate of a val/test doc — the
+    // standard repair (eval stays fixed so benchmark numbers remain
+    // comparable; train sheds the memorization channel). Direct pairs
+    // only, by declared semantics: one hop of the verified pair graph
+    // (the transitive closure is q109's cluster machinery; chained
+    // near-dup leakage decays with each hop and published
+    // decontamination drops direct matches). Output: per-split census
+    // (n_docs, n_removed, n_kept) — train shows the cost of the
+    // repair, val/test rows pin that eval was untouched.
+    // Scale shape: the removal set derives from the PAIR artifact with
+    // split labels as inline hash arithmetic (q146's no-rejoin rule) —
+    // pair-graph-sized; the corpus pass is one narrow scan labeled by
+    // the same hash plus a broadcast LEFT SEMI membership probe and a
+    // ≤3-group rollup. No corpus shuffle, no join wider than the
+    // removal id set.
+    Q("q150_split_repair",
+      oracle = Some(s"""
+        WITH $verifiedPairsCteBody,
+        lbl AS (
+          SELECT doc_a, doc_b,
+                 CASE
+                   WHEN (CAST(('0x' || substr(md5('split|' || CAST(doc_a AS VARCHAR)), 1, 6))
+                         AS BIGINT) % 10000) < 9000 THEN 0
+                   WHEN (CAST(('0x' || substr(md5('split|' || CAST(doc_a AS VARCHAR)), 1, 6))
+                         AS BIGINT) % 10000) < 9500 THEN 1
+                   ELSE 2 END AS ra,
+                 CASE
+                   WHEN (CAST(('0x' || substr(md5('split|' || CAST(doc_b AS VARCHAR)), 1, 6))
+                         AS BIGINT) % 10000) < 9000 THEN 0
+                   WHEN (CAST(('0x' || substr(md5('split|' || CAST(doc_b AS VARCHAR)), 1, 6))
+                         AS BIGINT) % 10000) < 9500 THEN 1
+                   ELSE 2 END AS rb
+          FROM vp),
+        rm AS (
+          SELECT DISTINCT CASE WHEN ra = 0 THEN doc_a ELSE doc_b END AS doc_id
+          FROM lbl WHERE least(ra, rb) = 0 AND greatest(ra, rb) > 0),
+        spl AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN (CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 6))
+                         AS BIGINT) % 10000) < 9000 THEN 'train'
+                   WHEN (CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 6))
+                         AS BIGINT) % 10000) < 9500 THEN 'val'
+                   ELSE 'test' END AS split
+          FROM documents)
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM rm)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM rm)
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+        FROM spl GROUP BY split ORDER BY split"""),
+      run = (spark, dir) => {
+        import graft.operators.Sampling
+        val fracs = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+        def rk(c: org.apache.spark.sql.Column) =
+          when(c === "train", 0).when(c === "val", 1).otherwise(2)
+        // removal set: train-side docs of cross-split pairs — derived
+        // from the pair artifact, labels inline (the q146 shape)
+        val labeled = Sampling.hashSplit(
+          Sampling.hashSplit(verifiedPairsIndexed(spark, dir),
+            "doc_a", fracs, "spa"),
+          "doc_b", fracs, "spb")
+        val rm = labeled
+          .filter(least(rk(col("spa")), rk(col("spb"))) === 0 &&
+            greatest(rk(col("spa")), rk(col("spb"))) > 0)
+          .select(when(rk(col("spa")) === 0, col("doc_a"))
+            .otherwise(col("doc_b")).as("doc_id"))
+          .distinct()
+          .withColumn("rm", lit(1L))
+        Sampling.hashSplit(
+            table(spark, dir, "documents").select(col("doc_id")),
+            "doc_id", fracs)
+          .join(broadcast(rm), Seq("doc_id"), "left")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("rm"), lit(0L))).as("n_removed"),
+            sum(when(col("rm").isNull, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy(col("split"))
+      })
   )
 
   /** q146's census over any (doc_a, doc_b) pair frame: label each side

@@ -162,4 +162,32 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
       r.getLong(3) should be <= r.getLong(2) // distinct docs <= pairs
     }
   }
+
+  test("q150: repair removes exactly the independently-derived train-side " +
+    "contaminators; eval splits untouched; counts partition each split") {
+    val labels = graft.operators.Sampling.hashSplit(
+        spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id"),
+        "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expectedRm = Dedup.verifiedPairsIndexed(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        (labels(a), labels(b)) match {
+          case ("train", lb) if lb != "train" => Some(a)
+          case (la, "train") if la != "train" => Some(b)
+          case _ => None
+        }
+      }.distinct
+    val rows = Registry.queries("q150_split_repair")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.keySet shouldBe Set("train", "val", "test")
+    rows.foreach { case (s, (n, rm, kept)) =>
+      assert(n == labels.values.count(_ == s).toLong)
+      assert(rm + kept == n)
+      if (s != "train") assert(rm == 0L)
+    }
+    rows("train")._2 shouldBe expectedRm.length.toLong
+  }
 }

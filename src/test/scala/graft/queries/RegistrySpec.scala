@@ -54,8 +54,9 @@ class RegistrySpec extends AnyFunSuite with Matchers {
         withClue(s"$name references '$t': ") {
           // CTE aliases and subselects are fine; read_parquet is q54's
           // shared-centroid artifact; anything else must be a real table
-          val cteNames = "(?i)([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
-            .findAllMatchIn(cleaned).map(_.group(1).toLowerCase).toSet
+          val cteNames =
+            "(?i)([a-z_][a-z0-9_]*)\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
+              .findAllMatchIn(cleaned).map(_.group(1).toLowerCase).toSet
           (known.contains(t) || cteNames.contains(t) || t == "lateral" ||
             t == "read_parquet") shouldBe true
         }

@@ -79,8 +79,13 @@ def main():
         except Exception:
             sys.exit(f"cannot read latest capture {latest_path}")
 
+    # the judged capture must NOT contribute to its own band — with it
+    # included, latest > max can never trigger for a committed capture
+    # and the drift check is vacuous (caught round 15: a latest==max row)
     hist = {}
     for _, p, qs, _ in caps:
+        if p == latest_path:
+            continue
         for q, v in qs.items():
             if isinstance(v, (int, float)):
                 hist.setdefault(q, []).append(float(v))
