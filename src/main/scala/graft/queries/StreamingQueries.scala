@@ -846,11 +846,18 @@ object StreamingQueries {
     // the per-probe top-k accumulates through the typed TopKAgg
     // aggregator — partial buffers combine map-side, so streaming state
     // is ≤ k entries PER PROBE EVER SEEN: state tracks query volume,
-    // not corpus volume (each probe lands in exactly one batch, so its
-    // k-entry buffer is complete the moment its batch commits). Scores,
-    // ranks and tie-breaks are q36's bitwise (4dp cosine desc, neighbor
-    // asc — TopKAgg's payload order via fixed-width ids); ONE oracle
-    // (q36's, verbatim) gates both the batch and streaming serves.
+    // not corpus volume. UPDATE output mode is deployment-load-bearing:
+    // each probe lands in exactly one batch (unique vec_ids, one file),
+    // so its k-entry aggregate is complete the moment that batch
+    // commits and update emits each probe ONCE — output volume ∝
+    // probes, where complete mode would re-emit every probe ever seen
+    // on every subsequent batch (quadratic in batches on a long-lived
+    // serve). Scores, ranks and tie-breaks are q36's bitwise (4dp
+    // cosine desc, neighbor asc — TopKAgg's payload order via
+    // fixed-width ids); ONE oracle (q36's, verbatim) gates both the
+    // batch and streaming serves — a double emission would double sink
+    // rows and break the hash, so the once-per-probe claim is gated,
+    // not asserted.
     Q("q144_stream_ann_serve",
       oracle = Some(Similarity.ivfServeOracleSql),
       run = (spark, dir) => {
@@ -888,7 +895,7 @@ object StreamingQueries {
           .as[TopKAgg.ScoredRow]
           .groupByKey(_.key).agg(TopKAgg.topK(Similarity.TOPK))
           .toDF("key", "entries")
-        try runToMemorySink(spark, dir, "stream_ann_", "complete", scored,
+        try runToMemorySink(spark, dir, "stream_ann_", "update", scored,
           noDataBatch = false) {
           _.select(col("key").cast("long").as("q_id"),
               posexplode(col("entries")))
