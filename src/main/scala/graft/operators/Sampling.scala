@@ -137,6 +137,16 @@ object Sampling {
     * (buckets < 3000) would have an EMPTY `test` split (buckets ≥ 9500)
     * — every hash-derived decision in a pipeline must consume its own
     * uniform, exactly like independent RNG streams. */
+  /** The corpus train/val/test split spec shared by q85 (the split
+    * itself), q146 (leakage audit) and q150 (leakage repair). ONE
+    * definition is load-bearing: the audit/repair pair recomputes split
+    * labels from this spec on the pair side, and their oracles hard-code
+    * the matching 9000/9500 cumulative cuts — a fraction changed in one
+    * site but not the others would silently audit a DIFFERENT split
+    * than the one q85 ships. */
+  val CorpusSplits: Seq[(String, Double)] =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
   def hashSplit(df: DataFrame, keyCol: String,
       splits: Seq[(String, Double)], splitCol: String = "split",
       domain: String = "split"): DataFrame = {

@@ -393,21 +393,7 @@ object CurationOps {
         FROM c, b WHERE cum_before + n_toks <= budget
         GROUP BY source ORDER BY source"""),
       run = (spark, dir) => {
-        val f = table(spark, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            TextFns.tokens(col("text")).as("tk"))
-          .filter(size(col("tk")) > 0)
-          .select(col("doc_id"), col("source"),
-            size(col("tk")).cast("long").as("n_toks"),
-            TextAnalysis.markerCount(col("tk"), TextAnalysis.enStop)
-              .as("n_stop"),
-            size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
-          .withColumn("qmu",
-            floor((lit(0.3) * least(col("n_toks") / 100.0, lit(1.0)) +
-              lit(0.4) * (col("n_stop") * lit(1.0) / col("n_toks")) +
-              lit(0.3) * (col("n_distinct") * lit(1.0) / col("n_toks")))
-              * 10000 + 0.5).cast("long"))
-          .drop("n_stop", "n_distinct")
+        val f = qualityMicro(table(spark, dir, "documents"))
           .withColumn("ord",
             (lit(10000L) - col("qmu")) * lit(1L << 40) + col("doc_id"))
         val (ranked, cached) = graft.operators.PrefixSum
@@ -455,19 +441,7 @@ object CurationOps {
       run = (spark, dir) => {
         val k = MixRounds
         // the one corpus pass: per-domain doc counts + integer quality sum
-        val d = table(spark, dir, "documents")
-          .select(col("source"), TextFns.tokens(col("text")).as("tk"))
-          .filter(size(col("tk")) > 0)
-          .select(col("source"),
-            size(col("tk")).cast("long").as("n_toks"),
-            TextAnalysis.markerCount(col("tk"), TextAnalysis.enStop)
-              .as("n_stop"),
-            size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
-          .withColumn("qmu",
-            floor((lit(0.3) * least(col("n_toks") / 100.0, lit(1.0)) +
-              lit(0.4) * (col("n_stop") * lit(1.0) / col("n_toks")) +
-              lit(0.3) * (col("n_distinct") * lit(1.0) / col("n_toks")))
-              * 10000 + 0.5).cast("long"))
+        val d = qualityMicro(table(spark, dir, "documents"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("qmu")).as("s_qmu"))
           .collect()
@@ -499,6 +473,27 @@ object CurationOps {
           .orderBy(col("round"), col("source"))
       })
   )
+
+  /** q147/q149's shared per-doc integer quality relation (doc_id,
+    * source, n_toks, qmu): q23's exact formula snapped once to 4dp
+    * micro-units — ONE definition so the two consumers (and their
+    * oracles' mirrored CTEs) cannot drift from "q23's shared snap". */
+  private def qualityMicro(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        TextFns.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("n_toks"),
+        TextAnalysis.markerCount(col("tk"), TextAnalysis.enStop)
+          .as("n_stop"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
+      .withColumn("qmu",
+        floor((lit(0.3) * least(col("n_toks") / 100.0, lit(1.0)) +
+          lit(0.4) * (col("n_stop") * lit(1.0) / col("n_toks")) +
+          lit(0.3) * (col("n_distinct") * lit(1.0) / col("n_toks")))
+          * 10000 + 0.5).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("qmu"))
 
   /** q149's round count — enough for the weights to visibly separate
     * while keeping the unrolled oracle readable. */

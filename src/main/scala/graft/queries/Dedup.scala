@@ -1155,26 +1155,18 @@ object Dedup {
                              THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
         FROM spl GROUP BY split ORDER BY split"""),
       run = (spark, dir) => {
-        import graft.operators.Sampling
-        val fracs = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
-        def rk(c: org.apache.spark.sql.Column) =
-          when(c === "train", 0).when(c === "val", 1).otherwise(2)
         // removal set: train-side docs of cross-split pairs — derived
         // from the pair artifact, labels inline (the q146 shape)
-        val labeled = Sampling.hashSplit(
-          Sampling.hashSplit(verifiedPairsIndexed(spark, dir),
-            "doc_a", fracs, "spa"),
-          "doc_b", fracs, "spb")
-        val rm = labeled
+        val rm = splitLabeledPairs(verifiedPairsIndexed(spark, dir))
           .filter(least(rk(col("spa")), rk(col("spb"))) === 0 &&
             greatest(rk(col("spa")), rk(col("spb"))) > 0)
           .select(when(rk(col("spa")) === 0, col("doc_a"))
             .otherwise(col("doc_b")).as("doc_id"))
           .distinct()
           .withColumn("rm", lit(1L))
-        Sampling.hashSplit(
+        graft.operators.Sampling.hashSplit(
             table(spark, dir, "documents").select(col("doc_id")),
-            "doc_id", fracs)
+            "doc_id", graft.operators.Sampling.CorpusSplits)
           .join(broadcast(rm), Seq("doc_id"), "left")
           .groupBy(col("split"))
           .agg(count(lit(1)).as("n_docs"),
@@ -1184,20 +1176,30 @@ object Dedup {
       })
   )
 
+  /** The split-sensitivity rank shared by q146/q150 (train < val <
+    * test): leakage direction is defined by which side is MORE
+    * sensitive, so the ordering must be one definition. */
+  private def rk(c: org.apache.spark.sql.Column) =
+    when(c === "train", 0).when(c === "val", 1).otherwise(2)
+
+  /** A pair frame with both sides labeled by q85's shared split spec
+    * ([[graft.operators.Sampling.CorpusSplits]]) — the q146/q150
+    * common front half: labels recomputed as pure hash arithmetic on
+    * the pair side, the corpus never rejoined. */
+  private def splitLabeledPairs(pairs: DataFrame): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.hashSplit(
+      Sampling.hashSplit(pairs, "doc_a", Sampling.CorpusSplits, "spa"),
+      "doc_b", Sampling.CorpusSplits, "spb")
+  }
+
   /** q146's census over any (doc_a, doc_b) pair frame: label each side
     * with q85's hash split (recomputed — the label is a pure function of
     * the id, so the corpus is never rejoined), normalize by sensitivity
     * rank (train < val < test), count pairs and distinct compromised
     * more-sensitive-side docs per split pair. */
   private[queries] def splitLeakageCensus(pairs: DataFrame): DataFrame = {
-    import graft.operators.Sampling
-    val fracs = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
-    def rk(c: org.apache.spark.sql.Column) =
-      when(c === "train", 0).when(c === "val", 1).otherwise(2)
-    val labeled = Sampling.hashSplit(
-      Sampling.hashSplit(pairs, "doc_a", fracs, "spa"),
-      "doc_b", fracs, "spb")
-    labeled
+    splitLabeledPairs(pairs)
       .select(
         when(rk(col("spa")) <= rk(col("spb")), col("spa"))
           .otherwise(col("spb")).as("split_a"),

@@ -366,8 +366,7 @@ object ScaleOps {
         val docs = table(spark, dir, "documents")
           .select(col("doc_id"), col("lang"),
             size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
-        Sampling.hashSplit(docs, "doc_id",
-            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        Sampling.hashSplit(docs, "doc_id", Sampling.CorpusSplits)
           .groupBy(col("split"), col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
           .orderBy(col("split"), col("lang"))

@@ -857,7 +857,12 @@ object StreamingQueries {
     // fixed-width ids); ONE oracle (q36's, verbatim) gates both the
     // batch and streaming serves — a double emission would double sink
     // rows and break the hash, so the once-per-probe claim is gated,
-    // not asserted.
+    // not asserted. Corpus contract inherited from the whole q20/q36
+    // family: vectors are non-zero (a zero norm makes cosine NaN, where
+    // the batch row_number ranks NaN FIRST but TopKAgg's Double.compare
+    // ranks it LAST — q140 documents the same exclusion explicitly; a
+    // zero vector would fail the shared oracle gate loudly, not
+    // silently diverge).
     Q("q144_stream_ann_serve",
       oracle = Some(Similarity.ivfServeOracleSql),
       run = (spark, dir) => {

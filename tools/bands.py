@@ -81,10 +81,16 @@ def main():
 
     # the judged capture must NOT contribute to its own band — with it
     # included, latest > max can never trigger for a committed capture
-    # and the drift check is vacuous (caught round 15: a latest==max row)
+    # and the drift check is vacuous (caught round 15: a latest==max
+    # row). Exclusion is by CONTENT (the queries map), not by path:
+    # the same capture routinely exists under both target/ and
+    # captures/ spellings (and --latest may be given as either, ./-
+    # prefixed, or absolute), and a path mismatch would silently
+    # re-admit the capture into its own band.
+    latest_ident = json.dumps(latest, sort_keys=True)
     hist = {}
     for _, p, qs, _ in caps:
-        if p == latest_path:
+        if json.dumps(qs, sort_keys=True) == latest_ident:
             continue
         for q, v in qs.items():
             if isinstance(v, (int, float)):
@@ -112,6 +118,20 @@ def main():
     print(f"[bands] {args.scale}: {len(caps)} captures, "
           f"{len(bands)} queries -> {out}")
     print(f"[bands] latest = {latest_path}")
+    # 'within band' and 'never banded' must be distinguishable: a query
+    # present only in the judged capture (new registration, or a scale
+    # with a single capture) has NO band and is NOT judged — a green
+    # verdict that silently judged zero queries would be vacuous.
+    unbanded = sorted(q for q, v in latest.items()
+                      if isinstance(v, (int, float)) and q not in hist)
+    if unbanded:
+        print(f"[bands] {len(unbanded)} queries have NO band yet "
+              f"(absent from every other capture): "
+              f"{', '.join(unbanded[:8])}"
+              + (" ..." if len(unbanded) > 8 else ""))
+    if not hist:
+        sys.exit("[bands] no OTHER capture to band against — "
+                 "nothing was judged")
     if above:
         print(f"[bands] {len(above)} queries ABOVE their recorded band:")
         for q, lv, mx in sorted(above, key=lambda t: t[2] - t[1]):
