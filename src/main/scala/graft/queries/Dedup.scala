@@ -932,6 +932,60 @@ object Dedup {
       }),
 
     // ------------------------------------------------------------------
+    // q152: VARIABLE-LENGTH LONGEST SHARED RUN (the missing half of
+    // q102: that query fixes the span length at 8 tokens, but the
+    // ExactSubstr policy Lee et al. 2021 actually threshold — "drop a
+    // doc on a ≥50-character cross-doc match" — wants each doc's
+    // LONGEST shared run at arbitrary length). A doubling-length sweep
+    // L ∈ {8, 16, 32, 64} over q102's fingerprint machinery: a doc's
+    // max_shared_len is the largest grid length at which some sliding
+    // L-token span of it occurs in ≥ 2 distinct documents — a
+    // tight-to-within-2× lower bound on the true longest shared run
+    // (sub-spans of a shared run are shared, so the per-doc flag is
+    // MONOTONE in L and the grid max is well-defined). That is the
+    // number a ≥50-char drop policy thresholds on.
+    // Scale shape: ONE documents scan emits every span at every
+    // eligible length as a fixed-width (len, hash56) pair — never a
+    // string — so the dedup/count/rollup chain shuffles ~4n small rows
+    // with map-side combine; rep-set membership is a (len, hash) semi
+    // join; the final rollup is one max per doc. (A deployment with a
+    // long grid cascades instead: docs clean at L never contain a
+    // shared 2L-run — both endpoints of any shared pair are flagged at
+    // every shorter length — so level L+1 only rescans level-L's
+    // flagged docs; at 4 levels the single-pass union wins on scan
+    // count.) Both engines hash identically, so fingerprint semantics
+    // including the astronomically-unlikely 56-bit collision are
+    // SHARED — the compare stays exact (the q102 argument).
+    Q("q152_longest_shared_run",
+      oracle = Some(s"""
+        WITH tkq152 AS (
+          SELECT doc_id, ${TextFns.sql.tokens} AS tk
+          FROM documents WHERE text IS NOT NULL),
+        baseq152 AS (
+          SELECT doc_id, tk FROM tkq152 WHERE len(tk) >= 8),
+        lens AS (
+          SELECT CAST(l AS BIGINT) AS l
+          FROM (VALUES (8), (16), (32), (64)) AS t(l)),
+        occ AS (
+          SELECT doc_id, l,
+                 ${TextFns.sql.hash56(
+                   "md5(array_to_string(tk[i:i + CAST(l AS INTEGER) - 1], ' '))",
+                   1)} AS h
+          FROM (SELECT doc_id, l, tk,
+                       unnest(range(1, len(tk) - CAST(l AS INTEGER) + 2)) AS i
+                FROM baseq152, lens
+                WHERE len(tk) >= l) sq152),
+        ds AS (SELECT DISTINCT doc_id, l, h FROM occ),
+        rep AS (SELECT l, h FROM ds GROUP BY l, h HAVING count(*) >= 2),
+        fl AS (
+          SELECT doc_id, max(l) AS ms
+          FROM ds JOIN rep USING (l, h) GROUP BY doc_id)
+        SELECT b.doc_id, CAST(coalesce(f.ms, 0) AS BIGINT) AS max_shared_len
+        FROM baseq152 b LEFT JOIN fl f USING (doc_id)
+        ORDER BY b.doc_id"""),
+      run = (spark, dir) => longestSharedRun(table(spark, dir, "documents"))),
+
+    // ------------------------------------------------------------------
     // q118: PREFIX-FILTERED ALL-PAIRS SIMILARITY JOIN (Bayardo et al.
     // 2007 "Scaling Up All Pairs Similarity Search" / PPJoin) — the
     // EXACT counterpart of q17's LSH and q35's rare-shingle blocking:
@@ -1417,6 +1471,50 @@ object Dedup {
   // construction: each oracle re-derives the full pipeline inline in
   // SQL, so the artifact contents themselves are what the DuckDB gate
   // value-checks.
+
+  /** q152's doubling length grid — each point a PREFIX-doubling of the
+    * q102 span length, topping out past the ~50-char ExactSubstr drop
+    * threshold (64 tokens ≫ 50 chars at any realistic token width). */
+  private[queries] val RUN_LENGTHS: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** q152's pipeline over any (doc_id, text) frame: per-doc longest
+    * cross-doc shared token run on the [[RUN_LENGTHS]] doubling grid.
+    * One scan emits every span at every eligible length as a
+    * fixed-width (len, hash56) struct (CaseWhen keeps the sequence()
+    * bounds legal — the otherwise-branch empty array is never built for
+    * eligible lengths); everything after shuffles small rows. */
+  private[queries] def longestSharedRun(docs: DataFrame): DataFrame = {
+    val base = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= RUN_LENGTHS.min)
+    val emptySpans = array().cast("array<struct<l:bigint,h:bigint>>")
+    val spanArrs = RUN_LENGTHS.map { len =>
+      when(size(col("tk")) >= len,
+        transform(
+          sequence(lit(1), size(col("tk")) - (len - 1)),
+          i => struct(lit(len.toLong).as("l"),
+            TextFns.hash56(
+              md5(array_join(slice(col("tk"), i, lit(len)), " ")), 1)
+              .as("h"))))
+        .otherwise(emptySpans)
+    }
+    val ds = base
+      .select(col("doc_id"), explode(flatten(array(spanArrs: _*))).as("s"))
+      .select(col("doc_id"), col("s.l").as("l"), col("s.h").as("h"))
+      .distinct()
+    val rep = ds.groupBy(col("l"), col("h"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("l"), col("h"))
+    val fl = ds.join(rep, Seq("l", "h"), "left_semi")
+      .groupBy(col("doc_id")).agg(max(col("l")).as("ms"))
+    base.select(col("doc_id"))
+      .join(fl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ms"), lit(0L)).as("max_shared_len"))
+      .orderBy(col("doc_id"))
+  }
 
   /** The materialized verified-pair relation for `dir` (built at most
     * once per corpus across processes; a plain parquet read afterwards

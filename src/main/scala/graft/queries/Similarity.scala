@@ -245,6 +245,119 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Pack the [[PQ_M]] 1-based 4-bit codes (ksub ≤ 16) of a code ARRAY
+    * into one BIGINT — bits [4(j−1), 4j) hold code_j − 1. M static
+    * element_at + shift-multiply terms, fully codegen'd; max value
+    * 16^M − 1 < 2^32 at M = 8. The inverse is [[unpackCodes]]; the
+    * native [[org.apache.spark.sql.graft.PqAdcNumPacked]] scores the
+    * packed word directly (no unpack in the hot path). */
+  private[queries] def packCodes(codes: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (0 until PQ_M).map { j =>
+      (element_at(codes, j + 1) - lit(1L)) * lit(1L << (4 * j))
+    }.reduce(_ + _).cast("long")
+
+  /** [[packCodes]]'s inverse: the packed BIGINT back to the 1-based
+    * array<bigint> code form [[pqAdcServe]] / the oracles consume. */
+  private[queries] def unpackCodes(packed: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array((0 until PQ_M).map { j =>
+      shiftright(packed, 4 * j).bitwiseAND(lit(15L)) + lit(1L)
+    }: _*)
+
+  /** The DURABLE bit-packed IVF-PQ index — what a deployment actually
+    * serves from: one row per vector, (vec_id, nrm, c_id coarse cell,
+    * packed BIGINT code word). 24 data bytes a row versus the 512-byte
+    * float64 embedding — the q134-header 128×-class memory-traffic cut
+    * as a MATERIALIZED number (AnnScaleProbe's pq metric records the
+    * artifact-vs-embeddings bytes), not prose: through round 15 codes
+    * only ever existed as long-typed (vec_id, subspace, code) rows, so
+    * serving scans still read unpacked relations. Built at most once
+    * per corpus source identity ([[graft.exec.ArtifactStore.ensure]];
+    * geometry in the key), consumed by q135 (full-scan ADC ignores
+    * c_id), q136 (cell-restricted ADC), and q151 (elected-depth
+    * serve). Oracles stay artifact-free — they re-derive codes +
+    * assignment inline in SQL, so the gate value-checks these stored
+    * bytes every round. */
+  private[queries] def ivfPqIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.exec.ArtifactStore.ensure(spark, "ivfpq_index",
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
+        + s"-m$PQ_M-k$PQ_KSUB-s$PQ_SUB-v1") { p =>
+      val n = normed(spark, dir)
+      val cents = boundedCents(n)
+      val bcCb = spark.sparkContext.broadcast(pqCodebook(n))
+      assignCells(n, cents)
+        .select(col("vec_id"), col("nrm"), col("c_id"),
+          packCodes(transform(PqExprs.pqEncode(bcCb, col("v")),
+            s => s.getField("code"))).as("packed"))
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** [[pqAdcServe]] over the packed index relation `idx` (vec_id, nrm,
+    * packed): identical LUT broadcast, ranking and tie-breaks, but the
+    * scan scores each candidate's 8-byte packed word via the native
+    * packed-ADC expression — m shift-mask lookups, no array, no vector.
+    * Summation order matches [[pqAdcServe]] exactly, so both forms rank
+    * bitwise-identically (PqSpec pins it). */
+  private[queries] def pqAdcServePacked(idx: DataFrame, probes: DataFrame,
+      cb: PqCodebook): DataFrame = {
+    val bcLut = pqLutBroadcast(probes, cb)
+    val qsLite = probes.select(col("q_id"), col("qn"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_mu").desc, col("neighbor").asc)
+    idx
+      .crossJoin(broadcast(qsLite))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("num",
+        PqExprs.pqAdcNumPacked(bcLut, col("q_id"), col("packed")))
+      .withColumn("adc_mu",
+        floor(col("num") / (col("qn") * col("nrm")) * lit(1000000.0)
+          + lit(0.5)).cast("long"))
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("adc_mu"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= TOPK)
+      .select(col("q_id"), col("rank"), col("neighbor"), col("adc_mu"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Cell-restricted packed-ADC serve shared by q136 (nprobe = 1) and
+    * q151 (elected depth): probes rank their `nprobe` nearest coarse
+    * cells (the probeCells micro-unit rule — identical to assignment at
+    * rank 1), then ADC-score only the probed cells' packed rows. Cells
+    * partition the corpus, so multi-cell candidate unions are disjoint —
+    * no dedup. The scan side reads the 24-byte index rows; only
+    * (q_id, neighbor, adc_mu) triples reach the ranking exchange. */
+  private[queries] def ivfPqServe(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val idx = ivfPqIndex(spark, dir)
+    val n = normed(spark, dir)
+    val cents = boundedCents(n)
+    val cb = pqCodebook(n)
+    val probes = pqProbes(n)
+    val bcLut = pqLutBroadcast(probes, cb)
+    val qs = graft.similarity.VectorSearch.probeCells(
+        probes.select(col("q_id").as("vec_id"), col("qv").as("v"),
+          col("qn").as("nrm")), cents, nprobe)
+      .select(col("q_id"), col("qn"), col("qcell"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_mu").desc, col("neighbor").asc)
+    idx
+      .join(broadcast(qs), col("c_id") === col("qcell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("num",
+        PqExprs.pqAdcNumPacked(bcLut, col("q_id"), col("packed")))
+      .withColumn("adc_mu",
+        floor(col("num") / (col("qn") * col("nrm")) * lit(1000000.0)
+          + lit(0.5)).cast("long"))
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("adc_mu"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= TOPK)
+      .select(col("q_id"), col("rank"), col("neighbor"), col("adc_mu"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** q140/q141's quantized relation: q64's symmetric per-vector int8
     * scheme kept as integer-valued DOUBLES (|sv_i| ≤ 127 and their
     * 64-term product-sums ≤ ~10⁶ are all exactly representable, so the
@@ -836,27 +949,16 @@ object Similarity {
         ORDER BY q.q_id"""),
       run = (spark, dir) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        // four passes over the (narrow) normalized relation: centroid
-        // slice, cell assignment, probe slice, exact scan — persist once
+        // exact ground truth comes from the durable ann_gt_ivf artifact
+        // (one build per corpus identity across processes; a 320-row
+        // parquet read afterwards); the IVF side still recomputes — it
+        // is the thing under evaluation
         val n = normed(spark, dir).persist(MEMORY_AND_DISK)
         val cents = boundedCents(n)
         val ivf = ivfSearch(n, cents, nprobe = 1)
           .select(col("q_id"), col("neighbor"))
-        val probes = n.filter(col("vec_id") % QUERY_MOD === 0)
-          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-          .limit(QUERY_N)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("nrm").as("qn"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cosine").desc, col("neighbor").asc)
-        val exact = n.crossJoin(broadcast(probes))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("neighbor"),
-            round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
-              .as("cosine"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= TOPK)
-          .select(col("q_id"), col("neighbor"))
+        val probes = ivfEvalProbes(n)
+        val exact = ivfGroundTruth(spark, dir)
         val hits = ivf.join(exact, Seq("q_id", "neighbor"))
           .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
         val result = Q.localized(
@@ -944,11 +1046,8 @@ object Similarity {
         QUALIFY rank <= $TOPK
         ORDER BY q_id, rank"""),
       run = (spark, dir) => {
-        val chosen = nprobeCurve(spark, dir)
-          .filter(col("chosen") === 1L)
-          .select(col("nprobe")).collect().head.getLong(0).toInt
         val n = normed(spark, dir)
-        ivfSearch(n, boundedCents(n), nprobe = chosen)
+        ivfSearch(n, boundedCents(n), nprobe = electedNprobe(spark, dir))
       }),
 
     // ------------------------------------------------------------------
@@ -1140,13 +1239,13 @@ object Similarity {
         QUALIFY rank <= $TOPK
         ORDER BY q_id, rank"""),
       run = (spark, dir) => {
+        // serves from the DURABLE bit-packed index (ivfPqIndex): the
+        // scan reads (vec_id, nrm, packed) — 24 bytes a row — and the
+        // native packed-ADC expression scores the code word in place;
+        // the inline-encode form this replaces re-derived codes from
+        // the 512-byte vectors on every invocation
         val n = normed(spark, dir)
-        val cb = pqCodebook(n)
-        val bcCb = spark.sparkContext.broadcast(cb)
-        val coded = n.select(col("vec_id"), col("nrm"),
-          transform(PqExprs.pqEncode(bcCb, col("v")),
-            s => s.getField("code")).as("codes"))
-        pqAdcServe(coded, pqProbes(n), cb)
+        pqAdcServePacked(ivfPqIndex(spark, dir), pqProbes(n), pqCodebook(n))
       }),
 
     // ------------------------------------------------------------------
@@ -1220,38 +1319,94 @@ object Similarity {
         FROM scored
         QUALIFY rank <= $TOPK
         ORDER BY q_id, rank"""),
-      run = (spark, dir) => {
-        val n = normed(spark, dir)
-        val cents = boundedCents(n)
-        val cb = pqCodebook(n)
-        val bcCb = spark.sparkContext.broadcast(cb)
-        val assigned = assignCells(n, cents)
-        val coded = assigned.select(col("vec_id"), col("nrm"), col("c_id"),
-          transform(PqExprs.pqEncode(bcCb, col("v")),
-            s => s.getField("code")).as("codes"))
-        val probes = pqProbes(n)
-        val bcLut = pqLutBroadcast(probes, cb)
-        // probes take their own assigned cell — one broadcast hash join
-        // against the corpus-sized assignment, QUERY_N rows out
-        val qs = assigned
-          .join(broadcast(probes), col("vec_id") === col("q_id"))
-          .select(col("q_id"), col("qn"), col("c_id").as("qcell"))
-        val wRank = Window.partitionBy(col("q_id"))
-          .orderBy(col("adc_mu").desc, col("neighbor").asc)
-        coded
-          .join(broadcast(qs), col("c_id") === col("qcell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("num",
-            PqExprs.pqAdcNum(bcLut, col("q_id"), col("codes")))
-          .withColumn("adc_mu",
-            floor(col("num") / (col("qn") * col("nrm")) * lit(1000000.0)
-              + lit(0.5)).cast("long"))
-          .select(col("q_id"), col("vec_id").as("neighbor"), col("adc_mu"))
-          .withColumn("rank", row_number().over(wRank).cast("long"))
-          .filter(col("rank") <= TOPK)
-          .select(col("q_id"), col("rank"), col("neighbor"), col("adc_mu"))
-          .orderBy(col("q_id"), col("rank"))
-      }),
+      run = (spark, dir) =>
+        // cell-restricted packed-ADC serve from the durable index at
+        // nprobe = 1 (a probe's rank-1 cell IS its assigned cell — the
+        // probeCells/assignment identity VectorSearch documents);
+        // deeper probing is q151's elected-depth composition
+        ivfPqServe(spark, dir, nprobe = 1)),
+
+    // ------------------------------------------------------------------
+    // q151: ELECTED-DEPTH IVF-PQ SERVING — the quantization menu's
+    // closing composition: q131's measured election (smallest nprobe
+    // clearing the 8000 bp recall target over exact ground truth) is
+    // APPLIED to q136's cell-restricted ADC serve, so the "only shape
+    // that serves a billion-vector lake from RAM" (q136's header) now
+    // has a recall-targeted production registration instead of a fixed
+    // nprobe = 1. The three relatives diff row-by-row: q136 = this at
+    // nprobe 1 (PqSpec pins the identity), q132 = the election over
+    // exact-vector cells, q135 = the unrestricted ADC scan. Scale
+    // shape: the election reads the 4-row curve artifact; the serve
+    // scans ≤ nprobe cells per probe of the 24-byte-row packed index
+    // (disjoint cells — no dedup), with the m shift-mask-lookup native
+    // expression scoring each 8-byte code word; only (q_id, neighbor,
+    // adc_mu) triples reach the ranking exchange.
+    Q("q151_ivfpq_auto_nprobe",
+      oracle = Some(s"""
+        $nprobeCurveCtes,
+        psel AS (
+          SELECT v AS cv,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                    vec_id) AS c
+          FROM n QUALIFY c <= $PQ_KSUB),
+        subq AS (
+          SELECT n.vec_id, j, s.c,
+                 CAST(floor(list_sum(list_transform(range(1, $PQ_SUB + 1),
+                        i -> (v[(j-1)*$PQ_SUB + i] - cv[(j-1)*$PQ_SUB + i])
+                           * (v[(j-1)*$PQ_SUB + i] - cv[(j-1)*$PQ_SUB + i])))
+                      * 1000000.0 + 0.5) AS BIGINT) AS d2_mu
+          FROM n, psel s, $pqJs),
+        bestq AS (
+          SELECT vec_id, j, c, d2_mu,
+                 row_number() OVER (PARTITION BY vec_id, j
+                                    ORDER BY d2_mu, c) AS rn
+          FROM subq),
+        pcodes AS (
+          SELECT vec_id, list(c ORDER BY j) AS code
+          FROM bestq WHERE rn = 1 GROUP BY vec_id),
+        qsr2 AS (
+          SELECT vec_id AS q_id, v AS qv, nrm AS qn
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $QUERY_N),
+        qcell2 AS (
+          SELECT q_id, qn, qcell FROM (
+            SELECT q_id, qn, c_id AS qcell,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(qv) + 1),
+                                    i -> qv[i] * cv[i])) / (qn * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              c_id) AS crank
+            FROM qsr2, cents)
+          WHERE crank <= (SELECT chosen_p FROM sel)),
+        lut2 AS (
+          SELECT q_id, j, s.c,
+                 list_sum(list_transform(range(1, $PQ_SUB + 1),
+                   i -> qv[(j-1)*$PQ_SUB + i] * cv[(j-1)*$PQ_SUB + i])) AS lv
+          FROM qsr2, psel s, $pqJs),
+        lutl2 AS (
+          SELECT q_id, list(lv ORDER BY j, c) AS lt
+          FROM lut2 GROUP BY q_id),
+        served AS (
+          SELECT qc.q_id, cd.vec_id AS neighbor,
+                 CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
+                        j -> lt[(j-1)*$PQ_KSUB + code[j]]))
+                      / (qc.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT)
+                   AS adc_mu
+          FROM pcodes cd
+          JOIN n n2 ON cd.vec_id = n2.vec_id
+          JOIN assigned a ON cd.vec_id = a.vec_id
+          JOIN qcell2 qc ON a.c_id = qc.qcell
+          JOIN lutl2 l ON l.q_id = qc.q_id
+          WHERE cd.vec_id <> qc.q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_mu DESC, neighbor)
+                    AS BIGINT) AS rank,
+               neighbor, adc_mu
+        FROM served
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""),
+      run = (spark, dir) =>
+        ivfPqServe(spark, dir, electedNprobe(spark, dir))),
 
     // ------------------------------------------------------------------
     // q137: PQ RECALL EVALUATION — q130's discipline applied to the
@@ -1319,36 +1474,24 @@ object Similarity {
         FROM qsr q LEFT JOIN hits h ON q.q_id = h.q_id
         ORDER BY q.q_id"""),
       run = (spark, dir) => {
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val n = normed(spark, dir).persist(MEMORY_AND_DISK)
+        // the ADC side serves from the packed ivfpq_index artifact (the
+        // thing under evaluation IS the materialized index); exact
+        // ground truth from the durable ann_gt_pq artifact
+        val n = normed(spark, dir)
         val cb = pqCodebook(n)
-        val bcCb = spark.sparkContext.broadcast(cb)
-        val coded = n.select(col("vec_id"), col("nrm"),
-          transform(PqExprs.pqEncode(bcCb, col("v")),
-            s => s.getField("code")).as("codes"))
         val probes = pqProbes(n)
-        val adc = pqAdcServe(coded, probes, cb)
+        val adc = pqAdcServePacked(ivfPqIndex(spark, dir), probes, cb)
           .select(col("q_id"), col("neighbor"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cosine").desc, col("neighbor").asc)
-        val exact = n.crossJoin(broadcast(probes))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("neighbor"),
-            round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
-              .as("cosine"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= TOPK)
-          .select(col("q_id"), col("neighbor"))
+        val exact = pqGroundTruth(spark, dir)
         val hits = adc.join(exact, Seq("q_id", "neighbor"))
           .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-        val result = Q.localized(
+        Q.localized(
           probes.select(col("q_id")).join(hits, Seq("q_id"), "left")
             .select(col("q_id"),
               coalesce(col("n_hit"), lit(0L)).as("n_hit"),
               round(coalesce(col("n_hit"), lit(0L)) / (TOPK * 1.0), 4)
                 .as("recall_at_k")))
-        n.unpersist(blocking = false)
-        result.orderBy(col("q_id"))
+          .orderBy(col("q_id"))
       }),
 
     // ------------------------------------------------------------------
@@ -1459,16 +1602,9 @@ object Similarity {
         val n = normed(spark, dir).persist(MEMORY_AND_DISK)
         val cbFull = pqCodebook(n)
         val probes = pqProbes(n)
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cosine").desc, col("neighbor").asc)
-        val exact = n.crossJoin(broadcast(probes))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("neighbor"),
-            round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
-              .as("cosine"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= TOPK)
-          .select(col("q_id"), col("neighbor"))
+        // exact ground truth: the durable ann_gt_pq artifact (same
+        // probes — pqProbes IS the artifact's probe construction)
+        val exact = pqGroundTruth(spark, dir)
         val curves = PQ_WIDTHS.map { wk =>
           val cbW = PqCodebook(PQ_M, wk, PQ_SUB, cbFull.cents.take(wk))
           val bcW = spark.sparkContext.broadcast(cbW)
@@ -1634,16 +1770,9 @@ object Similarity {
           .withColumn("rank", row_number().over(wSq).cast("long"))
           .filter(col("rank") <= TOPK)
           .select(col("q_id"), col("neighbor"))
-        val wEx = Window.partitionBy(col("q_id"))
-          .orderBy(col("cosine").desc, col("neighbor").asc)
-        val exact = s.crossJoin(broadcast(probes))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("neighbor"),
-            round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
-              .as("cosine"))
-          .withColumn("rank", row_number().over(wEx).cast("long"))
-          .filter(col("rank") <= TOPK)
-          .select(col("q_id"), col("neighbor"))
+        // exact ground truth: the durable ann_gt_sq8 artifact (probes +
+        // corpus drawn from the same zero-vector-excluded SQ8 relation)
+        val exact = sq8GroundTruth(spark, dir)
         val hits = sqTop.join(exact, Seq("q_id", "neighbor"))
           .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
         val result = Q.localized(
@@ -1783,27 +1912,20 @@ object Similarity {
         FROM qsr q LEFT JOIN hits h ON q.q_id = h.q_id
         ORDER BY q.q_id"""),
       run = (spark, dir) => {
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         ensurePqCodebook(spark, dir)
         val cb = loadTrainedPq(spark)
         val bcCb = spark.sparkContext.broadcast(cb)
-        val n = normed(spark, dir).persist(MEMORY_AND_DISK)
+        val n = normed(spark, dir)
         val coded = n.select(col("vec_id"), col("nrm"),
           transform(PqExprs.pqEncode(bcCb, col("v")),
             s => s.getField("code")).as("codes"))
         val probes = pqProbes(n)
         val adc = pqAdcServe(coded, probes, cb)
           .select(col("q_id"), col("neighbor"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cosine").desc, col("neighbor").asc)
-        val exact = n.crossJoin(broadcast(probes))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("neighbor"),
-            round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
-              .as("cosine"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= TOPK)
-          .select(col("q_id"), col("neighbor"))
+        // exact ground truth: the durable ann_gt_pq artifact (the same
+        // probes evaluate the random-codebook q137, so the training
+        // payoff is a like-for-like delta off ONE stored ground truth)
+        val exact = pqGroundTruth(spark, dir)
         val hits = adc.join(exact, Seq("q_id", "neighbor"))
           .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
         val result = Q.localized(
@@ -1812,7 +1934,6 @@ object Similarity {
               coalesce(col("n_hit"), lit(0L)).as("n_hit"),
               round(coalesce(col("n_hit"), lit(0L)) / (TOPK * 1.0), 4)
                 .as("recall_at_k")))
-        n.unpersist(blocking = false)
         result.orderBy(col("q_id"))
       }),
 
@@ -2401,48 +2522,125 @@ object Similarity {
       .orderBy(col("q_id"), col("rank")))
   }
 
+  /** The shared exact-ground-truth plan every ANN recall evaluation
+    * compares against: per-probe exact cosine top-[[TOPK]] neighbors
+    * (4dp-rounded, neighbor tie-break — the q20 rules verbatim) as
+    * (q_id, neighbor) pairs. One linear corpus scan against the
+    * broadcast probe set; output is probes × k rows. */
+  private def exactTopKPlan(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    corpus.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOPK)
+      .select(col("q_id"), col("neighbor"))
+  }
+
+  /** q130/q131's evaluated probe set: the fixed-count md5-order sample
+    * drawn FROM the modulus probe universe q36 serves — a subset of the
+    * index's own queries, so recall evaluates the index under test while
+    * ground truth stays n × QUERY_N at any corpus size. */
+  private def ivfEvalProbes(n: DataFrame): DataFrame =
+    n.filter(col("vec_id") % QUERY_MOD === 0)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(QUERY_N)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+
+  /** DURABLE exact ANN ground truth — the derivation every recall row
+    * (q130/q131/q132 via the curve, q137/q138, q141, q143) shares and,
+    * through round 15, re-paid per invocation: the per-probe exact
+    * top-[[TOPK]] is the single most expensive ANN computation (one
+    * linear corpus scan × QUERY_N probes), and at a real deployment it
+    * is exactly the thing re-run on every index rebuild. Routed through
+    * [[graft.exec.ArtifactStore.ensure]] with the corpus SOURCE-FILE
+    * identity in the key (the q17/q78 discipline — regenerated
+    * embeddings re-key and rebuild; the retired round-15 TrieMap keyed
+    * on the directory STRING and could serve a stale curve after an
+    * in-process regeneration), so it builds at most once across ALL
+    * processes sharing the store root and is a probes×k-row parquet
+    * read afterwards. Three probe-universe variants, one family each:
+    * `ivf` (modulus-universe md5 sample — q130, the q131 curve), `pq`
+    * (full-corpus md5 sample — q137/q138/q143), `sq8` (the md5 sample
+    * over the zero-vector-excluded SQ8 relation — q141). Oracles stay
+    * artifact-free: every consumer's SQL re-derives ground truth
+    * inline, so the driver's gate value-checks the stored bytes each
+    * round no matter which process produced them. `-v1` versions the
+    * derivation (probe construction + 4dp rank rule). */
+  private def groundTruthArtifact(spark: SparkSession, dir: String,
+      family: String, corpusOf: DataFrame => DataFrame,
+      probesOf: DataFrame => DataFrame): DataFrame = {
+    val path = graft.exec.ArtifactStore.ensure(spark, family,
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
+        + s"-k$TOPK-n$QUERY_N-v1") { p =>
+      val corpus = corpusOf(normed(spark, dir))
+      exactTopKPlan(corpus.select(col("vec_id"), col("v"), col("nrm")),
+        probesOf(corpus))
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+  }
+
+  private[queries] def ivfGroundTruth(spark: SparkSession, dir: String): DataFrame =
+    groundTruthArtifact(spark, dir, "ann_gt_ivf", identity, ivfEvalProbes)
+
+  private[queries] def pqGroundTruth(spark: SparkSession, dir: String): DataFrame =
+    groundTruthArtifact(spark, dir, "ann_gt_pq", identity, pqProbes)
+
+  private[queries] def sq8GroundTruth(spark: SparkSession, dir: String): DataFrame =
+    groundTruthArtifact(spark, dir, "ann_gt_sq8", sq8,
+      s => s.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(QUERY_N)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn")))
+
   /** q131's pipeline as a callable: sweep nprobe ∈ [[NPROBES]] of the
     * bounded-codebook IVF against exact ground truth over the fixed
     * probe set, one curve row per nprobe with integer-bp recall and the
     * serving election (smallest nprobe clearing [[RECALL_TARGET_BP]],
     * else the deepest). Candidates are scored once with their cell's
     * per-query rank; the curve points reuse that relation via a 4-row
-    * broadcast theta-join — no per-point corpus rescans. */
-  /** The q131/q132 curve derivation shared per (process, sfDir) — the
-    * rareOverlapIndexed discipline at RESULT scale: q131 registers the
-    * curve, q132 elects its serving depth from the same relation, and
-    * within one process (Bench, Verify, a test run) the two would
-    * otherwise each pay the full derivation (exact ground-truth scan +
-    * the 4-point candidate sweep — the two most expensive ANN rows in
-    * the suite). The cached value is the LOCALIZED 4-row result
-    * (schema + rows, rebuilt against the caller's session), never a
-    * plan; the derivation is deterministic per corpus, and the oracles
-    * re-derive everything inline, so sharing is sound — the q78/q17
-    * artifact argument, minus the cross-process half (a deployment
-    * materializes the curve via the ArtifactStore instead). */
-  private val nprobeCurveCache = scala.collection.concurrent.TrieMap
-    .empty[String, (org.apache.spark.sql.types.StructType,
-      Array[org.apache.spark.sql.Row])]
-
+    * broadcast theta-join — no per-point corpus rescans.
+    *
+    * DURABLE across processes since round 16: the 4-row curve is itself
+    * an [[graft.exec.ArtifactStore]] entry (source-identity staleness
+    * key — the round-15 TrieMap's two disclosed defects, dir-string
+    * keying and non-atomic first-compute, both go away: the store keys
+    * on file identity and serializes same-key builders via its publish
+    * protocol). The ground-truth half resolves FIRST (its own artifact)
+    * so nested `ensure` calls never recurse into the store's memo map. */
   private[queries] def nprobeCurve(spark: SparkSession, dir: String): DataFrame = {
-    val (schema, rows) = nprobeCurveCache.getOrElseUpdate(dir, {
-      val df = nprobeCurveImpl(spark, dir)
-      (df.schema, df.collect())
-    })
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.toSeq.asJava, schema)
+    val gt = ivfGroundTruth(spark, dir)
+    val path = graft.exec.ArtifactStore.ensure(spark, "ann_nprobe_curve",
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
+        + s"-p${NPROBES.mkString("_")}-t$RECALL_TARGET_BP-v1") { p =>
+      nprobeCurveImpl(spark, dir, gt).write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+      .select(col("nprobe"), col("n_probes"), col("sum_hits"),
+        col("min_hits"), col("recall_bp"), col("total_candidates"),
+        col("meets_target"), col("chosen"))
+      .orderBy(col("nprobe"))
   }
 
-  private def nprobeCurveImpl(spark: SparkSession, dir: String): DataFrame = {
+  /** The serving depth q131's curve elects (smallest nprobe clearing the
+    * recall target, else the deepest) — one 4-row artifact read. */
+  private[queries] def electedNprobe(spark: SparkSession, dir: String): Int =
+    nprobeCurve(spark, dir).filter(col("chosen") === 1L)
+      .select(col("nprobe")).collect().head.getLong(0).toInt
+
+  private def nprobeCurveImpl(spark: SparkSession, dir: String,
+      groundTruth: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val n = normed(spark, dir).persist(MEMORY_AND_DISK)
     val cents = boundedCents(n)
     val assigned = assignCells(n, cents)
-    val probes = n.filter(col("vec_id") % QUERY_MOD === 0)
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(QUERY_N)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = ivfEvalProbes(n)
     // per-query cell ranking to depth NPROBE_MAX (a window over the
     // QUERY_N × k expansion — probe-set-sized, never corpus-sized)
     val wCell = Window.partitionBy(col("q_id"))
@@ -2460,16 +2658,9 @@ object Similarity {
       .select(col("q_id"), col("crank"), col("vec_id").as("neighbor"),
         round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
           .as("cosine"))
-    val wx = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("neighbor").asc)
-    val exact = n.crossJoin(broadcast(probes))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor"),
-        round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
-          .as("cosine"))
-      .withColumn("rank", row_number().over(wx))
-      .filter(col("rank") <= TOPK)
-      .select(col("q_id"), col("neighbor"))
+    // exact ground truth: the durable ann_gt_ivf artifact (same probes —
+    // ivfEvalProbes IS the artifact's probe construction)
+    val exact = groundTruth
     val ps = NPROBES.toDF("nprobe")
     val candP = cand.join(broadcast(ps), col("crank") <= col("nprobe"))
     val wIvf = Window.partitionBy(col("nprobe"), col("q_id"))

@@ -160,6 +160,56 @@ case class PqAdcNum(bcast: Broadcast[PqLuts],
     copy(left = newLeft, right = newRight)
 }
 
+/** [[PqAdcNum]] over BIT-PACKED codes: the candidate's m codes arrive as
+  * ONE BIGINT — bits [4(j−1), 4j) hold code_j − 1 (ksub ≤ 16, so 4 bits
+  * each; m ≤ 16 fits the word) — and the score loop is m shift-mask
+  * lookups + m adds with NO array access at all. This is the shape the
+  * q134 header's 128× memory claim actually requires: the serving scan
+  * reads an 8-byte word per candidate instead of an m-element array of
+  * 8-byte longs (and never the 512-byte vector). Summation order and
+  * lut indexing are [[PqAdcNum]]'s verbatim, so packed and row-form
+  * serves rank bitwise-identically (PqSpec pins the equivalence). */
+case class PqAdcNumPacked(bcast: Broadcast[PqLuts],
+    left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_pq_adc_num_packed"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: expected (bigint q_id, bigint packed codes), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  def score(qId: Long, packed: Long): Double = {
+    val ls = bcast.value
+    val lut = ls.luts(qId)
+    var s = 0.0
+    var j = 0
+    while (j < ls.m) {
+      s += lut(j * ls.ksub + ((packed >>> (4 * j)) & 0xfL).toInt)
+      j += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(q: Any, packed: Any): Any =
+    score(q.asInstanceOf[Long], packed.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqAdcNumPacked", this,
+      classOf[PqAdcNumPacked].getName)
+    nullSafeCodeGen(ctx, ev, (q, p) => s"${ev.value} = $ref.score($q, $p);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcNumPacked =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqExprs {
   /** Column-API entry: PQ codes + per-subspace quantization error. */
   def pqEncode(bcast: Broadcast[PqCodebook], vec: Column): Column =
@@ -169,6 +219,12 @@ object PqExprs {
   def pqAdcNum(bcast: Broadcast[PqLuts], qId: Column, codes: Column): Column =
     ExpressionUtils.column(PqAdcNum(bcast,
       ExpressionUtils.expression(qId), ExpressionUtils.expression(codes)))
+
+  /** Column-API entry: ADC numerator for (q_id, packed code word). */
+  def pqAdcNumPacked(bcast: Broadcast[PqLuts], qId: Column,
+      packed: Column): Column =
+    ExpressionUtils.column(PqAdcNumPacked(bcast,
+      ExpressionUtils.expression(qId), ExpressionUtils.expression(packed)))
 
   /** Driver-side LUT build for a bounded probe set: lut[(j−1)·ksub +
     * (c−1)] = Σ_i q[j·sub + i] · cent_c[j·sub + i], i ascending — the

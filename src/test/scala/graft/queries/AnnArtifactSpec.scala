@@ -1,0 +1,201 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+import graft.exec.ArtifactStore
+
+/** The round-16 durable-ANN-evaluation contract: exact ground truth and
+  * the nprobe curve live in the ArtifactStore (source-identity staleness
+  * keys — regenerating the corpus under the SAME directory must rebuild,
+  * the defect the retired dir-string TrieMap had), and the bit-packed
+  * ivfpq_index artifact serves bitwise-identically to the inline
+  * row-form construction it replaced (q135 full-scan, q136/q151
+  * cell-restricted, packed word round trip). */
+class AnnArtifactSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private val sf = sf0001
+
+  private def withRoot[A](f: String => A): A = {
+    val dir = Files.createTempDirectory("graft-ann-store").toFile.getAbsolutePath
+    ArtifactStore.setRootForTest(Some(dir))
+    try f(dir)
+    finally ArtifactStore.setRootForTest(None)
+  }
+
+  /** A tiny deterministic corpus written as `<dir>/embeddings.parquet`
+    * (the testdata physical shape): 64-dim float vectors from a seeded
+    * LCG, ids offset by `idBase` so two generations differ. */
+  private def writeCorpus(dir: String, idBase: Long, rows: Int): Unit = {
+    import spark.implicits._
+    var seed = 0x5EED + idBase
+    def next(): Float = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+    }
+    (0 until rows).map { i =>
+      (idBase + i, Array.fill(64)(next()), (i % 3))
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** Independent exact ground truth: brute-force per-probe top-10 by
+    * 4dp cosine with neighbor tie-break, probes = the full-corpus
+    * md5-order sample (the ann_gt_pq construction), driver-side. */
+  private def refGroundTruth(dir: String): Set[(Long, Long)] = {
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val probes = rows
+      .sortBy { case (id, _) =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id)
+      }
+      .take(32)
+    probes.flatMap { case (qId, qv) =>
+      rows.filter(_._1 != qId)
+        .map { case (id, v) =>
+          val cos = v.zip(qv).map { case (a, b) => a * b }.sum /
+            (nrm(v) * nrm(qv))
+          (id, BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(10)
+        .map { case (id, _) => (qId, id) }
+    }.toSet
+  }
+
+  test("ground-truth artifact is durable, correct, and rebuilds when " +
+    "the corpus under the same dir is regenerated (staleness key)") {
+    withRoot { root =>
+      val dir = Files.createTempDirectory("graft-ann-corpus")
+        .toFile.getAbsolutePath
+      writeCorpus(dir, idBase = 0L, rows = 120)
+      val gt1 = Similarity.pqGroundTruth(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      gt1 shouldBe refGroundTruth(dir)
+
+      // same process, same dir: served from the store, same bytes
+      val gt1b = Similarity.pqGroundTruth(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      gt1b shouldBe gt1
+
+      // REGENERATE the corpus under the same directory; a fresh process
+      // (memo cleared, same store root) must re-key off the new file
+      // identity and rebuild — not serve generation A's pairs
+      writeCorpus(dir, idBase = 10000L, rows = 120)
+      ArtifactStore.setRootForTest(Some(root))
+      val gt2 = Similarity.pqGroundTruth(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      gt2 should not be gt1
+      gt2 shouldBe refGroundTruth(dir)
+    }
+  }
+
+  test("nprobe curve artifact: one elected row, elected depth readable, " +
+    "and regeneration under the same dir rebuilds the curve") {
+    withRoot { root =>
+      val dir = Files.createTempDirectory("graft-ann-corpus2")
+        .toFile.getAbsolutePath
+      writeCorpus(dir, idBase = 0L, rows = 200)
+      val curve1 = Similarity.nprobeCurve(spark, dir).collect()
+      curve1.map(_.getAs[Long]("nprobe")).toSeq shouldBe Seq(1L, 2L, 4L, 8L)
+      curve1.count(_.getAs[Long]("chosen") == 1L) shouldBe 1
+      val elected = Similarity.electedNprobe(spark, dir)
+      curve1.find(_.getAs[Long]("chosen") == 1L)
+        .get.getAs[Long]("nprobe") shouldBe elected.toLong
+
+      writeCorpus(dir, idBase = 50000L, rows = 200)
+      ArtifactStore.setRootForTest(Some(root))
+      val curve2 = Similarity.nprobeCurve(spark, dir).collect()
+      // recall arithmetic fields must reflect generation B, not a stale
+      // generation-A curve (total_candidates tracks the new cells)
+      curve2.map(_.toSeq).toSeq should not be curve1.map(_.toSeq).toSeq
+    }
+  }
+
+  test("packed code word round-trips: unpack(pack(codes)) == codes for " +
+    "every corpus vector") {
+    withRoot { _ =>
+      val n = Similarity.normed(spark, sf)
+      val bc = spark.sparkContext.broadcast(Similarity.pqCodebook(n))
+      val codes = transform(
+        org.apache.spark.sql.graft.PqExprs.pqEncode(bc, col("v")),
+        s => s.getField("code"))
+      val bad = n.select(col("vec_id"), codes.as("codes"))
+        .withColumn("rt", Similarity.unpackCodes(Similarity.packCodes(col("codes"))))
+        .filter(col("codes") =!= col("rt"))
+        .count()
+      bad shouldBe 0L
+    }
+  }
+
+  test("packed-index full-scan ADC serve is bitwise-identical to the " +
+    "inline row-form serve (the q135 shapes)") {
+    withRoot { _ =>
+      val n = Similarity.normed(spark, sf)
+      val cb = Similarity.pqCodebook(n)
+      val bcCb = spark.sparkContext.broadcast(cb)
+      val probes = Similarity.pqProbes(n)
+      val coded = n.select(col("vec_id"), col("nrm"),
+        transform(org.apache.spark.sql.graft.PqExprs.pqEncode(bcCb, col("v")),
+          s => s.getField("code")).as("codes"))
+      val inline = Similarity.pqAdcServe(coded, probes, cb).collect().toSeq
+      val packed = Similarity.pqAdcServePacked(
+        Similarity.ivfPqIndex(spark, sf), probes, cb).collect().toSeq
+      packed shouldBe inline
+    }
+  }
+
+  test("cell-restricted packed serve at nprobe=1 equals an independent " +
+    "own-cell row-form construction (the q136 identity), and at " +
+    "nprobe=2 an independent two-cell construction (the q151 shape)") {
+    withRoot { _ =>
+      val n = Similarity.normed(spark, sf)
+      val cents = Similarity.boundedCents(n)
+      val cb = Similarity.pqCodebook(n)
+      val bcCb = spark.sparkContext.broadcast(cb)
+      val probes = Similarity.pqProbes(n)
+      val bcLut = Similarity.pqLutBroadcast(probes, cb)
+      val assigned = graft.similarity.VectorSearch.assignCells(n, cents)
+      val coded = assigned.select(col("vec_id"), col("nrm"), col("c_id"),
+        transform(org.apache.spark.sql.graft.PqExprs.pqEncode(bcCb, col("v")),
+          s => s.getField("code")).as("codes"))
+      def inlineServe(nprobe: Int): Seq[Row] = {
+        val qs = graft.similarity.VectorSearch.probeCells(
+            probes.select(col("q_id").as("vec_id"), col("qv").as("v"),
+              col("qn").as("nrm")), cents, nprobe)
+          .select(col("q_id"), col("qn"), col("qcell"))
+        val wRank = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_mu").desc, col("neighbor").asc)
+        coded.join(broadcast(qs), col("c_id") === col("qcell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("num", org.apache.spark.sql.graft.PqExprs
+            .pqAdcNum(bcLut, col("q_id"), col("codes")))
+          .withColumn("adc_mu",
+            floor(col("num") / (col("qn") * col("nrm")) * lit(1000000.0)
+              + lit(0.5)).cast("long"))
+          .select(col("q_id"), col("vec_id").as("neighbor"), col("adc_mu"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("rank"), col("neighbor"), col("adc_mu"))
+          .orderBy(col("q_id"), col("rank")).collect().toSeq
+      }
+      Similarity.ivfPqServe(spark, sf, nprobe = 1).collect().toSeq shouldBe
+        inlineServe(1)
+      Similarity.ivfPqServe(spark, sf, nprobe = 2).collect().toSeq shouldBe
+        inlineServe(2)
+    }
+  }
+}

@@ -114,6 +114,52 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
     rows(4L) shouldBe ((9L, 0L, 0.0))      // 2 intra-doc occurrences: no mark
   }
 
+  test("q152: planted shared runs of 12/40/70 tokens land at grid lengths " +
+    "8/32/64; a unique doc reports 0; intra-doc repetition never marks") {
+    import spark.implicits._
+    def run(tag: String, n: Int) =
+      (1 to n).map(i => f"$tag$i%03d").mkString(" ")
+    def filler(tag: String, n: Int) = run(tag, n)
+    val r12 = run("a", 12)   // shared 12-run  → longest grid hit: 8
+    val r40 = run("b", 40)   // shared 40-run  → 32 (no 64-window fits)
+    val r70 = run("c", 70)   // shared 70-run  → 64
+    val selfRep = run("s", 8)
+    val docs = Seq(
+      1L -> s"${filler("fa", 4)} $r12 ${filler("fb", 4)}",
+      2L -> s"${filler("fc", 6)} $r12",
+      3L -> s"$r40 ${filler("fd", 5)}",
+      4L -> s"${filler("fe", 3)} $r40",
+      5L -> r70,
+      6L -> s"${filler("ff", 9)} $r70",
+      7L -> filler("fg", 20),            // unique → 0
+      8L -> s"$selfRep $selfRep $selfRep" // intra-doc only → 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.longestSharedRun(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(
+      1L -> 8L, 2L -> 8L, 3L -> 32L, 4L -> 32L,
+      5L -> 64L, 6L -> 64L, 7L -> 0L, 8L -> 0L)
+    // monotone flag structure: a doc flagged at L is flagged at every
+    // shorter grid length — max over the grid is well-defined (the
+    // sub-span argument the cascade deployment shape relies on)
+    val base = docs.select($"doc_id",
+      graft.functions.TextFns.tokens($"text").as("tk"))
+    Seq(8, 16, 32, 64).foreach { len =>
+      val flagged = Dedup.longestSharedRun(docs).collect()
+        .filter(_.getLong(1) >= len).map(_.getLong(0)).toSet
+      // every doc whose max_shared_len >= len must actually contain a
+      // cross-doc-shared len-window per q102-style independent check
+      val spans = base.collect().flatMap { r =>
+        val tk = r.getSeq[String](1)
+        tk.sliding(len).filter(_.length == len)
+          .map(w => (w.mkString(" "), r.getLong(0))).toSeq
+      }
+      val shared = spans.groupBy(_._1).filter(_._2.map(_._2).distinct.length >= 2)
+        .values.flatten.map(_._2).toSet
+      flagged shouldBe shared
+    }
+  }
+
   test("q146: classification agrees with an independently-computed census " +
     "over injected pairs; sides normalized; same-split rows leak nothing") {
     import spark.implicits._

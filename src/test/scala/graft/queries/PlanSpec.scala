@@ -357,23 +357,33 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p should include("WindowGroupLimit")
   }
 
-  test("q135/q136: PQ serving plans — native encode + ADC expressions in " +
-    "codegen spans; q136's cell restriction is a broadcast equi-join " +
-    "(the corpus never shuffles for scoring), probe rank map-side " +
+  test("q135/q136/q151: PQ serving plans read the PACKED index artifact " +
+    "— native packed-ADC expression in a codegen span over a parquet " +
+    "scan of 24-byte rows, NO inline encode and NO corpus assignment " +
+    "in the serve (both ran once at index build); q136/q151's cell " +
+    "restriction is a broadcast equi-join, probe rank map-side " +
     "WindowGroupLimit") {
     val p135 = plan("q135_pq_adc_topk")
-    p135 should include("graft_pq_encode")
-    p135 should include("graft_pq_adc_num")
+    p135 should include("graft_pq_adc_num_packed")
+    (p135 should not).include("graft_pq_encode") // serve reads codes
     p135 should include("codegen id")
     p135 should include("BroadcastNestedLoopJoin") // constant probe set
     p135 should include("WindowGroupLimit")
+    // the corpus-sized scan side is the packed index: the read schema
+    // carries the 8-byte code word (the embeddings table appears only
+    // under the QUERY_N-row probe-side TakeOrderedAndProject)
+    p135 should include("packed")
     val p136 = plan("q136_ivfpq_topk")
-    p136 should include("graft_pq_encode")
-    p136 should include("graft_pq_adc_num")
-    p136 should include("graft_nearest_centroid") // coarse cells map-side
+    p136 should include("graft_pq_adc_num_packed")
+    (p136 should not).include("graft_pq_encode")
     p136 should include("BroadcastHashJoin")      // cell-keyed, not cartesian
     (p136 should not).include("CartesianProduct")
     p136 should include("WindowGroupLimit")
+    val p151 = plan("q151_ivfpq_auto_nprobe")
+    p151 should include("graft_pq_adc_num_packed")
+    p151 should include("BroadcastHashJoin")
+    (p151 should not).include("CartesianProduct")
+    p151 should include("WindowGroupLimit")
   }
 
   test("dedup verify plan (q17's shape): candidate restriction and pair-driven " +

@@ -120,6 +120,26 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("packed ADC numerator equals the row-form ADC numerator on the " +
+    "packed encoding of every random code word (the ivfpq_index " +
+    "serving contract)") {
+    val c = randomCb()
+    val q = Array.fill(DIM)(next())
+    val lut = PqExprs.buildLut(c, q)
+    val luts = PqLuts(M, KSUB, Map(42L -> lut))
+    val bc = spark.sparkContext.broadcast(luts)
+    val nil = org.apache.spark.sql.catalyst.expressions.Literal(null)
+    val adc = PqAdcNum(bc, nil, nil)
+    val adcP = org.apache.spark.sql.graft.PqAdcNumPacked(bc, nil, nil)
+    (0 until 100).foreach { _ =>
+      val codes = Array.fill(M)((math.abs(next() * 1e9).toLong % KSUB) + 1L)
+      val packed = codes.zipWithIndex
+        .map { case (cd, j) => (cd - 1L) << (4 * j) }.sum
+      adcP.score(42L, packed) shouldBe
+        adc.score(42L, new GenericArrayData(codes))
+    }
+  }
+
   test("prefix property (q138's construction): width-w codes equal the " +
     "argmin over the first w rows of the full codebook, and per-subspace " +
     "quantization error is weakly decreasing in width") {
