@@ -86,15 +86,42 @@ def main():
     # the same capture routinely exists under both target/ and
     # captures/ spellings (and --latest may be given as either, ./-
     # prefixed, or absolute), and a path mismatch would silently
-    # re-admit the capture into its own band.
-    latest_ident = json.dumps(latest, sort_keys=True)
+    # re-admit the capture into its own band. Content compares as
+    # NUMERIC-normalized dicts, not serialized strings: a re-serialized
+    # copy (5 vs 5.0, key-order drift) must still be recognized as the
+    # same capture or it silently re-enters its own band.
+    def norm(qs):
+        return {q: float(v) for q, v in qs.items()
+                if isinstance(v, (int, float))}
+
+    latest_ident = norm(latest)
     hist = {}
     for _, p, qs, _ in caps:
-        if json.dumps(qs, sort_keys=True) == latest_ident:
+        if norm(qs) == latest_ident:
             continue
         for q, v in qs.items():
             if isinstance(v, (int, float)):
                 hist.setdefault(q, []).append(float(v))
+
+    # refuse BEFORE writing anything: an empty band file left behind by
+    # a failed run reads as a fresh, apparently valid, zero-query band
+    # set to any consumer that skips the exit code
+    if not hist:
+        sys.exit("[bands] no OTHER capture to band against — "
+                 "nothing was judged")
+
+    # streaming micro-batch floors (captures/stream_floor.json, written
+    # from a min-of-3 sf0.001 run — essentially zero data, so the time
+    # is offset WAL + state commit + no-data batches): annotated per
+    # query and rolled into a net-of-floor suite total, so the 2x-bar
+    # discussion stops drifting as the suite's streaming row count grows
+    floors = {}
+    fp = Path("captures/stream_floor.json")
+    if fp.exists():
+        try:
+            floors = json.loads(fp.read_text()).get("floors", {})
+        except Exception:
+            floors = {}
 
     bands = {}
     above = []
@@ -102,6 +129,8 @@ def main():
         vs = sorted(hist[q])
         b = {"n": len(vs), "min": vs[0], "median": statistics.median(vs),
              "max": vs[-1]}
+        if q in floors:
+            b["floor"] = floors[q]
         lv = latest.get(q)
         if isinstance(lv, (int, float)):
             b["latest"] = lv
@@ -118,6 +147,13 @@ def main():
     print(f"[bands] {args.scale}: {len(caps)} captures, "
           f"{len(bands)} queries -> {out}")
     print(f"[bands] latest = {latest_path}")
+    if floors:
+        raw = sum(v for v in latest.values() if isinstance(v, (int, float)))
+        fl = sum(floors[q] for q in floors
+                 if isinstance(latest.get(q), (int, float)))
+        print(f"[bands] latest suite total {raw:.1f}s; streaming "
+              f"micro-batch floor {fl:.1f}s -> net-of-floor "
+              f"{raw - fl:.1f}s")
     # 'within band' and 'never banded' must be distinguishable: a query
     # present only in the judged capture (new registration, or a scale
     # with a single capture) has NO band and is NOT judged — a green
@@ -129,9 +165,6 @@ def main():
               f"(absent from every other capture): "
               f"{', '.join(unbanded[:8])}"
               + (" ..." if len(unbanded) > 8 else ""))
-    if not hist:
-        sys.exit("[bands] no OTHER capture to band against — "
-                 "nothing was judged")
     if above:
         print(f"[bands] {len(above)} queries ABOVE their recorded band:")
         for q, lv, mx in sorted(above, key=lambda t: t[2] - t[1]):
