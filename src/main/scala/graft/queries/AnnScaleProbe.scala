@@ -185,6 +185,78 @@ object AnnScaleProbe {
       out ++= f""","pq_serve_secs":$tServe%.2f"""
       out ++= s""","pq_codes_bytes":${dirBytes(codesPath)}"""
       out ++= s""","pq_vectors_bytes":${dirBytes(s"$dir/embeddings.parquet")}"""
+      // round-16: the BIT-PACKED index (the ivfpq_index artifact q135/
+      // q136/q151 actually serve from — one BIGINT code word + norm +
+      // coarse cell per row) vs the row-form codes table above: bytes
+      // on disk and the full-scan packed-ADC serve. This turns the
+      // "128×-class memory-traffic cut" from the q134 header into the
+      // measured artifact-vs-embeddings byte ratio.
+      val (idx, tIdx) = timed {
+        val i = Similarity.ivfPqIndex(spark, dir); i.count(); i
+      }
+      val (packedRows, tPackedServe) = timed(
+        Similarity.pqAdcServePacked(idx, Similarity.pqProbes(n), cb)
+          .count())
+      val idxBytes = idx.inputFiles
+        .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+      out ++= f""","ivfpq_index_build_secs":$tIdx%.2f"""
+      out ++= s""","ivfpq_index_bytes":$idxBytes"""
+      out ++= s""","packed_served_rows":$packedRows"""
+      out ++= f""","packed_serve_secs":$tPackedServe%.2f"""
+    }
+
+    if (metrics("sq8")) {
+      // the SQ8 axis (q140/q141's 4× scheme) on the same replicas: the
+      // stateless registered serve, then the deployment shape — the
+      // int8 relation materialized ONCE as real TINYINTs and the serve
+      // reading it back (integer-valued-double cast is exact, so the
+      // ranking is bitwise the registered one). Bytes on disk pin the
+      // 4×-class claim next to PQ's 15-17×.
+      val (sqRows, tQ140) = timed(
+        Registry.queries("q140_sq8_topk")(spark, dir).count())
+      val sqPath = s"$dir/sq8_codes.parquet"
+      val sq = Similarity.sq8(n)
+      val (_, tMatSq) = timed {
+        sq.select(col("vec_id"), col("nrm"), col("amax"),
+            expr("transform(sv, x -> CAST(x AS TINYINT))").as("sv8"))
+          .write.mode("overwrite").parquet(sqPath)
+      }
+      val (sqServed, tServeSq) = timed {
+        import graft.functions.VectorFns.dot
+        val rel = spark.read.parquet(sqPath)
+          .select(col("vec_id"), col("nrm"), col("amax"),
+            expr("transform(sv8, x -> CAST(x AS DOUBLE))").as("sv"))
+        val probes = rel
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(32)
+          .select(col("vec_id").as("q_id"), col("sv").as("qsv"),
+            col("nrm").as("qn"), col("amax").as("qa"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"))
+          .orderBy(col("sq_mu").desc, col("neighbor").asc)
+        rel.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("idot", dot(col("sv"), col("qsv")))
+          .withColumn("sq_mu",
+            floor(col("idot") * col("qa") * col("amax")
+              / (lit(16129.0) * (col("qn") * col("nrm")))
+              * lit(1000000.0) + lit(0.5)).cast("long"))
+          .select(col("q_id"), col("vec_id").as("neighbor"), col("sq_mu"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= 10)
+          .count()
+      }
+      def dirBytesSq(p: String): Long = {
+        val d = new java.io.File(p)
+        if (!d.exists()) 0L else d.listFiles().map(_.length()).sum
+      }
+      out ++= s""","sq8_rows":$sqRows"""
+      out ++= f""","sq8_stateless_secs":$tQ140%.2f"""
+      out ++= f""","sq8_materialize_secs":$tMatSq%.2f"""
+      out ++= s""","sq8_served_rows":$sqServed"""
+      out ++= f""","sq8_serve_secs":$tServeSq%.2f"""
+      out ++= s""","sq8_bytes":${dirBytesSq(sqPath)}"""
+      out ++= s""","sq8_vectors_bytes":${dirBytesSq(s"$dir/embeddings.parquet")}"""
     }
 
     if (metrics("lsh")) {

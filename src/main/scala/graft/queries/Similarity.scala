@@ -1013,10 +1013,12 @@ object Similarity {
     // visible row-by-row. Scale shape: the election is q131's
     // (bounded); the serve is q54's multi-cell probe (cells partition
     // the corpus — disjoint candidate unions, no dedup), corpus
-    // assignment never shuffles, nprobe ≤ 8 cells per query. A
-    // deployment would persist the codebook + assignment as artifacts
-    // (the q54/q71 ensureAt path) instead of recomputing; here both
-    // stages recompute so the oracle stays artifact-free.
+    // assignment never shuffles, nprobe ≤ 8 cells per query. Since
+    // round 16 the election reads the DURABLE 4-row curve artifact
+    // (nprobeCurve — source-identity staleness key, built once across
+    // processes); the serve still recomputes assignment so the oracle
+    // stays artifact-free end to end (it replays election + serve
+    // inline in SQL either way).
     Q("q132_ann_auto_nprobe",
       oracle = Some(s"""
         $nprobeCurveCtes,
@@ -1197,9 +1199,12 @@ object Similarity {
     // 0.5) sums subspaces in j order — the identical left-to-right
     // adds the oracle's list_sum replays — and ranks as BIGINT with
     // neighbor tie-break, so both engines emit the same top-k bitwise.
-    // In a deployment the codes come from q134's materialized output;
-    // the gate is stateless so the scan recomputes them inline (same
-    // expression, same codebook broadcast).
+    // Since round 16 the serve IS the deployment shape: codes come
+    // from the durable bit-packed ivfpq_index artifact (24-byte rows,
+    // the native packed-ADC expression scoring each 8-byte code word),
+    // built once per corpus identity; the oracle still re-derives
+    // codes + LUTs inline in SQL, so the gate value-checks the stored
+    // bytes every round (the q17/q78 discipline).
     Q("q135_pq_adc_topk",
       oracle = Some(s"""
         $normedCte,
@@ -1260,12 +1265,16 @@ object Similarity {
     // registered (coarse k = min(2¹⁶, ceil(√N)); PQ m×ksub fixed), both
     // assignments run as native scan-stage expressions, and probes are
     // corpus members taking their OWN cell (the q36/q133 rule) at
-    // nprobe = 1 — deeper probing is q132's election applied here
-    // unchanged, and the recall trade (coarse cell misses × PQ score
-    // distortion) is priced by the same q130/q131 machinery. Scoring,
-    // ranking and tie-breaks are q135's bitwise (micro-unit BIGINT ADC,
-    // neighbor asc), so the three relatives diff row-by-row: q20 =
-    // exact full scan, q135 = ADC full scan, q136 = ADC cell scan.
+    // nprobe = 1 — deeper probing is q151's elected-depth composition,
+    // and the recall trade (coarse cell misses × PQ score distortion)
+    // is priced by the same q130/q131 machinery. Since round 16 the
+    // serve reads the durable bit-packed ivfpq_index artifact (cell +
+    // norm + 8-byte code word per row; both quantizer passes ran once
+    // at index build). Scoring, ranking and tie-breaks are q135's
+    // bitwise (micro-unit BIGINT ADC, neighbor asc), so the relatives
+    // diff row-by-row: q20 = exact full scan, q135 = packed-ADC full
+    // scan, q136 = packed-ADC cell scan, q151 = the same at elected
+    // depth.
     Q("q136_ivfpq_topk",
       oracle = Some(s"""
         $normedCte,
