@@ -39,6 +39,11 @@ object Similarity {
   private[queries] val CENTROID_BUDGET: Long =
     graft.similarity.VectorSearch.CentroidBudget
   private[queries] val TOPK = 10
+  // q153's shortlist depth: the ADC stage over-fetches R = 5k
+  // candidates per probe, the exact stage re-ranks them — recall
+  // recovery at R/k extra exact dots per probe (constant per probe at
+  // any corpus size)
+  private[queries] val RERANK_R = 50
   // q131's swept serving dial: curve points {1,2,4,8}, recall target in
   // basis points (8000 = the 0.8 recall@10 a deployment typically
   // demands before trusting an index)
@@ -322,15 +327,17 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Cell-restricted packed-ADC serve shared by q136 (nprobe = 1) and
-    * q151 (elected depth): probes rank their `nprobe` nearest coarse
-    * cells (the probeCells micro-unit rule — identical to assignment at
-    * rank 1), then ADC-score only the probed cells' packed rows. Cells
-    * partition the corpus, so multi-cell candidate unions are disjoint —
-    * no dedup. The scan side reads the 24-byte index rows; only
-    * (q_id, neighbor, adc_mu) triples reach the ranking exchange. */
+  /** Cell-restricted packed-ADC serve shared by q136 (nprobe = 1),
+    * q151 (elected depth) and q153 (elected depth, shortlist depth R):
+    * probes rank their `nprobe` nearest coarse cells (the probeCells
+    * micro-unit rule — identical to assignment at rank 1), then
+    * ADC-score only the probed cells' packed rows, keeping the top
+    * `topk` per probe. Cells partition the corpus, so multi-cell
+    * candidate unions are disjoint — no dedup. The scan side reads the
+    * 24-byte index rows; only (q_id, neighbor, adc_mu) triples reach
+    * the ranking exchange. */
   private[queries] def ivfPqServe(spark: SparkSession, dir: String,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, topk: Int = TOPK): DataFrame = {
     val idx = ivfPqIndex(spark, dir)
     val n = normed(spark, dir)
     val cents = boundedCents(n)
@@ -353,8 +360,41 @@ object Similarity {
           + lit(0.5)).cast("long"))
       .select(col("q_id"), col("vec_id").as("neighbor"), col("adc_mu"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= TOPK)
+      .filter(col("rank") <= topk)
       .select(col("q_id"), col("rank"), col("neighbor"), col("adc_mu"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** q153's two-stage serve: the elected-depth packed-ADC shortlist
+    * (top-[[RERANK_R]] per probe — q151's serve, deeper) RE-RANKED by
+    * exact cosine over the full vectors, emitting the top-[[TOPK]].
+    * The standard production recall-recovery pattern (FAISS's
+    * IndexRefine): the corpus-sized scan still touches only 24-byte
+    * packed rows; the exact stage fetches full vectors for probes×R
+    * ids only — a broadcast semi of a constant-size shortlist against
+    * the corpus, then a probes×R-bounded window. Re-rank rules are
+    * q20's verbatim (4dp cosine, neighbor tie-break), so the output is
+    * directly diffable against q132 (exact serve at the same elected
+    * depth) and q151 (the unrefined ADC ranking). */
+  private[queries] def ivfPqRerank(spark: SparkSession, dir: String,
+      r: Int = RERANK_R): DataFrame = {
+    val shortlist = ivfPqServe(spark, dir, electedNprobe(spark, dir),
+        topk = r)
+      .select(col("q_id"), col("neighbor"))
+    val n = normed(spark, dir)
+    val probes = pqProbes(n)
+    val fetched = n.join(broadcast(shortlist),
+        col("vec_id") === col("neighbor"))
+      .select(col("q_id"), col("neighbor"), col("v"), col("nrm"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    fetched.join(broadcast(probes), Seq("q_id"))
+      .select(col("q_id"), col("neighbor"),
+        round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= TOPK)
+      .select(col("q_id"), col("rank"), col("neighbor"), col("cosine"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -527,6 +567,69 @@ object Similarity {
                       THEN min(CASE WHEN meets_target = 1 THEN nprobe END)
                       ELSE max(nprobe) END AS chosen_p
           FROM curve3)"""
+
+  /** The q151/q153/q154 oracle chain: [[nprobeCurveCtes]] (election →
+    * `sel(chosen_p)`) + the PQ code chain under RENAMED relations
+    * (psel/subq/bestq — nprobeCurveCtes already owns `sel`) + the
+    * serving probe set `qsr2`, its elected-depth cell ranking
+    * `qcell2`, per-probe LUTs, and the cell-restricted ADC relation
+    * `served(q_id, neighbor, adc_mu)`. q151 ranks it to TOPK, q153/
+    * q154 shortlist to RERANK_R and re-rank exactly. */
+  private def ivfPqElectedCtes: String = s"""
+        $nprobeCurveCtes,
+        psel AS (
+          SELECT v AS cv,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                    vec_id) AS c
+          FROM n QUALIFY c <= $PQ_KSUB),
+        subq AS (
+          SELECT n.vec_id, j, s.c,
+                 CAST(floor(list_sum(list_transform(range(1, $PQ_SUB + 1),
+                        i -> (v[(j-1)*$PQ_SUB + i] - cv[(j-1)*$PQ_SUB + i])
+                           * (v[(j-1)*$PQ_SUB + i] - cv[(j-1)*$PQ_SUB + i])))
+                      * 1000000.0 + 0.5) AS BIGINT) AS d2_mu
+          FROM n, psel s, $pqJs),
+        bestq AS (
+          SELECT vec_id, j, c, d2_mu,
+                 row_number() OVER (PARTITION BY vec_id, j
+                                    ORDER BY d2_mu, c) AS rn
+          FROM subq),
+        pcodes AS (
+          SELECT vec_id, list(c ORDER BY j) AS code
+          FROM bestq WHERE rn = 1 GROUP BY vec_id),
+        qsr2 AS (
+          SELECT vec_id AS q_id, v AS qv, nrm AS qn
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $QUERY_N),
+        qcell2 AS (
+          SELECT q_id, qn, qcell FROM (
+            SELECT q_id, qn, c_id AS qcell,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(qv) + 1),
+                                    i -> qv[i] * cv[i])) / (qn * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              c_id) AS crank
+            FROM qsr2, cents)
+          WHERE crank <= (SELECT chosen_p FROM sel)),
+        lut2 AS (
+          SELECT q_id, j, s.c,
+                 list_sum(list_transform(range(1, $PQ_SUB + 1),
+                   i -> qv[(j-1)*$PQ_SUB + i] * cv[(j-1)*$PQ_SUB + i])) AS lv
+          FROM qsr2, psel s, $pqJs),
+        lutl2 AS (
+          SELECT q_id, list(lv ORDER BY j, c) AS lt
+          FROM lut2 GROUP BY q_id),
+        served AS (
+          SELECT qc.q_id, cd.vec_id AS neighbor,
+                 CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
+                        j -> lt[(j-1)*$PQ_KSUB + code[j]]))
+                      / (qc.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT)
+                   AS adc_mu
+          FROM pcodes cd
+          JOIN n n2 ON cd.vec_id = n2.vec_id
+          JOIN assigned a ON cd.vec_id = a.vec_id
+          JOIN qcell2 qc ON a.c_id = qc.qcell
+          JOIN lutl2 l ON l.q_id = qc.q_id
+          WHERE cd.vec_id <> qc.q_id)"""
 
   /** Where q54 materializes its trained codebook so the DuckDB oracle can
     * replay the identical search over the identical centroids (KMeans
@@ -1352,60 +1455,7 @@ object Similarity {
     // adc_mu) triples reach the ranking exchange.
     Q("q151_ivfpq_auto_nprobe",
       oracle = Some(s"""
-        $nprobeCurveCtes,
-        psel AS (
-          SELECT v AS cv,
-                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-                                    vec_id) AS c
-          FROM n QUALIFY c <= $PQ_KSUB),
-        subq AS (
-          SELECT n.vec_id, j, s.c,
-                 CAST(floor(list_sum(list_transform(range(1, $PQ_SUB + 1),
-                        i -> (v[(j-1)*$PQ_SUB + i] - cv[(j-1)*$PQ_SUB + i])
-                           * (v[(j-1)*$PQ_SUB + i] - cv[(j-1)*$PQ_SUB + i])))
-                      * 1000000.0 + 0.5) AS BIGINT) AS d2_mu
-          FROM n, psel s, $pqJs),
-        bestq AS (
-          SELECT vec_id, j, c, d2_mu,
-                 row_number() OVER (PARTITION BY vec_id, j
-                                    ORDER BY d2_mu, c) AS rn
-          FROM subq),
-        pcodes AS (
-          SELECT vec_id, list(c ORDER BY j) AS code
-          FROM bestq WHERE rn = 1 GROUP BY vec_id),
-        qsr2 AS (
-          SELECT vec_id AS q_id, v AS qv, nrm AS qn
-          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-          LIMIT $QUERY_N),
-        qcell2 AS (
-          SELECT q_id, qn, qcell FROM (
-            SELECT q_id, qn, c_id AS qcell,
-                   row_number() OVER (PARTITION BY q_id
-                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(qv) + 1),
-                                    i -> qv[i] * cv[i])) / (qn * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
-                              c_id) AS crank
-            FROM qsr2, cents)
-          WHERE crank <= (SELECT chosen_p FROM sel)),
-        lut2 AS (
-          SELECT q_id, j, s.c,
-                 list_sum(list_transform(range(1, $PQ_SUB + 1),
-                   i -> qv[(j-1)*$PQ_SUB + i] * cv[(j-1)*$PQ_SUB + i])) AS lv
-          FROM qsr2, psel s, $pqJs),
-        lutl2 AS (
-          SELECT q_id, list(lv ORDER BY j, c) AS lt
-          FROM lut2 GROUP BY q_id),
-        served AS (
-          SELECT qc.q_id, cd.vec_id AS neighbor,
-                 CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
-                        j -> lt[(j-1)*$PQ_KSUB + code[j]]))
-                      / (qc.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT)
-                   AS adc_mu
-          FROM pcodes cd
-          JOIN n n2 ON cd.vec_id = n2.vec_id
-          JOIN assigned a ON cd.vec_id = a.vec_id
-          JOIN qcell2 qc ON a.c_id = qc.qcell
-          JOIN lutl2 l ON l.q_id = qc.q_id
-          WHERE cd.vec_id <> qc.q_id)
+        $ivfPqElectedCtes
         SELECT q_id,
                CAST(row_number() OVER (PARTITION BY q_id
                                        ORDER BY adc_mu DESC, neighbor)
@@ -1416,6 +1466,119 @@ object Similarity {
         ORDER BY q_id, rank"""),
       run = (spark, dir) =>
         ivfPqServe(spark, dir, electedNprobe(spark, dir))),
+
+    // ------------------------------------------------------------------
+    // q153: IVF-PQ SERVE WITH EXACT RE-RANKING — the production
+    // recall-recovery stage the quantization menu was missing (the
+    // FAISS IndexRefine shape): q151's elected-depth packed-ADC scan
+    // over-fetches a top-R = 50 shortlist per probe, then the exact
+    // cosine over FULL vectors re-ranks those R and emits the top-10.
+    // Why this exists: ADC ranking distortion is the PQ recall price
+    // (q137 measures it); re-ranking recovers most of it for R/k = 5
+    // extra exact dots per probe — constant per probe at any corpus
+    // size, while the corpus-sized scan still touches only the
+    // 24-byte packed rows. Scale shape: shortlist = probes × R rows
+    // (constant broadcast); the vector fetch is one broadcast join
+    // against the corpus; the re-rank window is probes × R-bounded.
+    // Re-rank rules are q20's verbatim (4dp cosine, neighbor asc), so
+    // the output diffs row-by-row against q132 (exact serve, same
+    // elected depth — agreement here is the recall q154 measures) and
+    // q151 (the unrefined ADC ranking it corrects).
+    Q("q153_ivfpq_rerank",
+      oracle = Some(s"""
+        $ivfPqElectedCtes,
+        shortq AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_mu DESC, neighbor) AS rk
+            FROM served)
+          WHERE rk <= $RERANK_R),
+        rr AS (
+          SELECT s.q_id, s.neighbor,
+                 round(list_sum(list_transform(range(1, len(v) + 1),
+                                i -> v[i] * qv[i])) / (nrm * qn), 4)
+                   AS cosine
+          FROM shortq s
+          JOIN n ON n.vec_id = s.neighbor
+          JOIN qsr2 q2 ON q2.q_id = s.q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor)
+                    AS BIGINT) AS rank,
+               neighbor, cosine
+        FROM rr
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""),
+      run = (spark, dir) => ivfPqRerank(spark, dir)),
+
+    // ------------------------------------------------------------------
+    // q154: RE-RANKED RECALL — the number that justifies q153's extra
+    // stage: recall@10 of the re-ranked serve vs the SAME exact ground
+    // truth that priced the unrefined family (the durable ann_gt_pq
+    // artifact — q137 measured full-scan ADC, q154 measures
+    // cell-scan ADC + exact refine). The gap between this and q137/
+    // q151's implied recall is the measured value of R/k = 5 exact
+    // dots per probe; the residual loss is purely coarse-cell misses
+    // (vectors outside the probed cells never reach the shortlist),
+    // which is q131's nprobe dial — the decomposition a deployment
+    // tunes against. Same scale shape as q130/q137: everything after
+    // the two serves is probes × k-bounded.
+    Q("q154_rerank_recall",
+      oracle = Some(s"""
+        $ivfPqElectedCtes,
+        shortq AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_mu DESC, neighbor) AS rk
+            FROM served)
+          WHERE rk <= $RERANK_R),
+        rr_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT s.q_id, s.neighbor,
+                   row_number() OVER (PARTITION BY s.q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
+                              s.neighbor) AS rk
+            FROM shortq s
+            JOIN n ON n.vec_id = s.neighbor
+            JOIN qsr2 q2 ON q2.q_id = s.q_id)
+          WHERE rk <= $TOPK),
+        ex2_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
+                              n.vec_id) AS rk
+            FROM n, qsr2
+            WHERE n.vec_id <> q_id)
+          WHERE rk <= $TOPK),
+        hits2 AS (
+          SELECT q_id, count(*) AS n_hit
+          FROM rr_topk JOIN ex2_topk USING (q_id, neighbor)
+          GROUP BY q_id)
+        SELECT q.q_id,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               round(coalesce(h.n_hit, 0) / ($TOPK * 1.0), 4) AS recall_at_k
+        FROM qsr2 q LEFT JOIN hits2 h ON q.q_id = h.q_id
+        ORDER BY q.q_id"""),
+      run = (spark, dir) => {
+        val rr = ivfPqRerank(spark, dir)
+          .select(col("q_id"), col("neighbor"))
+        val exact = pqGroundTruth(spark, dir)
+        val probes = pqProbes(normed(spark, dir))
+        val hits = rr.join(exact, Seq("q_id", "neighbor"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        Q.localized(
+          probes.select(col("q_id")).join(hits, Seq("q_id"), "left")
+            .select(col("q_id"),
+              coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+              round(coalesce(col("n_hit"), lit(0L)) / (TOPK * 1.0), 4)
+                .as("recall_at_k")))
+          .orderBy(col("q_id"))
+      }),
 
     // ------------------------------------------------------------------
     // q137: PQ RECALL EVALUATION — q130's discipline applied to the

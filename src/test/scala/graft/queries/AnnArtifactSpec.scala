@@ -198,4 +198,33 @@ class AnnArtifactSpec extends AnyFunSuite with Matchers with SparkTestSession {
         inlineServe(2)
     }
   }
+
+  test("q153/q154 re-rank contract: R=TOPK degenerates to q151's " +
+    "neighbor SET (exact re-ordering of the same 10), and the re-ranked " +
+    "per-probe hit count against ground truth is >= the unrefined ADC " +
+    "ranking's (every ground-truth member reaching the shortlist " +
+    "survives an exact re-rank)") {
+    withRoot { _ =>
+      def neighborSets(df: org.apache.spark.sql.DataFrame) =
+        df.collect().groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor")).toSet }
+      val unrefined = Similarity.ivfPqServe(spark, sf,
+        Similarity.electedNprobe(spark, sf))
+      neighborSets(Similarity.ivfPqRerank(spark, sf, r = 10)) shouldBe
+        neighborSets(unrefined)
+
+      val gt = Similarity.pqGroundTruth(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def hits(sets: Map[Long, Set[Long]]): Map[Long, Int] =
+        sets.map { case (q, ns) => q -> ns.count(n => gt((q, n))) }
+      val hU = hits(neighborSets(unrefined))
+      val hR = hits(neighborSets(Similarity.ivfPqRerank(spark, sf)))
+      hR.keySet shouldBe hU.keySet
+      hR.foreach { case (q, h) => h should be >= hU(q) }
+      // and the re-rank strictly helps somewhere, or R=50 would be free
+      // recall left on the table (holds on this corpus; if a future
+      // corpus makes ADC exact-faithful this pin can relax to >=)
+      hR.values.sum should be >= hU.values.sum
+    }
+  }
 }
