@@ -631,6 +631,90 @@ object Similarity {
           JOIN lutl2 l ON l.q_id = qc.q_id
           WHERE cd.vec_id <> qc.q_id)"""
 
+  /** The q138/q155 oracle chain: normed corpus + the full-width PQ
+    * distance relation ([[pqCtes]] — `sel`/`subd`/`best`), per-width
+    * prefix argmins (`bestw`/`codesw` — the prefix property: one
+    * distance relation serves every width), probe LUTs, the per-width
+    * recall curve `curve3` and width election `selw(chosen_w)`. q138
+    * selects the curve; q155 appends its serve at the chosen width. */
+  private def pqWidthCurveCtes: String = s"""
+        $normedCte,
+        $pqCtes,
+        ws AS (SELECT * FROM (VALUES (CAST(4 AS BIGINT)), (8), (16))
+               AS t(ksub)),
+        bestw AS (
+          SELECT w.ksub, vec_id, j, c, d2_mu,
+                 row_number() OVER (PARTITION BY w.ksub, vec_id, j
+                                    ORDER BY d2_mu, c) AS rn
+          FROM subd, ws w WHERE c <= w.ksub),
+        codesw AS (
+          SELECT ksub, vec_id, list(c ORDER BY j) AS code
+          FROM bestw WHERE rn = 1 GROUP BY ksub, vec_id),
+        qsr AS (
+          SELECT vec_id AS q_id, v AS qv, nrm AS qn
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $QUERY_N),
+        lut AS (
+          SELECT q_id, j, s.c,
+                 list_sum(list_transform(range(1, $PQ_SUB + 1),
+                   i -> qv[(j-1)*$PQ_SUB + i] * cv[(j-1)*$PQ_SUB + i])) AS lv
+          FROM qsr, sel s, $pqJs),
+        lutl AS (
+          SELECT q_id, list(lv ORDER BY j, c) AS lt
+          FROM lut GROUP BY q_id),
+        adc_topk AS (
+          SELECT ksub, q_id, neighbor FROM (
+            SELECT cd.ksub, l.q_id, cd.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY cd.ksub, l.q_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
+                                    j -> lt[(j-1)*$PQ_KSUB + code[j]]))
+                                  / (q.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              cd.vec_id) AS rk
+            FROM codesw cd
+            JOIN n n2 ON cd.vec_id = n2.vec_id
+            CROSS JOIN lutl l
+            JOIN qsr q ON l.q_id = q.q_id
+            WHERE cd.vec_id <> l.q_id)
+          WHERE rk <= $TOPK),
+        ex_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
+                              n.vec_id) AS rk
+            FROM n, qsr
+            WHERE n.vec_id <> q_id)
+          WHERE rk <= $TOPK),
+        hits AS (
+          SELECT ksub, q_id, count(*) AS n_hit
+          FROM adc_topk JOIN ex_topk USING (q_id, neighbor)
+          GROUP BY ksub, q_id),
+        perq AS (
+          SELECT g.ksub, g.q_id, coalesce(h.n_hit, 0) AS n_hit
+          FROM (SELECT ksub, q_id FROM ws, qsr) g
+          LEFT JOIN hits h ON g.ksub = h.ksub AND g.q_id = h.q_id),
+        curve AS (
+          SELECT ksub,
+                 CAST(count(*) AS BIGINT) AS n_probes,
+                 CAST(sum(n_hit) AS BIGINT) AS sum_hits,
+                 CAST(min(n_hit) AS BIGINT) AS min_hits
+          FROM perq GROUP BY ksub),
+        curve2 AS (
+          SELECT ksub, n_probes, sum_hits, min_hits,
+                 CAST(floor((sum_hits * 10000.0) / (n_probes * $TOPK))
+                      AS BIGINT) AS recall_bp
+          FROM curve),
+        curve3 AS (
+          SELECT *, CAST(CASE WHEN recall_bp >= $RECALL_TARGET_BP
+                              THEN 1 ELSE 0 END AS BIGINT) AS meets_target
+          FROM curve2),
+        selw AS (
+          SELECT CASE WHEN max(meets_target) = 1
+                      THEN min(CASE WHEN meets_target = 1 THEN ksub END)
+                      ELSE max(ksub) END AS chosen_w
+          FROM curve3)"""
+
   /** Where q54 materializes its trained codebook so the DuckDB oracle can
     * replay the identical search over the identical centroids (KMeans
     * centers aren't SQL-reproducible; the search given a codebook is).
@@ -1686,137 +1770,67 @@ object Similarity {
     // q131 election rule verbatim.
     Q("q138_pq_width_curve",
       oracle = Some(s"""
-        $normedCte,
-        $pqCtes,
-        ws AS (SELECT * FROM (VALUES (CAST(4 AS BIGINT)), (8), (16))
-               AS t(ksub)),
-        bestw AS (
-          SELECT w.ksub, vec_id, j, c, d2_mu,
-                 row_number() OVER (PARTITION BY w.ksub, vec_id, j
-                                    ORDER BY d2_mu, c) AS rn
-          FROM subd, ws w WHERE c <= w.ksub),
-        codesw AS (
-          SELECT ksub, vec_id, list(c ORDER BY j) AS code
-          FROM bestw WHERE rn = 1 GROUP BY ksub, vec_id),
-        qsr AS (
-          SELECT vec_id AS q_id, v AS qv, nrm AS qn
-          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-          LIMIT $QUERY_N),
-        lut AS (
-          SELECT q_id, j, s.c,
-                 list_sum(list_transform(range(1, $PQ_SUB + 1),
-                   i -> qv[(j-1)*$PQ_SUB + i] * cv[(j-1)*$PQ_SUB + i])) AS lv
-          FROM qsr, sel s, $pqJs),
-        lutl AS (
-          SELECT q_id, list(lv ORDER BY j, c) AS lt
-          FROM lut GROUP BY q_id),
-        adc_topk AS (
-          SELECT ksub, q_id, neighbor FROM (
-            SELECT cd.ksub, l.q_id, cd.vec_id AS neighbor,
-                   row_number() OVER (PARTITION BY cd.ksub, l.q_id
-                     ORDER BY CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
-                                    j -> lt[(j-1)*$PQ_KSUB + code[j]]))
-                                  / (q.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT) DESC,
-                              cd.vec_id) AS rk
-            FROM codesw cd
-            JOIN n n2 ON cd.vec_id = n2.vec_id
-            CROSS JOIN lutl l
-            JOIN qsr q ON l.q_id = q.q_id
-            WHERE cd.vec_id <> l.q_id)
-          WHERE rk <= $TOPK),
-        ex_topk AS (
-          SELECT q_id, neighbor FROM (
-            SELECT q_id, n.vec_id AS neighbor,
-                   row_number() OVER (PARTITION BY q_id
-                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
-                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
-                              n.vec_id) AS rk
-            FROM n, qsr
-            WHERE n.vec_id <> q_id)
-          WHERE rk <= $TOPK),
-        hits AS (
-          SELECT ksub, q_id, count(*) AS n_hit
-          FROM adc_topk JOIN ex_topk USING (q_id, neighbor)
-          GROUP BY ksub, q_id),
-        perq AS (
-          SELECT g.ksub, g.q_id, coalesce(h.n_hit, 0) AS n_hit
-          FROM (SELECT ksub, q_id FROM ws, qsr) g
-          LEFT JOIN hits h ON g.ksub = h.ksub AND g.q_id = h.q_id),
-        curve AS (
-          SELECT ksub,
-                 CAST(count(*) AS BIGINT) AS n_probes,
-                 CAST(sum(n_hit) AS BIGINT) AS sum_hits,
-                 CAST(min(n_hit) AS BIGINT) AS min_hits
-          FROM perq GROUP BY ksub),
-        curve2 AS (
-          SELECT ksub, n_probes, sum_hits, min_hits,
-                 CAST(floor((sum_hits * 10000.0) / (n_probes * $TOPK))
-                      AS BIGINT) AS recall_bp
-          FROM curve),
-        curve3 AS (
-          SELECT *, CAST(CASE WHEN recall_bp >= $RECALL_TARGET_BP
-                              THEN 1 ELSE 0 END AS BIGINT) AS meets_target
-          FROM curve2),
-        selw AS (
-          SELECT CASE WHEN max(meets_target) = 1
-                      THEN min(CASE WHEN meets_target = 1 THEN ksub END)
-                      ELSE max(ksub) END AS chosen_w
-          FROM curve3)
+        $pqWidthCurveCtes
         SELECT c.ksub, n_probes, sum_hits, min_hits, recall_bp,
                meets_target,
                CAST(CASE WHEN c.ksub = s.chosen_w THEN 1 ELSE 0 END
                     AS BIGINT) AS chosen
         FROM curve3 c, selw s
         ORDER BY c.ksub"""),
+      run = (spark, dir) => pqWidthCurve(spark, dir)),
+
+    // ------------------------------------------------------------------
+    // q155: SERVING AT THE ELECTED PQ WIDTH — the act half the width
+    // axis was missing: q137 measures the full-width codebook's recall,
+    // q138 sweeps the width dial and ELECTS, and this SERVES the
+    // ADC full scan at the elected ksub — the q131→q132 measure→decide
+    // →act arc completed on the compression axis (every halving of
+    // ksub is one fewer code bit per subspace; the election converts
+    // the recall target into the cheapest codebook that clears it, or
+    // the widest as fallback). The election reads the durable 3-row
+    // width-curve artifact (pqWidthCurve — the nprobeCurve discipline);
+    // the serve encodes at the PREFIX codebook of the chosen width
+    // (width-w sub-centroids ARE the first w rows of the full md5-order
+    // codebook) and runs q135's ADC verbatim — LUT entries for c ≤ w
+    // are width-independent, so the oracle serves straight off the
+    // full-width distance relation restricted to c ≤ chosen_w. Output
+    // is q135's shape, diffable row-by-row against it (identical when
+    // the election lands on the full width).
+    Q("q155_pq_auto_width",
+      oracle = Some(s"""
+        $pqWidthCurveCtes,
+        codes_at AS (
+          SELECT vec_id, code FROM codesw
+          WHERE ksub = (SELECT chosen_w FROM selw)),
+        scored AS (
+          SELECT l.q_id, cd.vec_id AS neighbor,
+                 CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
+                        j -> lt[(j-1)*$PQ_KSUB + code[j]]))
+                      / (q.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT)
+                   AS adc_mu
+          FROM codes_at cd
+          JOIN n n2 ON cd.vec_id = n2.vec_id
+          CROSS JOIN lutl l
+          JOIN qsr q ON l.q_id = q.q_id
+          WHERE cd.vec_id <> l.q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_mu DESC, neighbor)
+                    AS BIGINT) AS rank,
+               neighbor, adc_mu
+        FROM scored
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""),
       run = (spark, dir) => {
-        import spark.implicits._
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val n = normed(spark, dir).persist(MEMORY_AND_DISK)
-        val cbFull = pqCodebook(n)
-        val probes = pqProbes(n)
-        // exact ground truth: the durable ann_gt_pq artifact (same
-        // probes — pqProbes IS the artifact's probe construction)
-        val exact = pqGroundTruth(spark, dir)
-        val curves = PQ_WIDTHS.map { wk =>
-          val cbW = PqCodebook(PQ_M, wk, PQ_SUB, cbFull.cents.take(wk))
-          val bcW = spark.sparkContext.broadcast(cbW)
-          val coded = n.select(col("vec_id"), col("nrm"),
-            transform(PqExprs.pqEncode(bcW, col("v")),
-              s => s.getField("code")).as("codes"))
-          pqAdcServe(coded, probes, cbW)
-            .select(lit(wk.toLong).as("ksub"), col("q_id"), col("neighbor"))
-        }.reduce(_ unionByName _)
-        val hits = curves.join(exact, Seq("q_id", "neighbor"))
-          .groupBy(col("ksub"), col("q_id"))
-          .agg(count(lit(1)).as("n_hit"))
-        val perq = PQ_WIDTHS.map(_.toLong).toDF("ksub")
-          .crossJoin(probes.select(col("q_id")))
-          .join(hits, Seq("ksub", "q_id"), "left")
-          .select(col("ksub"), col("q_id"),
-            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-        val curve = perq.groupBy(col("ksub")).agg(
-            count(lit(1)).cast("long").as("n_probes"),
-            sum(col("n_hit")).cast("long").as("sum_hits"),
-            min(col("n_hit")).cast("long").as("min_hits"))
-          .withColumn("recall_bp",
-            floor(col("sum_hits") * 10000.0 / (col("n_probes") * lit(TOPK)))
-              .cast("long"))
-          .withColumn("meets_target",
-            when(col("recall_bp") >= RECALL_TARGET_BP, 1L).otherwise(0L))
-        // election over the |PQ_WIDTHS|-row curve — result-sized, the
-        // Q.localized discipline
-        val rs = curve.orderBy(col("ksub")).collect()
-        val met = rs.filter(_.getAs[Long]("meets_target") == 1L)
-        val chosenW =
-          if (met.nonEmpty) met.map(_.getAs[Long]("ksub")).min
-          else rs.map(_.getAs[Long]("ksub")).max
-        val out = rs.toSeq.map(r => (r.getLong(0), r.getLong(1),
-            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
-            if (r.getLong(0) == chosenW) 1L else 0L))
-          .toDF("ksub", "n_probes", "sum_hits", "min_hits", "recall_bp",
-            "meets_target", "chosen")
-        n.unpersist(blocking = false)
-        out.orderBy(col("ksub"))
+        val w = electedWidth(spark, dir)
+        val n = normed(spark, dir)
+        val cbW = PqCodebook(PQ_M, w, PQ_SUB,
+          pqCodebook(n).cents.take(w))
+        val bcW = spark.sparkContext.broadcast(cbW)
+        val coded = n.select(col("vec_id"), col("nrm"),
+          transform(PqExprs.pqEncode(bcW, col("v")),
+            s => s.getField("code")).as("codes"))
+        pqAdcServe(coded, pqProbes(n), cbW)
       }),
 
     // ------------------------------------------------------------------
@@ -2804,6 +2818,83 @@ object Similarity {
   private[queries] def electedNprobe(spark: SparkSession, dir: String): Int =
     nprobeCurve(spark, dir).filter(col("chosen") === 1L)
       .select(col("nprobe")).collect().head.getLong(0).toInt
+
+  /** q138's recall-vs-width curve as a DURABLE artifact — the
+    * [[nprobeCurve]] discipline on the compression axis: the 3-row
+    * curve (one row per PQ_WIDTHS point, recall in basis points,
+    * narrowest-clearing-the-target election) builds once per corpus
+    * source identity and both q138 (the curve) and q155 (the serve at
+    * the elected width) read it afterwards. Ground truth pre-resolves
+    * through its own artifact so nested `ensure` calls never recurse. */
+  private[queries] def pqWidthCurve(spark: SparkSession, dir: String): DataFrame = {
+    val gt = pqGroundTruth(spark, dir)
+    val path = graft.exec.ArtifactStore.ensure(spark, "pq_width_curve",
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
+        + s"-w${PQ_WIDTHS.mkString("_")}-t$RECALL_TARGET_BP-v1") { p =>
+      widthCurveImpl(spark, dir, gt).write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+      .select(col("ksub"), col("n_probes"), col("sum_hits"),
+        col("min_hits"), col("recall_bp"), col("meets_target"),
+        col("chosen"))
+      .orderBy(col("ksub"))
+  }
+
+  /** The codebook width q138's curve elects (narrowest clearing the
+    * recall target, else the widest) — one 3-row artifact read. */
+  private[queries] def electedWidth(spark: SparkSession, dir: String): Int =
+    pqWidthCurve(spark, dir).filter(col("chosen") === 1L)
+      .select(col("ksub")).collect().head.getLong(0).toInt
+
+  private def widthCurveImpl(spark: SparkSession, dir: String,
+      groundTruth: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val n = normed(spark, dir).persist(MEMORY_AND_DISK)
+    val cbFull = pqCodebook(n)
+    val probes = pqProbes(n)
+    val exact = groundTruth
+    val curves = PQ_WIDTHS.map { wk =>
+      val cbW = PqCodebook(PQ_M, wk, PQ_SUB, cbFull.cents.take(wk))
+      val bcW = spark.sparkContext.broadcast(cbW)
+      val coded = n.select(col("vec_id"), col("nrm"),
+        transform(PqExprs.pqEncode(bcW, col("v")),
+          s => s.getField("code")).as("codes"))
+      pqAdcServe(coded, probes, cbW)
+        .select(lit(wk.toLong).as("ksub"), col("q_id"), col("neighbor"))
+    }.reduce(_ unionByName _)
+    val hits = curves.join(exact, Seq("q_id", "neighbor"))
+      .groupBy(col("ksub"), col("q_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    val perq = PQ_WIDTHS.map(_.toLong).toDF("ksub")
+      .crossJoin(probes.select(col("q_id")))
+      .join(hits, Seq("ksub", "q_id"), "left")
+      .select(col("ksub"), col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    val curve = perq.groupBy(col("ksub")).agg(
+        count(lit(1)).cast("long").as("n_probes"),
+        sum(col("n_hit")).cast("long").as("sum_hits"),
+        min(col("n_hit")).cast("long").as("min_hits"))
+      .withColumn("recall_bp",
+        floor(col("sum_hits") * 10000.0 / (col("n_probes") * lit(TOPK)))
+          .cast("long"))
+      .withColumn("meets_target",
+        when(col("recall_bp") >= RECALL_TARGET_BP, 1L).otherwise(0L))
+    // election over the |PQ_WIDTHS|-row curve — result-sized, the
+    // Q.localized discipline
+    val rs = curve.orderBy(col("ksub")).collect()
+    val met = rs.filter(_.getAs[Long]("meets_target") == 1L)
+    val chosenW =
+      if (met.nonEmpty) met.map(_.getAs[Long]("ksub")).min
+      else rs.map(_.getAs[Long]("ksub")).max
+    val out = rs.toSeq.map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.getLong(0) == chosenW) 1L else 0L))
+      .toDF("ksub", "n_probes", "sum_hits", "min_hits", "recall_bp",
+        "meets_target", "chosen")
+    n.unpersist(blocking = false)
+    out.orderBy(col("ksub"))
+  }
 
   private def nprobeCurveImpl(spark: SparkSession, dir: String,
       groundTruth: DataFrame): DataFrame = {

@@ -188,6 +188,26 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTestSession {
     full.getAs[Long]("sum_hits") shouldBe q137Total
   }
 
+  test("q155 serves at the elected width: when the election lands on " +
+    "the FULL width (the sf0.001 fallback), the elected-width serve is " +
+    "exactly q135's ranking — same codebook, same ADC, same ties") {
+    val curve = graft.queries.Registry
+      .queries("q138_pq_width_curve")(spark, sf0001)
+      .collect()
+    val chosen = curve.filter(_.getAs[Long]("chosen") == 1L)
+      .map(_.getAs[Long]("ksub"))
+    chosen.length shouldBe 1
+    if (chosen.head == 16L) {
+      val q155 = graft.queries.Registry
+        .queries("q155_pq_auto_width")(spark, sf0001)
+        .collect().map(_.toSeq).toSeq
+      val q135 = graft.queries.Registry
+        .queries("q135_pq_adc_topk")(spark, sf0001)
+        .collect().map(_.toSeq).toSeq
+      q155 shouldBe q135
+    }
+  }
+
   test("codegen path: encode + ADC through a real projection; null " +
     "vectors stay null") {
     import spark.implicits._
