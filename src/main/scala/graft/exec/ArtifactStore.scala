@@ -168,7 +168,15 @@ object ArtifactStore {
     * `<table>`, `<table>.parquet`, `<table>.csv`, ... in any physical
     * shape `Tables.table` accepts), and a missing table digests as its
     * name alone rather than failing — [[ensure]]'s builder is what
-    * surfaces a genuinely unreadable input. */
+    * surfaces a genuinely unreadable input.
+    *
+    * MEMOIZED per (dir, tables) for the life of the process (the
+    * listing is one RPC per table on a real FS): the documented
+    * assumption is an IMMUTABLE corpus per process. A process that
+    * regenerates a corpus under the same directory and keeps querying
+    * it must call [[invalidateSourceKeys]] first, or this process's
+    * resolves keep serving generation-A keys; any FRESH process
+    * re-lists and re-keys unconditionally. */
   def sourceKey(spark: SparkSession, dir: String, tables: String*): String = {
     val memo = dir + "|" + tables.mkString(",")
     sourceKeys.computeIfAbsent(memo, { _ =>
@@ -196,6 +204,14 @@ object ArtifactStore {
       md5hex(sb.toString).take(16)
     })
   }
+
+  /** Drop every memoized [[sourceKey]] so the next resolve re-lists the
+    * source files — the escape hatch for the one case the per-process
+    * memo doesn't cover: regenerating a corpus under the SAME directory
+    * within one process (tests, notebook sessions). Cheap (the memo
+    * repopulates on first use); publication memos stay — they are keyed
+    * by content key, which the re-listed sources will change. */
+  def invalidateSourceKeys(): Unit = sourceKeys.clear()
 
   /** Fixed, process-independent location for [[ensureAt]] artifacts —
     * the ones whose absolute path must be known at CLASS LOAD because a

@@ -197,8 +197,14 @@ object AnnScaleProbe {
       val (packedRows, tPackedServe) = timed(
         Similarity.pqAdcServePacked(idx, Similarity.pqProbes(n), cb)
           .count())
-      val idxBytes = idx.inputFiles
-        .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+      // sizes via the Hadoop FileSystem, not java.io — the artifact
+      // root may be hdfs:// or s3a:// in a cluster deployment (the
+      // store's own access path)
+      val hConf = spark.sparkContext.hadoopConfiguration
+      val idxBytes = idx.inputFiles.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hConf).getFileStatus(p).getLen
+      }.sum
       out ++= f""","ivfpq_index_build_secs":$tIdx%.2f"""
       out ++= s""","ivfpq_index_bytes":$idxBytes"""
       out ++= s""","packed_served_rows":$packedRows"""

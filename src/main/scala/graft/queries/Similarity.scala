@@ -250,6 +250,16 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The width-`ksub` PREFIX of the full md5-order codebook (width-w
+    * sub-centroids ARE the first w rows — the q138 prefix property), as
+    * a servable [[PqCodebook]]. ksub = [[PQ_KSUB]] returns the full
+    * codebook unchanged. */
+  private[queries] def prefixCodebook(n: DataFrame, ksub: Int): PqCodebook = {
+    val full = pqCodebook(n)
+    if (ksub == full.ksub) full
+    else PqCodebook(PQ_M, ksub, PQ_SUB, full.cents.take(ksub))
+  }
+
   /** Pack the [[PQ_M]] 1-based 4-bit codes (ksub ≤ 16) of a code ARRAY
     * into one BIGINT — bits [4(j−1), 4j) hold code_j − 1. M static
     * element_at + shift-multiply terms, fully codegen'd; max value
@@ -281,16 +291,22 @@ object Similarity {
     * per corpus source identity ([[graft.exec.ArtifactStore.ensure]];
     * geometry in the key), consumed by q135 (full-scan ADC ignores
     * c_id), q136 (cell-restricted ADC), and q151 (elected-depth
-    * serve). Oracles stay artifact-free — they re-derive codes +
+    * serve). `ksub` parameterizes the codebook WIDTH (round 17): the
+    * width election (q138) now reaches the production index — q155
+    * serves from the entry built at the ELECTED ksub (`-k$ksub` keeps
+    * width-w and full-width artifacts distinct; prefix property means
+    * the full-width entry is byte-identical to the pre-parameterization
+    * construction). Oracles stay artifact-free — they re-derive codes +
     * assignment inline in SQL, so the gate value-checks these stored
     * bytes every round. */
-  private[queries] def ivfPqIndex(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def ivfPqIndex(spark: SparkSession, dir: String,
+      ksub: Int = PQ_KSUB): DataFrame = {
     val path = graft.exec.ArtifactStore.ensure(spark, "ivfpq_index",
       graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
-        + s"-m$PQ_M-k$PQ_KSUB-s$PQ_SUB-v1") { p =>
+        + s"-m$PQ_M-k$ksub-s$PQ_SUB-v1") { p =>
       val n = normed(spark, dir)
       val cents = boundedCents(n)
-      val bcCb = spark.sparkContext.broadcast(pqCodebook(n))
+      val bcCb = spark.sparkContext.broadcast(prefixCodebook(n, ksub))
       assignCells(n, cents)
         .select(col("vec_id"), col("nrm"), col("c_id"),
           packCodes(transform(PqExprs.pqEncode(bcCb, col("v")),
@@ -337,11 +353,11 @@ object Similarity {
     * 24-byte index rows; only (q_id, neighbor, adc_mu) triples reach
     * the ranking exchange. */
   private[queries] def ivfPqServe(spark: SparkSession, dir: String,
-      nprobe: Int, topk: Int = TOPK): DataFrame = {
-    val idx = ivfPqIndex(spark, dir)
+      nprobe: Int, topk: Int = TOPK, ksub: Int = PQ_KSUB): DataFrame = {
+    val idx = ivfPqIndex(spark, dir, ksub)
     val n = normed(spark, dir)
     val cents = boundedCents(n)
-    val cb = pqCodebook(n)
+    val cb = prefixCodebook(n, ksub)
     val probes = pqProbes(n)
     val bcLut = pqLutBroadcast(probes, cb)
     val qs = graft.similarity.VectorSearch.probeCells(
@@ -1789,13 +1805,15 @@ object Similarity {
     // the recall target into the cheapest codebook that clears it, or
     // the widest as fallback). The election reads the durable 3-row
     // width-curve artifact (pqWidthCurve — the nprobeCurve discipline);
-    // the serve encodes at the PREFIX codebook of the chosen width
-    // (width-w sub-centroids ARE the first w rows of the full md5-order
-    // codebook) and runs q135's ADC verbatim — LUT entries for c ≤ w
-    // are width-independent, so the oracle serves straight off the
-    // full-width distance relation restricted to c ≤ chosen_w. Output
-    // is q135's shape, diffable row-by-row against it (identical when
-    // the election lands on the full width).
+    // the serve (round 17) reads the WIDTH-ELECTED bit-packed
+    // ivfpq_index artifact — built once per corpus at the elected ksub
+    // via the prefix property (width-w sub-centroids ARE the first w
+    // rows of the full md5-order codebook) — and runs q135's packed
+    // ADC verbatim; LUT entries for c ≤ w are width-independent, so
+    // the oracle serves straight off the full-width distance relation
+    // restricted to c ≤ chosen_w. Output is q135's shape, diffable
+    // row-by-row against it (identical when the election lands on the
+    // full width, where the elected index IS q135's artifact).
     Q("q155_pq_auto_width",
       oracle = Some(s"""
         $pqWidthCurveCtes,
@@ -1822,15 +1840,16 @@ object Similarity {
         QUALIFY rank <= $TOPK
         ORDER BY q_id, rank"""),
       run = (spark, dir) => {
+        // serve from the WIDTH-ELECTED packed index artifact (built at
+        // most once per corpus at the elected ksub — the r16 residue
+        // was an inline per-invocation corpus re-encode here); the
+        // full ADC scan over it ignores c_id, exactly q135's shape at
+        // the narrower codebook. Bitwise ≡ the retired inline row-form
+        // serve (PqSpec's packed-vs-row pin), so the oracle stands.
         val w = electedWidth(spark, dir)
         val n = normed(spark, dir)
-        val cbW = PqCodebook(PQ_M, w, PQ_SUB,
-          pqCodebook(n).cents.take(w))
-        val bcW = spark.sparkContext.broadcast(cbW)
-        val coded = n.select(col("vec_id"), col("nrm"),
-          transform(PqExprs.pqEncode(bcW, col("v")),
-            s => s.getField("code")).as("codes"))
-        pqAdcServe(coded, pqProbes(n), cbW)
+        pqAdcServePacked(ivfPqIndex(spark, dir, w), pqProbes(n),
+          prefixCodebook(n, w))
       }),
 
     // ------------------------------------------------------------------
@@ -2745,11 +2764,14 @@ object Similarity {
     * is exactly the thing re-run on every index rebuild. Routed through
     * [[graft.exec.ArtifactStore.ensure]] with the corpus SOURCE-FILE
     * identity in the key (the q17/q78 discipline — regenerated
-    * embeddings re-key and rebuild; the retired round-15 TrieMap keyed
-    * on the directory STRING and could serve a stale curve after an
-    * in-process regeneration), so it builds at most once across ALL
-    * processes sharing the store root and is a probes×k-row parquet
-    * read afterwards. Three probe-universe variants, one family each:
+    * embeddings re-key and rebuild in any FRESH process; the retired
+    * round-15 TrieMap keyed on the directory STRING and stayed stale
+    * across processes too. The residual is the store's documented
+    * immutable-corpus-per-process contract: sourceKey memoizes its
+    * listing, so a SAME-process regeneration must first call
+    * [[graft.exec.ArtifactStore.invalidateSourceKeys]]), so it builds
+    * at most once across ALL processes sharing the store root and is a
+    * probes×k-row parquet read afterwards. Three probe-universe variants, one family each:
     * `ivf` (modulus-universe md5 sample — q130, the q131 curve), `pq`
     * (full-corpus md5 sample — q137/q138/q143), `sq8` (the md5 sample
     * over the zero-vector-excluded SQ8 relation — q141). Oracles stay
@@ -2759,10 +2781,10 @@ object Similarity {
     * derivation (probe construction + 4dp rank rule). */
   private def groundTruthArtifact(spark: SparkSession, dir: String,
       family: String, corpusOf: DataFrame => DataFrame,
-      probesOf: DataFrame => DataFrame): DataFrame = {
+      probesOf: DataFrame => DataFrame, extraKey: String = ""): DataFrame = {
     val path = graft.exec.ArtifactStore.ensure(spark, family,
       graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
-        + s"-k$TOPK-n$QUERY_N-v1") { p =>
+        + s"-k$TOPK-n$QUERY_N$extraKey-v1") { p =>
       val corpus = corpusOf(normed(spark, dir))
       exactTopKPlan(corpus.select(col("vec_id"), col("v"), col("nrm")),
         probesOf(corpus))
@@ -2772,7 +2794,8 @@ object Similarity {
   }
 
   private[queries] def ivfGroundTruth(spark: SparkSession, dir: String): DataFrame =
-    groundTruthArtifact(spark, dir, "ann_gt_ivf", identity, ivfEvalProbes)
+    groundTruthArtifact(spark, dir, "ann_gt_ivf", identity, ivfEvalProbes,
+      extraKey = s"-m$QUERY_MOD")
 
   private[queries] def pqGroundTruth(spark: SparkSession, dir: String): DataFrame =
     groundTruthArtifact(spark, dir, "ann_gt_pq", identity, pqProbes)
@@ -2795,15 +2818,22 @@ object Similarity {
     * DURABLE across processes since round 16: the 4-row curve is itself
     * an [[graft.exec.ArtifactStore]] entry (source-identity staleness
     * key — the round-15 TrieMap's two disclosed defects, dir-string
-    * keying and non-atomic first-compute, both go away: the store keys
-    * on file identity and serializes same-key builders via its publish
-    * protocol). The ground-truth half resolves FIRST (its own artifact)
-    * so nested `ensure` calls never recurse into the store's memo map. */
+    * keying and non-atomic first-compute, both go away ACROSS processes:
+    * the store keys on file identity and serializes same-key builders
+    * via its publish protocol; a same-process regeneration still needs
+    * the store's [[graft.exec.ArtifactStore.invalidateSourceKeys]] hook,
+    * per its immutable-corpus-per-process contract). The ground-truth
+    * half resolves FIRST (its own artifact) so nested `ensure` calls
+    * never recurse into the store's memo map. */
   private[queries] def nprobeCurve(spark: SparkSession, dir: String): DataFrame = {
     val gt = ivfGroundTruth(spark, dir)
+    // every input constant that re-keys the ground truth also re-keys
+    // this dependent curve (k/n/mod — the r16 ADVICE gap: changing
+    // QUERY_N or TOPK rebuilt GT but served a stale curve)
     val path = graft.exec.ArtifactStore.ensure(spark, "ann_nprobe_curve",
       graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
-        + s"-p${NPROBES.mkString("_")}-t$RECALL_TARGET_BP-v1") { p =>
+        + s"-p${NPROBES.mkString("_")}-t$RECALL_TARGET_BP" +
+        s"-k$TOPK-n$QUERY_N-m$QUERY_MOD-v1") { p =>
       nprobeCurveImpl(spark, dir, gt).write.mode("overwrite").parquet(p)
     }
     spark.read.parquet(path)
@@ -2830,7 +2860,8 @@ object Similarity {
     val gt = pqGroundTruth(spark, dir)
     val path = graft.exec.ArtifactStore.ensure(spark, "pq_width_curve",
       graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
-        + s"-w${PQ_WIDTHS.mkString("_")}-t$RECALL_TARGET_BP-v1") { p =>
+        + s"-w${PQ_WIDTHS.mkString("_")}-t$RECALL_TARGET_BP" +
+        s"-k$TOPK-n$QUERY_N-v1") { p =>
       widthCurveImpl(spark, dir, gt).write.mode("overwrite").parquet(p)
     }
     spark.read.parquet(path)

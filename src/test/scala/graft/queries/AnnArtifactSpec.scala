@@ -199,6 +199,53 @@ class AnnArtifactSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("width-elected packed index: the full-width entry is the same " +
+    "artifact as the default construction, and narrow-width entries " +
+    "serve bitwise-identically to the inline prefix-codebook serve " +
+    "(the q155 shapes)") {
+    withRoot { _ =>
+      // full width resolves to the SAME (family, key) → same files
+      val full = Similarity.ivfPqIndex(spark, sf)
+      val fullW = Similarity.ivfPqIndex(spark, sf, Similarity.PQ_KSUB)
+      fullW.inputFiles.sorted.toSeq shouldBe full.inputFiles.sorted.toSeq
+
+      val n = Similarity.normed(spark, sf)
+      val probes = Similarity.pqProbes(n)
+      for (w <- Seq(4, 8)) {
+        val cbW = Similarity.prefixCodebook(n, w)
+        val bcW = spark.sparkContext.broadcast(cbW)
+        val coded = n.select(col("vec_id"), col("nrm"),
+          transform(
+            org.apache.spark.sql.graft.PqExprs.pqEncode(bcW, col("v")),
+            s => s.getField("code")).as("codes"))
+        val inline = Similarity.pqAdcServe(coded, probes, cbW)
+          .collect().toSeq
+        val packed = Similarity.pqAdcServePacked(
+          Similarity.ivfPqIndex(spark, sf, w), probes, cbW)
+          .collect().toSeq
+        packed shouldBe inline
+      }
+    }
+  }
+
+  test("in-process corpus regeneration: invalidateSourceKeys() re-keys " +
+    "the derived artifacts without a process restart (the store's " +
+    "documented escape hatch for its immutable-corpus assumption)") {
+    withRoot { _ =>
+      val dir = Files.createTempDirectory("graft-ann-corpus3")
+        .toFile.getAbsolutePath
+      writeCorpus(dir, idBase = 0L, rows = 120)
+      val gt1 = Similarity.pqGroundTruth(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      writeCorpus(dir, idBase = 20000L, rows = 120)
+      ArtifactStore.invalidateSourceKeys()
+      val gt2 = Similarity.pqGroundTruth(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      gt2 should not be gt1
+      gt2 shouldBe refGroundTruth(dir)
+    }
+  }
+
   test("q153/q154 re-rank contract: R=TOPK degenerates to q151's " +
     "neighbor SET (exact re-ordering of the same 10), and the re-ranked " +
     "per-probe hit count against ground truth is >= the unrefined ADC " +

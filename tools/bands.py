@@ -15,6 +15,7 @@ Usage: python3 tools/bands.py [--scale sf0.1|10x] [--latest FILE]
 import argparse
 import glob
 import json
+import os
 import statistics
 import sys
 from pathlib import Path
@@ -82,22 +83,30 @@ def main():
     # the judged capture must NOT contribute to its own band — with it
     # included, latest > max can never trigger for a committed capture
     # and the drift check is vacuous (caught round 15: a latest==max
-    # row). Exclusion is by CONTENT (the queries map), not by path:
-    # the same capture routinely exists under both target/ and
-    # captures/ spellings (and --latest may be given as either, ./-
-    # prefixed, or absolute), and a path mismatch would silently
-    # re-admit the capture into its own band. Content compares as
-    # NUMERIC-normalized dicts, not serialized strings: a re-serialized
-    # copy (5 vs 5.0, key-order drift) must still be recognized as the
-    # same capture or it silently re-enters its own band.
+    # row). Primary exclusion is by RESOLVED REAL PATH (catches every
+    # spelling of the same file: captures/ vs target/, ./-prefixed,
+    # absolute, symlinked). Content identity is only the FALLBACK for
+    # re-serialized COPIES of the judged file (5 vs 5.0, key-order
+    # drift, a cp into captures/) — and because two genuinely distinct
+    # runs could in principle land numerically identical, a
+    # content-identical NON-same-path skip is logged rather than
+    # silent (r16 ADVICE: silent content-matching could drop a real
+    # historical capture from the band pool).
     def norm(qs):
         return {q: float(v) for q, v in qs.items()
                 if isinstance(v, (int, float))}
 
+    latest_real = os.path.realpath(latest_path)
     latest_ident = norm(latest)
     hist = {}
     for _, p, qs, _ in caps:
+        if os.path.realpath(p) == latest_real:
+            continue
         if norm(qs) == latest_ident:
+            print(f"[bands] note: {p} is content-identical to the judged "
+                  f"capture ({latest_path}) but not the same file — "
+                  "treating it as a copy and excluding it from the band",
+                  file=sys.stderr)
             continue
         for q, v in qs.items():
             if isinstance(v, (int, float)):
