@@ -39,11 +39,16 @@ object Similarity {
   private[queries] val CENTROID_BUDGET: Long =
     graft.similarity.VectorSearch.CentroidBudget
   private[queries] val TOPK = 10
-  // q153's shortlist depth: the ADC stage over-fetches R = 5k
-  // candidates per probe, the exact stage re-ranks them — recall
-  // recovery at R/k extra exact dots per probe (constant per probe at
-  // any corpus size)
-  private[queries] val RERANK_R = 50
+  // q156's swept shortlist-depth dial (the third serving dial, after
+  // nprobe and width): the ADC stage over-fetches R candidates per
+  // probe, the exact stage re-ranks them — recall recovery at R/k
+  // extra exact dots per probe (constant per probe at any corpus
+  // size). q156 sweeps these points against exact ground truth and
+  // elects the smallest R clearing RECALL_TARGET_BP (else the
+  // deepest); q153/q154 serve/measure at the elected R. (Through
+  // round 16, R was a fixed 50 — the one serving dial without a
+  // curve→elect→serve arc.)
+  private[queries] val RERANK_RS: Seq[Long] = Seq(10L, 20L, 50L, 100L)
   // q131's swept serving dial: curve points {1,2,4,8}, recall target in
   // basis points (8000 = the 0.8 recall@10 a deployment typically
   // demands before trusting an index)
@@ -382,8 +387,9 @@ object Similarity {
   }
 
   /** q153's two-stage serve: the elected-depth packed-ADC shortlist
-    * (top-[[RERANK_R]] per probe — q151's serve, deeper) RE-RANKED by
-    * exact cosine over the full vectors, emitting the top-[[TOPK]].
+    * (top-`r` per probe — q151's serve, deeper; q153 passes the
+    * q156-ELECTED depth) RE-RANKED by exact cosine over the full
+    * vectors, emitting the top-[[TOPK]].
     * The standard production recall-recovery pattern (FAISS's
     * IndexRefine): the corpus-sized scan still touches only 24-byte
     * packed rows; the exact stage fetches full vectors for probes×R
@@ -393,7 +399,7 @@ object Similarity {
     * directly diffable against q132 (exact serve at the same elected
     * depth) and q151 (the unrefined ADC ranking). */
   private[queries] def ivfPqRerank(spark: SparkSession, dir: String,
-      r: Int = RERANK_R): DataFrame = {
+      r: Int): DataFrame = {
     val shortlist = ivfPqServe(spark, dir, electedNprobe(spark, dir),
         topk = r)
       .select(col("q_id"), col("neighbor"))
@@ -646,6 +652,83 @@ object Similarity {
           JOIN qcell2 qc ON a.c_id = qc.qcell
           JOIN lutl2 l ON l.q_id = qc.q_id
           WHERE cd.vec_id <> qc.q_id)"""
+
+  /** The q153/q154/q156 oracle chain: [[ivfPqElectedCtes]] (the
+    * elected-depth ADC relation `served`) + the R grid, the maximal
+    * rank-carrying shortlist `shortall`, ONE exact scoring of it
+    * (`rrscored` — probes × max(R) rows, never corpus-sized), the
+    * per-R re-ranked top-k `rr_topk_r`, exact ground truth `ex2_topk`
+    * (full-corpus probe universe), the per-R recall curve and the
+    * depth election `selr(chosen_r)`. q156 selects the curve; q153
+    * serves `rrscored` restricted to chosen_r; q154 measures the
+    * chosen-R row's per-probe hits. */
+  private def rerankElectedCtes: String = s"""
+        $ivfPqElectedCtes,
+        rsgrid AS (
+          SELECT CAST(r AS BIGINT) AS r
+          FROM (VALUES ${RERANK_RS.map(r => s"($r)").mkString(", ")})
+            AS t(r)),
+        shortall AS (
+          SELECT q_id, neighbor,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY adc_mu DESC, neighbor)
+                   AS adc_rank
+          FROM served),
+        rrscored AS (
+          SELECT s.q_id, s.adc_rank, s.neighbor,
+                 round(list_sum(list_transform(range(1, len(v) + 1),
+                                i -> v[i] * qv[i])) / (nrm * qn), 4)
+                   AS cosine
+          FROM shortall s
+          JOIN n ON n.vec_id = s.neighbor
+          JOIN qsr2 q2 ON q2.q_id = s.q_id
+          WHERE s.adc_rank <= ${RERANK_RS.max}),
+        rr_topk_r AS (
+          SELECT r, q_id, neighbor FROM (
+            SELECT g.r, sc.q_id, sc.neighbor,
+                   row_number() OVER (PARTITION BY g.r, sc.q_id
+                                      ORDER BY sc.cosine DESC, sc.neighbor)
+                     AS rk
+            FROM rrscored sc JOIN rsgrid g ON sc.adc_rank <= g.r)
+          WHERE rk <= $TOPK),
+        ex2_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
+                              n.vec_id) AS rk
+            FROM n, qsr2
+            WHERE n.vec_id <> q_id)
+          WHERE rk <= $TOPK),
+        hitsr AS (
+          SELECT r, q_id, count(*) AS n_hit
+          FROM rr_topk_r JOIN ex2_topk USING (q_id, neighbor)
+          GROUP BY r, q_id),
+        perqr AS (
+          SELECT g.r, g.q_id, coalesce(h.n_hit, 0) AS n_hit
+          FROM (SELECT r, q_id FROM rsgrid, qsr2) g
+          LEFT JOIN hitsr h ON g.r = h.r AND g.q_id = h.q_id),
+        curver AS (
+          SELECT r,
+                 CAST(count(*) AS BIGINT) AS n_probes,
+                 CAST(sum(n_hit) AS BIGINT) AS sum_hits,
+                 CAST(min(n_hit) AS BIGINT) AS min_hits
+          FROM perqr GROUP BY r),
+        curver2 AS (
+          SELECT r, n_probes, sum_hits, min_hits,
+                 CAST(floor((sum_hits * 10000.0) / (n_probes * $TOPK))
+                      AS BIGINT) AS recall_bp
+          FROM curver),
+        curver3 AS (
+          SELECT *, CAST(CASE WHEN recall_bp >= $RECALL_TARGET_BP
+                              THEN 1 ELSE 0 END AS BIGINT) AS meets_target
+          FROM curver2),
+        selr AS (
+          SELECT CASE WHEN max(meets_target) = 1
+                      THEN min(CASE WHEN meets_target = 1 THEN r END)
+                      ELSE max(r) END AS chosen_r
+          FROM curver3)"""
 
   /** The q138/q155 oracle chain: normed corpus + the full-width PQ
     * distance relation ([[pqCtes]] — `sel`/`subd`/`best`), per-width
@@ -1571,93 +1654,58 @@ object Similarity {
     // q153: IVF-PQ SERVE WITH EXACT RE-RANKING — the production
     // recall-recovery stage the quantization menu was missing (the
     // FAISS IndexRefine shape): q151's elected-depth packed-ADC scan
-    // over-fetches a top-R = 50 shortlist per probe, then the exact
-    // cosine over FULL vectors re-ranks those R and emits the top-10.
+    // over-fetches a top-R shortlist per probe at the q156-ELECTED
+    // depth (round 17 — through r16 R was a fixed 50, the one serving
+    // dial without an election), then the exact cosine over FULL
+    // vectors re-ranks those R and emits the top-10.
     // Why this exists: ADC ranking distortion is the PQ recall price
-    // (q137 measures it); re-ranking recovers most of it for R/k = 5
+    // (q137 measures it); re-ranking recovers most of it for R/k
     // extra exact dots per probe — constant per probe at any corpus
     // size, while the corpus-sized scan still touches only the
     // 24-byte packed rows. Scale shape: shortlist = probes × R rows
     // (constant broadcast); the vector fetch is one broadcast join
-    // against the corpus; the re-rank window is probes × R-bounded.
+    // against the corpus; the re-rank window is probes × R-bounded;
+    // the election itself is a 4-row artifact read.
     // Re-rank rules are q20's verbatim (4dp cosine, neighbor asc), so
     // the output diffs row-by-row against q132 (exact serve, same
     // elected depth — agreement here is the recall q154 measures) and
     // q151 (the unrefined ADC ranking it corrects).
     Q("q153_ivfpq_rerank",
       oracle = Some(s"""
-        $ivfPqElectedCtes,
-        shortq AS (
-          SELECT q_id, neighbor FROM (
-            SELECT q_id, neighbor,
-                   row_number() OVER (PARTITION BY q_id
-                                      ORDER BY adc_mu DESC, neighbor) AS rk
-            FROM served)
-          WHERE rk <= $RERANK_R),
-        rr AS (
-          SELECT s.q_id, s.neighbor,
-                 round(list_sum(list_transform(range(1, len(v) + 1),
-                                i -> v[i] * qv[i])) / (nrm * qn), 4)
-                   AS cosine
-          FROM shortq s
-          JOIN n ON n.vec_id = s.neighbor
-          JOIN qsr2 q2 ON q2.q_id = s.q_id)
+        $rerankElectedCtes
         SELECT q_id,
                CAST(row_number() OVER (PARTITION BY q_id
                                        ORDER BY cosine DESC, neighbor)
                     AS BIGINT) AS rank,
                neighbor, cosine
-        FROM rr
+        FROM rrscored
+        WHERE adc_rank <= (SELECT chosen_r FROM selr)
         QUALIFY rank <= $TOPK
         ORDER BY q_id, rank"""),
-      run = (spark, dir) => ivfPqRerank(spark, dir)),
+      run = (spark, dir) =>
+        ivfPqRerank(spark, dir, electedRerankR(spark, dir))),
 
     // ------------------------------------------------------------------
     // q154: RE-RANKED RECALL — the number that justifies q153's extra
     // stage: recall@10 of the re-ranked serve vs the SAME exact ground
     // truth that priced the unrefined family (the durable ann_gt_pq
     // artifact — q137 measured full-scan ADC, q154 measures
-    // cell-scan ADC + exact refine). The gap between this and q137/
-    // q151's implied recall is the measured value of R/k = 5 exact
-    // dots per probe; the residual loss is purely coarse-cell misses
+    // cell-scan ADC + exact refine, at the q156-elected R). The gap
+    // between this and q137/q151's implied recall is the measured
+    // value of R/k exact dots per probe (q156's curve prices every
+    // grid point); the residual loss is purely coarse-cell misses
     // (vectors outside the probed cells never reach the shortlist),
     // which is q131's nprobe dial — the decomposition a deployment
     // tunes against. Same scale shape as q130/q137: everything after
     // the two serves is probes × k-bounded.
     Q("q154_rerank_recall",
       oracle = Some(s"""
-        $ivfPqElectedCtes,
-        shortq AS (
-          SELECT q_id, neighbor FROM (
-            SELECT q_id, neighbor,
-                   row_number() OVER (PARTITION BY q_id
-                                      ORDER BY adc_mu DESC, neighbor) AS rk
-            FROM served)
-          WHERE rk <= $RERANK_R),
-        rr_topk AS (
-          SELECT q_id, neighbor FROM (
-            SELECT s.q_id, s.neighbor,
-                   row_number() OVER (PARTITION BY s.q_id
-                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
-                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
-                              s.neighbor) AS rk
-            FROM shortq s
-            JOIN n ON n.vec_id = s.neighbor
-            JOIN qsr2 q2 ON q2.q_id = s.q_id)
-          WHERE rk <= $TOPK),
-        ex2_topk AS (
-          SELECT q_id, neighbor FROM (
-            SELECT q_id, n.vec_id AS neighbor,
-                   row_number() OVER (PARTITION BY q_id
-                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
-                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
-                              n.vec_id) AS rk
-            FROM n, qsr2
-            WHERE n.vec_id <> q_id)
-          WHERE rk <= $TOPK),
+        $rerankElectedCtes,
         hits2 AS (
           SELECT q_id, count(*) AS n_hit
-          FROM rr_topk JOIN ex2_topk USING (q_id, neighbor)
+          FROM (SELECT q_id, neighbor FROM rr_topk_r
+                WHERE r = (SELECT chosen_r FROM selr)) tq154
+          JOIN ex2_topk USING (q_id, neighbor)
           GROUP BY q_id)
         SELECT q.q_id,
                CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
@@ -1665,7 +1713,7 @@ object Similarity {
         FROM qsr2 q LEFT JOIN hits2 h ON q.q_id = h.q_id
         ORDER BY q.q_id"""),
       run = (spark, dir) => {
-        val rr = ivfPqRerank(spark, dir)
+        val rr = ivfPqRerank(spark, dir, electedRerankR(spark, dir))
           .select(col("q_id"), col("neighbor"))
         val exact = pqGroundTruth(spark, dir)
         val probes = pqProbes(normed(spark, dir))
@@ -1679,6 +1727,33 @@ object Similarity {
                 .as("recall_at_k")))
           .orderBy(col("q_id"))
       }),
+
+    // ------------------------------------------------------------------
+    // q156: RERANK DEPTH CURVE + ELECTION — q131's measure→decide
+    // discipline applied to the THIRD serving dial: nprobe got a
+    // curve→elect→serve arc (q131→q151), codebook width got one
+    // (q138→q155); the shortlist depth R was a constant. This sweeps
+    // R ∈ {10, 20, 50, 100} of the elected-depth-ADC + exact-re-rank
+    // two-stage serve against the SAME durable exact ground truth and
+    // elects the smallest R clearing the recall target (else the
+    // deepest) — the measured recall-vs-extra-exact-dots trade a
+    // deployment tunes R on (each point costs R/k exact dots per
+    // probe). Construction exploits rank monotonicity: ONE serve
+    // over-fetches to max(R) carrying its ADC rank, ONE exact pass
+    // scores that maximal shortlist, and every curve point is a
+    // rank-window restriction — no per-R corpus rescans or re-serves.
+    // The 4-row curve is a durable artifact (the nprobeCurve
+    // discipline); q153/q154 read its election.
+    Q("q156_rerank_depth_curve",
+      oracle = Some(s"""
+        $rerankElectedCtes
+        SELECT c.r, n_probes, sum_hits, min_hits, recall_bp,
+               meets_target,
+               CAST(CASE WHEN c.r = s.chosen_r THEN 1 ELSE 0 END
+                    AS BIGINT) AS chosen
+        FROM curver3 c, selr s
+        ORDER BY c.r"""),
+      run = (spark, dir) => rerankDepthCurve(spark, dir)),
 
     // ------------------------------------------------------------------
     // q137: PQ RECALL EVALUATION — q130's discipline applied to the
@@ -2876,6 +2951,91 @@ object Similarity {
   private[queries] def electedWidth(spark: SparkSession, dir: String): Int =
     pqWidthCurve(spark, dir).filter(col("chosen") === 1L)
       .select(col("ksub")).collect().head.getLong(0).toInt
+
+  /** q156's recall-vs-R curve as a DURABLE artifact — the [[nprobeCurve]]
+    * discipline on the THIRD serving dial (shortlist depth): one
+    * elected-depth packed-ADC serve over-fetches to max([[RERANK_RS]]),
+    * ONE exact-cosine pass scores that maximal shortlist (probes ×
+    * max(R) rows — never corpus-sized), and each curve point is a
+    * rank-window restriction of it, so no per-R corpus rescans. Elects
+    * the smallest R clearing [[RECALL_TARGET_BP]] (else the deepest).
+    * The key carries every constant that re-keys its ground truth
+    * (k/n) plus the dial grid, target and the nprobe grid the
+    * underlying elected-depth serve depends on. */
+  private[queries] def rerankDepthCurve(spark: SparkSession, dir: String): DataFrame = {
+    val gt = pqGroundTruth(spark, dir)
+    val path = graft.exec.ArtifactStore.ensure(spark, "rerank_depth_curve",
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
+        + s"-r${RERANK_RS.mkString("_")}-t$RECALL_TARGET_BP"
+        + s"-k$TOPK-n$QUERY_N-p${NPROBES.mkString("_")}-v1") { p =>
+      rerankDepthCurveImpl(spark, dir, gt).write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+      .select(col("r"), col("n_probes"), col("sum_hits"), col("min_hits"),
+        col("recall_bp"), col("meets_target"), col("chosen"))
+      .orderBy(col("r"))
+  }
+
+  /** The shortlist depth q156's curve elects (smallest R clearing the
+    * recall target, else the deepest) — one 4-row artifact read. */
+  private[queries] def electedRerankR(spark: SparkSession, dir: String): Int =
+    rerankDepthCurve(spark, dir).filter(col("chosen") === 1L)
+      .select(col("r")).collect().head.getLong(0).toInt
+
+  private def rerankDepthCurveImpl(spark: SparkSession, dir: String,
+      groundTruth: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rMax = RERANK_RS.max.toInt
+    // the maximal shortlist CARRIES its ADC rank, so every curve point
+    // below is a filter over one exact-scored relation — one serve, one
+    // vector fetch, one window, |RERANK_RS| restrictions
+    val shortlist = ivfPqServe(spark, dir, electedNprobe(spark, dir),
+        topk = rMax)
+      .select(col("q_id"), col("rank").as("adc_rank"), col("neighbor"))
+    val n = normed(spark, dir)
+    val probes = pqProbes(n)
+    val scored = n
+      .join(broadcast(shortlist), col("vec_id") === col("neighbor"))
+      .join(broadcast(probes), Seq("q_id"))
+      .select(col("q_id"), col("adc_rank"), col("neighbor"),
+        round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
+          .as("cosine"))
+    val rs = RERANK_RS.toDF("r")
+    val wR = Window.partitionBy(col("r"), col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    val topR = scored.join(broadcast(rs), col("adc_rank") <= col("r"))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= TOPK)
+      .select(col("r"), col("q_id"), col("neighbor"))
+    val hits = topR.join(groundTruth, Seq("q_id", "neighbor"))
+      .groupBy(col("r"), col("q_id")).agg(count(lit(1)).as("n_hit"))
+    val perQ = rs.crossJoin(probes.select(col("q_id")))
+      .join(hits, Seq("r", "q_id"), "left")
+      .select(col("r"), col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    val curve = perQ.groupBy(col("r")).agg(
+        count(lit(1)).cast("long").as("n_probes"),
+        sum(col("n_hit")).cast("long").as("sum_hits"),
+        min(col("n_hit")).cast("long").as("min_hits"))
+      .withColumn("recall_bp",
+        floor(col("sum_hits") * 10000.0 / (col("n_probes") * lit(TOPK)))
+          .cast("long"))
+      .withColumn("meets_target",
+        when(col("recall_bp") >= RECALL_TARGET_BP, 1L).otherwise(0L))
+    // election over the |RERANK_RS|-row curve — result-sized, the
+    // widthCurveImpl discipline
+    val rows = curve.orderBy(col("r")).collect()
+    val met = rows.filter(_.getAs[Long]("meets_target") == 1L)
+    val chosenR =
+      if (met.nonEmpty) met.map(_.getAs[Long]("r")).min
+      else rows.map(_.getAs[Long]("r")).max
+    rows.toSeq.map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getLong(4), row.getLong(5),
+        if (row.getLong(0) == chosenR) 1L else 0L))
+      .toDF("r", "n_probes", "sum_hits", "min_hits", "recall_bp",
+        "meets_target", "chosen")
+      .orderBy(col("r"))
+  }
 
   private def widthCurveImpl(spark: SparkSession, dir: String,
       groundTruth: DataFrame): DataFrame = {

@@ -264,13 +264,15 @@ class AnnArtifactSpec extends AnyFunSuite with Matchers with SparkTestSession {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       def hits(sets: Map[Long, Set[Long]]): Map[Long, Int] =
         sets.map { case (q, ns) => q -> ns.count(n => gt((q, n))) }
+      val elected = Similarity.electedRerankR(spark, sf)
+      Similarity.RERANK_RS should contain(elected.toLong)
       val hU = hits(neighborSets(unrefined))
-      val hR = hits(neighborSets(Similarity.ivfPqRerank(spark, sf)))
+      val hR = hits(neighborSets(Similarity.ivfPqRerank(spark, sf, elected)))
       hR.keySet shouldBe hU.keySet
       hR.foreach { case (q, h) => h should be >= hU(q) }
-      // and the re-rank strictly helps somewhere, or R=50 would be free
-      // recall left on the table (holds on this corpus; if a future
-      // corpus makes ADC exact-faithful this pin can relax to >=)
+      // and the re-rank strictly helps somewhere, or the elected R
+      // would be free recall left on the table (holds on this corpus;
+      // if a future corpus makes ADC exact-faithful this pin can relax)
       hR.values.sum should be >= hU.values.sum
     }
   }
