@@ -433,6 +433,32 @@ object Similarity {
       .withColumn("sv",
         expr("transform(v, x -> round((x * 127.0D) / amax, 0))"))
 
+  /** The DURABLE SQ8 index — the ivfpq_index discipline on the int8
+    * axis (through round 16, q140/q141 re-derived the quantized
+    * relation from the float vectors per invocation; AnnScaleProbe
+    * measured the materialized form at a 2.3–3.2× on-disk cut but the
+    * registered serves never read it): one row per surviving vector
+    * (vec_id, nrm, amax, codes as real TINYINTs — 1 byte/lane on disk
+    * vs 8-byte doubles), built at most once per corpus source identity.
+    * The reader rehydrates `sv` as integer-valued doubles — an EXACT
+    * cast (|sv_i| ≤ 127), so every integer dot product and micro-snap
+    * downstream is bitwise the inline construction's (AnnArtifactSpec
+    * pins relation and serve equality). Oracles stay artifact-free and
+    * re-derive inline, so the gate value-checks the stored bytes. */
+  private[queries] def sq8Index(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.exec.ArtifactStore.ensure(spark, "sq8_index",
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
+        + "-v1") { p =>
+      sq8(normed(spark, dir))
+        .select(col("vec_id"), col("nrm"), col("amax"),
+          expr("transform(sv, x -> CAST(x AS TINYINT))").as("sv8"))
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+      .select(col("vec_id"), col("nrm"), col("amax"),
+        expr("transform(sv8, x -> CAST(x AS DOUBLE))").as("sv"))
+  }
+
   /** SQL twin of [[sq8]] + the md5-prefix probe slice over the
     * SURVIVING relation (both engines filter before sampling). */
   private def sqCtes: String = s"""
@@ -1941,8 +1967,11 @@ object Similarity {
     // quantization steps over their true norms:
     // idot·qa·xa / (127²·qn·xn). Scale shape is q20's verbatim —
     // constant md5-prefix probe broadcast, one linear scan, per-probe
-    // WindowGroupLimit — with the scan side reading the int8 column
-    // (4× fewer bytes than float32, 8× than these float64 doubles).
+    // WindowGroupLimit — with the scan side reading the DURABLE
+    // sq8_index artifact's real-TINYINT lanes (round 17; measured
+    // 2.3–3.2× on-disk cut vs the float vectors — 4× fewer bytes than
+    // float32, 8× than float64 doubles) instead of re-quantizing the
+    // float vectors per invocation.
     // Zero vectors are excluded on BOTH sides (cosine undefined).
     Q("q140_sq8_topk",
       oracle = Some(s"""
@@ -1965,8 +1994,12 @@ object Similarity {
         QUALIFY rank <= $TOPK
         ORDER BY q_id, rank"""),
       run = (spark, dir) => {
-        val s = sq8(normed(spark, dir))
-          .select(col("vec_id"), col("nrm"), col("amax"), col("sv"))
+        // serve from the DURABLE sq8_index artifact (1-byte code lanes
+        // on disk, rehydrated to integer-valued doubles — an exact
+        // cast, so the ranking is bitwise the inline construction's);
+        // the r16 residue was a per-invocation re-derivation from the
+        // float vectors here
+        val s = sq8Index(spark, dir)
         val probes = s
           .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
           .limit(QUERY_N)
@@ -2031,12 +2064,14 @@ object Similarity {
         FROM qsq q LEFT JOIN hits h ON q.q_id = h.q_id
         ORDER BY q.q_id"""),
       run = (spark, dir) => {
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val s = sq8(normed(spark, dir)).persist(MEMORY_AND_DISK)
+        // quantized side reads the durable sq8_index (the q140 shape);
+        // the persist the inline derivation needed goes away — the
+        // index scan is already the cheap pass
+        val s = sq8Index(spark, dir)
         val probes = s
           .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
           .limit(QUERY_N)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          .select(col("vec_id").as("q_id"),
             col("sv").as("qsv"), col("nrm").as("qn"), col("amax").as("qa"))
         val wSq = Window.partitionBy(col("q_id"))
           .orderBy(col("sq_mu").desc, col("neighbor").asc)
@@ -2061,7 +2096,6 @@ object Similarity {
               coalesce(col("n_hit"), lit(0L)).as("n_hit"),
               round(coalesce(col("n_hit"), lit(0L)) / (TOPK * 1.0), 4)
                 .as("recall_at_k")))
-        s.unpersist(blocking = false)
         result.orderBy(col("q_id"))
       }),
 

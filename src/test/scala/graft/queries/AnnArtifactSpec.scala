@@ -228,6 +228,20 @@ class AnnArtifactSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("sq8_index artifact: the rehydrated relation equals the inline " +
+    "derivation EXACTLY (every serve downstream is a deterministic " +
+    "function of it, so this is the q140/q141 bitwise pin)") {
+    withRoot { _ =>
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), col("nrm"), col("amax"), col("sv"))
+          .collect().map(_.toSeq).toSet
+      val inline = rows(Similarity.sq8(Similarity.normed(spark, sf)))
+      val indexed = rows(Similarity.sq8Index(spark, sf))
+      indexed should not be empty
+      indexed shouldBe inline
+    }
+  }
+
   test("in-process corpus regeneration: invalidateSourceKeys() re-keys " +
     "the derived artifacts without a process restart (the store's " +
     "documented escape hatch for its immutable-corpus assumption)") {
