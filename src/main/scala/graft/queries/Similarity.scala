@@ -399,9 +399,9 @@ object Similarity {
     * directly diffable against q132 (exact serve at the same elected
     * depth) and q151 (the unrefined ADC ranking). */
   private[queries] def ivfPqRerank(spark: SparkSession, dir: String,
-      r: Int): DataFrame = {
+      r: Int, ksub: Int = PQ_KSUB): DataFrame = {
     val shortlist = ivfPqServe(spark, dir, electedNprobe(spark, dir),
-        topk = r)
+        topk = r, ksub = ksub)
       .select(col("q_id"), col("neighbor"))
     val n = normed(spark, dir)
     val probes = pqProbes(n)
@@ -1780,6 +1780,119 @@ object Similarity {
         FROM curver3 c, selr s
         ORDER BY c.r"""),
       run = (spark, dir) => rerankDepthCurve(spark, dir)),
+
+    // ------------------------------------------------------------------
+    // q157: PRODUCTION ANN — the ONE row the quantization menu
+    // terminates in: every serving dial at its MEASURED election.
+    // Codebook width from q138's curve (narrowest clearing the recall
+    // target — the packed index materializes AT that width), probe
+    // depth from q131's curve (smallest nprobe clearing it), shortlist
+    // depth from q156's curve (smallest R clearing it) — composed into
+    // the FAISS IVFPQ(m, k*) + IndexRefine a deployment actually
+    // builds: elected-width packed cell scan → top-R ADC shortlist →
+    // exact re-rank → top-k. Each election is a ≤4-row artifact read;
+    // the serve shape is q153's (corpus-sized scan touches only packed
+    // index rows; probes × R exact dots). Diffs row-by-row against
+    // q153 — identical whenever the width election lands on the full
+    // codebook (AnnArtifactSpec pins it on the current corpora, where
+    // no narrower width clears 8000 bp). The oracle unrolls all THREE
+    // elections inline (the q151 scalar-subquery pattern): the width
+    // curve over per-width prefix codes, the nprobe curve, the R curve
+    // — then serves codes at chosen_w over cells at chosen_p,
+    // shortlists to chosen_r, and re-ranks exactly.
+    Q("q157_ann_production",
+      oracle = Some(s"""
+        $rerankElectedCtes,
+        wsq AS (
+          SELECT CAST(k AS BIGINT) AS ksub
+          FROM (VALUES ${PQ_WIDTHS.map(w => s"($w)").mkString(", ")})
+            AS t(k)),
+        bestwq AS (
+          SELECT w.ksub, vec_id, j, c, d2_mu,
+                 row_number() OVER (PARTITION BY w.ksub, vec_id, j
+                                    ORDER BY d2_mu, c) AS rn
+          FROM subq, wsq w WHERE c <= w.ksub),
+        codeswq AS (
+          SELECT ksub, vec_id, list(c ORDER BY j) AS code
+          FROM bestwq WHERE rn = 1 GROUP BY ksub, vec_id),
+        adcw_topk AS (
+          SELECT ksub, q_id, neighbor FROM (
+            SELECT cd.ksub, l.q_id, cd.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY cd.ksub, l.q_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
+                                    j -> lt[(j-1)*$PQ_KSUB + code[j]]))
+                                  / (q.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              cd.vec_id) AS rk
+            FROM codeswq cd
+            JOIN n n2 ON cd.vec_id = n2.vec_id
+            CROSS JOIN lutl2 l
+            JOIN qsr2 q ON l.q_id = q.q_id
+            WHERE cd.vec_id <> l.q_id)
+          WHERE rk <= $TOPK),
+        hitsw AS (
+          SELECT ksub, q_id, count(*) AS n_hit
+          FROM adcw_topk JOIN ex2_topk USING (q_id, neighbor)
+          GROUP BY ksub, q_id),
+        perqw AS (
+          SELECT g.ksub, g.q_id, coalesce(h.n_hit, 0) AS n_hit
+          FROM (SELECT ksub, q_id FROM wsq, qsr2) g
+          LEFT JOIN hitsw h ON g.ksub = h.ksub AND g.q_id = h.q_id),
+        curvew AS (
+          SELECT ksub, count(*) AS n_probes, sum(n_hit) AS sum_hits
+          FROM perqw GROUP BY ksub),
+        curvew2 AS (
+          SELECT ksub,
+                 CAST(floor((sum_hits * 10000.0) / (n_probes * $TOPK))
+                      AS BIGINT) AS recall_bp
+          FROM curvew),
+        selw2 AS (
+          SELECT CASE WHEN max(CASE WHEN recall_bp >= $RECALL_TARGET_BP
+                                    THEN 1 ELSE 0 END) = 1
+                      THEN min(CASE WHEN recall_bp >= $RECALL_TARGET_BP
+                                    THEN ksub END)
+                      ELSE max(ksub) END AS chosen_w
+          FROM curvew2),
+        codes_prod AS (
+          SELECT vec_id, code FROM codeswq
+          WHERE ksub = (SELECT chosen_w FROM selw2)),
+        served_prod AS (
+          SELECT qc.q_id, cd.vec_id AS neighbor,
+                 CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
+                        j -> lt[(j-1)*$PQ_KSUB + code[j]]))
+                      / (qc.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT)
+                   AS adc_mu
+          FROM codes_prod cd
+          JOIN n n2 ON cd.vec_id = n2.vec_id
+          JOIN assigned a ON cd.vec_id = a.vec_id
+          JOIN qcell2 qc ON a.c_id = qc.qcell
+          JOIN lutl2 l ON l.q_id = qc.q_id
+          WHERE cd.vec_id <> qc.q_id),
+        short_prod AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_mu DESC, neighbor) AS rk
+            FROM served_prod)
+          WHERE rk <= (SELECT chosen_r FROM selr)),
+        rr_prod AS (
+          SELECT s.q_id, s.neighbor,
+                 round(list_sum(list_transform(range(1, len(v) + 1),
+                                i -> v[i] * qv[i])) / (nrm * qn), 4)
+                   AS cosine
+          FROM short_prod s
+          JOIN n ON n.vec_id = s.neighbor
+          JOIN qsr2 q2 ON q2.q_id = s.q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor)
+                    AS BIGINT) AS rank,
+               neighbor, cosine
+        FROM rr_prod
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""),
+      run = (spark, dir) =>
+        ivfPqRerank(spark, dir, electedRerankR(spark, dir),
+          ksub = electedWidth(spark, dir))),
 
     // ------------------------------------------------------------------
     // q137: PQ RECALL EVALUATION — q130's discipline applied to the

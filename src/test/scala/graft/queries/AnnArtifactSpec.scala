@@ -228,6 +228,23 @@ class AnnArtifactSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("q157 production composition: on the current corpora the width " +
+    "election lands on the full codebook (no narrower width clears the " +
+    "target), so the fully-elected serve must equal q153 row for row") {
+    withRoot { _ =>
+      // documents the expectation the equality rests on — if testdata
+      // regeneration ever lets a narrower width clear 8000 bp, this
+      // trips first and the equality below becomes conditional
+      Similarity.electedWidth(spark, sf) shouldBe Similarity.PQ_KSUB
+      val prod = Registry.queries("q157_ann_production")(spark, sf)
+        .collect().toSeq
+      val rerank = Registry.queries("q153_ivfpq_rerank")(spark, sf)
+        .collect().toSeq
+      prod should not be empty
+      prod shouldBe rerank
+    }
+  }
+
   test("sq8_index artifact: the rehydrated relation equals the inline " +
     "derivation EXACTLY (every serve downstream is a deterministic " +
     "function of it, so this is the q140/q141 bitwise pin)") {
