@@ -268,6 +268,41 @@ object AnnScaleProbe {
       out ++= s""","sq8_vectors_bytes":${dirBytesSq(s"$dir/embeddings.parquet")}"""
     }
 
+    if (metrics("rerank")) {
+      // the round-17 two-stage serve at scale: resolve the three
+      // serving elections (first touch builds the durable ground-truth
+      // + curve artifacts — timed separately as the OFFLINE half a
+      // deployment pays once per corpus), then time the elected-depth
+      // rerank (q153's registration shape) and the fully-composed
+      // production serve (q157) end to end. This turns the
+      // "probes × R-bounded" re-rank claim into a measured curve
+      // alongside the packed-serve rows above.
+      val (elections, tElect) = timed {
+        (Similarity.electedNprobe(spark, dir),
+          Similarity.electedWidth(spark, dir),
+          Similarity.electedRerankR(spark, dir))
+      }
+      val (rerankRows, tRerank) = timed(
+        Similarity.ivfPqRerank(spark, dir, elections._3).count())
+      val (prodRows, tProd) = timed(
+        Registry.queries("q157_ann_production")(spark, dir).count())
+      val eConf = spark.sparkContext.hadoopConfiguration
+      val eBytes = Similarity.ivfPqIndex(spark, dir, elections._2)
+        .inputFiles.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(eConf).getFileStatus(p).getLen
+        }.sum
+      out ++= s""","elected_nprobe":${elections._1}"""
+      out ++= s""","elected_width":${elections._2}"""
+      out ++= s""","elected_r":${elections._3}"""
+      out ++= f""","elect_build_secs":$tElect%.2f"""
+      out ++= s""","rerank_rows":$rerankRows"""
+      out ++= f""","rerank_secs":$tRerank%.2f"""
+      out ++= s""","prod_rows":$prodRows"""
+      out ++= f""","prod_secs":$tProd%.2f"""
+      out ++= s""","elected_index_bytes":$eBytes"""
+    }
+
     if (metrics("lsh")) {
       // registered width and the contract's widened ~log2(N) width
       val widened = math.min(63,

@@ -948,12 +948,14 @@ object Dedup {
     // eligible length as a fixed-width (len, hash56) pair — never a
     // string — so the dedup/count/rollup chain shuffles ~4n small rows
     // with map-side combine; rep-set membership is a (len, hash) semi
-    // join; the final rollup is one max per doc. (A deployment with a
-    // long grid cascades instead: docs clean at L never contain a
-    // shared 2L-run — both endpoints of any shared pair are flagged at
-    // every shorter length — so level L+1 only rescans level-L's
-    // flagged docs; at 4 levels the single-pass union wins on scan
-    // count.) Both engines hash identically, so fingerprint semantics
+    // join; the final rollup is one max per doc. Above CASCADE_LIMIT
+    // docs the CASCADE branch runs instead (round 17 — previously a
+    // documented-but-unimplemented deployment shape): docs clean at L
+    // never contain a shared 2L-run — both endpoints of any shared
+    // pair are flagged at every shorter length — so level L+1 only
+    // rescans level-L's flagged docs; the gate is injectable and
+    // DedupSpec forces BOTH branches to identical output on the
+    // planted-run fixture. Both engines hash identically, so fingerprint semantics
     // including the astronomically-unlikely 56-bit collision are
     // SHARED — the compare stays exact (the q102 argument).
     Q("q152_longest_shared_run",
@@ -1477,17 +1479,83 @@ object Dedup {
     * threshold (64 tokens ≫ 50 chars at any realistic token width). */
   private[queries] val RUN_LENGTHS: Seq[Int] = Seq(8, 16, 32, 64)
 
+  /** q152's size gate: at or below this many documents the single-pass
+    * union (all four span lengths emitted in ONE scan) wins on scan
+    * count; above it the CASCADE branch runs — level L+1 re-tokenizes
+    * ONLY level-L's flagged docs. Soundness is the monotone sub-span
+    * property (every holder of a cross-doc-repeated 2L-span holds
+    * shared L-spans, so ALL holders of any level-2L repeated span
+    * survive the level-L cut — the per-level rep sets are IDENTICAL,
+    * DedupSpec forces branch equality on the planted-run fixture): at
+    * a 100 TB corpus the flagged fraction after level 8 is typically
+    * percent-scale, so levels 16/32/64 scan a sliver instead of ~3
+    * more corpus-width span emissions. Injectable per the repo's
+    * standing size-gate rule; production uses the default. The gate
+    * measures `docs.count()` — a metadata-only parquet count. */
+  private[queries] val CASCADE_LIMIT: Long = 2000000L
+
   /** q152's pipeline over any (doc_id, text) frame: per-doc longest
     * cross-doc shared token run on the [[RUN_LENGTHS]] doubling grid.
-    * One scan emits every span at every eligible length as a
-    * fixed-width (len, hash56) struct (CaseWhen keeps the sequence()
-    * bounds legal — the otherwise-branch empty array is never built for
-    * eligible lengths); everything after shuffles small rows. */
-  private[queries] def longestSharedRun(docs: DataFrame): DataFrame = {
+    * Below [[CASCADE_LIMIT]] docs: one scan emits every span at every
+    * eligible length as a fixed-width (len, hash56) struct (CaseWhen
+    * keeps the sequence() bounds legal — the otherwise-branch empty
+    * array is never built for eligible lengths); everything after
+    * shuffles small rows. Above it: [[cascadeLSR]]. */
+  private[queries] def longestSharedRun(docs: DataFrame,
+      cascadeLimit: Long = CASCADE_LIMIT,
+      cut: graft.exec.Materializer = graft.exec.Materializer.Local)
+      : DataFrame = {
     val base = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= RUN_LENGTHS.min)
+    if (docs.count() > cascadeLimit) cascadeLSR(base, cut)
+    else singlePassLSR(base)
+  }
+
+  /** The at-scale q152 branch: one level per [[RUN_LENGTHS]] entry,
+    * each level's span census restricted to the PREVIOUS level's
+    * flagged docs (base scans level 8). Per level: distinct (doc_id,
+    * hash56 span) rows → repeated-span set (≥ 2 distinct docs) →
+    * flagged doc ids, materialized through `cut` (doc-id rows only —
+    * a distributed lineage cut, never a driver collect) so level L+1's
+    * semi-join and the final rollup don't re-execute earlier levels.
+    * Rep-set identity with the single-pass census is the monotone
+    * sub-span argument on [[CASCADE_LIMIT]]. */
+  private def cascadeLSR(base: DataFrame,
+      cut: graft.exec.Materializer): DataFrame = {
+    var flaggedPrev: Option[DataFrame] = None
+    var acc: Option[DataFrame] = None
+    for (len <- RUN_LENGTHS) {
+      val scanned = flaggedPrev match {
+        case None => base
+        case Some(f) => base.join(f, Seq("doc_id"), "left_semi")
+      }
+      val ds = scanned.filter(size(col("tk")) >= len)
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), size(col("tk")) - (len - 1)),
+            i => TextFns.hash56(
+              md5(array_join(slice(col("tk"), i, lit(len)), " ")), 1)))
+            .as("h"))
+        .distinct()
+      val rep = ds.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val flagged = cut(ds.join(rep, Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct())
+      val lvl = flagged.select(col("doc_id"), lit(len.toLong).as("ms"))
+      acc = Some(acc.fold(lvl)(_.unionByName(lvl)))
+      flaggedPrev = Some(flagged)
+    }
+    val fl = acc.get.groupBy(col("doc_id")).agg(max(col("ms")).as("ms"))
+    base.select(col("doc_id"))
+      .join(fl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ms"), lit(0L)).as("max_shared_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def singlePassLSR(base: DataFrame): DataFrame = {
     val emptySpans = array().cast("array<struct<l:bigint,h:bigint>>")
     val spanArrs = RUN_LENGTHS.map { len =>
       when(size(col("tk")) >= len,

@@ -204,6 +204,27 @@ object DedupScaleProbe {
       out ++= f""","q118_secs":$t118%.2f"""
     }
 
+    if (metrics("q152")) {
+      // the round-17 cascade gate's A/B on the same replica corpus:
+      // the single-pass union (4 lengths in one scan) vs the
+      // flagged-docs-only level cascade — both branches forced via the
+      // injectable gate (DedupSpec pins output equality; this measures
+      // which wins at which flagged fraction)
+      val docs = graft.io.Tables.table(spark, dir, "documents")
+      val (rSingle, tSingle) = timed(
+        Dedup.longestSharedRun(docs, cascadeLimit = Long.MaxValue).count())
+      val (rCascade, tCascade) = timed(
+        Dedup.longestSharedRun(docs, cascadeLimit = 0L).count())
+      val flagged8 = Dedup.longestSharedRun(docs,
+          cascadeLimit = Long.MaxValue)
+        .filter(col("max_shared_len") >= 8L).count()
+      out ++= s""","q152_rows":$rSingle"""
+      out ++= f""","q152_single_secs":$tSingle%.2f"""
+      out ++= s""","q152_cascade_rows":$rCascade"""
+      out ++= f""","q152_cascade_secs":$tCascade%.2f"""
+      out ++= s""","q152_flagged_l8":$flagged8"""
+    }
+
     out ++= "}"
     println(out.result())
     spark.stop()

@@ -160,6 +160,42 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("q152 cascade gate: the flagged-docs-only level cascade (forced " +
+    "via cascadeLimit = 0) emits EXACTLY the single-pass union's output " +
+    "on the planted-run fixture — the monotone sub-span soundness " +
+    "argument, spec-forced per the standing size-gate rule") {
+    import spark.implicits._
+    def run(tag: String, n: Int) =
+      (1 to n).map(i => f"$tag$i%03d").mkString(" ")
+    val r12 = run("a", 12)
+    val r40 = run("b", 40)
+    val r70 = run("c", 70)
+    val selfRep = run("s", 8)
+    val docs = Seq(
+      1L -> s"${run("fa", 4)} $r12 ${run("fb", 4)}",
+      2L -> s"${run("fc", 6)} $r12",
+      3L -> s"$r40 ${run("fd", 5)}",
+      4L -> s"${run("fe", 3)} $r40",
+      5L -> r70,
+      6L -> s"${run("ff", 9)} $r70",
+      7L -> run("fg", 20),
+      8L -> s"$selfRep $selfRep $selfRep",
+      // a doc whose ONLY sharing is at level 8 — it must leave the
+      // cascade's scan set after level 8 (flagged, but contributes no
+      // 16-spans shared with anyone) without perturbing deeper levels
+      9L -> s"$r12 ${run("fh", 3)}"
+    ).toDF("doc_id", "text")
+    val single = Dedup.longestSharedRun(docs, cascadeLimit = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cascade = Dedup.longestSharedRun(docs, cascadeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    cascade shouldBe single
+    // and the fixture actually exercises every level: all four grid
+    // lengths appear (12/40/70-token runs land at 8/32/64; 40 also
+    // flags 16 on the way)
+    single.map(_._2).toSet should contain allOf (0L, 8L, 32L, 64L)
+  }
+
   test("q146: classification agrees with an independently-computed census " +
     "over injected pairs; sides normalized; same-split rows leak nothing") {
     import spark.implicits._
