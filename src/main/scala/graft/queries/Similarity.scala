@@ -359,11 +359,20 @@ object Similarity {
     * the ranking exchange. */
   private[queries] def ivfPqServe(spark: SparkSession, dir: String,
       nprobe: Int, topk: Int = TOPK, ksub: Int = PQ_KSUB): DataFrame = {
-    val idx = ivfPqIndex(spark, dir, ksub)
     val n = normed(spark, dir)
-    val cents = boundedCents(n)
-    val cb = prefixCodebook(n, ksub)
-    val probes = pqProbes(n)
+    cellRestrictedPackedServe(ivfPqIndex(spark, dir, ksub),
+      boundedCents(n), prefixCodebook(n, ksub), pqProbes(n), nprobe, topk)
+  }
+
+  /** The cell-restricted packed-ADC serve body, parameterized by WHICH
+    * packed index / coarse codebook / PQ codebook serve (md5-prefix
+    * quantizers for q136/q151/q153/q157, the TRAINED pair for q158):
+    * probes rank their `nprobe` nearest cells of `cents`, the scan
+    * scores only probed cells' packed rows via the native packed-ADC
+    * expression, top-`topk` per probe. */
+  private def cellRestrictedPackedServe(idx: DataFrame, cents: DataFrame,
+      cb: PqCodebook, probes: DataFrame, nprobe: Int, topk: Int)
+      : DataFrame = {
     val bcLut = pqLutBroadcast(probes, cb)
     val qs = graft.similarity.VectorSearch.probeCells(
         probes.select(col("q_id").as("vec_id"), col("qv").as("v"),
@@ -519,6 +528,20 @@ object Similarity {
                                        ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank,
                neighbor, cosine
         FROM scored
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""
+
+  /** q151's complete oracle — shared VERBATIM by q159, the streaming
+    * elected-depth packed-serve twin (one replay gates both the batch
+    * and streaming constructions, the q134/q139 twin discipline). */
+  private[queries] def ivfPqElectedOracleSql: String = s"""
+        $ivfPqElectedCtes
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_mu DESC, neighbor)
+                    AS BIGINT) AS rank,
+               neighbor, adc_mu
+        FROM served
         QUALIFY rank <= $TOPK
         ORDER BY q_id, rank"""
 
@@ -916,6 +939,45 @@ object Similarity {
     PqCodebook(PQ_M, PQ_KSUB, PQ_SUB,
       spark.read.parquet(TrainedPqPath).orderBy(col("c_id")).collect()
         .map(_.getSeq[Double](1).toArray))
+
+  /** q54's trained coarse codebook read back from the persisted
+    * artifact (the exact doubles the oracle reads), with norms. */
+  private def trainedCents(spark: SparkSession): DataFrame =
+    spark.read.parquet(TrainedCentroidsPath)
+      .select(col("c_id"), col("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+
+  /** q158's DURABLE packed index over the TRAINED quantizer pair — the
+    * FAISS `IVFPQ` a deployment actually TRAINS (q54's KMeans coarse
+    * codebook + q142's per-subspace KMeans PQ sub-codebooks), stored
+    * with the [[ivfPqIndex]] discipline: one 24-data-byte row per
+    * vector (vec_id, nrm, trained coarse cell, the m trained-PQ codes
+    * packed into one BIGINT). Builds only after BOTH trained artifacts
+    * resolve (fit-on-miss / reuse-on-hit — the q54/q142 ensure paths),
+    * at most once per corpus source identity; training params ride the
+    * key so a retrained codebook re-keys the index. Soundness of
+    * caching a DERIVATIVE of the fixed-path trained artifacts: training
+    * is deterministic per corpus (seeded KMeans, seeded sample, fixed
+    * train partitioning — trainCodebook seed 42), so when ensureCodebook
+    * retrains the fixed path after an interleaved other-corpus run, it
+    * reproduces byte-identical centers and this cached index stays
+    * consistent with them. Oracles replay the MATERIALIZED centers
+    * (KMeans isn't SQL-reproducible; everything given the centers is),
+    * so the gate value-checks these bytes. */
+  private def ivfPqTrainedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.exec.ArtifactStore.ensure(spark, "ivfpq_trained_index",
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
+        + s"-m$PQ_M-k$PQ_KSUB-s$PQ_SUB-coarse-k8-i5-s20-v1") { p =>
+      val n = normed(spark, dir)
+      val bcCb = spark.sparkContext.broadcast(loadTrainedPq(spark))
+      assignCells(n, trainedCents(spark))
+        .select(col("vec_id"), col("nrm"), col("c_id"),
+          packCodes(transform(PqExprs.pqEncode(bcCb, col("v")),
+            s => s.getField("code"))).as("packed"))
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+  }
 
   /** Nearest-cell argmax assignment and per-query nprobe cells — the
     * partial-aggregate shapes shared with the library API (one
@@ -1663,16 +1725,7 @@ object Similarity {
     // expression scoring each 8-byte code word; only (q_id, neighbor,
     // adc_mu) triples reach the ranking exchange.
     Q("q151_ivfpq_auto_nprobe",
-      oracle = Some(s"""
-        $ivfPqElectedCtes
-        SELECT q_id,
-               CAST(row_number() OVER (PARTITION BY q_id
-                                       ORDER BY adc_mu DESC, neighbor)
-                    AS BIGINT) AS rank,
-               neighbor, adc_mu
-        FROM served
-        QUALIFY rank <= $TOPK
-        ORDER BY q_id, rank"""),
+      oracle = Some(ivfPqElectedOracleSql),
       run = (spark, dir) =>
         ivfPqServe(spark, dir, electedNprobe(spark, dir))),
 
@@ -2362,6 +2415,101 @@ object Similarity {
               round(coalesce(col("n_hit"), lit(0L)) / (TOPK * 1.0), 4)
                 .as("recall_at_k")))
         result.orderBy(col("q_id"))
+      }),
+
+    // ------------------------------------------------------------------
+    // q158: TRAINED IVF-PQ — the index a deployment actually BUILDS
+    // (FAISS `IVFPQ` trains both quantizers; the q136/q151 family's
+    // md5-prefix constructions are the deterministic oracle-friendly
+    // stand-ins): q54's KMeans coarse codebook routes, q142's
+    // per-subspace KMeans PQ codebook compresses, and the composition
+    // is materialized as a durable bit-packed index with the
+    // ivfpq_index storage discipline (vec_id, nrm, trained cell, one
+    // BIGINT code word — the scan never touches vectors). Serving is
+    // the shared cell-restricted packed-ADC body at q54's nprobe = 2.
+    // Fit-on-miss / reuse-on-hit for both trained artifacts; the
+    // oracle replays the MATERIALIZED centers (KMeans isn't
+    // SQL-reproducible, everything given the centers is — the
+    // q54/q142 discipline), so the driver's gate value-checks both
+    // the trained bytes and the packed index bytes every round.
+    Q("q158_ivfpq_trained",
+      oracle = Some(s"""
+        $normedCte,
+        rawc AS (
+          SELECT c_id, list_transform(cv, x -> CAST(x AS DOUBLE)) AS cv
+          FROM read_parquet('$TrainedCentroidsPath/*.parquet')),
+        cents AS (
+          SELECT c_id, cv,
+                 sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+          FROM rawc),
+        assigned AS (
+          SELECT vec_id, c_id FROM (
+            SELECT n.vec_id, c_id,
+                   row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              c_id) AS rn
+            FROM n, cents)
+          WHERE rn = 1),
+        ${pqDistCtes(pqTrainedSelCte)},
+        pcodes AS (
+          SELECT vec_id, list(c ORDER BY j) AS code
+          FROM best WHERE rn = 1 GROUP BY vec_id),
+        qsr AS (
+          SELECT vec_id AS q_id, v AS qv, nrm AS qn
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $QUERY_N),
+        qcell AS (
+          SELECT q_id, qn, qcell FROM (
+            SELECT q_id, qn, c_id AS qcell,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(qv) + 1),
+                                    i -> qv[i] * cv[i])) / (qn * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              c_id) AS crank
+            FROM qsr, cents)
+          WHERE crank <= 2),
+        lut AS (
+          SELECT q_id, j, s.c,
+                 list_sum(list_transform(range(1, $PQ_SUB + 1),
+                   i -> qv[(j-1)*$PQ_SUB + i] * cv[(j-1)*$PQ_SUB + i])) AS lv
+          FROM qsr, sel s, $pqJs),
+        lutl AS (
+          SELECT q_id, list(lv ORDER BY j, c) AS lt
+          FROM lut GROUP BY q_id),
+        scored AS (
+          SELECT qc.q_id, cd.vec_id AS neighbor,
+                 CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
+                        j -> lt[(j-1)*$PQ_KSUB + code[j]]))
+                      / (qc.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT)
+                   AS adc_mu
+          FROM pcodes cd
+          JOIN n n2 ON cd.vec_id = n2.vec_id
+          JOIN assigned a ON cd.vec_id = a.vec_id
+          JOIN qcell qc ON a.c_id = qc.qcell
+          JOIN lutl l ON l.q_id = qc.q_id
+          WHERE cd.vec_id <> qc.q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_mu DESC, neighbor)
+                    AS BIGINT) AS rank,
+               neighbor, adc_mu
+        FROM scored
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""),
+      run = (spark, dir) => {
+        import graft.io.Tables
+        val emb = Tables.table(spark, dir, "embeddings")
+        graft.similarity.VectorSearch.ensureCodebook(
+          emb.sample(0.2, 42L), "vec_id", "embedding", k = 8, maxIter = 5,
+          path = TrainedCentroidsPath,
+          cacheKey = graft.exec.ArtifactStore.sourceKey(spark, dir,
+            "embeddings"))
+        ensurePqCodebook(spark, dir)
+        val n = normed(spark, dir)
+        cellRestrictedPackedServe(ivfPqTrainedIndex(spark, dir),
+          trainedCents(spark), loadTrainedPq(spark), pqProbes(n),
+          nprobe = 2, topk = TOPK)
       }),
 
     // ------------------------------------------------------------------

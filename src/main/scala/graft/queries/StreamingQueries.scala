@@ -929,6 +929,89 @@ object StreamingQueries {
         runToMemorySink(spark, dir, "stream_chunks_", "append", chunks) {
           _.orderBy(col("doc_id"), col("chunk_no"))
         }
+      }),
+
+    // ------------------------------------------------------------------
+    // q159: STREAMING ELECTED-DEPTH IVF-PQ SERVING — q151's online
+    // twin, upgrading q144's exact in-cell streaming serve to the
+    // PACKED tier a production ANN deployment actually runs: probe
+    // vectors arrive on a live stream and each is answered from the
+    // STATIC bit-packed ivfpq_index at the q131-elected nprobe. The
+    // static half resolves BEFORE the stream starts (the q128/q139
+    // discipline): the packed index artifact, the coarse codebook, the
+    // election (a 4-row artifact read), the declared probe-set ids and
+    // their LUTs. Per micro-batch: normalization + elected-depth
+    // MULTI-CELL routing run map-side in ONE scan-stage call via the
+    // native graft_nearest_centroids expression (top-p cells per row;
+    // probeCells' collect_list aggregate would be a SECOND stateful
+    // operator, which a streaming plan that still needs its own top-k
+    // state cannot chain), exploded to ≤ nprobe stateless (probe,
+    // cell) rows; one stream-static equi-join on the cell id scans
+    // only the probed cells' 24-byte packed rows; the native packed
+    // ADC scores each 8-byte code word; per-probe top-k accumulates
+    // through TopKAgg — state ≤ k entries per probe ever seen (query
+    // volume, not corpus volume). UPDATE mode emits each probe once
+    // (the q144 argument: unique probe ids land in one batch each).
+    // adc_mu ≤ ~10⁶ rides TopKAgg's double score exactly (integer-
+    // valued, far under 2⁵³) and casts back to BIGINT at the sink.
+    // ONE oracle — q151's verbatim — gates both serves: any drift
+    // between the batch and streaming constructions breaks the hash.
+    Q("q159_stream_ivfpq_serve",
+      oracle = Some(Similarity.ivfPqElectedOracleSql),
+      run = (spark, dir) => {
+        import spark.implicits._
+        import graft.functions.TopKAgg
+        import graft.functions.VectorFns.{l2norm, toDoubleArray}
+        import org.apache.spark.sql.graft.{CentroidExprs, PqExprs}
+        val n = Similarity.normed(spark, dir)
+        // persisted for the stream's lifetime so the artifact parquet
+        // isn't re-read per micro-batch
+        val idx = Similarity.ivfPqIndex(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cents = Similarity.boundedCents(n)
+        val nprobe = Similarity.electedNprobe(spark, dir)
+        val cb = Similarity.pqCodebook(n)
+        val probesStatic = Similarity.pqProbes(n)
+        val bcLut = Similarity.pqLutBroadcast(probesStatic, cb)
+        val probeIds = probesStatic.select(col("q_id")).collect()
+          .map(_.getLong(0)).toSeq
+        val centRows = cents
+          .select(col("c_id").cast("long"), col("cv"), col("cn"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+            r.getDouble(2)))
+        val bcCents = spark.sparkContext.broadcast(
+          CentroidExprs.centroidSet(centRows.toSeq))
+        val probes = embeddingsStream(spark, dir)
+          .filter(col("vec_id").isin(probeIds: _*))
+          .select(col("vec_id").as("q_id"),
+            toDoubleArray(col("embedding")).as("qv"))
+          .withColumn("qn", l2norm(col("qv")))
+          .withColumn("qcell", explode(CentroidExprs.nearestCentroids(
+            bcCents, nprobe, col("qv"), col("qn"))))
+          .select(col("q_id"), col("qn"), col("qcell"))
+        val scored = probes
+          .join(idx, col("qcell") === col("c_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("num",
+            PqExprs.pqAdcNumPacked(bcLut, col("q_id"), col("packed")))
+          .select(
+            format_string("%019d", col("q_id")).as("key"),
+            floor(col("num") / (col("qn") * col("nrm")) * lit(1000000.0)
+              + lit(0.5)).cast("double").as("score"),
+            format_string("%019d", col("vec_id")).as("payload"))
+          .as[TopKAgg.ScoredRow]
+          .groupByKey(_.key).agg(TopKAgg.topK(Similarity.TOPK))
+          .toDF("key", "entries")
+        try runToMemorySink(spark, dir, "stream_ivfpq_", "update", scored,
+          noDataBatch = false) {
+          _.select(col("key").cast("long").as("q_id"),
+              posexplode(col("entries")))
+            .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("col.payload").cast("long").as("neighbor"),
+              col("col.score").cast("long").as("adc_mu"))
+            .orderBy(col("q_id"), col("rank"))
+        } finally idx.unpersist(blocking = false)
       })
   )
 }

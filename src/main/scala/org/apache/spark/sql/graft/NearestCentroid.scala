@@ -190,6 +190,85 @@ case class NearestCentroidTwoLevel(bcast: Broadcast[GroupedCentroidSet],
     copy(left = newLeft, right = newRight)
 }
 
+/** Top-`nprobe` nearest centroids for a row's (vec, nrm), as an ARRAY
+  * of c_ids in rank order — the [[NearestCentroid]] micro-unit rule
+  * (score desc, c_id asc) extended to a top-p, bitwise the
+  * `VectorSearch.probeCells` ranking (CodebookSpec pins the identity):
+  * the multi-probe router as ONE scan-stage expression. Why it exists
+  * when probeCells already ranks cells: probeCells is a collect_list
+  * AGGREGATE over a crossJoin expansion — fine batch-side over the
+  * bounded probe set, but a second stateful operator inside a
+  * STREAMING plan that still needs its own top-k state downstream
+  * (q159's shape), which Structured Streaming rejects. This is a
+  * stateless per-row map: k fused dot products plus an O(k·p) bounded
+  * insertion, no expansion, no aggregate, no state. */
+case class NearestCentroids(bcast: Broadcast[CentroidSet], nprobe: Int,
+    left: Expression, right: Expression) extends BinaryExpression {
+
+  require(nprobe >= 1, "nprobe must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: expected (array<double> vector, double norm), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  /** Called from generated code. Insertion keeps strict `>` so equal
+    * scores preserve the id-ascending scan order — ties to MIN c_id at
+    * every rank, the [[NearestCentroid]] contract. */
+  def probe(v: ArrayData, nr: Double): ArrayData = {
+    val cs = bcast.value
+    val ids = cs.ids
+    val vecs = cs.vecs
+    val nrms = cs.nrms
+    val p = math.min(nprobe, ids.length)
+    val topMu = new Array[Long](p)
+    val topId = new Array[Long](p)
+    var filled = 0
+    var c = 0
+    while (c < ids.length) {
+      val cv = vecs(c)
+      val n = math.min(v.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
+      val mu = math.floor(s / (nr * nrms(c)) * 1000000.0 + 0.5).toLong
+      if (filled < p || mu > topMu(p - 1)) {
+        var pos = if (filled < p) filled else p - 1
+        while (pos > 0 && mu > topMu(pos - 1)) {
+          topMu(pos) = topMu(pos - 1); topId(pos) = topId(pos - 1)
+          pos -= 1
+        }
+        topMu(pos) = mu; topId(pos) = ids(c)
+        if (filled < p) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topId, filled))
+  }
+
+  override def nullSafeEval(v: Any, nr: Any): Any =
+    probe(v.asInstanceOf[ArrayData], nr.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftNearestCentroids", this,
+      classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, (v, nr) => s"${ev.value} = $ref.probe($v, $nr);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroids =
+    copy(left = newLeft, right = newRight)
+}
+
 object CentroidExprs {
   /** Build the broadcastable codebook from parallel collections, sorting
     * by id (the tie-break contract). */
@@ -208,5 +287,12 @@ object CentroidExprs {
   def nearestCentroidTwoLevel(bcast: Broadcast[GroupedCentroidSet],
       vec: Column, nrm: Column): Column =
     ExpressionUtils.column(NearestCentroidTwoLevel(bcast,
+      ExpressionUtils.expression(vec), ExpressionUtils.expression(nrm)))
+
+  /** Column-API entry point: the `nprobe` nearest centroid ids in rank
+    * order (array<long>), a stateless per-row map. */
+  def nearestCentroids(bcast: Broadcast[CentroidSet], nprobe: Int,
+      vec: Column, nrm: Column): Column =
+    ExpressionUtils.column(NearestCentroids(bcast, nprobe,
       ExpressionUtils.expression(vec), ExpressionUtils.expression(nrm)))
 }

@@ -245,6 +245,55 @@ class AnnArtifactSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("q158 trained IVF-PQ: the packed-index cell serve equals an " +
+    "independent inline row-form construction over the SAME persisted " +
+    "trained quantizers (the AnnArtifact parity discipline on the " +
+    "trained pair)") {
+    // trained artifacts live at class-load fixed paths under the
+    // default store root (their paths are baked into static oracle
+    // SQL), so this test runs without a root override — q158's own
+    // ensure calls resolve or build them
+    val viaIndex = Registry.queries("q158_ivfpq_trained")(spark, sf0001)
+      .collect().toSeq
+    // independent inline construction: trained centers + trained PQ
+    // codes as long-typed rows, cell-restricted ADC at nprobe = 2
+    import org.apache.spark.sql.graft.PqExprs
+    val n = Similarity.normed(spark, sf0001)
+    val cents = spark.read.parquet(Similarity.TrainedCentroidsPath)
+      .select(col("c_id"), col("cv"))
+      .withColumn("cn", graft.functions.VectorFns.l2norm(col("cv")))
+    val cb = org.apache.spark.sql.graft.PqCodebook(8, 16, 8,
+      spark.read.parquet(Similarity.TrainedPqPath)
+        .orderBy(col("c_id")).collect()
+        .map(_.getSeq[Double](1).toArray))
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val probes = Similarity.pqProbes(n)
+    val bcLut = Similarity.pqLutBroadcast(probes, cb)
+    val assigned = graft.similarity.VectorSearch.assignCells(n, cents)
+    val coded = assigned.select(col("vec_id"), col("nrm"), col("c_id"),
+      transform(PqExprs.pqEncode(bcCb, col("v")),
+        s => s.getField("code")).as("codes"))
+    val qs = graft.similarity.VectorSearch.probeCells(
+        probes.select(col("q_id").as("vec_id"), col("qv").as("v"),
+          col("qn").as("nrm")), cents, nprobe = 2)
+      .select(col("q_id"), col("qn"), col("qcell"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_mu").desc, col("neighbor").asc)
+    val inline = coded.join(broadcast(qs), col("c_id") === col("qcell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("num", PqExprs.pqAdcNum(bcLut, col("q_id"), col("codes")))
+      .withColumn("adc_mu",
+        floor(col("num") / (col("qn") * col("nrm")) * lit(1000000.0)
+          + lit(0.5)).cast("long"))
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("adc_mu"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("neighbor"), col("adc_mu"))
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    viaIndex should not be empty
+    viaIndex shouldBe inline
+  }
+
   test("sq8_index artifact: the rehydrated relation equals the inline " +
     "derivation EXACTLY (every serve downstream is a deterministic " +
     "function of it, so this is the q140/q141 bitwise pin)") {

@@ -212,4 +212,56 @@ class CodebookSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .agg(sum(col("n_hit"))).collect().head.getLong(0)
     curve1 shouldBe q130
   }
+
+  test("graft_nearest_centroids (q159's stateless top-p router): the " +
+    "rank-ordered cell array matches an independent driver-side " +
+    "(score desc, c_id asc) ranking at every grid nprobe, its head is " +
+    "exactly the flat graft_nearest_centroid assignment, and it agrees " +
+    "with probeCells' aggregate ranking") {
+    import org.apache.spark.sql.graft.CentroidExprs
+    val n = Similarity.normed(spark, sf0001)
+    val cents = Similarity.boundedCents(n)
+    val centRows = cents
+      .select(col("c_id").cast("long"), col("cv"), col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(
+      CentroidExprs.centroidSet(centRows.toSeq))
+    val queries = Similarity.pqProbes(n)
+    val qRows = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def expected(qv: Array[Double], qn: Double, p: Int): Seq[Long] =
+      centRows.map { case (id, cv, cn) =>
+        var s = 0.0; var i = 0
+        while (i < math.min(qv.length, cv.length)) { s += qv(i) * cv(i); i += 1 }
+        (math.floor(s / (qn * cn) * 1000000.0 + 0.5).toLong, id)
+      }.sortBy { case (mu, id) => (-mu, id) }.take(p).map(_._2).toSeq
+    for (p <- Seq(1, 2, 4, 8)) {
+      val got = queries.select(col("q_id"),
+          CentroidExprs.nearestCentroids(bc, p, col("qv"), col("qn"))
+            .as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      qRows.foreach { case (q, qv, qn) =>
+        got(q) shouldBe expected(qv, qn, p)
+      }
+      // head = the flat argmax expression (the assignment identity the
+      // q36/q133 own-cell rule relies on)
+      if (p == 1) {
+        val flat = queries.select(col("q_id"),
+            CentroidExprs.nearestCentroid(bc, col("qv"), col("qn")).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got.foreach { case (q, cells) => cells.head shouldBe flat(q) }
+      }
+      // and the aggregate router (probeCells) ranks identically —
+      // per-probe cell SETS with ranks reconstructed independently
+      val agg = graft.similarity.VectorSearch.probeCells(
+          queries.select(col("q_id").as("vec_id"), col("qv").as("v"),
+            col("qn").as("nrm")), cents, p)
+        .select(col("q_id"), col("qcell"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      agg.foreach { case (q, cells) => cells shouldBe got(q).toSet }
+    }
+  }
 }

@@ -53,6 +53,24 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .map(_.name).count(_.startsWith("stream_ann_")) shouldBe 0
   }
 
+  test("q159: streaming elected-depth packed IVF-PQ serve equals the " +
+    "batch q151 bitwise (the twin discipline at the packed tier)") {
+    def rows(name: String) =
+      Registry.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val streamed = rows("q159_stream_ivfpq_serve")
+    val batch = rows("q151_ivfpq_auto_nprobe")
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
+  test("q159 leaves no temp view behind (memory sink dropped per invocation)") {
+    Registry.queries("q159_stream_ivfpq_serve")(spark, sf0001).collect()
+    spark.catalog.listTables().collect()
+      .map(_.name).count(_.startsWith("stream_ivfpq_")) shouldBe 0
+  }
+
   test("q148: ingest-time chunker equals the batch chunker (q145) bitwise") {
     def rows(name: String) =
       Registry.queries(name)(spark, sf0001).collect()
