@@ -429,6 +429,109 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The residual relation under the bounded coarse codebook: each
+    * vector minus ITS assigned cell's centroid (r = x − c). What PQ
+    * actually quantizes in FAISS's IVFPQ — residuals are concentrated
+    * near the origin, so the same m×ksub code budget spends its
+    * resolution on the part of x the coarse cell doesn't already
+    * explain; q160/q161 measure what that buys in recall at IDENTICAL
+    * index bytes vs the raw-vector codes (q136/q151). */
+  private[queries] def residuals(n: DataFrame, cents: DataFrame): DataFrame =
+    assignCells(n, cents)
+      .join(broadcast(cents), Seq("c_id"))
+      .select(col("vec_id"), col("nrm"), col("c_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+
+  /** q160's DURABLE residual-encoded packed index — ONE artifact dir
+    * holding two parquet relations (the q118Index subdir pattern):
+    * `idx` (vec_id, nrm, c_id, packed residual code word — byte-layout
+    * identical to ivfpq_index) and `cb` (the md5-prefix RESIDUAL
+    * codebook, c_id + 64-dim center), materialized beside the codes
+    * because the serve needs the exact trained bytes for its LUTs and
+    * re-deriving them would cost a corpus assignment pass per
+    * invocation (the r16/r17 lesson). Built once per corpus source
+    * identity; oracles re-derive residuals + codes inline. */
+  private[queries] def ivfPqResidArtifact(spark: SparkSession,
+      dir: String): String =
+    graft.exec.ArtifactStore.ensure(spark, "ivfpq_resid_index",
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
+        + s"-m$PQ_M-k$PQ_KSUB-s$PQ_SUB-v1") { p =>
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val n = normed(spark, dir)
+      val cents = boundedCents(n)
+      val resid = residuals(n, cents).persist(MEMORY_AND_DISK)
+      val cbRows = resid
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(PQ_KSUB).select(col("rv")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types._
+      val cbDf = spark.createDataFrame(
+        cbRows.zipWithIndex.map { case (cv, i) =>
+          org.apache.spark.sql.Row((i + 1).toLong, cv.toSeq)
+        }.toSeq.asJava,
+        StructType(Seq(
+          StructField("c_id", LongType, nullable = false),
+          StructField("cv", ArrayType(DoubleType, containsNull = false),
+            nullable = false))))
+      cbDf.coalesce(1).write.mode("overwrite").parquet(s"$p/cb")
+      val bcCb = spark.sparkContext.broadcast(
+        PqCodebook(PQ_M, PQ_KSUB, PQ_SUB, cbRows))
+      resid.select(col("vec_id"), col("nrm"), col("c_id"),
+          packCodes(transform(PqExprs.pqEncode(bcCb, col("rv")),
+            s => s.getField("code"))).as("packed"))
+        .write.mode("overwrite").parquet(s"$p/idx")
+      resid.unpersist(blocking = false)
+      ()
+    }
+
+  private[queries] def loadResidCb(spark: SparkSession, root: String): PqCodebook =
+    PqCodebook(PQ_M, PQ_KSUB, PQ_SUB,
+      spark.read.parquet(s"$root/cb").orderBy(col("c_id")).collect()
+        .map(_.getSeq[Double](1).toArray))
+
+  /** q160's serve: cell-restricted packed ADC over the RESIDUAL index
+    * at the elected nprobe. The inner-product decomposition keeps the
+    * LUT trick intact: <q, x> ≈ <q, c_cell> + <q, r̂> where r̂ is the
+    * quantized residual — so each (probe, probed cell) pair carries ONE
+    * extra scalar `qdotc` (computed on the broadcast side, nprobe
+    * values per probe) and the per-candidate cost stays m shift-mask
+    * LUT lookups + one add. Ranking/tie-breaks are q151's verbatim, so
+    * q160 diffs row-by-row against it — same bytes scanned, different
+    * quantization geometry. */
+  private[queries] def ivfPqResidServe(spark: SparkSession, dir: String,
+      nprobe: Int, topk: Int = TOPK): DataFrame = {
+    val root = ivfPqResidArtifact(spark, dir)
+    val idx = spark.read.parquet(s"$root/idx")
+    val cb = loadResidCb(spark, root)
+    val n = normed(spark, dir)
+    val cents = boundedCents(n)
+    val probes = pqProbes(n)
+    val bcLut = pqLutBroadcast(probes, cb)
+    import graft.functions.VectorFns.dot
+    val qs = graft.similarity.VectorSearch.probeCells(
+        probes.select(col("q_id").as("vec_id"), col("qv").as("v"),
+          col("qn").as("nrm")), cents, nprobe)
+      .join(broadcast(cents), col("qcell") === col("c_id"))
+      .select(col("q_id"), col("qn"), col("qcell"),
+        dot(col("qv"), col("cv")).as("qdotc"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_mu").desc, col("neighbor").asc)
+    idx
+      .join(broadcast(qs), col("c_id") === col("qcell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("num", col("qdotc")
+        + PqExprs.pqAdcNumPacked(bcLut, col("q_id"), col("packed")))
+      .withColumn("adc_mu",
+        floor(col("num") / (col("qn") * col("nrm")) * lit(1000000.0)
+          + lit(0.5)).cast("long"))
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("adc_mu"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topk)
+      .select(col("q_id"), col("rank"), col("neighbor"), col("adc_mu"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** q140/q141's quantized relation: q64's symmetric per-vector int8
     * scheme kept as integer-valued DOUBLES (|sv_i| ≤ 127 and their
     * 64-term product-sums ≤ ~10⁶ are all exactly representable, so the
@@ -778,6 +881,80 @@ object Similarity {
                       THEN min(CASE WHEN meets_target = 1 THEN r END)
                       ELSE max(r) END AS chosen_r
           FROM curver3)"""
+
+  /** The q160/q161 oracle chain: [[nprobeCurveCtes]] (bounded codebook,
+    * assignment, the depth election `sel`) + the RESIDUAL relation
+    * (each vector minus its assigned centroid), the md5-prefix residual
+    * codebook `rsel`, the per-(vector, subspace) argmin code chain over
+    * residuals, the serving probe set `qsr3`, its elected-depth cell
+    * ranking WITH the per-(probe, cell) scalar `qdotc` (the
+    * inner-product decomposition <q,x> ≈ <q,c> + <q,r̂>), per-probe
+    * LUTs over the residual codebook, and the cell-restricted relation
+    * `servedres(q_id, neighbor, adc_mu)`. */
+  private def residElectedCtes: String = s"""
+        $nprobeCurveCtes,
+        residq AS (
+          SELECT n.vec_id, nrm, a.c_id,
+                 list_transform(range(1, len(v) + 1), i -> v[i] - cv[i])
+                   AS rv
+          FROM n JOIN assigned a ON n.vec_id = a.vec_id
+          JOIN cents c ON a.c_id = c.c_id),
+        rsel AS (
+          SELECT rv AS cvr,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                    vec_id) AS c
+          FROM residq QUALIFY c <= $PQ_KSUB),
+        rsubd AS (
+          SELECT rq.vec_id, j, s.c,
+                 CAST(floor(list_sum(list_transform(range(1, $PQ_SUB + 1),
+                        i -> (rv[(j-1)*$PQ_SUB + i] - cvr[(j-1)*$PQ_SUB + i])
+                           * (rv[(j-1)*$PQ_SUB + i] - cvr[(j-1)*$PQ_SUB + i])))
+                      * 1000000.0 + 0.5) AS BIGINT) AS d2_mu
+          FROM residq rq, rsel s, $pqJs),
+        rbest AS (
+          SELECT vec_id, j, c, d2_mu,
+                 row_number() OVER (PARTITION BY vec_id, j
+                                    ORDER BY d2_mu, c) AS rn
+          FROM rsubd),
+        rcodes AS (
+          SELECT vec_id, list(c ORDER BY j) AS code
+          FROM rbest WHERE rn = 1 GROUP BY vec_id),
+        qsr3 AS (
+          SELECT vec_id AS q_id, v AS qv, nrm AS qn
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $QUERY_N),
+        qcellr AS (
+          SELECT q_id, qn, qcell, qdotc FROM (
+            SELECT q_id, qn, c_id AS qcell,
+                   list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> qv[i] * cv[i])) AS qdotc,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(qv) + 1),
+                                    i -> qv[i] * cv[i])) / (qn * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              c_id) AS crank
+            FROM qsr3, cents)
+          WHERE crank <= (SELECT chosen_p FROM sel)),
+        rlut AS (
+          SELECT q_id, j, s.c,
+                 list_sum(list_transform(range(1, $PQ_SUB + 1),
+                   i -> qv[(j-1)*$PQ_SUB + i] * cvr[(j-1)*$PQ_SUB + i])) AS lv
+          FROM qsr3, rsel s, $pqJs),
+        rlutl AS (
+          SELECT q_id, list(lv ORDER BY j, c) AS lt
+          FROM rlut GROUP BY q_id),
+        servedres AS (
+          SELECT qc.q_id, cd.vec_id AS neighbor,
+                 CAST(floor((qc.qdotc
+                        + list_sum(list_transform(range(1, $PQ_M + 1),
+                            j -> lt[(j-1)*$PQ_KSUB + code[j]])))
+                      / (qc.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT)
+                   AS adc_mu
+          FROM rcodes cd
+          JOIN n n2 ON cd.vec_id = n2.vec_id
+          JOIN assigned a ON cd.vec_id = a.vec_id
+          JOIN qcellr qc ON a.c_id = qc.qcell
+          JOIN rlutl l ON l.q_id = qc.q_id
+          WHERE cd.vec_id <> qc.q_id)"""
 
   /** The q138/q155 oracle chain: normed corpus + the full-width PQ
     * distance relation ([[pqCtes]] — `sel`/`subd`/`best`), per-width
@@ -2510,6 +2687,101 @@ object Similarity {
         cellRestrictedPackedServe(ivfPqTrainedIndex(spark, dir),
           trainedCents(spark), loadTrainedPq(spark), pqProbes(n),
           nprobe = 2, topk = TOPK)
+      }),
+
+    // ------------------------------------------------------------------
+    // q160: RESIDUAL-ENCODED IVF-PQ — the geometry FAISS's IVFPQ
+    // actually quantizes: PQ codes over r = x − centroid(cell), not
+    // over x. Residuals concentrate near the origin, so the SAME
+    // m×ksub code budget spends its resolution on what the coarse cell
+    // doesn't already explain — q161 measures what that buys (or
+    // costs) in recall at byte-identical index layout vs the
+    // raw-vector codes (q151). Measured on THIS corpus: residual
+    // 0.297 vs raw 0.316 at the same elected-depth serve — ISOTROPIC
+    // synthetic vectors have no cluster structure, so residuals
+    // against near-random md5-prefix centroids are LARGER than the
+    // vectors and quantize worse; on clustered real embeddings the
+    // inequality flips, which is why FAISS defaults to residuals. The
+    // engine's point is that this is now an ELECTABLE measured trade
+    // (the q131/q138/q156 discipline), not an assumed default.
+    // The inner-product decomposition keeps ADC serving intact:
+    // <q,x> ≈ <q,c> + <q,r̂>, so each (probe, probed cell) pair adds
+    // ONE broadcast scalar (qdotc — nprobe values per probe) and the
+    // per-candidate cost stays m shift-mask LUT lookups + one add.
+    // Index + its residual codebook are ONE durable artifact (codebook
+    // materialized beside the codes — re-deriving it would cost a
+    // corpus assignment pass per serve, the shape this round retired
+    // everywhere else). Serves at the q131-elected depth; ranking and
+    // tie-breaks are q151's verbatim, so the two diff row-by-row.
+    Q("q160_ivfpq_residual",
+      oracle = Some(s"""
+        $residElectedCtes
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_mu DESC, neighbor)
+                    AS BIGINT) AS rank,
+               neighbor, adc_mu
+        FROM servedres
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""),
+      run = (spark, dir) =>
+        ivfPqResidServe(spark, dir, electedNprobe(spark, dir))),
+
+    // ------------------------------------------------------------------
+    // q161: RESIDUAL RECALL — the number that decides raw-vs-residual
+    // encoding: recall@10 of q160's residual serve vs the SAME durable
+    // exact ground truth that priced the raw-code family (ann_gt_pq —
+    // q137 full-scan raw, q154 re-ranked raw, this cell-scan residual).
+    // Like-for-like with q151's implied recall: same probes, same
+    // elected depth, same index bytes — the delta is purely the
+    // quantization geometry, which is exactly the decision the
+    // residual construction exists for. Measured at sf0.01: 0.297
+    // residual vs 0.316 raw — see q160's header for why isotropic
+    // synthetic data flips FAISS's usual preference, and why a
+    // measured election beats assuming it.
+    Q("q161_residual_recall",
+      oracle = Some(s"""
+        $residElectedCtes,
+        res_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_mu DESC, neighbor) AS rk
+            FROM servedres)
+          WHERE rk <= $TOPK),
+        ex3_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
+                              n.vec_id) AS rk
+            FROM n, qsr3
+            WHERE n.vec_id <> q_id)
+          WHERE rk <= $TOPK),
+        hits3 AS (
+          SELECT q_id, count(*) AS n_hit
+          FROM res_topk JOIN ex3_topk USING (q_id, neighbor)
+          GROUP BY q_id)
+        SELECT q.q_id,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               round(coalesce(h.n_hit, 0) / ($TOPK * 1.0), 4) AS recall_at_k
+        FROM qsr3 q LEFT JOIN hits3 h ON q.q_id = h.q_id
+        ORDER BY q.q_id"""),
+      run = (spark, dir) => {
+        val res = ivfPqResidServe(spark, dir, electedNprobe(spark, dir))
+          .select(col("q_id"), col("neighbor"))
+        val exact = pqGroundTruth(spark, dir)
+        val probes = pqProbes(normed(spark, dir))
+        val hits = res.join(exact, Seq("q_id", "neighbor"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        Q.localized(
+          probes.select(col("q_id")).join(hits, Seq("q_id"), "left")
+            .select(col("q_id"),
+              coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+              round(coalesce(col("n_hit"), lit(0L)) / (TOPK * 1.0), 4)
+                .as("recall_at_k")))
+          .orderBy(col("q_id"))
       }),
 
     // ------------------------------------------------------------------

@@ -294,6 +294,36 @@ class AnnArtifactSpec extends AnyFunSuite with Matchers with SparkTestSession {
     viaIndex shouldBe inline
   }
 
+  test("q160 residual artifact: the materialized (idx, cb) pair equals " +
+    "an independent inline derivation — codebook is the md5-prefix of " +
+    "the residual relation, codes are the residual encode packed " +
+    "(the AnnArtifact parity discipline on the residual geometry)") {
+    withRoot { _ =>
+      import org.apache.spark.sql.graft.PqExprs
+      val root = Similarity.ivfPqResidArtifact(spark, sf)
+      val idx = spark.read.parquet(s"$root/idx")
+      val cb = Similarity.loadResidCb(spark, root)
+      val n = Similarity.normed(spark, sf)
+      val cents = Similarity.boundedCents(n)
+      val resid = Similarity.residuals(n, cents)
+      // codebook = first KSUB residuals in md5 order, exactly
+      val expectCb = resid
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(Similarity.PQ_KSUB).select(col("rv")).collect()
+        .map(_.getSeq[Double](0).toSeq)
+      cb.cents.map(_.toSeq).toSeq shouldBe expectCb.toSeq
+      // index rows = inline residual encode, packed, bitwise
+      val bc = spark.sparkContext.broadcast(cb)
+      val inline = resid.select(col("vec_id"), col("nrm"), col("c_id"),
+          Similarity.packCodes(transform(PqExprs.pqEncode(bc, col("rv")),
+            s => s.getField("code"))).as("packed"))
+        .collect().map(_.toSeq).toSet
+      val got = idx.collect().map(_.toSeq).toSet
+      got should not be empty
+      got shouldBe inline
+    }
+  }
+
   test("sq8_index artifact: the rehydrated relation equals the inline " +
     "derivation EXACTLY (every serve downstream is a deterministic " +
     "function of it, so this is the q140/q141 bitwise pin)") {
