@@ -386,6 +386,23 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     p151 should include("WindowGroupLimit")
   }
 
+  test("q158/q160: trained and residual IVF-PQ serves keep the packed " +
+    "shape — native packed-ADC over the durable index, NO inline " +
+    "encode and NO corpus assignment in the serve (quantizer passes " +
+    "ran once at index build), cell restriction a broadcast equi-join, " +
+    "no cartesian") {
+    for (name <- Seq("q158_ivfpq_trained", "q160_ivfpq_residual")) {
+      val p = plan(name)
+      p should include("graft_pq_adc_num_packed")
+      (p should not).include("graft_pq_encode")
+      (p should not).include("graft_nearest_centroid)") // no corpus assign
+      p should include("BroadcastHashJoin")
+      (p should not).include("CartesianProduct")
+      p should include("WindowGroupLimit")
+      p should include("packed")
+    }
+  }
+
   test("dedup verify plan (q17's shape): candidate restriction and pair-driven " +
     "intersection are LeftSemi joins; no shingle-keyed self-join, no cartesian") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
