@@ -303,6 +303,27 @@ object AnnScaleProbe {
       out ++= s""","elected_index_bytes":$eBytes"""
     }
 
+    if (metrics("serves17")) {
+      // the round-17 additions end to end on the same replicas: the
+      // TRAINED packed index serve (q158 — includes fit-on-miss for
+      // both quantizers on first touch), the STREAMING elected-depth
+      // packed serve (q159 — micro-batch machinery + stream-static
+      // join), and the RESIDUAL serve (q160 — includes the residual
+      // index build on first touch). Second runs time the steady
+      // state (artifacts warm).
+      def twice(name: String): (Double, Double) = {
+        val (_, cold) = timed(Registry.queries(name)(spark, dir).count())
+        val (_, warm) = timed(Registry.queries(name)(spark, dir).count())
+        (cold, warm)
+      }
+      val (c158, w158) = twice("q158_ivfpq_trained")
+      val (c159, w159) = twice("q159_stream_ivfpq_serve")
+      val (c160, w160) = twice("q160_ivfpq_residual")
+      out ++= f""","q158_cold_secs":$c158%.2f,"q158_warm_secs":$w158%.2f"""
+      out ++= f""","q159_cold_secs":$c159%.2f,"q159_warm_secs":$w159%.2f"""
+      out ++= f""","q160_cold_secs":$c160%.2f,"q160_warm_secs":$w160%.2f"""
+    }
+
     if (metrics("lsh")) {
       // registered width and the contract's widened ~log2(N) width
       val widened = math.min(63,
