@@ -205,6 +205,37 @@ object ArtifactStore {
     })
   }
 
+  /** NON-memoized collision-resistant identity of the data files
+    * CURRENTLY under `path` — (uri, length, mtime) of every non-hidden
+    * file, the [[sourceKey]] recipe applied to an arbitrary directory
+    * and re-listed on EVERY call. Exists for one composition:
+    * fixed-path [[ensureAt]] artifacts are rebuilt IN PLACE (one path
+    * serves many corpora over time), so a content-keyed [[ensure]]
+    * derivative that CACHES such an artifact's bytes must carry this
+    * identity in its own key — any in-place retrain then re-keys the
+    * derivative instead of silently serving a stale generation (the
+    * round-17 q158 gate failure). Never memoized, precisely because the
+    * path's content is mutable; a missing path digests as its URI
+    * alone. Cost is one listing RPC per resolve — paid by artifacts
+    * that build once and serve many times. */
+  def contentKey(spark: SparkSession, path: String): String = {
+    val conf = hadoopConf(spark)
+    val base = new Path(path)
+    val fs = base.getFileSystem(conf)
+    val sb = new StringBuilder(base.toUri.toString)
+    def walk(st: FileStatus): Unit =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).sortBy(_.getPath.getName).foreach(walk)
+      else if (!st.getPath.getName.startsWith("_") &&
+               !st.getPath.getName.startsWith("."))
+        sb.append('\n').append(st.getPath.toUri.toString)
+          .append('|').append(st.getLen)
+          .append('|').append(st.getModificationTime)
+    try { if (fs.exists(base)) walk(fs.getFileStatus(base)) }
+    catch { case _: java.io.IOException => () }
+    md5hex(sb.toString).take(16)
+  }
+
   /** Drop every memoized [[sourceKey]] so the next resolve re-lists the
     * source files — the escape hatch for the one case the per-process
     * memo doesn't cover: regenerating a corpus under the SAME directory

@@ -303,6 +303,14 @@ object AnnScaleProbe {
       out ++= s""","elected_index_bytes":$eBytes"""
     }
 
+    // cold/warm pair for a registered query: first run pays any
+    // fit-on-miss artifact builds, second times the steady state
+    def twice(name: String): (Double, Double) = {
+      val (_, cold) = timed(Registry.queries(name)(spark, dir).count())
+      val (_, warm) = timed(Registry.queries(name)(spark, dir).count())
+      (cold, warm)
+    }
+
     if (metrics("serves17")) {
       // the round-17 additions end to end on the same replicas: the
       // TRAINED packed index serve (q158 — includes fit-on-miss for
@@ -311,17 +319,33 @@ object AnnScaleProbe {
       // join), and the RESIDUAL serve (q160 — includes the residual
       // index build on first touch). Second runs time the steady
       // state (artifacts warm).
-      def twice(name: String): (Double, Double) = {
-        val (_, cold) = timed(Registry.queries(name)(spark, dir).count())
-        val (_, warm) = timed(Registry.queries(name)(spark, dir).count())
-        (cold, warm)
-      }
       val (c158, w158) = twice("q158_ivfpq_trained")
       val (c159, w159) = twice("q159_stream_ivfpq_serve")
       val (c160, w160) = twice("q160_ivfpq_residual")
       out ++= f""","q158_cold_secs":$c158%.2f,"q158_warm_secs":$w158%.2f"""
       out ++= f""","q159_cold_secs":$c159%.2f,"q159_warm_secs":$w159%.2f"""
       out ++= f""","q160_cold_secs":$c160%.2f,"q160_warm_secs":$w160%.2f"""
+    }
+
+    if (metrics("serves18")) {
+      // the round-18 additions end to end: the TRAINED election arc
+      // (q162 nprobe curve + q163 R curve builds ride q164's cold run
+      // on first touch — the offline half a deployment pays once per
+      // corpus), the trained production serve (q164), the geometry
+      // curve (q165 — cold includes both serves' recall measurement),
+      // and the geometry-composed q157. Warm runs time steady state.
+      val (c164, w164) = twice("q164_trained_production")
+      val (c165, w165) = twice("q165_geometry_curve")
+      val (c157, w157) = twice("q157_ann_production")
+      out ++= s""","trained_elected_nprobe":${
+        Similarity.electedTrainedNprobe(spark, dir)}"""
+      out ++= s""","trained_elected_r":${
+        Similarity.electedTrainedRerankR(spark, dir)}"""
+      out ++= s""","elected_geometry":"${
+        Similarity.electedGeometry(spark, dir)}""""
+      out ++= f""","q164_cold_secs":$c164%.2f,"q164_warm_secs":$w164%.2f"""
+      out ++= f""","q165_cold_secs":$c165%.2f,"q165_warm_secs":$w165%.2f"""
+      out ++= f""","q157_cold_secs":$c157%.2f,"q157_warm_secs":$w157%.2f"""
     }
 
     if (metrics("lsh")) {

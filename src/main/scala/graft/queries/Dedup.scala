@@ -1491,7 +1491,9 @@ object Dedup {
     * percent-scale, so levels 16/32/64 scan a sliver instead of ~3
     * more corpus-width span emissions. Injectable per the repo's
     * standing size-gate rule; production uses the default. The gate
-    * measures `docs.count()` — a metadata-only parquet count. */
+    * measures the RAW input row count (metadata-only when the input is
+    * a bare parquet scan; derived frames pass their count in — see
+    * [[longestSharedRun]]). */
   private[queries] val CASCADE_LIMIT: Long = 2000000L
 
   /** q152's pipeline over any (doc_id, text) frame: per-doc longest
@@ -1503,13 +1505,23 @@ object Dedup {
     * shuffles small rows. Above it: [[cascadeLSR]]. */
   private[queries] def longestSharedRun(docs: DataFrame,
       cascadeLimit: Long = CASCADE_LIMIT,
-      cut: graft.exec.Materializer = graft.exec.Materializer.Local)
+      cut: graft.exec.Materializer = graft.exec.Materializer.Local,
+      docCount: Option[Long] = None)
       : DataFrame = {
+    // The size gate counts RAW input rows (including null-text rows the
+    // eligible base below excludes) — a branch heuristic, not a semantic
+    // input; the raw count is the one that stays metadata-only when
+    // `docs` is a bare parquet scan (q152's registration). It is a Spark
+    // ACTION fired at DataFrame-construction time (the two branches are
+    // different plans, so the decision cannot defer); callers holding a
+    // filtered/derived frame — where counting would be a full scan —
+    // pass `docCount` to skip it.
     val base = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= RUN_LENGTHS.min)
-    if (docs.count() > cascadeLimit) cascadeLSR(base, cut)
+    if (docCount.getOrElse(docs.count()) > cascadeLimit)
+      cascadeLSR(base, cut)
     else singlePassLSR(base)
   }
 

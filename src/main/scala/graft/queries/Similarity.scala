@@ -89,6 +89,17 @@ object Similarity {
   private[queries] val PQ_KSUB = 16
   private[queries] val PQ_SUB = 8
 
+  // Coarse-quantizer TRAINING params (q54 + the trained index family):
+  // ONE set of named constants feeds both the ensureCodebook call sites
+  // and every derivative's staleness key, so the key fragment and the
+  // actual training call cannot drift apart (the r17 ADVICE gap — the
+  // key hardcoded "-coarse-k8-i5-s20" beside a call passing the same
+  // literals, and omitted the sample seed entirely).
+  private[queries] val COARSE_K = 8
+  private[queries] val COARSE_ITER = 5
+  private[queries] val COARSE_SAMPLE = 0.2
+  private[queries] val COARSE_SEED = 42L
+
   private[queries] def normed(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -408,10 +419,20 @@ object Similarity {
     * directly diffable against q132 (exact serve at the same elected
     * depth) and q151 (the unrefined ADC ranking). */
   private[queries] def ivfPqRerank(spark: SparkSession, dir: String,
-      r: Int, ksub: Int = PQ_KSUB): DataFrame = {
-    val shortlist = ivfPqServe(spark, dir, electedNprobe(spark, dir),
-        topk = r, ksub = ksub)
-      .select(col("q_id"), col("neighbor"))
+      r: Int, ksub: Int = PQ_KSUB): DataFrame =
+    exactRerank(spark, dir,
+      ivfPqServe(spark, dir, electedNprobe(spark, dir),
+          topk = r, ksub = ksub)
+        .select(col("q_id"), col("neighbor")))
+
+  /** The exact re-rank stage shared by q153/q157 (raw shortlists) and
+    * q164 (the trained shortlist): fetch full vectors for the shortlist
+    * ids (one broadcast join of the constant probes×R shortlist against
+    * the corpus — the scan never expands), score the exact 4dp cosine,
+    * top-[[TOPK]] per probe with q20's tie-breaks over a probes×R-
+    * bounded window. */
+  private[queries] def exactRerank(spark: SparkSession, dir: String,
+      shortlist: DataFrame): DataFrame = {
     val n = normed(spark, dir)
     val probes = pqProbes(n)
     val fetched = n.join(broadcast(shortlist),
@@ -634,9 +655,8 @@ object Similarity {
         QUALIFY rank <= $TOPK
         ORDER BY q_id, rank"""
 
-  /** q151's complete oracle — shared VERBATIM by q159, the streaming
-    * elected-depth packed-serve twin (one replay gates both the batch
-    * and streaming constructions, the q134/q139 twin discipline). */
+  /** q151's complete oracle (q159's streaming twin moved to the
+    * width-elected [[ivfPqWidthElectedOracleSql]] in round 18). */
   private[queries] def ivfPqElectedOracleSql: String = s"""
         $ivfPqElectedCtes
         SELECT q_id,
@@ -890,10 +910,18 @@ object Similarity {
     * ranking WITH the per-(probe, cell) scalar `qdotc` (the
     * inner-product decomposition <q,x> ≈ <q,c> + <q,r̂>), per-probe
     * LUTs over the residual codebook, and the cell-restricted relation
-    * `servedres(q_id, neighbor, adc_mu)`. */
+    * `servedres(q_id, neighbor, adc_mu)`. The residual block is
+    * factored ([[residServeCtes]]) so q157's geometry-elected oracle —
+    * which already carries [[nprobeCurveCtes]] through its rerank chain
+    * — can splice the residual serve in without duplicate CTE names. */
   private def residElectedCtes: String = s"""
         $nprobeCurveCtes,
-        residq AS (
+        $residServeCtes"""
+
+  /** The residual-serve CTE block (consumes `n`, `cents`, `assigned`
+    * and the depth election `sel(chosen_p)` from [[nprobeCurveCtes]];
+    * emits `servedres`). */
+  private def residServeCtes: String = s"""residq AS (
           SELECT n.vec_id, nrm, a.c_id,
                  list_transform(range(1, len(v) + 1), i -> v[i] - cv[i])
                    AS rv
@@ -955,6 +983,170 @@ object Similarity {
           JOIN qcellr qc ON a.c_id = qc.qcell
           JOIN rlutl l ON l.q_id = qc.q_id
           WHERE cd.vec_id <> qc.q_id)"""
+
+  /** The width-election + width-elected-serve CTE block shared by q157
+    * (which shortlists and re-ranks `served_prod`) and q159's oracle
+    * (which ranks it directly — the streaming twin serves at the
+    * elected width since round 18): consumes [[ivfPqElectedCtes]]'
+    * relations (n, subq, assigned, qsr2, qcell2, lutl2) plus an
+    * exact-top-k relation (the `exTopk` parameter) for the width
+    * curve's recall arithmetic, and emits the width election
+    * `selw2(chosen_w)`, the elected-width codes `codes_prod`, and the
+    * elected-width elected-depth cell-restricted ADC relation
+    * `served_prod(q_id, neighbor, adc_mu)`. */
+  private def widthElectedServeCtes(exTopk: String): String = s"""
+        wsq AS (
+          SELECT CAST(k AS BIGINT) AS ksub
+          FROM (VALUES ${PQ_WIDTHS.map(w => s"($w)").mkString(", ")})
+            AS t(k)),
+        bestwq AS (
+          SELECT w.ksub, vec_id, j, c, d2_mu,
+                 row_number() OVER (PARTITION BY w.ksub, vec_id, j
+                                    ORDER BY d2_mu, c) AS rn
+          FROM subq, wsq w WHERE c <= w.ksub),
+        codeswq AS (
+          SELECT ksub, vec_id, list(c ORDER BY j) AS code
+          FROM bestwq WHERE rn = 1 GROUP BY ksub, vec_id),
+        adcw_topk AS (
+          SELECT ksub, q_id, neighbor FROM (
+            SELECT cd.ksub, l.q_id, cd.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY cd.ksub, l.q_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
+                                    j -> lt[(j-1)*$PQ_KSUB + code[j]]))
+                                  / (q.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              cd.vec_id) AS rk
+            FROM codeswq cd
+            JOIN n n2 ON cd.vec_id = n2.vec_id
+            CROSS JOIN lutl2 l
+            JOIN qsr2 q ON l.q_id = q.q_id
+            WHERE cd.vec_id <> l.q_id)
+          WHERE rk <= $TOPK),
+        hitsw AS (
+          SELECT ksub, q_id, count(*) AS n_hit
+          FROM adcw_topk JOIN $exTopk USING (q_id, neighbor)
+          GROUP BY ksub, q_id),
+        perqw AS (
+          SELECT g.ksub, g.q_id, coalesce(h.n_hit, 0) AS n_hit
+          FROM (SELECT ksub, q_id FROM wsq, qsr2) g
+          LEFT JOIN hitsw h ON g.ksub = h.ksub AND g.q_id = h.q_id),
+        curvew AS (
+          SELECT ksub, count(*) AS n_probes, sum(n_hit) AS sum_hits
+          FROM perqw GROUP BY ksub),
+        curvew2 AS (
+          SELECT ksub,
+                 CAST(floor((sum_hits * 10000.0) / (n_probes * $TOPK))
+                      AS BIGINT) AS recall_bp
+          FROM curvew),
+        selw2 AS (
+          SELECT CASE WHEN max(CASE WHEN recall_bp >= $RECALL_TARGET_BP
+                                    THEN 1 ELSE 0 END) = 1
+                      THEN min(CASE WHEN recall_bp >= $RECALL_TARGET_BP
+                                    THEN ksub END)
+                      ELSE max(ksub) END AS chosen_w
+          FROM curvew2),
+        codes_prod AS (
+          SELECT vec_id, code FROM codeswq
+          WHERE ksub = (SELECT chosen_w FROM selw2)),
+        served_prod AS (
+          SELECT qc.q_id, cd.vec_id AS neighbor,
+                 CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
+                        j -> lt[(j-1)*$PQ_KSUB + code[j]]))
+                      / (qc.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT)
+                   AS adc_mu
+          FROM codes_prod cd
+          JOIN n n2 ON cd.vec_id = n2.vec_id
+          JOIN assigned a ON cd.vec_id = a.vec_id
+          JOIN qcell2 qc ON a.c_id = qc.qcell
+          JOIN lutl2 l ON l.q_id = qc.q_id
+          WHERE cd.vec_id <> qc.q_id)"""
+
+  /** q159's oracle — the WIDTH-ELECTED elected-depth packed serve the
+    * streaming twin runs (round 18; through r17 q159 served the
+    * DEFAULT-width index and shared q151's oracle verbatim, which was
+    * correct only while the width election landed on the full
+    * codebook): unrolls BOTH elections inline — the nprobe curve from
+    * [[ivfPqElectedCtes]], the width curve over per-width prefix codes
+    * — and ranks `served_prod` to [[TOPK]]. One replay gates both the
+    * streaming serve and the batch composition it mirrors
+    * ([[ivfPqServe]] at elected nprobe and elected width — the
+    * q134/q139 twin discipline; StreamingSpec pins stream ≡ batch
+    * bitwise). */
+  private[queries] def ivfPqWidthElectedOracleSql: String = s"""
+        $ivfPqElectedCtes,
+        exw_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
+                              n.vec_id) AS rk
+            FROM n, qsr2
+            WHERE n.vec_id <> q_id)
+          WHERE rk <= $TOPK),
+        ${widthElectedServeCtes("exw_topk")}
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_mu DESC, neighbor)
+                    AS BIGINT) AS rank,
+               neighbor, adc_mu
+        FROM served_prod
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""
+
+  /** The encoding-GEOMETRY election CTE block shared by q165 (which
+    * selects the 2-row curve) and q157 (whose production serve branches
+    * on `selg.chosen_g` — the FOURTH election): recall@[[TOPK]] of the
+    * raw full-width elected-depth ADC relation `served` and of the
+    * residual relation `servedres` against the exact-top-k relation
+    * `exTopk`, one curve row per geometry, the higher recall chosen
+    * with ties to raw (the cheaper serve — no per-cell qdotc term).
+    * Consumes `served`/`qsr2` from [[ivfPqElectedCtes]] and `servedres`
+    * from [[residServeCtes]]. */
+  private def geometryElectionCtes(exTopk: String): String = s"""
+        raw_topkg AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_mu DESC, neighbor) AS rk
+            FROM served)
+          WHERE rk <= $TOPK),
+        res_topkg AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_mu DESC, neighbor) AS rk
+            FROM servedres)
+          WHERE rk <= $TOPK),
+        hits_geo AS (
+          SELECT 'raw' AS geom, q_id, count(*) AS n_hit
+          FROM raw_topkg JOIN $exTopk USING (q_id, neighbor)
+          GROUP BY q_id
+          UNION ALL
+          SELECT 'resid' AS geom, q_id, count(*) AS n_hit
+          FROM res_topkg JOIN $exTopk USING (q_id, neighbor)
+          GROUP BY q_id),
+        perqg AS (
+          SELECT g.geom, g.q_id, coalesce(h.n_hit, 0) AS n_hit
+          FROM (SELECT geom, q_id
+                FROM (VALUES ('raw'), ('resid')) AS t(geom), qsr2) g
+          LEFT JOIN hits_geo h ON g.geom = h.geom AND g.q_id = h.q_id),
+        curveg AS (
+          SELECT geom,
+                 CAST(count(*) AS BIGINT) AS n_probes,
+                 CAST(sum(n_hit) AS BIGINT) AS sum_hits,
+                 CAST(min(n_hit) AS BIGINT) AS min_hits
+          FROM perqg GROUP BY geom),
+        curveg2 AS (
+          SELECT geom, n_probes, sum_hits, min_hits,
+                 CAST(floor((sum_hits * 10000.0) / (n_probes * $TOPK))
+                      AS BIGINT) AS recall_bp
+          FROM curveg),
+        selg AS (
+          SELECT CASE WHEN (SELECT recall_bp FROM curveg2
+                            WHERE geom = 'resid')
+                         > (SELECT recall_bp FROM curveg2
+                            WHERE geom = 'raw')
+                      THEN 'resid' ELSE 'raw' END AS chosen_g)"""
 
   /** The q138/q155 oracle chain: normed corpus + the full-width PQ
     * distance relation ([[pqCtes]] — `sel`/`subd`/`best`), per-width
@@ -1040,6 +1232,201 @@ object Similarity {
                       ELSE max(ksub) END AS chosen_w
           FROM curve3)"""
 
+  /** The TRAINED-family oracle chain (q162/q163/q164): the md5-family's
+    * curve→elect→serve CTEs re-expressed over the trained quantizers
+    * read back from their materialized fixed paths (KMeans isn't
+    * SQL-reproducible; everything GIVEN the centers is — the
+    * q54/q142/q158 discipline, so the driver's gate value-checks the
+    * trained bytes, the elections and the serve every round). Chain:
+    * normed corpus → trained centers (+ norms) → assignment →
+    * full-corpus md5 probe sample `qsr` (the trained serve's own probe
+    * universe) → probe cell ranking to NPROBE_MAX → exact in-cell
+    * candidates → per-nprobe recall curve vs the inline exact ground
+    * truth `ex_topk` → depth election `selpt(chosen_p)` → trained PQ
+    * codes ([[pqDistCtes]] over the persisted sub-codebooks) →
+    * per-probe LUTs → the cell-restricted ADC relation `servedt` at
+    * the elected depth → the maximal rank-carrying shortlist, ONE
+    * exact scoring `rrscoredt`, per-R re-ranked top-k, the R curve and
+    * its election `selrt(chosen_r)`. q162 selects the nprobe curve,
+    * q163 the R curve, q164 the production serve at both elections. */
+  private def trainedElectedCtes: String = s"""
+        $normedCte,
+        rawc AS (
+          SELECT c_id, list_transform(cv, x -> CAST(x AS DOUBLE)) AS cv
+          FROM read_parquet('$TrainedCentroidsPath/*.parquet')),
+        cents AS (
+          SELECT c_id, cv,
+                 sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+          FROM rawc),
+        assigned AS (
+          SELECT vec_id, c_id FROM (
+            SELECT n.vec_id, c_id,
+                   row_number() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * cv[i])) / (nrm * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              c_id) AS rn
+            FROM n, cents)
+          WHERE rn = 1),
+        qsr AS (
+          SELECT vec_id AS q_id, v AS qv, nrm AS qn
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT $QUERY_N),
+        qcells AS (
+          SELECT q_id, qv, qn, c_id AS qcell, crank FROM (
+            SELECT q_id, qv, qn, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY CAST(floor(list_sum(list_transform(range(1, len(qv) + 1),
+                                    i -> qv[i] * cv[i])) / (qn * cn) * 1000000.0 + 0.5) AS BIGINT) DESC,
+                              c_id) AS crank
+            FROM qsr, cents)
+          WHERE crank <= $NPROBE_MAX),
+        cand AS (
+          SELECT q_id, crank, n.vec_id AS neighbor,
+                 round(list_sum(list_transform(range(1, len(v) + 1),
+                                i -> v[i] * qv[i])) / (nrm * qn), 4) AS cosine
+          FROM n JOIN assigned a ON n.vec_id = a.vec_id
+          JOIN qcells qc ON a.c_id = qc.qcell
+          WHERE n.vec_id <> q_id),
+        ps AS (
+          SELECT CAST(p AS BIGINT) AS nprobe
+          FROM (VALUES ${NPROBES.map(p => s"($p)").mkString(", ")})
+            AS t(p)),
+        candp AS (
+          SELECT nprobe, q_id, neighbor, cosine
+          FROM cand JOIN ps ON crank <= nprobe),
+        ivf_topk AS (
+          SELECT nprobe, q_id, neighbor FROM (
+            SELECT nprobe, q_id, neighbor,
+                   row_number() OVER (PARTITION BY nprobe, q_id
+                                      ORDER BY cosine DESC, neighbor) AS rk
+            FROM candp)
+          WHERE rk <= $TOPK),
+        ex_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
+                              n.vec_id) AS rk
+            FROM n, qsr
+            WHERE n.vec_id <> q_id)
+          WHERE rk <= $TOPK),
+        hits AS (
+          SELECT nprobe, q_id, count(*) AS n_hit
+          FROM ivf_topk JOIN ex_topk USING (q_id, neighbor)
+          GROUP BY nprobe, q_id),
+        perq AS (
+          SELECT g.nprobe, g.q_id, coalesce(h.n_hit, 0) AS n_hit
+          FROM (SELECT nprobe, q_id FROM ps, qsr) g
+          LEFT JOIN hits h ON g.nprobe = h.nprobe AND g.q_id = h.q_id),
+        cc AS (SELECT nprobe, count(*) AS total_candidates
+               FROM candp GROUP BY nprobe),
+        curve AS (
+          SELECT p.nprobe,
+                 CAST(count(*) AS BIGINT) AS n_probes,
+                 CAST(sum(n_hit) AS BIGINT) AS sum_hits,
+                 CAST(min(n_hit) AS BIGINT) AS min_hits
+          FROM perq p GROUP BY p.nprobe),
+        curve2 AS (
+          SELECT c.nprobe, n_probes, sum_hits, min_hits,
+                 CAST(floor((sum_hits * 10000.0) / (n_probes * $TOPK))
+                      AS BIGINT) AS recall_bp,
+                 CAST(coalesce(cc.total_candidates, 0) AS BIGINT)
+                   AS total_candidates
+          FROM curve c LEFT JOIN cc ON c.nprobe = cc.nprobe),
+        curve3 AS (
+          SELECT *, CAST(CASE WHEN recall_bp >= $RECALL_TARGET_BP
+                              THEN 1 ELSE 0 END AS BIGINT) AS meets_target
+          FROM curve2),
+        selpt AS (
+          SELECT CASE WHEN max(meets_target) = 1
+                      THEN min(CASE WHEN meets_target = 1 THEN nprobe END)
+                      ELSE max(nprobe) END AS chosen_p
+          FROM curve3),
+        ${pqDistCtes(pqTrainedSelCte)},
+        pcodes AS (
+          SELECT vec_id, list(c ORDER BY j) AS code
+          FROM best WHERE rn = 1 GROUP BY vec_id),
+        qcellp AS (
+          SELECT q_id, qn, qcell FROM qcells
+          WHERE crank <= (SELECT chosen_p FROM selpt)),
+        lut AS (
+          SELECT q_id, j, s.c,
+                 list_sum(list_transform(range(1, $PQ_SUB + 1),
+                   i -> qv[(j-1)*$PQ_SUB + i] * cv[(j-1)*$PQ_SUB + i])) AS lv
+          FROM qsr, sel s, $pqJs),
+        lutl AS (
+          SELECT q_id, list(lv ORDER BY j, c) AS lt
+          FROM lut GROUP BY q_id),
+        servedt AS (
+          SELECT qc.q_id, cd.vec_id AS neighbor,
+                 CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
+                        j -> lt[(j-1)*$PQ_KSUB + code[j]]))
+                      / (qc.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT)
+                   AS adc_mu
+          FROM pcodes cd
+          JOIN n n2 ON cd.vec_id = n2.vec_id
+          JOIN assigned a ON cd.vec_id = a.vec_id
+          JOIN qcellp qc ON a.c_id = qc.qcell
+          JOIN lutl l ON l.q_id = qc.q_id
+          WHERE cd.vec_id <> qc.q_id),
+        rsgridt AS (
+          SELECT CAST(r AS BIGINT) AS r
+          FROM (VALUES ${RERANK_RS.map(r => s"($r)").mkString(", ")})
+            AS t(r)),
+        shortallt AS (
+          SELECT q_id, neighbor,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY adc_mu DESC, neighbor)
+                   AS adc_rank
+          FROM servedt),
+        rrscoredt AS (
+          SELECT s.q_id, s.adc_rank, s.neighbor,
+                 round(list_sum(list_transform(range(1, len(v) + 1),
+                                i -> v[i] * qv[i])) / (nrm * qn), 4)
+                   AS cosine
+          FROM shortallt s
+          JOIN n ON n.vec_id = s.neighbor
+          JOIN qsr q2 ON q2.q_id = s.q_id
+          WHERE s.adc_rank <= ${RERANK_RS.max}),
+        rr_topk_rt AS (
+          SELECT r, q_id, neighbor FROM (
+            SELECT g.r, sc.q_id, sc.neighbor,
+                   row_number() OVER (PARTITION BY g.r, sc.q_id
+                                      ORDER BY sc.cosine DESC, sc.neighbor)
+                     AS rk
+            FROM rrscoredt sc JOIN rsgridt g ON sc.adc_rank <= g.r)
+          WHERE rk <= $TOPK),
+        hitsrt AS (
+          SELECT r, q_id, count(*) AS n_hit
+          FROM rr_topk_rt JOIN ex_topk USING (q_id, neighbor)
+          GROUP BY r, q_id),
+        perqrt AS (
+          SELECT g.r, g.q_id, coalesce(h.n_hit, 0) AS n_hit
+          FROM (SELECT r, q_id FROM rsgridt, qsr) g
+          LEFT JOIN hitsrt h ON g.r = h.r AND g.q_id = h.q_id),
+        curvert AS (
+          SELECT r,
+                 CAST(count(*) AS BIGINT) AS n_probes,
+                 CAST(sum(n_hit) AS BIGINT) AS sum_hits,
+                 CAST(min(n_hit) AS BIGINT) AS min_hits
+          FROM perqrt GROUP BY r),
+        curvert2 AS (
+          SELECT r, n_probes, sum_hits, min_hits,
+                 CAST(floor((sum_hits * 10000.0) / (n_probes * $TOPK))
+                      AS BIGINT) AS recall_bp
+          FROM curvert),
+        curvert3 AS (
+          SELECT *, CAST(CASE WHEN recall_bp >= $RECALL_TARGET_BP
+                              THEN 1 ELSE 0 END AS BIGINT) AS meets_target
+          FROM curvert2),
+        selrt AS (
+          SELECT CASE WHEN max(meets_target) = 1
+                      THEN min(CASE WHEN meets_target = 1 THEN r END)
+                      ELSE max(r) END AS chosen_r
+          FROM curvert3)"""
+
   /** Where q54 materializes its trained codebook so the DuckDB oracle can
     * replay the identical search over the identical centroids (KMeans
     * centers aren't SQL-reproducible; the search given a codebook is).
@@ -1110,6 +1497,48 @@ object Similarity {
     }
   }
 
+  /** The coarse-training staleness key — ONE construction for every
+    * ensureCodebook call site against [[TrainedCentroidsPath]] (q54 and
+    * the trained-index family MUST agree: two call sites with different
+    * key strings would ping-pong the fixed path between marker keys and
+    * retrain on every alternation). Carries the sample fraction and
+    * seed that the marker's k/maxIter fields alone omitted. */
+  private def coarseCacheKey(spark: SparkSession, dir: String): String =
+    graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings") +
+      s"|sample=$COARSE_SAMPLE,seed=$COARSE_SEED"
+
+  /** Fit-on-miss / reuse-on-hit for the trained COARSE codebook (q54's
+    * KMeans over a seeded [[COARSE_SAMPLE]] sample — see the q54 header
+    * for why a coarse quantizer trains on a sample at 5 iterations). */
+  private[queries] def ensureTrainedCoarse(spark: SparkSession,
+      dir: String): Unit = {
+    graft.similarity.VectorSearch.ensureCodebook(
+      table(spark, dir, "embeddings").sample(COARSE_SAMPLE, COARSE_SEED),
+      "vec_id", "embedding", k = COARSE_K, maxIter = COARSE_ITER,
+      path = TrainedCentroidsPath, cacheKey = coarseCacheKey(spark, dir))
+    ()
+  }
+
+  /** Resolve BOTH trained quantizer artifacts (coarse cells + PQ
+    * sub-codebooks) — the precondition of every trained-family query. */
+  private[queries] def ensureTrainedQuantizers(spark: SparkSession,
+      dir: String): Unit = {
+    ensureTrainedCoarse(spark, dir)
+    ensurePqCodebook(spark, dir)
+  }
+
+  /** The CONTENT identity of both persisted trained quantizers (file
+    * uri, length, mtime of every parquet part — re-listed per call,
+    * never memoized). Every content-keyed `ensure` derivative of the
+    * fixed-path trained artifacts carries this in its key: the fixed
+    * paths rebuild IN PLACE when a different corpus runs, so any
+    * retrain must re-key the derivative (the r17 q158 gate failure —
+    * a cached index generation served codes from different center
+    * bytes than the oracle replayed). */
+  private def trainedQuantizerIdentity(spark: SparkSession): String =
+    graft.exec.ArtifactStore.contentKey(spark, TrainedCentroidsPath) +
+      graft.exec.ArtifactStore.contentKey(spark, TrainedPqPath)
+
   /** The trained codebook read back from the PERSISTED artifact (the
     * exact doubles the oracle reads), in code order. */
   private def loadTrainedPq(spark: SparkSession): PqCodebook =
@@ -1129,22 +1558,28 @@ object Similarity {
     * codebook + q142's per-subspace KMeans PQ sub-codebooks), stored
     * with the [[ivfPqIndex]] discipline: one 24-data-byte row per
     * vector (vec_id, nrm, trained coarse cell, the m trained-PQ codes
-    * packed into one BIGINT). Builds only after BOTH trained artifacts
-    * resolve (fit-on-miss / reuse-on-hit — the q54/q142 ensure paths),
-    * at most once per corpus source identity; training params ride the
-    * key so a retrained codebook re-keys the index. Soundness of
-    * caching a DERIVATIVE of the fixed-path trained artifacts: training
-    * is deterministic per corpus (seeded KMeans, seeded sample, fixed
-    * train partitioning — trainCodebook seed 42), so when ensureCodebook
-    * retrains the fixed path after an interleaved other-corpus run, it
-    * reproduces byte-identical centers and this cached index stays
-    * consistent with them. Oracles replay the MATERIALIZED centers
-    * (KMeans isn't SQL-reproducible; everything given the centers is),
-    * so the gate value-checks these bytes. */
+    * packed into one BIGINT). Resolves BOTH trained artifacts first
+    * (fit-on-miss / reuse-on-hit — the q54/q142 ensure paths), then
+    * builds at most once per (corpus source identity × training params
+    * × QUANTIZER CONTENT identity): the fixed-path trained artifacts
+    * rebuild IN PLACE whenever a different corpus runs, so the key
+    * carries [[trainedQuantizerIdentity]] — any retrain re-keys this
+    * derivative, and a cached index generation can never serve codes
+    * from different center bytes than the oracle replays. (Round 17's
+    * key bound to corpus+params only, resting on an assumed
+    * cross-process KMeans byte-determinism the driver's gate falsified:
+    * rows matched, hashes didn't.) Training params ride the key from
+    * the SAME named constants the ensureCodebook call site uses.
+    * Oracles replay the MATERIALIZED centers (KMeans isn't
+    * SQL-reproducible; everything given the centers is), so the gate
+    * value-checks these bytes. */
   private def ivfPqTrainedIndex(spark: SparkSession, dir: String): DataFrame = {
+    ensureTrainedQuantizers(spark, dir)
     val path = graft.exec.ArtifactStore.ensure(spark, "ivfpq_trained_index",
       graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
-        + s"-m$PQ_M-k$PQ_KSUB-s$PQ_SUB-coarse-k8-i5-s20-v1") { p =>
+        + s"-m$PQ_M-k$PQ_KSUB-s$PQ_SUB-coarse-k$COARSE_K-i$COARSE_ITER"
+        + s"-f$COARSE_SAMPLE-sd$COARSE_SEED"
+        + s"-q${trainedQuantizerIdentity(spark)}-v2") { p =>
       val n = normed(spark, dir)
       val bcCb = spark.sparkContext.broadcast(loadTrainedPq(spark))
       assignCells(n, trainedCents(spark))
@@ -1155,6 +1590,37 @@ object Similarity {
     }
     spark.read.parquet(path)
   }
+
+  /** The trained-quantizer cell-restricted packed serve (q158's scan
+    * shape, parameterized by the serving dials for the q162–q164
+    * election arc): [[cellRestrictedPackedServe]] over the trained
+    * index, the persisted trained centers and sub-codebooks. Resolves
+    * the quantizers first (via [[ivfPqTrainedIndex]] — left-to-right
+    * evaluation), so the centers/codebook reads see the same live
+    * generation the index was keyed on. */
+  private[queries] def trainedPackedServe(spark: SparkSession, dir: String,
+      nprobe: Int, topk: Int = TOPK): DataFrame = {
+    val idx = ivfPqTrainedIndex(spark, dir)
+    cellRestrictedPackedServe(idx, trainedCents(spark),
+      loadTrainedPq(spark), pqProbes(normed(spark, dir)), nprobe, topk)
+  }
+
+  /** q164's production serve — the q157 composition over the quantizers
+    * a deployment actually FITS: trained coarse cells + trained PQ
+    * codes, probed at the q162-ELECTED depth, shortlisted to the
+    * q163-ELECTED R, exact-re-ranked to the top-[[TOPK]]. Width stays
+    * the full [[PQ_KSUB]] BY CONSTRUCTION: the width election is a
+    * prefix property of the md5-order codebook; a KMeans sub-codebook
+    * has no meaningful prefix (its first w centers are not a trained
+    * width-w codebook), so electing width for the trained family would
+    * require training at every width — a deployment retrains, it does
+    * not truncate. */
+  private[queries] def trainedProductionServe(spark: SparkSession,
+      dir: String): DataFrame =
+    exactRerank(spark, dir,
+      trainedPackedServe(spark, dir, electedTrainedNprobe(spark, dir),
+          topk = electedTrainedRerankR(spark, dir))
+        .select(col("q_id"), col("neighbor")))
 
   /** Nearest-cell argmax assignment and per-query nprobe cells — the
     * partial-aggregate shapes shared with the library API (one
@@ -1402,30 +1868,23 @@ object Similarity {
         QUALIFY rank <= $TOPK
         ORDER BY q_id, rank"""),
       run = (spark, dir) => {
-        import graft.io.Tables
-        val emb = Tables.table(spark, dir, "embeddings")
         // fit-on-miss / reuse-on-hit: the fit runs only when the fixed
         // path holds no codebook for this corpus's SOURCE-FILE identity
         // (ArtifactStore.sourceKey — regenerated embeddings re-key and
         // retrain; the pre-round-13 row-count key missed same-count
         // regenerations) — steady state (Bench's repeated runs) pays
         // only the search, not the ~2 s KMeans fit, and not even a
-        // count job. Training uses a seeded 20% sample (KMeans cost is
-        // per-iteration linear in rows; the codebook only needs cell
-        // geometry) and 5 Lloyd iterations (a coarse quantizer needs
-        // rough cells, not convergence — recall is nprobe's job). The
-        // oracle is immune to training variation either way: it replays
-        // the MATERIALIZED centroids, whatever they are.
-        graft.similarity.VectorSearch.ensureCodebook(
-          emb.sample(0.2, 42L), "vec_id", "embedding", k = 8, maxIter = 5,
-          path = TrainedCentroidsPath,
-          cacheKey = graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings"))
+        // count job. Training uses a seeded COARSE_SAMPLE sample
+        // (KMeans cost is per-iteration linear in rows; the codebook
+        // only needs cell geometry) and COARSE_ITER Lloyd iterations
+        // (a coarse quantizer needs rough cells, not convergence —
+        // recall is nprobe's job). The oracle is immune to training
+        // variation either way: it replays the MATERIALIZED centroids,
+        // whatever they are.
+        ensureTrainedCoarse(spark, dir)
         // search over the PERSISTED centroids (the exact doubles the
         // oracle reads), not the in-memory ones
-        val cents = spark.read.parquet(TrainedCentroidsPath)
-          .select(col("c_id"), col("cv"))
-          .withColumn("cn", l2norm(col("cv")))
-        ivfSearch(normed(spark, dir), cents, nprobe = 2)
+        ivfSearch(normed(spark, dir), trainedCents(spark), nprobe = 2)
       }),
 
     // ------------------------------------------------------------------
@@ -2017,93 +2476,48 @@ object Similarity {
     // Codebook width from q138's curve (narrowest clearing the recall
     // target — the packed index materializes AT that width), probe
     // depth from q131's curve (smallest nprobe clearing it), shortlist
-    // depth from q156's curve (smallest R clearing it) — composed into
-    // the FAISS IVFPQ(m, k*) + IndexRefine a deployment actually
-    // builds: elected-width packed cell scan → top-R ADC shortlist →
-    // exact re-rank → top-k. Each election is a ≤4-row artifact read;
+    // depth from q156's curve (smallest R clearing it), and — round 18
+    // — encoding GEOMETRY from q165's curve (raw vs residual codes,
+    // higher measured recall wins, ties to raw): four elections
+    // composed into the FAISS IVFPQ(m, k*) + IndexRefine a deployment
+    // actually builds. Raw branch: elected-width packed cell scan →
+    // top-R ADC shortlist → exact re-rank → top-k. Residual branch:
+    // the q160 residual serve shortlists instead (full width by
+    // construction — the residual index has no prefix property, see
+    // productionServeAt). Each election is a ≤4-row artifact read;
     // the serve shape is q153's (corpus-sized scan touches only packed
     // index rows; probes × R exact dots). Diffs row-by-row against
-    // q153 — identical whenever the width election lands on the full
-    // codebook (AnnArtifactSpec pins it on the current corpora, where
-    // no narrower width clears 8000 bp). The oracle unrolls all THREE
-    // elections inline (the q151 scalar-subquery pattern): the width
-    // curve over per-width prefix codes, the nprobe curve, the R curve
-    // — then serves codes at chosen_w over cells at chosen_p,
-    // shortlists to chosen_r, and re-ranks exactly.
+    // q153 — identical whenever the width election lands full AND the
+    // geometry election lands raw (AnnArtifactSpec pins both on the
+    // current corpora: no narrower width clears 8000 bp, and residual
+    // recall is 0.297 vs raw 0.316 on isotropic synthetic vectors).
+    // The oracle unrolls all FOUR elections inline (the q151
+    // scalar-subquery pattern): the width curve over per-width prefix
+    // codes, the nprobe curve, the R curve, the geometry pair — then
+    // shortlists the chosen geometry's serve to chosen_r and re-ranks
+    // exactly.
     Q("q157_ann_production",
       oracle = Some(s"""
         $rerankElectedCtes,
-        wsq AS (
-          SELECT CAST(k AS BIGINT) AS ksub
-          FROM (VALUES ${PQ_WIDTHS.map(w => s"($w)").mkString(", ")})
-            AS t(k)),
-        bestwq AS (
-          SELECT w.ksub, vec_id, j, c, d2_mu,
-                 row_number() OVER (PARTITION BY w.ksub, vec_id, j
-                                    ORDER BY d2_mu, c) AS rn
-          FROM subq, wsq w WHERE c <= w.ksub),
-        codeswq AS (
-          SELECT ksub, vec_id, list(c ORDER BY j) AS code
-          FROM bestwq WHERE rn = 1 GROUP BY ksub, vec_id),
-        adcw_topk AS (
-          SELECT ksub, q_id, neighbor FROM (
-            SELECT cd.ksub, l.q_id, cd.vec_id AS neighbor,
-                   row_number() OVER (PARTITION BY cd.ksub, l.q_id
-                     ORDER BY CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
-                                    j -> lt[(j-1)*$PQ_KSUB + code[j]]))
-                                  / (q.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT) DESC,
-                              cd.vec_id) AS rk
-            FROM codeswq cd
-            JOIN n n2 ON cd.vec_id = n2.vec_id
-            CROSS JOIN lutl2 l
-            JOIN qsr2 q ON l.q_id = q.q_id
-            WHERE cd.vec_id <> l.q_id)
-          WHERE rk <= $TOPK),
-        hitsw AS (
-          SELECT ksub, q_id, count(*) AS n_hit
-          FROM adcw_topk JOIN ex2_topk USING (q_id, neighbor)
-          GROUP BY ksub, q_id),
-        perqw AS (
-          SELECT g.ksub, g.q_id, coalesce(h.n_hit, 0) AS n_hit
-          FROM (SELECT ksub, q_id FROM wsq, qsr2) g
-          LEFT JOIN hitsw h ON g.ksub = h.ksub AND g.q_id = h.q_id),
-        curvew AS (
-          SELECT ksub, count(*) AS n_probes, sum(n_hit) AS sum_hits
-          FROM perqw GROUP BY ksub),
-        curvew2 AS (
-          SELECT ksub,
-                 CAST(floor((sum_hits * 10000.0) / (n_probes * $TOPK))
-                      AS BIGINT) AS recall_bp
-          FROM curvew),
-        selw2 AS (
-          SELECT CASE WHEN max(CASE WHEN recall_bp >= $RECALL_TARGET_BP
-                                    THEN 1 ELSE 0 END) = 1
-                      THEN min(CASE WHEN recall_bp >= $RECALL_TARGET_BP
-                                    THEN ksub END)
-                      ELSE max(ksub) END AS chosen_w
-          FROM curvew2),
-        codes_prod AS (
-          SELECT vec_id, code FROM codeswq
-          WHERE ksub = (SELECT chosen_w FROM selw2)),
-        served_prod AS (
-          SELECT qc.q_id, cd.vec_id AS neighbor,
-                 CAST(floor(list_sum(list_transform(range(1, $PQ_M + 1),
-                        j -> lt[(j-1)*$PQ_KSUB + code[j]]))
-                      / (qc.qn * n2.nrm) * 1000000.0 + 0.5) AS BIGINT)
-                   AS adc_mu
-          FROM codes_prod cd
-          JOIN n n2 ON cd.vec_id = n2.vec_id
-          JOIN assigned a ON cd.vec_id = a.vec_id
-          JOIN qcell2 qc ON a.c_id = qc.qcell
-          JOIN lutl2 l ON l.q_id = qc.q_id
-          WHERE cd.vec_id <> qc.q_id),
+        ${widthElectedServeCtes("ex2_topk")},
+        $residServeCtes,
+        ${geometryElectionCtes("ex2_topk")},
         short_prod AS (
           SELECT q_id, neighbor FROM (
             SELECT q_id, neighbor,
                    row_number() OVER (PARTITION BY q_id
                                       ORDER BY adc_mu DESC, neighbor) AS rk
             FROM served_prod)
-          WHERE rk <= (SELECT chosen_r FROM selr)),
+          WHERE rk <= (SELECT chosen_r FROM selr)
+            AND (SELECT chosen_g FROM selg) = 'raw'
+          UNION ALL
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_mu DESC, neighbor) AS rk
+            FROM servedres)
+          WHERE rk <= (SELECT chosen_r FROM selr)
+            AND (SELECT chosen_g FROM selg) = 'resid'),
         rr_prod AS (
           SELECT s.q_id, s.neighbor,
                  round(list_sum(list_transform(range(1, len(v) + 1),
@@ -2121,8 +2535,7 @@ object Similarity {
         QUALIFY rank <= $TOPK
         ORDER BY q_id, rank"""),
       run = (spark, dir) =>
-        ivfPqRerank(spark, dir, electedRerankR(spark, dir),
-          ksub = electedWidth(spark, dir))),
+        productionServeAt(spark, dir, electedGeometry(spark, dir))),
 
     // ------------------------------------------------------------------
     // q137: PQ RECALL EVALUATION — q130's discipline applied to the
@@ -2674,20 +3087,8 @@ object Similarity {
         FROM scored
         QUALIFY rank <= $TOPK
         ORDER BY q_id, rank"""),
-      run = (spark, dir) => {
-        import graft.io.Tables
-        val emb = Tables.table(spark, dir, "embeddings")
-        graft.similarity.VectorSearch.ensureCodebook(
-          emb.sample(0.2, 42L), "vec_id", "embedding", k = 8, maxIter = 5,
-          path = TrainedCentroidsPath,
-          cacheKey = graft.exec.ArtifactStore.sourceKey(spark, dir,
-            "embeddings"))
-        ensurePqCodebook(spark, dir)
-        val n = normed(spark, dir)
-        cellRestrictedPackedServe(ivfPqTrainedIndex(spark, dir),
-          trainedCents(spark), loadTrainedPq(spark), pqProbes(n),
-          nprobe = 2, topk = TOPK)
-      }),
+      run = (spark, dir) =>
+        trainedPackedServe(spark, dir, nprobe = 2, topk = TOPK)),
 
     // ------------------------------------------------------------------
     // q160: RESIDUAL-ENCODED IVF-PQ — the geometry FAISS's IVFPQ
@@ -2783,6 +3184,124 @@ object Similarity {
                 .as("recall_at_k")))
           .orderBy(col("q_id"))
       }),
+
+    // ------------------------------------------------------------------
+    // q162: TRAINED NPROBE CURVE + ELECTION — the measure→decide arc
+    // the TRAINED family was missing (r17 VERDICT Missing #1): q131
+    // gave the md5-quantizer family its depth election, but q158
+    // served the quantizers a deployment actually FITS at a hard-coded
+    // nprobe = 2. This sweeps nprobe ∈ {1,2,4,8} of the exact in-cell
+    // search over TRAINED cells for the full-corpus md5 probe sample
+    // (the trained serve's own probe universe) against the SAME
+    // durable exact ground truth that prices the whole PQ family, and
+    // elects the smallest depth clearing 8000 bp (else the deepest).
+    // Scale shape is q131's verbatim: candidates scored once with
+    // their cell's per-query rank, curve points via a 4-row broadcast
+    // theta-join, elections result-sized. The oracle replays the
+    // MATERIALIZED centers (the q54/q158 discipline) and re-derives
+    // curve + election inline, so the gate value-checks the trained
+    // bytes, the recall arithmetic and the election each round.
+    Q("q162_trained_nprobe_curve",
+      oracle = Some(s"""
+        $trainedElectedCtes
+        SELECT c.nprobe, n_probes, sum_hits, min_hits, recall_bp,
+               total_candidates, meets_target,
+               CAST(CASE WHEN c.nprobe = s.chosen_p THEN 1 ELSE 0 END
+                    AS BIGINT) AS chosen
+        FROM curve3 c, selpt s
+        ORDER BY c.nprobe"""),
+      run = (spark, dir) => trainedNprobeCurve(spark, dir)),
+
+    // ------------------------------------------------------------------
+    // q163: TRAINED RERANK-DEPTH CURVE + ELECTION — q156's discipline
+    // over the trained serve: ONE trained packed serve at the
+    // q162-elected depth over-fetches to max(R) carrying its ADC rank,
+    // ONE exact pass scores that maximal shortlist (probes × max(R)
+    // rows, never corpus-sized), every curve point is a rank-window
+    // restriction, and the smallest R clearing the target is elected.
+    // Together with q162 this gives the trained family the same
+    // measured dials the md5 family tunes on — the distinction
+    // matters because trained cells are BALANCED (recall-per-probe
+    // differs from the md5 stand-in's random cells), so elections do
+    // not transfer between quantizer families; they re-measure.
+    Q("q163_trained_rerank_curve",
+      oracle = Some(s"""
+        $trainedElectedCtes
+        SELECT c.r, n_probes, sum_hits, min_hits, recall_bp,
+               meets_target,
+               CAST(CASE WHEN c.r = s.chosen_r THEN 1 ELSE 0 END
+                    AS BIGINT) AS chosen
+        FROM curvert3 c, selrt s
+        ORDER BY c.r"""),
+      run = (spark, dir) => trainedRerankCurve(spark, dir)),
+
+    // ------------------------------------------------------------------
+    // q164: TRAINED PRODUCTION ANN — the q157 composition over the
+    // quantizers a deployment actually fits (r17 VERDICT Missing #1's
+    // second half): trained coarse cells route at the q162-ELECTED
+    // depth, trained PQ codes shortlist to the q163-ELECTED R through
+    // the durable bit-packed index (24-byte rows — the scan never
+    // touches vectors), and the exact re-rank recovers ADC distortion
+    // over a probes×R-bounded window (FAISS IVFPQ + IndexRefine, with
+    // every quantizer trained and every dial measured). Width stays
+    // the full PQ_KSUB by construction: the width election is a
+    // prefix property of the md5-order codebook; a KMeans
+    // sub-codebook's first w centers are NOT a trained width-w
+    // codebook, and a deployment retrains rather than truncates.
+    // Diffs row-by-row against q157 (same serve shape, trained
+    // artifacts) and against q158 (whose fixed nprobe=2 ADC ranking
+    // this composition re-ranks whenever the election lands on 2 —
+    // AnnArtifactSpec pins the degenerate-dial identity).
+    Q("q164_trained_production",
+      oracle = Some(s"""
+        $trainedElectedCtes
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor)
+                    AS BIGINT) AS rank,
+               neighbor, cosine
+        FROM rrscoredt
+        WHERE adc_rank <= (SELECT chosen_r FROM selrt)
+        QUALIFY rank <= $TOPK
+        ORDER BY q_id, rank"""),
+      run = (spark, dir) => trainedProductionServe(spark, dir)),
+
+    // ------------------------------------------------------------------
+    // q165: ENCODING-GEOMETRY CURVE + ELECTION — the fourth serving
+    // dial fired (r17 VERDICT Missing #3): q161 already MEASURED the
+    // raw-vs-residual recall pair (0.316 raw / 0.297 residual on this
+    // isotropic corpus — an honest negative; clustered real embeddings
+    // flip it, which is why FAISS defaults to residuals), but the
+    // number fed no decision. This registers the 2-row curve — recall
+    // of each geometry's elected-depth serve against the shared exact
+    // ground truth, identical 24-byte index layouts — and elects the
+    // higher recall (ties to raw: no per-(probe, cell) qdotc term).
+    // q157's production serve branches on the election, so the
+    // measure→decide→act arc now covers width, depth, shortlist AND
+    // geometry. Durable 2-row artifact (the width-election
+    // discipline); the oracle re-derives both serves, both recalls
+    // and the election inline.
+    Q("q165_geometry_curve",
+      oracle = Some(s"""
+        $ivfPqElectedCtes,
+        $residServeCtes,
+        exg_topk AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q_id, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(list_sum(list_transform(range(1, len(v) + 1),
+                                    i -> v[i] * qv[i])) / (nrm * qn), 4) DESC,
+                              n.vec_id) AS rk
+            FROM n, qsr2
+            WHERE n.vec_id <> q_id)
+          WHERE rk <= $TOPK),
+        ${geometryElectionCtes("exg_topk")}
+        SELECT c.geom, n_probes, sum_hits, min_hits, recall_bp,
+               CAST(CASE WHEN c.geom = s.chosen_g THEN 1 ELSE 0 END
+                    AS BIGINT) AS chosen
+        FROM curveg2 c, selg s
+        ORDER BY c.geom"""),
+      run = (spark, dir) => geometryCurve(spark, dir)),
 
     // ------------------------------------------------------------------
     // q64: INT8 SCALAR QUANTIZATION of the embedding column — the 4×
@@ -3530,12 +4049,23 @@ object Similarity {
     * (k/n) plus the dial grid, target and the nprobe grid the
     * underlying elected-depth serve depends on. */
   private[queries] def rerankDepthCurve(spark: SparkSession, dir: String): DataFrame = {
+    // pre-resolve EVERY nested artifact before entering ensure (the
+    // store's documented discipline: a cold-store builder must not
+    // trigger an absent-key ensure — nested computeIfAbsent on the
+    // shared memo map can hit the outer call's ReservationNode and
+    // throw "Recursive update"). After these three lines the builder's
+    // inner resolves are present-key memo reads.
     val gt = pqGroundTruth(spark, dir)
+    val np = electedNprobe(spark, dir)
+    ivfPqIndex(spark, dir)
     val path = graft.exec.ArtifactStore.ensure(spark, "rerank_depth_curve",
       graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
         + s"-r${RERANK_RS.mkString("_")}-t$RECALL_TARGET_BP"
         + s"-k$TOPK-n$QUERY_N-p${NPROBES.mkString("_")}-v1") { p =>
-      rerankDepthCurveImpl(spark, dir, gt).write.mode("overwrite").parquet(p)
+      rerankDepthCurveImpl(spark, dir, gt,
+        ivfPqServe(spark, dir, np, topk = RERANK_RS.max.toInt)
+          .select(col("q_id"), col("rank").as("adc_rank"), col("neighbor")))
+        .write.mode("overwrite").parquet(p)
     }
     spark.read.parquet(path)
       .select(col("r"), col("n_probes"), col("sum_hits"), col("min_hits"),
@@ -3549,16 +4079,253 @@ object Similarity {
     rerankDepthCurve(spark, dir).filter(col("chosen") === 1L)
       .select(col("r")).collect().head.getLong(0).toInt
 
-  private def rerankDepthCurveImpl(spark: SparkSession, dir: String,
+  /** q162's curve as a DURABLE artifact — the [[nprobeCurve]] discipline
+    * applied to the TRAINED coarse quantizer (round 18; through r17 the
+    * trained family served at a hard-coded nprobe = 2 while the
+    * md5-quantizer family had the full curve→elect→serve arc): sweep
+    * nprobe ∈ [[NPROBES]] of the exact in-cell search over TRAINED
+    * cells for the full-corpus md5 probe sample, recall against the
+    * SAME durable exact ground truth that prices the whole PQ family
+    * (ann_gt_pq — the probe construction is pqProbes', so one stored GT
+    * serves raw, re-ranked, residual AND trained rows), elect the
+    * smallest depth clearing [[RECALL_TARGET_BP]] (else the deepest).
+    * The key carries the CONTENT identity of the trained centers (the
+    * q158 discipline: the fixed path rebuilds in place, so any retrain
+    * re-keys this curve). */
+  private[queries] def trainedNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    ensureTrainedCoarse(spark, dir)
+    val gt = pqGroundTruth(spark, dir)
+    val path = graft.exec.ArtifactStore.ensure(spark, "trained_nprobe_curve",
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
+        + s"-p${NPROBES.mkString("_")}-t$RECALL_TARGET_BP"
+        + s"-k$TOPK-n$QUERY_N"
+        + s"-cc${graft.exec.ArtifactStore.contentKey(spark, TrainedCentroidsPath)}"
+        + "-v1") { p =>
+      trainedNprobeCurveImpl(spark, dir, gt)
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+      .select(col("nprobe"), col("n_probes"), col("sum_hits"),
+        col("min_hits"), col("recall_bp"), col("total_candidates"),
+        col("meets_target"), col("chosen"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** The serving depth q162's curve elects for the TRAINED quantizers —
+    * one 4-row artifact read. */
+  private[queries] def electedTrainedNprobe(spark: SparkSession, dir: String): Int =
+    trainedNprobeCurve(spark, dir).filter(col("chosen") === 1L)
+      .select(col("nprobe")).collect().head.getLong(0).toInt
+
+  /** q163's curve as a DURABLE artifact — the [[rerankDepthCurve]]
+    * discipline over the TRAINED serve: ONE trained packed serve at the
+    * q162-elected depth over-fetches to max([[RERANK_RS]]) carrying its
+    * ADC rank, one exact pass scores it, every curve point is a
+    * rank-window restriction; elects the smallest R clearing the
+    * target. Key carries BOTH trained quantizers' content identity
+    * (codes and cells both feed the shortlist). */
+  private[queries] def trainedRerankCurve(spark: SparkSession, dir: String): DataFrame = {
+    // pre-resolve every nested artifact (nested-ensure discipline)
+    ensureTrainedQuantizers(spark, dir)
+    val gt = pqGroundTruth(spark, dir)
+    val np = electedTrainedNprobe(spark, dir)
+    ivfPqTrainedIndex(spark, dir)
+    val path = graft.exec.ArtifactStore.ensure(spark, "trained_rerank_curve",
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
+        + s"-r${RERANK_RS.mkString("_")}-t$RECALL_TARGET_BP"
+        + s"-k$TOPK-n$QUERY_N-p${NPROBES.mkString("_")}"
+        + s"-q${trainedQuantizerIdentity(spark)}-v1") { p =>
+      rerankDepthCurveImpl(spark, dir, gt,
+        trainedPackedServe(spark, dir, np, topk = RERANK_RS.max.toInt)
+          .select(col("q_id"), col("rank").as("adc_rank"), col("neighbor")))
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+      .select(col("r"), col("n_probes"), col("sum_hits"), col("min_hits"),
+        col("recall_bp"), col("meets_target"), col("chosen"))
+      .orderBy(col("r"))
+  }
+
+  /** The shortlist depth q163's curve elects for the TRAINED serve —
+    * one 4-row artifact read. */
+  private[queries] def electedTrainedRerankR(spark: SparkSession, dir: String): Int =
+    trainedRerankCurve(spark, dir).filter(col("chosen") === 1L)
+      .select(col("r")).collect().head.getLong(0).toInt
+
+  /** q165's curve as a DURABLE artifact — the election the raw-vs-
+    * residual measurement (q161) always implied but never fired: one
+    * row per encoding geometry (raw full-width codes vs residual
+    * codes, both at the q131-elected depth over identical 24-byte
+    * index layouts), recall@[[TOPK]] against the shared exact ground
+    * truth, `chosen` = the higher recall with ties to raw (the cheaper
+    * serve — no per-(probe, cell) qdotc term). On clustered real
+    * embeddings residual wins (FAISS's default); on this isotropic
+    * synthetic corpus raw does — the point is the trade is MEASURED
+    * per corpus, not assumed. q157's production serve branches on it
+    * (the fourth dial). */
+  private[queries] def geometryCurve(spark: SparkSession, dir: String): DataFrame = {
+    // pre-resolve every nested artifact (nested-ensure discipline)
+    val gt = pqGroundTruth(spark, dir)
+    val np = electedNprobe(spark, dir)
+    ivfPqIndex(spark, dir)
+    ivfPqResidArtifact(spark, dir)
+    val path = graft.exec.ArtifactStore.ensure(spark, "ann_geometry_curve",
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
+        + s"-p${NPROBES.mkString("_")}-t$RECALL_TARGET_BP"
+        + s"-k$TOPK-n$QUERY_N-m$PQ_M-ks$PQ_KSUB-v1") { p =>
+      geometryCurveImpl(spark, dir, gt, np)
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(path)
+      .select(col("geom"), col("n_probes"), col("sum_hits"),
+        col("min_hits"), col("recall_bp"), col("chosen"))
+      .orderBy(col("geom"))
+  }
+
+  /** The encoding geometry q165's curve elects — one 2-row artifact
+    * read ("raw" or "resid"). */
+  private[queries] def electedGeometry(spark: SparkSession, dir: String): String =
+    geometryCurve(spark, dir).filter(col("chosen") === 1L)
+      .select(col("geom")).collect().head.getString(0)
+
+  private def geometryCurveImpl(spark: SparkSession, dir: String,
+      groundTruth: DataFrame, np: Int): DataFrame = {
+    import spark.implicits._
+    val probes = pqProbes(normed(spark, dir))
+    def perQ(geom: String, served: DataFrame): DataFrame = {
+      val hits = served.select(col("q_id"), col("neighbor"))
+        .join(groundTruth, Seq("q_id", "neighbor"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      probes.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(lit(geom).as("geom"), col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    }
+    val curve = perQ("raw", ivfPqServe(spark, dir, np))
+      .unionByName(perQ("resid", ivfPqResidServe(spark, dir, np)))
+      .groupBy(col("geom")).agg(
+        count(lit(1)).cast("long").as("n_probes"),
+        sum(col("n_hit")).cast("long").as("sum_hits"),
+        min(col("n_hit")).cast("long").as("min_hits"))
+      .withColumn("recall_bp",
+        floor(col("sum_hits") * 10000.0 / (col("n_probes") * lit(TOPK)))
+          .cast("long"))
+    // election over the 2-row curve — result-sized (the widthCurveImpl
+    // discipline); ties go to raw
+    val rows = curve.collect()
+    def bp(g: String): Long =
+      rows.find(_.getString(0) == g).get.getAs[Long]("recall_bp")
+    val chosenG = if (bp("resid") > bp("raw")) "resid" else "raw"
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.getString(0) == chosenG) 1L else 0L))
+      .toDF("geom", "n_probes", "sum_hits", "min_hits", "recall_bp",
+        "chosen")
+      .orderBy(col("geom"))
+  }
+
+  /** q157's production serve with the geometry branch INJECTABLE (the
+    * repo's standing size-gate rule applied to an election: the spec
+    * forces both branches; production passes the q165 election). Raw:
+    * the elected-width packed serve shortlists (q153's shape at the
+    * elected dials). Residual: the q160 residual serve shortlists —
+    * at FULL width by construction, because the residual codebook has
+    * no prefix property (its codes are argmins against residual
+    * geometry; truncating it is not a trained narrower codebook), so
+    * residual candidacy is considered at the full-width layout q161
+    * measured. The R election (q156) is shared across branches — the
+    * shortlist-depth trade prices exact dots per probe, not code
+    * geometry. */
+  private[queries] def productionServeAt(spark: SparkSession, dir: String,
+      geom: String): DataFrame =
+    if (geom == "resid")
+      exactRerank(spark, dir,
+        ivfPqResidServe(spark, dir, electedNprobe(spark, dir),
+            topk = electedRerankR(spark, dir))
+          .select(col("q_id"), col("neighbor")))
+    else
+      ivfPqRerank(spark, dir, electedRerankR(spark, dir),
+        ksub = electedWidth(spark, dir))
+
+  /** q162's curve body: [[nprobeCurveImpl]]'s shape over the TRAINED
+    * centers with the full-corpus md5 probe sample (the trained serve's
+    * own probe universe, so the election matches what q164 serves). */
+  private def trainedNprobeCurveImpl(spark: SparkSession, dir: String,
       groundTruth: DataFrame): DataFrame = {
     import spark.implicits._
-    val rMax = RERANK_RS.max.toInt
-    // the maximal shortlist CARRIES its ADC rank, so every curve point
-    // below is a filter over one exact-scored relation — one serve, one
-    // vector fetch, one window, |RERANK_RS| restrictions
-    val shortlist = ivfPqServe(spark, dir, electedNprobe(spark, dir),
-        topk = rMax)
-      .select(col("q_id"), col("rank").as("adc_rank"), col("neighbor"))
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val n = normed(spark, dir).persist(MEMORY_AND_DISK)
+    val cents = trainedCents(spark)
+    val assigned = assignCells(n, cents)
+    val probes = pqProbes(n)
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cscore").desc, col("c_id").asc)
+    val qcells = probes.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
+        graft.similarity.VectorSearch.scoreMu(
+          cosine(col("qv"), col("cv"), col("qn"), col("cn"))).as("cscore"))
+      .withColumn("crank", row_number().over(wCell).cast("long"))
+      .filter(col("crank") <= NPROBE_MAX)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("qcell"),
+        col("crank"))
+    val cand = assigned.join(broadcast(qcells), col("c_id") === col("qcell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("crank"), col("vec_id").as("neighbor"),
+        round(cosine(col("v"), col("qv"), col("nrm"), col("qn")), 4)
+          .as("cosine"))
+    val exact = groundTruth
+    val ps = NPROBES.toDF("nprobe")
+    val candP = cand.join(broadcast(ps), col("crank") <= col("nprobe"))
+    val wIvf = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    val ivfTop = candP.withColumn("rk", row_number().over(wIvf))
+      .filter(col("rk") <= TOPK)
+      .select(col("nprobe"), col("q_id"), col("neighbor"))
+    val hits = ivfTop.join(exact, Seq("q_id", "neighbor"))
+      .groupBy(col("nprobe"), col("q_id")).agg(count(lit(1)).as("n_hit"))
+    val grid = probes.select(col("q_id")).crossJoin(ps)
+    val perQ = grid.join(hits, Seq("nprobe", "q_id"), "left")
+      .select(col("nprobe"), col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    val candCount = candP.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("total_candidates"))
+    val curve = perQ.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("n_hit")).as("sum_hits"),
+        min(col("n_hit")).as("min_hits"))
+      .join(candCount, Seq("nprobe"), "left")
+      .withColumn("total_candidates",
+        coalesce(col("total_candidates"), lit(0L)))
+      .withColumn("recall_bp",
+        floor((col("sum_hits") * lit(10000.0)) / (col("n_probes") * lit(TOPK)))
+          .cast("long"))
+      .withColumn("meets_target",
+        (col("recall_bp") >= RECALL_TARGET_BP).cast("long"))
+    val election = curve.agg(
+      max(col("meets_target")).as("any_meets"),
+      min(when(col("meets_target") === 1L, col("nprobe"))).as("min_meet"),
+      max(col("nprobe")).as("max_p"))
+    val result = Q.localized(curve.crossJoin(broadcast(election))
+      .withColumn("chosen",
+        when((col("any_meets") === 1L && col("nprobe") === col("min_meet")) ||
+          (col("any_meets") === 0L && col("nprobe") === col("max_p")), 1L)
+          .otherwise(0L))
+      .select(col("nprobe"), col("n_probes"), col("sum_hits"),
+        col("min_hits"), col("recall_bp"), col("total_candidates"),
+        col("meets_target"), col("chosen"))
+      .orderBy(col("nprobe")))
+    n.unpersist(blocking = false)
+    result
+  }
+
+  /** Shared R-curve body (q156 over the md5-quantizer serve, q163 over
+    * the trained serve): the caller hands the MAXIMAL rank-carrying
+    * shortlist (q_id, adc_rank, neighbor — an elected-depth serve
+    * over-fetched to max([[RERANK_RS]])), with every nested artifact
+    * pre-resolved (nested-ensure discipline); every curve point below
+    * is a filter over one exact-scored relation — one serve, one
+    * vector fetch, one window, |RERANK_RS| restrictions. */
+  private def rerankDepthCurveImpl(spark: SparkSession, dir: String,
+      groundTruth: DataFrame, shortlist: DataFrame): DataFrame = {
+    import spark.implicits._
     val n = normed(spark, dir)
     val probes = pqProbes(n)
     val scored = n

@@ -932,15 +932,20 @@ object StreamingQueries {
       }),
 
     // ------------------------------------------------------------------
-    // q159: STREAMING ELECTED-DEPTH IVF-PQ SERVING — q151's online
-    // twin, upgrading q144's exact in-cell streaming serve to the
-    // PACKED tier a production ANN deployment actually runs: probe
-    // vectors arrive on a live stream and each is answered from the
-    // STATIC bit-packed ivfpq_index at the q131-elected nprobe. The
-    // static half resolves BEFORE the stream starts (the q128/q139
-    // discipline): the packed index artifact, the coarse codebook, the
-    // election (a 4-row artifact read), the declared probe-set ids and
-    // their LUTs. Per micro-batch: normalization + elected-depth
+    // q159: STREAMING ELECTED IVF-PQ SERVING — the online twin of the
+    // batch tier's ELECTED composition, upgrading q144's exact in-cell
+    // streaming serve to the PACKED tier a production ANN deployment
+    // actually runs: probe vectors arrive on a live stream and each is
+    // answered from the STATIC bit-packed ivfpq_index built at the
+    // q138-ELECTED width, probed at the q131-elected nprobe (round 18
+    // — through r17 the stream read the DEFAULT-width index, one
+    // composition short of the batch tier it mirrors; the oracle now
+    // unrolls BOTH elections). The static half resolves BEFORE the
+    // stream starts (the q128/q139 discipline): the width election
+    // (3-row artifact read), the width-elected packed index artifact,
+    // the coarse codebook, the depth election (a 4-row artifact read),
+    // the declared probe-set ids and their prefix-codebook LUTs.
+    // Per micro-batch: normalization + elected-depth
     // MULTI-CELL routing run map-side in ONE scan-stage call via the
     // native graft_nearest_centroids expression (top-p cells per row;
     // probeCells' collect_list aggregate would be a SECOND stateful
@@ -954,23 +959,26 @@ object StreamingQueries {
     // (the q144 argument: unique probe ids land in one batch each).
     // adc_mu ≤ ~10⁶ rides TopKAgg's double score exactly (integer-
     // valued, far under 2⁵³) and casts back to BIGINT at the sink.
-    // ONE oracle — q151's verbatim — gates both serves: any drift
-    // between the batch and streaming constructions breaks the hash.
+    // ONE oracle — both elections unrolled inline — gates both this
+    // stream and the batch composition it mirrors (ivfPqServe at the
+    // elected nprobe and width): any drift breaks the hash, and
+    // StreamingSpec pins stream ≡ batch bitwise.
     Q("q159_stream_ivfpq_serve",
-      oracle = Some(Similarity.ivfPqElectedOracleSql),
+      oracle = Some(Similarity.ivfPqWidthElectedOracleSql),
       run = (spark, dir) => {
         import spark.implicits._
         import graft.functions.TopKAgg
         import graft.functions.VectorFns.{l2norm, toDoubleArray}
         import org.apache.spark.sql.graft.{CentroidExprs, PqExprs}
         val n = Similarity.normed(spark, dir)
+        val w = Similarity.electedWidth(spark, dir)
         // persisted for the stream's lifetime so the artifact parquet
         // isn't re-read per micro-batch
-        val idx = Similarity.ivfPqIndex(spark, dir)
+        val idx = Similarity.ivfPqIndex(spark, dir, w)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cents = Similarity.boundedCents(n)
         val nprobe = Similarity.electedNprobe(spark, dir)
-        val cb = Similarity.pqCodebook(n)
+        val cb = Similarity.prefixCodebook(n, w)
         val probesStatic = Similarity.pqProbes(n)
         val bcLut = Similarity.pqLutBroadcast(probesStatic, cb)
         val probeIds = probesStatic.select(col("q_id")).collect()

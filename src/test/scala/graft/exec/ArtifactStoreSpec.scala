@@ -307,4 +307,28 @@ class ArtifactStoreSpec extends AnyFunSuite with Matchers with SparkTestSession 
       new java.io.File(s"$local/fam/k1").exists() shouldBe false
     }
   }
+
+  test("contentKey tracks the CURRENT bytes under a mutable fixed path: " +
+    "stable across reads, changed by an in-place rewrite, never " +
+    "memoized (the derivative-of-ensureAt staleness recipe)") {
+    withRoot { _ =>
+      val dir = Files.createTempDirectory("graft-ck").toFile.getAbsolutePath
+      val p = s"$dir/fixed"
+      ArtifactStore.contentKey(spark, p) shouldBe
+        ArtifactStore.contentKey(spark, p) // missing path: stable digest
+      writeOne(p, 1L)
+      val k1 = ArtifactStore.contentKey(spark, p)
+      ArtifactStore.contentKey(spark, p) shouldBe k1
+      // in-place rewrite (the ensureAt rebuild shape) must change the
+      // key on the NEXT call — no per-process memo to go stale
+      writeOne(p, 2L)
+      ArtifactStore.contentKey(spark, p) should not be k1
+      // hidden marker/touch files don't enter the digest: rewriting a
+      // marker alone must not re-key a derivative
+      val k2 = ArtifactStore.contentKey(spark, p)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p, "_GRAFT_OK"), "k".getBytes("UTF-8"))
+      ArtifactStore.contentKey(spark, p) shouldBe k2
+    }
+  }
 }

@@ -228,9 +228,11 @@ class AnnArtifactSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
-  test("q157 production composition: on the current corpora the width " +
-    "election lands on the full codebook (no narrower width clears the " +
-    "target), so the fully-elected serve must equal q153 row for row") {
+  test("q157 production composition: q157 equals q153 row for row " +
+    "EXACTLY WHEN the width election lands full and the geometry " +
+    "election lands raw — and on the current corpora both outcomes " +
+    "occur across scales (sf0.001 elects residual, sf0.01 elects raw), " +
+    "so both sides of the conditional are exercised") {
     withRoot { _ =>
       // documents the expectation the equality rests on — if testdata
       // regeneration ever lets a narrower width clear 8000 bp, this
@@ -241,24 +243,28 @@ class AnnArtifactSpec extends AnyFunSuite with Matchers with SparkTestSession {
       val rerank = Registry.queries("q153_ivfpq_rerank")(spark, sf)
         .collect().toSeq
       prod should not be empty
-      prod shouldBe rerank
+      if (Similarity.electedGeometry(spark, sf) == "raw") {
+        prod shouldBe rerank
+      } else {
+        // residual elected (sf0.001's isotropic tail makes residual
+        // recall win at this scale): q157 must serve the residual
+        // branch, which genuinely diverges from q153's raw shortlist
+        prod should not be rerank
+        prod shouldBe Similarity.productionServeAt(spark, sf, "resid")
+          .collect().toSeq
+      }
     }
   }
 
-  test("q158 trained IVF-PQ: the packed-index cell serve equals an " +
-    "independent inline row-form construction over the SAME persisted " +
-    "trained quantizers (the AnnArtifact parity discipline on the " +
-    "trained pair)") {
-    // trained artifacts live at class-load fixed paths under the
-    // default store root (their paths are baked into static oracle
-    // SQL), so this test runs without a root override — q158's own
-    // ensure calls resolve or build them
-    val viaIndex = Registry.queries("q158_ivfpq_trained")(spark, sf0001)
-      .collect().toSeq
-    // independent inline construction: trained centers + trained PQ
-    // codes as long-typed rows, cell-restricted ADC at nprobe = 2
+  /** Independent inline row-form construction of q158's serve over
+    * whatever trained quantizer bytes are CURRENTLY persisted at the
+    * fixed paths: trained centers + trained PQ codes as long-typed
+    * rows, cell-restricted ADC at nprobe = 2. The q158 parity and
+    * staleness tests both diff the registered (index-cached) serve
+    * against this live-bytes derivation. */
+  private def inlineTrainedServe(dir: String): Seq[Row] = {
     import org.apache.spark.sql.graft.PqExprs
-    val n = Similarity.normed(spark, sf0001)
+    val n = Similarity.normed(spark, dir)
     val cents = spark.read.parquet(Similarity.TrainedCentroidsPath)
       .select(col("c_id"), col("cv"))
       .withColumn("cn", graft.functions.VectorFns.l2norm(col("cv")))
@@ -279,7 +285,7 @@ class AnnArtifactSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .select(col("q_id"), col("qn"), col("qcell"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_mu").desc, col("neighbor").asc)
-    val inline = coded.join(broadcast(qs), col("c_id") === col("qcell"))
+    coded.join(broadcast(qs), col("c_id") === col("qcell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("num", PqExprs.pqAdcNum(bcLut, col("q_id"), col("codes")))
       .withColumn("adc_mu",
@@ -290,8 +296,148 @@ class AnnArtifactSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .filter(col("rank") <= 10)
       .select(col("q_id"), col("rank"), col("neighbor"), col("adc_mu"))
       .orderBy(col("q_id"), col("rank")).collect().toSeq
+  }
+
+  test("geometry election (q165 → q157): two curve rows with exactly " +
+    "one chosen (ties to raw), BOTH production branches equal their " +
+    "compositional definitions, and q157 serves the elected branch") {
+    withRoot { _ =>
+      val curve = Similarity.geometryCurve(spark, sf).collect()
+      curve.map(_.getString(0)).toSeq shouldBe Seq("raw", "resid")
+      curve.count(_.getAs[Long]("chosen") == 1L) shouldBe 1
+      val elected = Similarity.electedGeometry(spark, sf)
+      Seq("raw", "resid") should contain(elected)
+      // the election rule itself: higher recall wins, ties to raw
+      def bp(g: String) = curve.find(_.getString(0) == g)
+        .get.getAs[Long]("recall_bp")
+      val expect = if (bp("resid") > bp("raw")) "resid" else "raw"
+      elected shouldBe expect
+
+      // both branches forced, each against its compositional definition
+      val rawBranch = Similarity.productionServeAt(spark, sf, "raw")
+        .collect().toSeq
+      rawBranch shouldBe Similarity.ivfPqRerank(spark, sf,
+        Similarity.electedRerankR(spark, sf),
+        ksub = Similarity.electedWidth(spark, sf)).collect().toSeq
+      val residBranch = Similarity.productionServeAt(spark, sf, "resid")
+        .collect().toSeq
+      residBranch shouldBe Similarity.exactRerank(spark, sf,
+        Similarity.ivfPqResidServe(spark, sf,
+            Similarity.electedNprobe(spark, sf),
+            topk = Similarity.electedRerankR(spark, sf))
+          .select(col("q_id"), col("neighbor"))).collect().toSeq
+      rawBranch should not be empty
+      residBranch should not be empty
+
+      // q157 serves whichever branch the election chose
+      val prod = Registry.queries("q157_ann_production")(spark, sf)
+        .collect().toSeq
+      prod shouldBe (if (elected == "resid") residBranch else rawBranch)
+    }
+  }
+
+  test("q158 trained IVF-PQ: the packed-index cell serve equals an " +
+    "independent inline row-form construction over the SAME persisted " +
+    "trained quantizers (the AnnArtifact parity discipline on the " +
+    "trained pair)") {
+    // trained artifacts live at class-load fixed paths under the
+    // default store root (their paths are baked into static oracle
+    // SQL), so this test runs without a root override — q158's own
+    // ensure calls resolve or build them
+    val viaIndex = Registry.queries("q158_ivfpq_trained")(spark, sf0001)
+      .collect().toSeq
     viaIndex should not be empty
-    viaIndex shouldBe inline
+    viaIndex shouldBe inlineTrainedServe(sf0001)
+  }
+
+  test("q158 staleness: rebuilding the fixed-path quantizers with " +
+    "DIFFERENT center bytes under the same corpus re-keys the cached " +
+    "packed index — the serve follows the live bytes, never a stale " +
+    "generation (the r17 driver-gate failure, forced)") {
+    // own corpus dir so the scenario doesn't perturb the sf corpora
+    val dir = Files.createTempDirectory("graft-ann-corpus-stale")
+      .toFile.getAbsolutePath
+    writeCorpus(dir, idBase = 0L, rows = 120)
+    val serve1 = Registry.queries("q158_ivfpq_trained")(spark, dir)
+      .collect().toSeq
+    serve1 should not be empty
+
+    // simulate the hazard VERDICT r17 confirmed on disk: a retrain of
+    // the fixed path lands DIFFERENT center bytes under the SAME marker
+    // key (in production: an interleaved other-corpus run rebuilds in
+    // place, then this corpus retrains without byte-identical KMeans
+    // reproduction). Negated centers re-tile every cell assignment.
+    val centsPath = Similarity.TrainedCentroidsPath
+    val markerFile = java.nio.file.Paths.get(centsPath, "_GRAFT_OK")
+    val markerKey = java.nio.file.Files.readAllBytes(markerFile)
+    val planted = spark.read.parquet(centsPath)
+      .select(col("c_id"), expr("transform(cv, x -> -x)").as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    import spark.implicits._
+    planted.toSeq.toDF("c_id", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(centsPath)
+    java.nio.file.Files.write(markerFile, markerKey)
+    try {
+      // the registered serve must now reflect the PLANTED geometry:
+      // the content-identity key makes the derivative rebuild from the
+      // live bytes (before the fix: memo/key hit -> the stale cached
+      // index served generation-A cells and both assertions failed)
+      val serve2 = Registry.queries("q158_ivfpq_trained")(spark, dir)
+        .collect().toSeq
+      serve2 should not be serve1
+      serve2 shouldBe inlineTrainedServe(dir)
+    } finally {
+      // leave the fixed path marker-less so the next consumer retrains
+      // real geometry instead of serving the planted centers
+      java.nio.file.Files.deleteIfExists(markerFile)
+      ()
+    }
+  }
+
+  test("trained election arc (q162/q163/q164): exactly one elected row " +
+    "per curve, elected dials on the grids, and the DEGENERATE-dial " +
+    "identity — the trained serve at q158's pinned nprobe=2 with R=TOPK " +
+    "re-orders exactly q158's neighbor sets") {
+    // fixed-path trained artifacts, so no root override (q158 pattern)
+    val curve = Similarity.trainedNprobeCurve(spark, sf0001).collect()
+    curve.map(_.getAs[Long]("nprobe")).toSeq shouldBe Seq(1L, 2L, 4L, 8L)
+    curve.count(_.getAs[Long]("chosen") == 1L) shouldBe 1
+    Similarity.NPROBES should contain(
+      Similarity.electedTrainedNprobe(spark, sf0001).toLong)
+    // recall must be monotone non-decreasing in nprobe (more probed
+    // cells can only add candidates) — a cheap arithmetic sanity pin
+    val bps = curve.sortBy(_.getAs[Long]("nprobe"))
+      .map(_.getAs[Long]("recall_bp")).toSeq
+    bps.zip(bps.tail).foreach { case (a, b) => b should be >= a }
+
+    val rcurve = Similarity.trainedRerankCurve(spark, sf0001).collect()
+    rcurve.map(_.getAs[Long]("r")).toSeq shouldBe Seq(10L, 20L, 50L, 100L)
+    rcurve.count(_.getAs[Long]("chosen") == 1L) shouldBe 1
+    Similarity.RERANK_RS should contain(
+      Similarity.electedTrainedRerankR(spark, sf0001).toLong)
+
+    // degenerate dials: exact re-rank of the nprobe=2, R=TOPK trained
+    // shortlist permutes q158's per-probe top-10 — identical SETS
+    def neighborSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor")).toSet }
+    val q158 = Registry.queries("q158_ivfpq_trained")(spark, sf0001)
+    val degen = Similarity.exactRerank(spark, sf0001,
+      Similarity.trainedPackedServe(spark, sf0001, nprobe = 2, topk = 10)
+        .select(col("q_id"), col("neighbor")))
+    neighborSets(degen) shouldBe neighborSets(q158)
+
+    // production serve: non-empty, TOPK rows per probe, and equal to
+    // the compositional definition built inline from its public stages
+    val prod = Registry.queries("q164_trained_production")(spark, sf0001)
+      .collect().toSeq
+    prod should not be empty
+    val inline = Similarity.exactRerank(spark, sf0001,
+      Similarity.trainedPackedServe(spark, sf0001,
+          Similarity.electedTrainedNprobe(spark, sf0001),
+          Similarity.electedTrainedRerankR(spark, sf0001))
+        .select(col("q_id"), col("neighbor"))).collect().toSeq
+    prod shouldBe inline
   }
 
   test("q160 residual artifact: the materialized (idx, cb) pair equals " +

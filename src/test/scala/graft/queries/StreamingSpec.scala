@@ -53,16 +53,26 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
       .map(_.name).count(_.startsWith("stream_ann_")) shouldBe 0
   }
 
-  test("q159: streaming elected-depth packed IVF-PQ serve equals the " +
-    "batch q151 bitwise (the twin discipline at the packed tier)") {
-    def rows(name: String) =
-      Registry.queries(name)(spark, sf0001).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+  test("q159: streaming ELECTED packed IVF-PQ serve equals the batch " +
+    "composition it mirrors bitwise — ivfPqServe at the elected nprobe " +
+    "AND elected width (and hence q151 whenever the width election " +
+    "lands on the full codebook)") {
+    def tuples(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSeq
-    val streamed = rows("q159_stream_ivfpq_serve")
-    val batch = rows("q151_ivfpq_auto_nprobe")
+    val streamed = tuples(
+      Registry.queries("q159_stream_ivfpq_serve")(spark, sf0001).collect())
+    val batch = tuples(
+      Similarity.ivfPqServe(spark, sf0001,
+        Similarity.electedNprobe(spark, sf0001),
+        ksub = Similarity.electedWidth(spark, sf0001)).collect())
     streamed shouldBe batch
     streamed should not be empty
+    // while the width election lands full (AnnArtifactSpec pins it on
+    // the current corpora), the composed serve coincides with q151
+    if (Similarity.electedWidth(spark, sf0001) == Similarity.PQ_KSUB)
+      streamed shouldBe tuples(
+        Registry.queries("q151_ivfpq_auto_nprobe")(spark, sf0001).collect())
   }
 
   test("q159 leaves no temp view behind (memory sink dropped per invocation)") {
