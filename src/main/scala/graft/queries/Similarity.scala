@@ -197,7 +197,15 @@ object Similarity {
 
   /** The per-(vector, subspace, sub-centroid) distance + argmin chain
     * over whatever `sel(cv, c)` codebook is plugged in (md5-prefix for
-    * q134–q139, the trained artifact for q142/q143). */
+    * q134–q139, the trained artifact for q142/q143). The argmin is a
+    * GROUPED `min(row(d2_mu, c))` — lexicographic struct min IS the
+    * (min d2_mu, ties to min c) rule — rather than a row_number
+    * window: a hash aggregate over n×m groups instead of a full sort
+    * of the n×m×ksub distance relation, which is what let the
+    * four-election q157 replay fit a single node at the 10× replica
+    * (the window form's sorts summed past 120 GB there). `rn = 1` is
+    * kept as a constant so every consumer's `WHERE rn = 1` text is
+    * unchanged. */
   private def pqDistCtes(selCte: String): String = s"""
         $selCte,
         subd AS (
@@ -208,10 +216,10 @@ object Similarity {
                       * 1000000.0 + 0.5) AS BIGINT) AS d2_mu
           FROM n, sel s, $pqJs),
         best AS (
-          SELECT vec_id, j, c, d2_mu,
-                 row_number() OVER (PARTITION BY vec_id, j
-                                    ORDER BY d2_mu, c) AS rn
-          FROM subd)"""
+          SELECT vec_id, j, mdc[2] AS c, mdc[1] AS d2_mu,
+                 CAST(1 AS BIGINT) AS rn
+          FROM (SELECT vec_id, j, min(row(d2_mu, c)) AS mdc
+                FROM subd GROUP BY vec_id, j))"""
 
   /** q135's probe set: the q20 fixed-count md5-order sample as
     * (q_id, qv, qn) — constant broadcast/LUT size at any corpus. */
@@ -784,10 +792,10 @@ object Similarity {
                       * 1000000.0 + 0.5) AS BIGINT) AS d2_mu
           FROM n, psel s, $pqJs),
         bestq AS (
-          SELECT vec_id, j, c, d2_mu,
-                 row_number() OVER (PARTITION BY vec_id, j
-                                    ORDER BY d2_mu, c) AS rn
-          FROM subq),
+          SELECT vec_id, j, mdc[2] AS c, mdc[1] AS d2_mu,
+                 CAST(1 AS BIGINT) AS rn
+          FROM (SELECT vec_id, j, min(row(d2_mu, c)) AS mdc
+                FROM subq GROUP BY vec_id, j)),
         pcodes AS (
           SELECT vec_id, list(c ORDER BY j) AS code
           FROM bestq WHERE rn = 1 GROUP BY vec_id),
@@ -940,10 +948,10 @@ object Similarity {
                       * 1000000.0 + 0.5) AS BIGINT) AS d2_mu
           FROM residq rq, rsel s, $pqJs),
         rbest AS (
-          SELECT vec_id, j, c, d2_mu,
-                 row_number() OVER (PARTITION BY vec_id, j
-                                    ORDER BY d2_mu, c) AS rn
-          FROM rsubd),
+          SELECT vec_id, j, mdc[2] AS c, mdc[1] AS d2_mu,
+                 CAST(1 AS BIGINT) AS rn
+          FROM (SELECT vec_id, j, min(row(d2_mu, c)) AS mdc
+                FROM rsubd GROUP BY vec_id, j)),
         rcodes AS (
           SELECT vec_id, list(c ORDER BY j) AS code
           FROM rbest WHERE rn = 1 GROUP BY vec_id),
@@ -988,25 +996,36 @@ object Similarity {
     * (which shortlists and re-ranks `served_prod`) and q159's oracle
     * (which ranks it directly — the streaming twin serves at the
     * elected width since round 18): consumes [[ivfPqElectedCtes]]'
-    * relations (n, subq, assigned, qsr2, qcell2, lutl2) plus an
-    * exact-top-k relation (the `exTopk` parameter) for the width
+    * relations (n, subq, pcodes, assigned, qsr2, qcell2, lutl2) plus
+    * an exact-top-k relation (the `exTopk` parameter) for the width
     * curve's recall arithmetic, and emits the width election
     * `selw2(chosen_w)`, the elected-width codes `codes_prod`, and the
     * elected-width elected-depth cell-restricted ADC relation
-    * `served_prod(q_id, neighbor, adc_mu)`. */
+    * `served_prod(q_id, neighbor, adc_mu)`. The full-width point
+    * reuses `pcodes` (bestwq computes the NARROWER widths only —
+    * the ksub = PQ_KSUB argmin IS pcodes' argmin; assumes PQ_WIDTHS
+    * contains PQ_KSUB, which the width election requires anyway as
+    * its fallback point): at the 10× replica the per-width argmin
+    * grid was the single largest relation in the q157 replay, and
+    * recomputing its full-width third doubled work DuckDB had
+    * already done. */
   private def widthElectedServeCtes(exTopk: String): String = s"""
         wsq AS (
           SELECT CAST(k AS BIGINT) AS ksub
           FROM (VALUES ${PQ_WIDTHS.map(w => s"($w)").mkString(", ")})
             AS t(k)),
         bestwq AS (
-          SELECT w.ksub, vec_id, j, c, d2_mu,
-                 row_number() OVER (PARTITION BY w.ksub, vec_id, j
-                                    ORDER BY d2_mu, c) AS rn
-          FROM subq, wsq w WHERE c <= w.ksub),
+          SELECT ksub, vec_id, j, mdc[2] AS c, mdc[1] AS d2_mu,
+                 CAST(1 AS BIGINT) AS rn
+          FROM (SELECT w.ksub, vec_id, j, min(row(d2_mu, c)) AS mdc
+                FROM subq, wsq w WHERE c <= w.ksub AND w.ksub < $PQ_KSUB
+                GROUP BY w.ksub, vec_id, j)),
         codeswq AS (
           SELECT ksub, vec_id, list(c ORDER BY j) AS code
-          FROM bestwq WHERE rn = 1 GROUP BY ksub, vec_id),
+          FROM bestwq WHERE rn = 1 GROUP BY ksub, vec_id
+          UNION ALL
+          SELECT CAST($PQ_KSUB AS BIGINT) AS ksub, vec_id, code
+          FROM pcodes),
         adcw_topk AS (
           SELECT ksub, q_id, neighbor FROM (
             SELECT cd.ksub, l.q_id, cd.vec_id AS neighbor,
@@ -1101,15 +1120,16 @@ object Similarity {
     * `exTopk`, one curve row per geometry, the higher recall chosen
     * with ties to raw (the cheaper serve — no per-cell qdotc term).
     * Consumes `served`/`qsr2` from [[ivfPqElectedCtes]] and `servedres`
-    * from [[residServeCtes]]. */
-  private def geometryElectionCtes(exTopk: String): String = s"""
+    * from [[residServeCtes]]. `rawTopk` parameterizes WHERE the raw
+    * top-[[TOPK]] comes from: q165 ranks `served` inline; q157 reuses
+    * its rerank chain's already-ranked `shortall` (same window, same
+    * tie-breaks) so the serve pipeline isn't executed a second time —
+    * at the 10× replica the duplicate serve materialization was part
+    * of what pushed the single-statement replay past single-node
+    * memory. */
+  private def geometryElectionCtes(exTopk: String, rawTopk: String): String = s"""
         raw_topkg AS (
-          SELECT q_id, neighbor FROM (
-            SELECT q_id, neighbor,
-                   row_number() OVER (PARTITION BY q_id
-                                      ORDER BY adc_mu DESC, neighbor) AS rk
-            FROM served)
-          WHERE rk <= $TOPK),
+          $rawTopk),
         res_topkg AS (
           SELECT q_id, neighbor FROM (
             SELECT q_id, neighbor,
@@ -1160,13 +1180,18 @@ object Similarity {
         ws AS (SELECT * FROM (VALUES (CAST(4 AS BIGINT)), (8), (16))
                AS t(ksub)),
         bestw AS (
-          SELECT w.ksub, vec_id, j, c, d2_mu,
-                 row_number() OVER (PARTITION BY w.ksub, vec_id, j
-                                    ORDER BY d2_mu, c) AS rn
-          FROM subd, ws w WHERE c <= w.ksub),
+          SELECT ksub, vec_id, j, mdc[2] AS c, mdc[1] AS d2_mu,
+                 CAST(1 AS BIGINT) AS rn
+          FROM (SELECT w.ksub, vec_id, j, min(row(d2_mu, c)) AS mdc
+                FROM subd, ws w WHERE c <= w.ksub AND w.ksub < $PQ_KSUB
+                GROUP BY w.ksub, vec_id, j)),
         codesw AS (
           SELECT ksub, vec_id, list(c ORDER BY j) AS code
-          FROM bestw WHERE rn = 1 GROUP BY ksub, vec_id),
+          FROM bestw WHERE rn = 1 GROUP BY ksub, vec_id
+          UNION ALL
+          SELECT CAST($PQ_KSUB AS BIGINT) AS ksub, vec_id,
+                 list(c ORDER BY j) AS code
+          FROM best WHERE rn = 1 GROUP BY vec_id),
         qsr AS (
           SELECT vec_id AS q_id, v AS qv, nrm AS qn
           FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
@@ -2501,7 +2526,8 @@ object Similarity {
         $rerankElectedCtes,
         ${widthElectedServeCtes("ex2_topk")},
         $residServeCtes,
-        ${geometryElectionCtes("ex2_topk")},
+        ${geometryElectionCtes("ex2_topk",
+          s"SELECT q_id, neighbor FROM shortall WHERE adc_rank <= $TOPK")},
         short_prod AS (
           SELECT q_id, neighbor FROM (
             SELECT q_id, neighbor,
@@ -3295,7 +3321,12 @@ object Similarity {
             FROM n, qsr2
             WHERE n.vec_id <> q_id)
           WHERE rk <= $TOPK),
-        ${geometryElectionCtes("exg_topk")}
+        ${geometryElectionCtes("exg_topk", s"""SELECT q_id, neighbor FROM (
+            SELECT q_id, neighbor,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_mu DESC, neighbor) AS rk
+            FROM served)
+          WHERE rk <= $TOPK""")}
         SELECT c.geom, n_probes, sum_hits, min_hits, recall_bp,
                CAST(CASE WHEN c.geom = s.chosen_g THEN 1 ELSE 0 END
                     AS BIGINT) AS chosen

@@ -403,6 +403,21 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("q164: the trained production serve keeps the two-stage shape — " +
+    "packed-ADC shortlist over the durable trained index (no inline " +
+    "encode, no corpus assignment), exact re-rank over broadcast " +
+    "shortlist/probe joins, no cartesian") {
+    val p = plan("q164_trained_production")
+    p should include("graft_pq_adc_num_packed")
+    (p should not).include("graft_pq_encode")
+    (p should not).include("graft_nearest_centroid)") // no corpus assign
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+    p should include("WindowGroupLimit")
+    p should include("packed")
+    p should include("graft_dot") // the exact re-rank stage's cosine
+  }
+
   test("dedup verify plan (q17's shape): candidate restriction and pair-driven " +
     "intersection are LeftSemi joins; no shingle-keyed self-join, no cartesian") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

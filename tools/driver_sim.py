@@ -63,6 +63,14 @@ def main():
 
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     con = duckdb.connect()
+    # an in-memory duckdb cannot spill window/join state without a temp
+    # directory, and the heaviest election-unrolling oracles (q157's
+    # four-election chain) need >RAM at the 10x replica — give the
+    # replay a spill path and a bounded budget so it completes instead
+    # of OOMing (slow is fine; this is a correctness replay)
+    Path("/tmp/duckdb_spill").mkdir(exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         # testdata ships one file per table; Spark-written replicas
         # (ScaleUp) ship a DIRECTORY of part files under the same name

@@ -30,6 +30,12 @@ def main():
     times = {}
     for name, q in sorted(sql.items()):
         con = duckdb.connect()
+        # same spill config as driver_sim: the election-unrolling
+        # oracles need larger-than-memory window state at big replicas
+        import pathlib
+        pathlib.Path("/tmp/duckdb_spill").mkdir(exist_ok=True)
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        con.execute("SET memory_limit='48GB'")
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
         best = None
