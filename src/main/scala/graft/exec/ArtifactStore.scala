@@ -121,7 +121,10 @@ object ArtifactStore {
     rootOverride = r
     published.clear()
     sourceKeys.clear()
+    readDfs.clear()
+    scalars.clear()
     lastTouch.clear()
+    graft.io.Tables.invalidateReads() // "fresh process" = no corpus memos
     gcDone = false
   }
 
@@ -241,8 +244,59 @@ object ArtifactStore {
     * memo doesn't cover: regenerating a corpus under the SAME directory
     * within one process (tests, notebook sessions). Cheap (the memo
     * repopulates on first use); publication memos stay — they are keyed
-    * by content key, which the re-listed sources will change. */
-  def invalidateSourceKeys(): Unit = sourceKeys.clear()
+    * by content key, which the re-listed sources will change. Also drops
+    * the [[readPublished]] DataFrame memo: a regenerated corpus re-keys
+    * new artifact paths anyway, but tests that re-point the same path
+    * must not see a frozen file listing. */
+  def invalidateSourceKeys(): Unit = {
+    sourceKeys.clear(); readDfs.clear(); scalars.clear()
+    // the base-table read memo rests on the same immutable-corpus
+    // contract — one escape hatch clears every per-process corpus memo
+    graft.io.Tables.invalidateReads()
+  }
+
+  // (sessionUUID, path) -> lazy DataFrame over a PUBLISHED artifact.
+  // Metadata memo only: spark.read.parquet re-lists the directory and
+  // re-infers the footer schema on EVERY call (a small driver-side job
+  // each, ~30-80 ms with planning gaps — measured round 18, JobProbe:
+  // one q157 invocation re-read the same ground-truth artifact 7
+  // times). A published content-keyed entry is immutable by
+  // construction (a new key is a new path), so the resolved relation
+  // can be reused for the life of the session; every ACTION on it
+  // still scans the parquet bytes. NOT for [[ensureAt]] fixed paths,
+  // which rebuild in place under one path.
+  private val readDfs =
+    new ConcurrentHashMap[(String, String), org.apache.spark.sql.DataFrame]()
+
+  /** Session identity for the per-session memo keys: object identity is
+    * exactly the scope a resolved logical plan is valid for. */
+  private def sessionId(spark: SparkSession): String =
+    Integer.toHexString(System.identityHashCode(spark))
+
+  /** Memoized `spark.read.parquet` over an immutable published artifact
+    * path (an [[ensure]] result or a subdirectory of one). Keyed by
+    * (session, path) so a restarted test session never reuses a dead
+    * session's plan. */
+  def readPublished(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame =
+    readDfs.computeIfAbsent((sessionId(spark), path),
+      _ => spark.read.parquet(path))
+
+  // (sessionUUID, tag) -> a collected scalar derived from a published
+  // artifact (an election value read out of a ≤4-row curve). Same
+  // immutability argument as [[readDfs]] — the artifact is content-keyed
+  // and the corpus is immutable per process — and the same invalidation
+  // hooks clear it. Saves one driver collect job (plus its planning gap)
+  // per serve that parameterizes on the election.
+  private val scalars = new ConcurrentHashMap[(String, String), Any]()
+
+  /** Memoize a scalar derived from published-artifact content. `tag`
+    * must carry everything the value depends on besides the corpus
+    * (which [[invalidateSourceKeys]] handles): family, dir, grid
+    * constants. */
+  def memoScalar[T](spark: SparkSession, tag: String)(compute: => T): T =
+    scalars.computeIfAbsent((sessionId(spark), root + "|" + tag),
+      _ => compute).asInstanceOf[T]
 
   /** Fixed, process-independent location for [[ensureAt]] artifacts —
     * the ones whose absolute path must be known at CLASS LOAD because a
@@ -289,6 +343,9 @@ object ArtifactStore {
       else {
         published.remove(memoKey)
         lastTouch.remove(memoKey)
+        // the rebuild lands at the SAME path with fresh part files —
+        // any memoized read over the old listing must go too
+        readDfs.keySet.removeIf(_._2.startsWith(path))
         return ensure(spark, family, key)(build)
       }
     }

@@ -40,12 +40,35 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df =
       if (name == "events") events(spark, sfDir)
-      else spark.read.parquet(s"$sfDir/$name.parquet")
+      else readMemo(spark, s"$sfDir/$name.parquet")
     val cores = spark.sparkContext.defaultParallelism
     if (computeHeavy(name) && underSplit(spark, s"$sfDir/$name.parquet"))
       df.repartition(cores)
     else df
   }
+
+  // (session identity, path) -> resolved base-table relation. Metadata
+  // memo only: every `spark.read.parquet` call re-lists the path and
+  // re-infers the footer schema — a small driver-side job (~30-80 ms
+  // with its planning gap, measured round 18 with JobProbe) paid by
+  // EVERY query invocation on EVERY bench run. The corpus is immutable
+  // per process (the same contract ArtifactStore.sourceKey memoizes
+  // under, with the same escape hatch — [[invalidateReads]] is wired
+  // into ArtifactStore.invalidateSourceKeys); actions on the memoized
+  // relation still scan the parquet bytes every time.
+  private val readCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def readMemo(spark: SparkSession, path: String): DataFrame =
+    readCache.getOrElseUpdate(
+      (Integer.toHexString(System.identityHashCode(spark)), path),
+      spark.read.parquet(path))
+
+  /** Forget every memoized read so the next call re-lists and re-infers
+    * — for tests/notebooks that regenerate a corpus under an unchanged
+    * directory (see ArtifactStore.invalidateSourceKeys, which calls
+    * this). */
+  def invalidateReads(): Unit = { readCache.clear(); underSplitCache.clear() }
 
   /** Memoized under-split decision per path. The estimate reproduces
     * Spark's own file-split planning (FilePartition.maxSplitBytes: clamp
@@ -110,7 +133,7 @@ object Tables {
     * never fire. Runtime set of this conf is permitted.) */
   def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set(NANOS_AS_LONG, "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    readMemo(spark, s"$sfDir/events.parquet")
   }
 
   val NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"

@@ -1344,8 +1344,8 @@ object Dedup {
       broadcastLimit: Long = 1L << 20): DataFrame = {
     val t = NGRAM_JACCARD_MIN
     val idx = q118Index(spark, dir)
-    val pref = spark.read.parquet(s"$idx/pref")
-    val shArr = spark.read.parquet(s"$idx/sharr")
+    val pref = graft.exec.ArtifactStore.readPublished(spark, s"$idx/pref")
+    val shArr = graft.exec.ArtifactStore.readPublished(spark, s"$idx/sharr")
     // candidate join with the PPJoin length + positional filters (see
     // q118Candidates) — recall stays perfect while the measured sf0.1
     // candidate count drops 522k -> 205k
@@ -1614,7 +1614,7 @@ object Dedup {
       pairs.write.mode("overwrite").parquet(p)
       cached.foreach(_.unpersist(blocking = false))
     }
-    spark.read.parquet(path)
+    graft.exec.ArtifactStore.readPublished(spark, path)
   }
 
   // The q35/q69 twin of the artifact above: both queries derive the SAME
@@ -1635,7 +1635,7 @@ object Dedup {
       overlap.write.mode("overwrite").parquet(p)
       (Seq(sh, pairs) ++ cached).foreach(_.unpersist(blocking = false))
     }
-    spark.read.parquet(path)
+    graft.exec.ArtifactStore.readPublished(spark, path)
   }
 
   // q78's durable materialized dedup index (ArtifactStore: built at

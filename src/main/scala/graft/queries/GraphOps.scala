@@ -119,7 +119,7 @@ object GraphOps {
         .distinct()
         .write.mode("overwrite").parquet(tmp)
     }
-    spark.read.parquet(path)
+    graft.exec.ArtifactStore.readPublished(spark, path)
   }
 
   /** Size gate for the local fast path: same bound as

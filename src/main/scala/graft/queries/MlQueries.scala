@@ -48,9 +48,21 @@ object MlQueries {
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_tax"))
       .na.fill(0.0, LrFeatures)
+    // L-BFGS is ~20 treeAggregate passes over the cached frame, so its
+    // parallelism is the fit's parallelism — and a small parquet input
+    // arrives as ONE scan partition (a parquet file splits only at
+    // row-group boundaries; openCostInBytes floors the split size), which
+    // serializes every pass on one core. Spread it to the session's
+    // parallelism once, BEFORE assembling (the exchange then carries the
+    // four narrow doubles, not UDT vectors — §2.3 project-before-exchange)
+    // and before the persist; when the scan already yields at least that
+    // many partitions (any real SF), this is a no-op — no exchange added
+    // at scale.
+    val par = spark.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
     val assembled = new VectorAssembler()
       .setInputCols(LrFeatures.toArray).setOutputCol("features")
-      .transform(df)
+      .transform(spread)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // tol stops L-BFGS as soon as the loss plateaus — on this data it
     // converges in well under the 25-iteration cap, and every saved

@@ -473,7 +473,7 @@ object ScaleOps {
               year(col("l_shipdate")).cast("long").as("l_shipyear"))
             .write.partitionBy("l_shipyear").mode("overwrite").parquet(tmp)
         }
-        val fact = spark.read.parquet(path)
+        val fact = graft.exec.ArtifactStore.readPublished(spark, path)
           .select(col("l_shipyear").cast("long").as("l_shipyear"),
             col("l_extendedprice"), col("l_discount"))
         val dim = table(spark, dir, "orders")

@@ -337,7 +337,7 @@ object Similarity {
             s => s.getField("code"))).as("packed"))
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    graft.exec.ArtifactStore.readPublished(spark, path)
   }
 
   /** [[pqAdcServe]] over the packed index relation `idx` (vec_id, nrm,
@@ -516,7 +516,7 @@ object Similarity {
 
   private[queries] def loadResidCb(spark: SparkSession, root: String): PqCodebook =
     PqCodebook(PQ_M, PQ_KSUB, PQ_SUB,
-      spark.read.parquet(s"$root/cb").orderBy(col("c_id")).collect()
+      graft.exec.ArtifactStore.readPublished(spark, s"$root/cb").orderBy(col("c_id")).collect()
         .map(_.getSeq[Double](1).toArray))
 
   /** q160's serve: cell-restricted packed ADC over the RESIDUAL index
@@ -531,7 +531,7 @@ object Similarity {
   private[queries] def ivfPqResidServe(spark: SparkSession, dir: String,
       nprobe: Int, topk: Int = TOPK): DataFrame = {
     val root = ivfPqResidArtifact(spark, dir)
-    val idx = spark.read.parquet(s"$root/idx")
+    val idx = graft.exec.ArtifactStore.readPublished(spark, s"$root/idx")
     val cb = loadResidCb(spark, root)
     val n = normed(spark, dir)
     val cents = boundedCents(n)
@@ -595,7 +595,7 @@ object Similarity {
           expr("transform(sv, x -> CAST(x AS TINYINT))").as("sv8"))
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    graft.exec.ArtifactStore.readPublished(spark, path)
       .select(col("vec_id"), col("nrm"), col("amax"),
         expr("transform(sv8, x -> CAST(x AS DOUBLE))").as("sv"))
   }
@@ -1613,7 +1613,7 @@ object Similarity {
             s => s.getField("code"))).as("packed"))
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    graft.exec.ArtifactStore.readPublished(spark, path)
   }
 
   /** The trained-quantizer cell-restricted packed serve (q158's scan
@@ -3982,7 +3982,7 @@ object Similarity {
         probesOf(corpus))
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    graft.exec.ArtifactStore.readPublished(spark, path)
   }
 
   private[queries] def ivfGroundTruth(spark: SparkSession, dir: String): DataFrame =
@@ -4028,7 +4028,7 @@ object Similarity {
         s"-k$TOPK-n$QUERY_N-m$QUERY_MOD-v1") { p =>
       nprobeCurveImpl(spark, dir, gt).write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    graft.exec.ArtifactStore.readPublished(spark, path)
       .select(col("nprobe"), col("n_probes"), col("sum_hits"),
         col("min_hits"), col("recall_bp"), col("total_candidates"),
         col("meets_target"), col("chosen"))
@@ -4038,8 +4038,10 @@ object Similarity {
   /** The serving depth q131's curve elects (smallest nprobe clearing the
     * recall target, else the deepest) — one 4-row artifact read. */
   private[queries] def electedNprobe(spark: SparkSession, dir: String): Int =
-    nprobeCurve(spark, dir).filter(col("chosen") === 1L)
-      .select(col("nprobe")).collect().head.getLong(0).toInt
+    graft.exec.ArtifactStore.memoScalar(spark, s"electedNprobe|$dir") {
+      nprobeCurve(spark, dir).filter(col("chosen") === 1L)
+        .select(col("nprobe")).collect().head.getLong(0).toInt
+    }
 
   /** q138's recall-vs-width curve as a DURABLE artifact — the
     * [[nprobeCurve]] discipline on the compression axis: the 3-row
@@ -4056,7 +4058,7 @@ object Similarity {
         s"-k$TOPK-n$QUERY_N-v1") { p =>
       widthCurveImpl(spark, dir, gt).write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    graft.exec.ArtifactStore.readPublished(spark, path)
       .select(col("ksub"), col("n_probes"), col("sum_hits"),
         col("min_hits"), col("recall_bp"), col("meets_target"),
         col("chosen"))
@@ -4066,8 +4068,10 @@ object Similarity {
   /** The codebook width q138's curve elects (narrowest clearing the
     * recall target, else the widest) — one 3-row artifact read. */
   private[queries] def electedWidth(spark: SparkSession, dir: String): Int =
-    pqWidthCurve(spark, dir).filter(col("chosen") === 1L)
-      .select(col("ksub")).collect().head.getLong(0).toInt
+    graft.exec.ArtifactStore.memoScalar(spark, s"electedWidth|$dir") {
+      pqWidthCurve(spark, dir).filter(col("chosen") === 1L)
+        .select(col("ksub")).collect().head.getLong(0).toInt
+    }
 
   /** q156's recall-vs-R curve as a DURABLE artifact — the [[nprobeCurve]]
     * discipline on the THIRD serving dial (shortlist depth): one
@@ -4098,7 +4102,7 @@ object Similarity {
           .select(col("q_id"), col("rank").as("adc_rank"), col("neighbor")))
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    graft.exec.ArtifactStore.readPublished(spark, path)
       .select(col("r"), col("n_probes"), col("sum_hits"), col("min_hits"),
         col("recall_bp"), col("meets_target"), col("chosen"))
       .orderBy(col("r"))
@@ -4107,8 +4111,10 @@ object Similarity {
   /** The shortlist depth q156's curve elects (smallest R clearing the
     * recall target, else the deepest) — one 4-row artifact read. */
   private[queries] def electedRerankR(spark: SparkSession, dir: String): Int =
-    rerankDepthCurve(spark, dir).filter(col("chosen") === 1L)
-      .select(col("r")).collect().head.getLong(0).toInt
+    graft.exec.ArtifactStore.memoScalar(spark, s"electedRerankR|$dir") {
+      rerankDepthCurve(spark, dir).filter(col("chosen") === 1L)
+        .select(col("r")).collect().head.getLong(0).toInt
+    }
 
   /** q162's curve as a DURABLE artifact — the [[nprobeCurve]] discipline
     * applied to the TRAINED coarse quantizer (round 18; through r17 the
@@ -4135,7 +4141,7 @@ object Similarity {
       trainedNprobeCurveImpl(spark, dir, gt)
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    graft.exec.ArtifactStore.readPublished(spark, path)
       .select(col("nprobe"), col("n_probes"), col("sum_hits"),
         col("min_hits"), col("recall_bp"), col("total_candidates"),
         col("meets_target"), col("chosen"))
@@ -4145,8 +4151,10 @@ object Similarity {
   /** The serving depth q162's curve elects for the TRAINED quantizers —
     * one 4-row artifact read. */
   private[queries] def electedTrainedNprobe(spark: SparkSession, dir: String): Int =
-    trainedNprobeCurve(spark, dir).filter(col("chosen") === 1L)
-      .select(col("nprobe")).collect().head.getLong(0).toInt
+    graft.exec.ArtifactStore.memoScalar(spark, s"electedTrainedNprobe|$dir") {
+      trainedNprobeCurve(spark, dir).filter(col("chosen") === 1L)
+        .select(col("nprobe")).collect().head.getLong(0).toInt
+    }
 
   /** q163's curve as a DURABLE artifact — the [[rerankDepthCurve]]
     * discipline over the TRAINED serve: ONE trained packed serve at the
@@ -4171,7 +4179,7 @@ object Similarity {
           .select(col("q_id"), col("rank").as("adc_rank"), col("neighbor")))
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    graft.exec.ArtifactStore.readPublished(spark, path)
       .select(col("r"), col("n_probes"), col("sum_hits"), col("min_hits"),
         col("recall_bp"), col("meets_target"), col("chosen"))
       .orderBy(col("r"))
@@ -4180,8 +4188,10 @@ object Similarity {
   /** The shortlist depth q163's curve elects for the TRAINED serve —
     * one 4-row artifact read. */
   private[queries] def electedTrainedRerankR(spark: SparkSession, dir: String): Int =
-    trainedRerankCurve(spark, dir).filter(col("chosen") === 1L)
-      .select(col("r")).collect().head.getLong(0).toInt
+    graft.exec.ArtifactStore.memoScalar(spark, s"electedTrainedRerankR|$dir") {
+      trainedRerankCurve(spark, dir).filter(col("chosen") === 1L)
+        .select(col("r")).collect().head.getLong(0).toInt
+    }
 
   /** q165's curve as a DURABLE artifact — the election the raw-vs-
     * residual measurement (q161) always implied but never fired: one
@@ -4207,7 +4217,7 @@ object Similarity {
       geometryCurveImpl(spark, dir, gt, np)
         .write.mode("overwrite").parquet(p)
     }
-    spark.read.parquet(path)
+    graft.exec.ArtifactStore.readPublished(spark, path)
       .select(col("geom"), col("n_probes"), col("sum_hits"),
         col("min_hits"), col("recall_bp"), col("chosen"))
       .orderBy(col("geom"))
@@ -4216,8 +4226,10 @@ object Similarity {
   /** The encoding geometry q165's curve elects — one 2-row artifact
     * read ("raw" or "resid"). */
   private[queries] def electedGeometry(spark: SparkSession, dir: String): String =
-    geometryCurve(spark, dir).filter(col("chosen") === 1L)
-      .select(col("geom")).collect().head.getString(0)
+    graft.exec.ArtifactStore.memoScalar(spark, s"electedGeometry|$dir") {
+      geometryCurve(spark, dir).filter(col("chosen") === 1L)
+        .select(col("geom")).collect().head.getString(0)
+    }
 
   private def geometryCurveImpl(spark: SparkSession, dir: String,
       groundTruth: DataFrame, np: Int): DataFrame = {

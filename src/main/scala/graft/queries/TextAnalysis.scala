@@ -82,7 +82,7 @@ object TextAnalysis {
       occ.unpersist(blocking = false)
       ()
     }
-    spark.read.parquet(path)
+    graft.exec.ArtifactStore.readPublished(spark, path)
   }
 
   /** q83/q94 shared oracle CTE chain, ending in `sc(doc_id, n_bigrams,
