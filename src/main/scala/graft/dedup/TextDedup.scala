@@ -388,7 +388,13 @@ object TextDedup {
     * is the batch-side half. */
   def incrementalDeduplicateIndexed(indexDir: String, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.5,
-      numHashes: Int = 8, mat: Materializer = Materializer.Local): DataFrame = {
+      numHashes: Int = 8, mat: Materializer = Materializer.Local,
+      // how index tables are read: plain read by default (an appendable
+      // index dir must re-list per call); callers probing an IMMUTABLE
+      // published artifact (q78) pass ArtifactStore.readPublished to
+      // skip the per-call listing + footer-inference jobs
+      read: (org.apache.spark.sql.SparkSession, String) => DataFrame =
+        (s, p) => s.read.parquet(p)): DataFrame = {
     require(numHashes % 2 == 0, "numHashes must be even (r=2 banding)")
     val spark = batch.sparkSession
     // harr ships with indexes built since round 12; a pre-harr index
@@ -399,10 +405,10 @@ object TextDedup {
       spark.sparkContext.hadoopConfiguration).exists(harrPath)
     val (result, cached) = incrementalCore(batch, idCol, textCol, threshold,
       numHashes,
-      corpusHashes = spark.read.parquet(s"$indexDir/hashes"),
-      harrC = if (hasHarr) spark.read.parquet(s"$indexDir/harr")
-        else hashArrays(spark.read.parquet(s"$indexDir/shingles")),
-      bandsC = spark.read.parquet(s"$indexDir/bands"))
+      corpusHashes = read(spark, s"$indexDir/hashes"),
+      harrC = if (hasHarr) read(spark, s"$indexDir/harr")
+        else hashArrays(read(spark, s"$indexDir/shingles")),
+      bandsC = read(spark, s"$indexDir/bands"))
     val out = mat(result)
     cached.foreach(_.unpersist(blocking = false))
     out

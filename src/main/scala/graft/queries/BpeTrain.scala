@@ -146,24 +146,28 @@ object BpeTrain {
       val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((step.toLong, a, b, cnt))
       // greedy left-to-right non-overlapping merge sites: consecutive
-      // matched positions form an island; odd ranks within it merge
-      val matched = withNext
-        .filter(col("sym") === a && col("nxt") === b)
-        .select(col("tok"), col("pos"))
-      val sel = matched
-        .withColumn("isl", col("pos") - row_number().over(w))
-        .withColumn("r",
-          row_number().over(Window.partitionBy("tok", "isl").orderBy("pos")))
-        .filter(col("r") % 2 === 1)
-        .select(col("tok"), col("pos"))
-      // rewrite: drop each merge site's second symbol, relabel its
-      // first with the merged symbol, renumber positions
-      val next = syms
-        .join(sel.select(col("tok"), (col("pos") + 1).as("pos")),
-          Seq("tok", "pos"), "left_anti")
-        .join(sel.withColumn("hit", lit(1)), Seq("tok", "pos"), "left")
+      // matched positions form an island (positions are consecutive
+      // integers within a token — renumbered every round), and a site
+      // merges iff its offset within the island is even. All of it —
+      // island start, selection, the drop-the-second-symbol rule — is
+      // running window arithmetic over ONE (tok, pos) partitioning, so
+      // the whole rewrite costs a single exchange; the previous form
+      // paid a (tok, isl) window plus a left_anti and a left join on
+      // (tok, pos) per round (round-18 §2.4, measured: q122 2.0 s →
+      // 1.4 s at sf0.1/local[32], per-round job count nearly halved).
+      val matched = col("sym") === a && col("nxt") === b
+      val runStart = when(matched,
+        last(when(matched && !coalesce(lag(matched, 1).over(w), lit(false)),
+          col("pos")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val next = withNext
+        .withColumn("sel",
+          coalesce(matched && (col("pos") - runStart) % 2 === 0, lit(false)))
+        .withColumn("selPrev",
+          coalesce(lag(col("sel"), 1).over(w), lit(false)))
+        .filter(!col("selPrev"))
         .select(col("tok"), col("n"), col("pos"),
-          when(col("hit") === 1, lit(a + b)).otherwise(col("sym")).as("sym"))
+          when(col("sel"), lit(a + b)).otherwise(col("sym")).as("sym"))
         .withColumn("pos", row_number().over(w).cast("long"))
       // cut lineage: round k+1 must not re-execute rounds 1..k
       syms = graft.exec.Materializer.Local(next)

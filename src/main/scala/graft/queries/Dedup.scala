@@ -764,7 +764,8 @@ object Dedup {
       run = (spark, dir) => {
         val surv = graft.dedup.TextDedup.incrementalDeduplicateIndexed(
           q78Index(spark, dir), q78Split(spark, dir)._2,
-          "doc_id", "text", JACCARD_MIN)
+          "doc_id", "text", JACCARD_MIN,
+          read = graft.exec.ArtifactStore.readPublished)
         val result = Q.localized(surv.select(col("doc_id")).orderBy(col("doc_id")))
         surv.unpersist(blocking = false)
         result

@@ -707,50 +707,53 @@ object TextAnalysis {
                  AS repetitive
         FROM m ORDER BY doc_id"""),
       run = (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val base = table(spark, dir, "documents")
           .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 5)
           .select(col("doc_id"), col("tk"),
             length(concat_ws(" ", col("tk"))).cast("long").as("totc"))
-          .persist(MEMORY_AND_DISK)
-        // n-gram OCCURRENCES (not distinct) via the shuffle-free
-        // slice+zip construction shared with the dedup shingles
-        def gramRows(n: Int): org.apache.spark.sql.DataFrame = {
+        // ONE tagged explode carries all three gram families (n-gram
+        // OCCURRENCES via the shuffle-free slice+zip construction shared
+        // with the dedup shingles), so the corpus is tokenized once and
+        // the per-(doc, gram) count pays ONE exchange instead of three
+        // (round-18 §2.4: the three branches shuffled the same doc keys
+        // three times, then sorted each for a row_number and joined —
+        // measured 2.0 s → 1.0 s at sf0.1/local[32]).
+        def gramArr(n: Int) = {
           val len = greatest(size(col("tk")) - (n - 1), lit(0))
-          val z = arrays_zip((0 until n).map(k =>
-            slice(col("tk"), lit(k + 1), len)): _*)
-          base.select(col("doc_id"), explode(z).as("z"))
-            .select(col("doc_id"), concat_ws(" ",
-              (0 until n).map(k => col("z").getField(s"$k")): _*).as("g"))
+          transform(
+            arrays_zip((0 until n).map(k =>
+              slice(col("tk"), lit(k + 1), len)): _*),
+            z => struct(lit(n).as("n"), concat_ws(" ",
+              (0 until n).map(k => z.getField(s"$k")): _*).as("g")))
         }
-        def counts(n: Int) =
-          gramRows(n).groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy(col("doc_id"))
-          .orderBy(col("c").desc, col("g").asc)
-        def top(n: Int) = counts(n)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("doc_id"), col("g"), col("c"))
-        val d5 = counts(5).groupBy(col("doc_id"))
-          .agg(sum(col("c")).as("n5"),
-            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup5"))
+        val counts = base
+          .select(col("doc_id"), col("totc"),
+            explode(concat(gramArr(2), gramArr(3), gramArr(5))).as("t"))
+          .groupBy(col("doc_id"), col("totc"), col("t.n"), col("t.g"))
+          .agg(count(lit(1)).as("c"))
+        // the (count DESC, gram ASC) rank-1 row IS the lexicographic
+        // struct-min over (-count, gram) — a second aggregate instead of
+        // a per-doc sort + three doc-keyed stitch joins
+        def topOf(n: Int) =
+          min(when(col("n") === n, struct((-col("c")).as("nc"), col("g"))))
+        val agg = counts.groupBy(col("doc_id"), col("totc"))
+          .agg(topOf(2).as("t2"), topOf(3).as("t3"),
+            sum(when(col("n") === 5, col("c"))).as("n5"),
+            sum(when(col("n") === 5 && col("c") > 1, col("c"))
+              .otherwise(0L)).as("dup5"))
         def frac4(x: Column): Column = floor(x * 10000 + 0.5) / 10000
-        val m = base.select(col("doc_id"), col("totc"))
-          .join(top(2).select(col("doc_id"), col("g").as("g2"), col("c").as("c2")), "doc_id")
-          .join(top(3).select(col("doc_id"), col("g").as("g3"), col("c").as("c3")), "doc_id")
-          .join(d5, "doc_id")
-          .select(col("doc_id"), col("g2").as("top2"),
-            frac4((col("c2") * length(col("g2"))) * lit(1.0) / col("totc")).as("top2_frac"),
-            frac4((col("c3") * length(col("g3"))) * lit(1.0) / col("totc")).as("top3_frac"),
-            frac4(col("dup5") * lit(1.0) / col("n5")).as("dup5_frac"))
-        val result = Q.localized(m.select(col("doc_id"), col("top2"),
+        val m = agg.select(col("doc_id"), col("t2.g").as("top2"),
+          frac4((-col("t2.nc") * length(col("t2.g"))) * lit(1.0) / col("totc"))
+            .as("top2_frac"),
+          frac4((-col("t3.nc") * length(col("t3.g"))) * lit(1.0) / col("totc"))
+            .as("top3_frac"),
+          frac4(col("dup5") * lit(1.0) / col("n5")).as("dup5_frac"))
+        m.select(col("doc_id"), col("top2"),
           col("top2_frac"), col("top3_frac"), col("dup5_frac"),
           when(col("top2_frac") > 0.20 || col("top3_frac") > 0.18 ||
             col("dup5_frac") > 0.30, 1L).otherwise(0L).as("repetitive"))
-          .orderBy(col("doc_id")))
-        base.unpersist(blocking = false)
-        result
+          .orderBy(col("doc_id"))
       }),
 
     // ------------------------------------------------------------------

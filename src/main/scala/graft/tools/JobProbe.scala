@@ -45,15 +45,17 @@ object JobProbe {
       }
     })
 
-    val fn = graft.queries.Registry.queries(name)
-    for (r <- 1 to reps) {
-      echo = r == reps // print only the LAST (warm) rep
-      if (echo) println(s"=== warm rep $r of $name ===")
-      val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
-      // listener events drain asynchronously; give the bus a moment
-      Thread.sleep(300)
-      println(f"[probe] rep $r $name ${(System.nanoTime() - t0) / 1e9}%7.3f s ($n rows)")
+    for (one <- name.split(",").map(_.trim).filter(_.nonEmpty)) {
+      val fn = graft.queries.Registry.queries(one)
+      for (r <- 1 to reps) {
+        echo = r == reps // print only the LAST (warm) rep
+        if (echo) println(s"=== warm rep $r of $one ===")
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        // listener events drain asynchronously; give the bus a moment
+        Thread.sleep(300)
+        println(f"[probe] rep $r $one ${(System.nanoTime() - t0) / 1e9}%7.3f s ($n rows)")
+      }
     }
     spark.stop()
   }
