@@ -284,6 +284,62 @@ object Similarity {
     else PqCodebook(PQ_M, ksub, PQ_SUB, full.cents.take(ksub))
   }
 
+  /** DURABLE quantizer pair for the md5-prefix IVF-PQ family — the
+    * piece of the index FAISS stores WITH the index and round 17 left
+    * re-derived per serve: the full-width PQ codebook (the [[PQ_KSUB]]
+    * md5-order vectors) and the bounded coarse centroids, each a full
+    * corpus scan + top-k at every invocation (a packed-index serve paid
+    * 2 corpus scans + a count job for quantizers the index build had
+    * already computed — round-18 guide §8 "decide with small rows").
+    * Built once per corpus source identity beside `ivfpq_index`; both
+    * relations are byte-identical to the inline derivations (a
+    * deterministic md5-order top-k; parquet round-trips the doubles
+    * exactly), so serve results are unchanged and the oracles keep
+    * re-deriving inline. Narrower widths are in-memory prefixes of the
+    * stored full-width codebook (the prefix property q138 elects on). */
+  private[queries] def pqQuantizerRoot(spark: SparkSession, dir: String): String =
+    graft.exec.ArtifactStore.ensure(spark, "pq_quantizer",
+      graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
+        + s"-m$PQ_M-k$PQ_KSUB-s$PQ_SUB-b$CENTROID_BUDGET-v1") { p =>
+      val n = normed(spark, dir)
+      val full = pqCodebook(n)
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        full.cents.zipWithIndex.map { case (cv, i) =>
+          org.apache.spark.sql.Row((i + 1).toLong, cv.toSeq)
+        }.toSeq.asJava,
+        StructType(Seq(
+          StructField("c_id", LongType, nullable = false),
+          StructField("cv", ArrayType(DoubleType, containsNull = false),
+            nullable = false))))
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/cb")
+      boundedCents(n).coalesce(1).write.mode("overwrite")
+        .parquet(s"$p/cents")
+    }
+
+  /** The stored full-width PQ codebook (see [[pqQuantizerRoot]]),
+    * prefix-truncated to `ksub` in memory; the 16-row collect is
+    * memoized per (session, artifact). */
+  private[queries] def storedPqCodebook(spark: SparkSession, dir: String,
+      ksub: Int = PQ_KSUB): PqCodebook = {
+    val root = pqQuantizerRoot(spark, dir)
+    val full = graft.exec.ArtifactStore.memoScalar(spark, s"pqcb|$root") {
+      PqCodebook(PQ_M, PQ_KSUB, PQ_SUB,
+        graft.exec.ArtifactStore.readPublished(spark, s"$root/cb")
+          .orderBy(col("c_id")).collect()
+          .map(_.getSeq[Double](1).toArray))
+    }
+    if (ksub == full.ksub) full
+    else PqCodebook(PQ_M, ksub, PQ_SUB, full.cents.take(ksub))
+  }
+
+  /** The stored bounded coarse centroids (see [[pqQuantizerRoot]]) —
+    * [[boundedCents]] without the per-serve corpus scan + count job. */
+  private[queries] def storedCents(spark: SparkSession, dir: String): DataFrame =
+    graft.exec.ArtifactStore.readPublished(spark,
+      s"${pqQuantizerRoot(spark, dir)}/cents")
+
   /** Pack the [[PQ_M]] 1-based 4-bit codes (ksub ≤ 16) of a code ARRAY
     * into one BIGINT — bits [4(j−1), 4j) hold code_j − 1. M static
     * element_at + shift-multiply terms, fully codegen'd; max value
@@ -378,9 +434,13 @@ object Similarity {
     * the ranking exchange. */
   private[queries] def ivfPqServe(spark: SparkSession, dir: String,
       nprobe: Int, topk: Int = TOPK, ksub: Int = PQ_KSUB): DataFrame = {
+    // quantizers come from the durable pq_quantizer artifact (byte-equal
+    // to the inline derivations) — the serve's corpus scans are the
+    // probe sample and nothing else; see pqQuantizerRoot
     val n = normed(spark, dir)
     cellRestrictedPackedServe(ivfPqIndex(spark, dir, ksub),
-      boundedCents(n), prefixCodebook(n, ksub), pqProbes(n), nprobe, topk)
+      storedCents(spark, dir), storedPqCodebook(spark, dir, ksub),
+      pqProbes(n), nprobe, topk)
   }
 
   /** The cell-restricted packed-ADC serve body, parameterized by WHICH
@@ -2285,7 +2345,8 @@ object Similarity {
         // the inline-encode form this replaces re-derived codes from
         // the 512-byte vectors on every invocation
         val n = normed(spark, dir)
-        pqAdcServePacked(ivfPqIndex(spark, dir), pqProbes(n), pqCodebook(n))
+        pqAdcServePacked(ivfPqIndex(spark, dir), pqProbes(n),
+          storedPqCodebook(spark, dir))
       }),
 
     // ------------------------------------------------------------------
@@ -2633,7 +2694,7 @@ object Similarity {
         // thing under evaluation IS the materialized index); exact
         // ground truth from the durable ann_gt_pq artifact
         val n = normed(spark, dir)
-        val cb = pqCodebook(n)
+        val cb = storedPqCodebook(spark, dir)
         val probes = pqProbes(n)
         val adc = pqAdcServePacked(ivfPqIndex(spark, dir), probes, cb)
           .select(col("q_id"), col("neighbor"))
@@ -2732,7 +2793,7 @@ object Similarity {
         val w = electedWidth(spark, dir)
         val n = normed(spark, dir)
         pqAdcServePacked(ivfPqIndex(spark, dir, w), pqProbes(n),
-          prefixCodebook(n, w))
+          storedPqCodebook(spark, dir, w))
       }),
 
     // ------------------------------------------------------------------
@@ -4093,6 +4154,7 @@ object Similarity {
     val gt = pqGroundTruth(spark, dir)
     val np = electedNprobe(spark, dir)
     ivfPqIndex(spark, dir)
+    pqQuantizerRoot(spark, dir)
     val path = graft.exec.ArtifactStore.ensure(spark, "rerank_depth_curve",
       graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")
         + s"-r${RERANK_RS.mkString("_")}-t$RECALL_TARGET_BP"
@@ -4209,6 +4271,7 @@ object Similarity {
     val gt = pqGroundTruth(spark, dir)
     val np = electedNprobe(spark, dir)
     ivfPqIndex(spark, dir)
+    pqQuantizerRoot(spark, dir)
     ivfPqResidArtifact(spark, dir)
     val path = graft.exec.ArtifactStore.ensure(spark, "ann_geometry_curve",
       graft.exec.ArtifactStore.sourceKey(spark, dir, "embeddings")

@@ -976,9 +976,9 @@ object StreamingQueries {
         // isn't re-read per micro-batch
         val idx = Similarity.ivfPqIndex(spark, dir, w)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cents = Similarity.boundedCents(n)
+        val cents = Similarity.storedCents(spark, dir)
         val nprobe = Similarity.electedNprobe(spark, dir)
-        val cb = Similarity.prefixCodebook(n, w)
+        val cb = Similarity.storedPqCodebook(spark, dir, w)
         val probesStatic = Similarity.pqProbes(n)
         val bcLut = Similarity.pqLutBroadcast(probesStatic, cb)
         val probeIds = probesStatic.select(col("q_id")).collect()
