@@ -298,6 +298,17 @@ object ArtifactStore {
     scalars.computeIfAbsent((sessionId(spark), root + "|" + tag),
       _ => compute).asInstanceOf[T]
 
+  /** [[readPublished]] for FIXED-path ([[ensureAt]]) artifacts, which
+    * rebuild IN PLACE: the memo key carries [[contentKey]] (re-listed on
+    * every call — one cheap FS listing, no Spark job), so an in-place
+    * retrain mints a new entry and a stale file listing can never serve
+    * a dead generation. */
+  def readFixed(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame =
+    readDfs.computeIfAbsent(
+      (sessionId(spark), path + "@" + contentKey(spark, path)),
+      _ => spark.read.parquet(path))
+
   /** Fixed, process-independent location for [[ensureAt]] artifacts —
     * the ones whose absolute path must be known at CLASS LOAD because a
     * static oracle SQL string bakes it in (the q54 codebook, the q71

@@ -575,9 +575,14 @@ object Similarity {
     }
 
   private[queries] def loadResidCb(spark: SparkSession, root: String): PqCodebook =
-    PqCodebook(PQ_M, PQ_KSUB, PQ_SUB,
-      graft.exec.ArtifactStore.readPublished(spark, s"$root/cb").orderBy(col("c_id")).collect()
-        .map(_.getSeq[Double](1).toArray))
+    // root is a content-keyed ensure path — immutable; memoize the
+    // 16-row collect per (session, root)
+    graft.exec.ArtifactStore.memoScalar(spark, s"residcb|$root") {
+      PqCodebook(PQ_M, PQ_KSUB, PQ_SUB,
+        graft.exec.ArtifactStore.readPublished(spark, s"$root/cb")
+          .orderBy(col("c_id")).collect()
+          .map(_.getSeq[Double](1).toArray))
+    }
 
   /** q160's serve: cell-restricted packed ADC over the RESIDUAL index
     * at the elected nprobe. The inner-product decomposition keeps the
@@ -1627,14 +1632,21 @@ object Similarity {
   /** The trained codebook read back from the PERSISTED artifact (the
     * exact doubles the oracle reads), in code order. */
   private def loadTrainedPq(spark: SparkSession): PqCodebook =
-    PqCodebook(PQ_M, PQ_KSUB, PQ_SUB,
-      spark.read.parquet(TrainedPqPath).orderBy(col("c_id")).collect()
-        .map(_.getSeq[Double](1).toArray))
+    // memoized by CONTENT identity (the fixed path rebuilds in place on
+    // a retrain — the key the r17 q158 lesson mandates), so steady-state
+    // serves skip the per-call 16-row collect job
+    graft.exec.ArtifactStore.memoScalar(spark, "trainedPq|"
+        + graft.exec.ArtifactStore.contentKey(spark, TrainedPqPath)) {
+      PqCodebook(PQ_M, PQ_KSUB, PQ_SUB,
+        graft.exec.ArtifactStore.readFixed(spark, TrainedPqPath)
+          .orderBy(col("c_id")).collect()
+          .map(_.getSeq[Double](1).toArray))
+    }
 
   /** q54's trained coarse codebook read back from the persisted
     * artifact (the exact doubles the oracle reads), with norms. */
   private def trainedCents(spark: SparkSession): DataFrame =
-    spark.read.parquet(TrainedCentroidsPath)
+    graft.exec.ArtifactStore.readFixed(spark, TrainedCentroidsPath)
       .select(col("c_id"), col("cv"))
       .withColumn("cn", l2norm(col("cv")))
 
