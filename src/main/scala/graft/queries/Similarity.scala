@@ -599,7 +599,7 @@ object Similarity {
     val idx = graft.exec.ArtifactStore.readPublished(spark, s"$root/idx")
     val cb = loadResidCb(spark, root)
     val n = normed(spark, dir)
-    val cents = boundedCents(n)
+    val cents = storedCents(spark, dir)
     val probes = pqProbes(n)
     val bcLut = pqLutBroadcast(probes, cb)
     import graft.functions.VectorFns.dot
@@ -1905,7 +1905,7 @@ object Similarity {
       oracle = Some(ivfServeOracleSql),
       run = (spark, dir) => {
         val n = normed(spark, dir)
-        ivfSearch(n, boundedCents(n), nprobe = 1)
+        ivfSearch(n, storedCents(spark, dir), nprobe = 1)
       }),
 
     // ------------------------------------------------------------------
@@ -2061,7 +2061,7 @@ object Similarity {
         // parquet read afterwards); the IVF side still recomputes — it
         // is the thing under evaluation
         val n = normed(spark, dir).persist(MEMORY_AND_DISK)
-        val cents = boundedCents(n)
+        val cents = storedCents(spark, dir)
         val ivf = ivfSearch(n, cents, nprobe = 1)
           .select(col("q_id"), col("neighbor"))
         val probes = ivfEvalProbes(n)
@@ -2156,7 +2156,7 @@ object Similarity {
         ORDER BY q_id, rank"""),
       run = (spark, dir) => {
         val n = normed(spark, dir)
-        ivfSearch(n, boundedCents(n), nprobe = electedNprobe(spark, dir))
+        ivfSearch(n, storedCents(spark, dir), nprobe = electedNprobe(spark, dir))
       }),
 
     // ------------------------------------------------------------------
@@ -3728,7 +3728,7 @@ object Similarity {
       run = (spark, dir) => {
         val n = normed(spark, dir)
         semanticDedupCensus(n.select(col("vec_id"), col("v"), col("nrm")),
-          boundedCents(n), NEARDUP_COS)
+          storedCents(spark, dir), NEARDUP_COS)
       }),
 
     // ------------------------------------------------------------------

@@ -876,7 +876,7 @@ object StreamingQueries {
         // the materialized assignment from the ArtifactStore instead,
         // the q54/q142 discipline)
         val n = Similarity.normed(spark, dir)
-        val cents = Similarity.boundedCents(n)
+        val cents = Similarity.storedCents(spark, dir)
         val assigned = graft.similarity.VectorSearch.assignCells(n, cents)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // probe stream: the q36 modulus probe set arriving live; per-row
