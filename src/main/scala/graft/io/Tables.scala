@@ -68,18 +68,26 @@ object Tables {
     * — for tests/notebooks that regenerate a corpus under an unchanged
     * directory (see ArtifactStore.invalidateSourceKeys, which calls
     * this). */
-  def invalidateReads(): Unit = { readCache.clear(); underSplitCache.clear() }
+  def invalidateReads(): Unit = { readCache.clear(); splitEstimateCache.clear() }
 
-  /** Memoized under-split decision per path. The estimate reproduces
-    * Spark's own file-split planning (FilePartition.maxSplitBytes: clamp
-    * bytes-per-core between openCostInBytes and maxPartitionBytes, then
-    * pack) from file-system metadata alone — one cheap listStatus per
-    * path per JVM, instead of forcing a plan→RDD conversion on every
-    * read just to probe getNumPartitions. */
-  private val underSplitCache =
-    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  /** Memoized split estimate per (path, split conf) — one cheap
+    * listStatus per path per JVM, instead of forcing a plan→RDD
+    * conversion on every read just to probe getNumPartitions. */
+  private val splitEstimateCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
 
-  private def underSplit(spark: SparkSession, path: String): Boolean = {
+  private def underSplit(spark: SparkSession, path: String): Boolean =
+    scanSplitEstimate(spark, path)._1 < spark.sparkContext.defaultParallelism / 2
+
+  /** (estimated scan split count, total data bytes) for `path`, from
+    * file-system metadata alone — reproduces Spark's own file-split
+    * planning (FilePartition.maxSplitBytes: clamp bytes-per-core between
+    * openCostInBytes and maxPartitionBytes, then pack). Public so query
+    * code that must size a repartition of an under-split scan (q28's
+    * L-BFGS fit input) can read the split count WITHOUT forcing a
+    * plan→RDD conversion (`df.rdd.getNumPartitions` plans the whole scan
+    * a second time just to probe it — round-18 advice). */
+  def scanSplitEstimate(spark: SparkSession, path: String): (Long, Long) = {
     import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
     val cores = spark.sparkContext.defaultParallelism
     val maxPartitionBytes =
@@ -89,17 +97,18 @@ object Tables {
     // key includes every input to the decision — a JVM hosting sessions
     // with different core counts or split confs must not share answers
     val key = s"$path|$cores|$maxPartitionBytes|$openCost"
-    underSplitCache.getOrElseUpdate(key, {
+    splitEstimateCache.getOrElseUpdate(key, {
       val hPath = new org.apache.hadoop.fs.Path(path)
       val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val files = listDataFiles(fs, hPath)
+      val dataBytes = files.map(_.getLen).sum
       val totalBytes = files.map(_.getLen + openCost).sum
       val bytesPerCore = totalBytes / math.max(1, cores)
       val maxSplitBytes =
         math.min(maxPartitionBytes, math.max(openCost, bytesPerCore))
       val estimatedSplits =
         math.max(1L, (totalBytes + maxSplitBytes - 1) / math.max(1L, maxSplitBytes))
-      estimatedSplits < cores / 2
+      (estimatedSplits, dataBytes)
     })
   }
 

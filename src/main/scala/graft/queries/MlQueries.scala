@@ -36,6 +36,11 @@ object MlQueries {
   private val LrFeatures =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** Target parquet bytes per fit-input partition (~40k lineitem rows) —
+    * the measured per-pass task-overhead / parallelism balance point for
+    * the iterative L-BFGS fit (see fitLr width note). */
+  private val FitPartBytes = 640L * 1024
+
   /** Shared LR fit: assembled training frame (persisted — L-BFGS is
     * iterative, ~25 passes; without the persist each pass re-reads
     * parquet and re-assembles vectors, measured ~93s → single digits at
@@ -52,14 +57,24 @@ object MlQueries {
     // parallelism is the fit's parallelism — and a small parquet input
     // arrives as ONE scan partition (a parquet file splits only at
     // row-group boundaries; openCostInBytes floors the split size), which
-    // serializes every pass on one core. Spread it to the session's
-    // parallelism once, BEFORE assembling (the exchange then carries the
-    // four narrow doubles, not UDT vectors — §2.3 project-before-exchange)
-    // and before the persist; when the scan already yields at least that
-    // many partitions (any real SF), this is a no-op — no exchange added
-    // at scale.
-    val par = spark.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // serializes every pass on one core. Spread it once, BEFORE
+    // assembling (the exchange then carries the four narrow doubles, not
+    // UDT vectors — §2.3 project-before-exchange) and before the persist.
+    // Width is BYTES-PROPORTIONAL (~640 KB of parquet ≈ 40k rows per
+    // partition), clamped to [1, 2·cores], NOT defaultParallelism: every
+    // pass pays task-launch overhead × width, so a core-count width
+    // over-splits small fits (driver r18: c32 5.0 s vs c8 2.6 s on the
+    // same data; measured optimum ~16 partitions at BOTH 8 and 32 cores,
+    // OPTIMIZATION_r19.md). The split estimate comes from file metadata
+    // (no plan→RDD probe — round-18 advice); when the scan already
+    // yields at least this many partitions (any real SF), no exchange is
+    // added at scale.
+    val (splits, bytes) =
+      graft.io.Tables.scanSplitEstimate(spark, s"$dir/lineitem.parquet")
+    val width = math.max(1L, math.min(
+      2L * spark.sparkContext.defaultParallelism,
+      (bytes + FitPartBytes - 1) / FitPartBytes)).toInt
+    val spread = if (splits < width) df.repartition(width) else df
     val assembled = new VectorAssembler()
       .setInputCols(LrFeatures.toArray).setOutputCol("features")
       .transform(spread)
