@@ -394,6 +394,38 @@ object DriftOps {
       ev.groupBy("event_type")
         .agg(min("value").as("vmin"), max("value").as("vmax"))))
 
+  /** One pass replacing [[timeMid]] + [[ksEdges]] for the KS queries,
+    * whose edges span the FULL window (q123/q124): per-type (vmin,
+    * vmax) value edges AND the global time midpoint come out of a
+    * single per-type aggregation — the global min/max us is the min/max
+    * over the per-type minima/maxima, exact integer arithmetic (§2.3
+    * aggregate-once: one events scan + one collect job saved per
+    * invocation; at any SF the pass reduces map-side to |types| rows).
+    * Empty input ⇒ mid 0 and an empty edges relation — the callers then
+    * report no rows, [[timeMid]]'s documented contract. */
+  private[queries] def ksEdgesWithMid(nn: DataFrame): (DataFrame, Long) = {
+    val spark = nn.sparkSession
+    val agg = nn.groupBy("event_type")
+      .agg(min("value").as("vmin"), max("value").as("vmax"),
+        min("us").as("mn"), max("us").as("mx"))
+    val rows = agg.collect()
+    val withUs = rows.filter(r => !r.isNullAt(3) && !r.isNullAt(4))
+    val mid =
+      if (withUs.isEmpty) 0L
+      else {
+        val mn = withUs.map(_.getLong(3)).min
+        val mx = withUs.map(_.getLong(4)).max
+        mn + (mx - mn) / 2
+      }
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(
+      agg.schema.fields.take(3))
+    val edges = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2)))
+        .toSeq.asJava, schema)
+    (broadcast(edges), mid)
+  }
+
   /** q123's pipeline over any (event_type, us, value) frame. NULL
     * values are dropped on BOTH engines (oracle predicate mirrored): a
     * null has no position in the value order, and without the filter
@@ -402,8 +434,8 @@ object DriftOps {
     * cross-engine trap the round-12 review caught. */
   private[queries] def ksDrift(ev: DataFrame): DataFrame = {
     val nn = ev.filter(col("value").isNotNull)
-    val mid = timeMid(nn)
-    ksFinish(ksCounts(nn, mid))
+    val (edges, mid) = ksEdgesWithMid(nn)
+    ksFinish(ksCounts(nn, mid, edges))
   }
 
   /** The grid-bounded counts relation: (event_type, cell, cr, cc),
@@ -411,7 +443,11 @@ object DriftOps {
     * the statistic pipeline's shape (the localized result q123 returns
     * is a LocalTableScan that hides it). */
   private[queries] def ksCounts(nn: DataFrame, mid: Long): DataFrame =
-    nn.join(ksEdges(nn), "event_type")
+    ksCounts(nn, mid, ksEdges(nn))
+
+  private[queries] def ksCounts(nn: DataFrame, mid: Long,
+      edges: DataFrame): DataFrame =
+    nn.join(edges, "event_type")
       .select(col("event_type"), ksCellCol.as("cell"),
         (col("us") < mid).as("is_ref"))
       .groupBy("event_type", "cell")

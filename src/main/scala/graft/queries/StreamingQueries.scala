@@ -104,6 +104,27 @@ object StreamingQueries {
     spark.readStream.schema(rawSchema).parquet(s"$dir/documents.parque*")
   }
 
+  /** Stream-side twin of Tables.table's compute-heavy under-split rule:
+    * a small parquet file arrives in a micro-batch as ONE scan partition
+    * (FileStreamSource plans batch files through the same split rules —
+    * openCostInBytes floors the split at 4 MB), so a stateless
+    * compute-heavy map (tokenize/shingle/encode — the scan-stage work)
+    * serializes on one core per batch while the stateful exchange
+    * downstream is already scoped by [[withStreamPartitions]]. Measured
+    * (r19, JobProbe): q128's single data micro-batch spent 1.87 s in
+    * that one-task stage. Spread the raw rows across the session's
+    * cores BEFORE the heavy map (§2.3: the exchange carries the narrow
+    * source row, cheapest point in the pipeline); when the batch's file
+    * set already splits to at least the core count (any real SF /
+    * many-file feed), no exchange is added. */
+  private def spreadIfUnderSplit(spark: SparkSession, dir: String,
+      file: String, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    val (splits, _) =
+      graft.io.Tables.scanSplitEstimate(spark, s"$dir/$file")
+    if (splits < cores) df.repartition(cores) else df
+  }
+
   /** Shared harness: run `streamed` to completion into a uniquely-named
     * memory sink in `mode`, localize `finish` of the sink table, and drop
     * the temp view — a UUID-named memory sink left registered would leak
@@ -678,8 +699,9 @@ object StreamingQueries {
           .select(col("event_type"), unix_micros(col("ts")).as("us"),
             col("value"))
           .filter(col("value").isNotNull)
-        val mid = DriftOps.timeMid(evB)
-        val edges = DriftOps.ksEdges(evB)
+        // fused: mid + full-window edges from ONE per-type pass (§2.3
+        // aggregate-once — the batch half drops from 3 scans to 2)
+        val (edges, mid) = DriftOps.ksEdgesWithMid(evB)
         val refCnts = Q.localized(evB.filter(col("us") < mid)
           .join(edges, "event_type")
           .select(col("event_type"), DriftOps.ksCellCol.as("cell"))
@@ -721,6 +743,8 @@ object StreamingQueries {
         val refCells = Q.localized(DriftOps.centroidCells(
           graft.io.Tables.table(spark, dir, "embeddings")
             .filter(col("vec_id") % 2 === 0), lit(0)))
+        // NOT spread: measured SLOWER at sf0.1 (1.24 → 1.53/1.66 s,
+        // min-of-5 ×2) — the posexplode map is lighter than the exchange
         val cur = embeddingsStream(spark, dir)
           .filter(col("vec_id") % 2 === 1)
           .select(col("label"),
@@ -773,21 +797,34 @@ object StreamingQueries {
       run = (spark, dir) => {
         import org.apache.spark.sql.graft.SketchExprs
         // batch-side eval prep (static suite): distinct md5 hashes +
-        // the size-bounded Bloom over them (Decontamination's sizing)
-        val evalSh = Q.localized(
-          graft.dedup.TextDedup.shingleRows(
-              graft.io.Tables.table(spark, dir, "documents")
-                .filter(col("doc_id") < 10), "doc_id", "text")
-            .select(md5(col("s")).as("h")).distinct())
+        // the size-bounded Bloom over them (Decontamination's sizing).
+        // ONE collect job feeds all three consumers — the local eval
+        // relation, its count, and the Bloom build (driver-side
+        // putString over the already-localized, eval-suite-bounded
+        // rows; the probe's mightContainBinary(utf8) is putString's
+        // exact hash path). The previous shape paid two more Spark
+        // jobs (count + stat.bloomFilter) over the same local rows.
+        val evalPlan = graft.dedup.TextDedup.shingleRows(
+            graft.io.Tables.table(spark, dir, "documents")
+              .filter(col("doc_id") < 10), "doc_id", "text")
+          .select(md5(col("s")).as("h")).distinct()
+        val shRows = evalPlan.collect()
+        val evalSh = {
+          import scala.jdk.CollectionConverters._
+          spark.createDataFrame(shRows.toSeq.asJava, evalPlan.schema)
+        }
         val bloom = {
-          val n = math.max(evalSh.count(), 1L)
-          evalSh.stat.bloomFilter("h", n,
+          val n = math.max(shRows.length.toLong, 1L)
+          val bf = org.apache.spark.util.sketch.BloomFilter.create(n,
             graft.text.Decontamination.boundedBloomBits(
               n, 0.01, graft.text.Decontamination.MaxFilterBits))
+          shRows.foreach(r => bf.putString(r.getString(0)))
+          bf
         }
         val bloomBytes = SketchExprs.serialize(bloom)
         val flagged = graft.dedup.TextDedup.shingleRows(
-            documentsStream(spark, dir).filter(col("doc_id") >= 10),
+            spreadIfUnderSplit(spark, dir, "documents.parquet",
+              documentsStream(spark, dir).filter(col("doc_id") >= 10)),
             "doc_id", "text")
           .select(col("doc_id"), md5(col("s")).as("h"))
           .filter(SketchExprs.bloomProbe(spark, bloomBytes, col("h")))
@@ -821,6 +858,9 @@ object StreamingQueries {
         import org.apache.spark.sql.graft.PqExprs
         val cb = Similarity.pqCodebook(Similarity.normed(spark, dir))
         val bc = spark.sparkContext.broadcast(cb)
+        // NOT spread (spreadIfUnderSplit): measured SLOWER at sf0.1
+        // (0.59 → 0.79/0.84 s min-of-5 ×2) — the per-batch exchange
+        // costs more than the encode map gains (see OPTIMIZATION_r19.md)
         val enc = embeddingsStream(spark, dir)
           .select(col("vec_id"), posexplode(
             PqExprs.pqEncode(bc, col("embedding").cast("array<double>"))))
@@ -925,6 +965,8 @@ object StreamingQueries {
     Q("q148_stream_chunks",
       oracle = Some(CurationOps.chunkOverlapOracleSql),
       run = (spark, dir) => {
+        // NOT spread: measured SLOWER at sf0.1 (0.82 → 0.92/1.02 s,
+        // min-of-5 ×2) — chunkRows' map is lighter than the exchange
         val chunks = CurationOps.chunkRows(documentsStream(spark, dir))
         runToMemorySink(spark, dir, "stream_chunks_", "append", chunks) {
           _.orderBy(col("doc_id"), col("chunk_no"))

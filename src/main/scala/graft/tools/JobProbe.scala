@@ -52,9 +52,11 @@ object JobProbe {
         if (echo) println(s"=== warm rep $r of $one ===")
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
-        // listener events drain asynchronously; give the bus a moment
-        Thread.sleep(300)
-        println(f"[probe] rep $r $one ${(System.nanoTime() - t0) / 1e9}%7.3f s ($n rows)")
+        // elapsed BEFORE the listener-drain sleep — the sleep was inside
+        // the timed region and overstated every rep by ~0.3 s (r18 advice)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // listener events drain asynchronously
+        println(f"[probe] rep $r $one $elapsed%7.3f s ($n rows)")
       }
     }
     spark.stop()
