@@ -568,6 +568,9 @@ object StreamingQueries {
         try {
           val docSchema = rawSchemaCache.getOrElseUpdate(s"$dir#documents",
             spark.read.parquet(s"$dir/documents.parquet").schema)
+          // NOT spread (spreadIfUnderSplit, the q128 rule): measured
+          // SLOWER at sf0.1 (1.65 → 2.17 s min-of-5) — the SpaceSaving
+          // fold, not the tokenize map, dominates this stream's batch
           val tokens = spark.readStream.schema(docSchema)
             .parquet(s"$dir/documents.parque*")
             .select(explode(
