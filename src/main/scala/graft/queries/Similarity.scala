@@ -3584,7 +3584,12 @@ object Similarity {
           sigd.write.mode("overwrite").partitionBy("sig_hi")
             .parquet(buildPath)
         }
-        val idx = spark.read.parquet(LshIndexPath)
+        // readFixed, not a bare spark.read.parquet: the fixed path
+        // rebuilds in place, and the content-keyed read memo both keeps
+        // staleness impossible and skips the per-invocation listing +
+        // footer-schema job (the r18 metadata-memo discipline — this
+        // was the one serve-path read left outside it)
+        val idx = graft.exec.ArtifactStore.readFixed(spark, LshIndexPath)
         // the probe: ONE row to the driver, shipped back as literals so
         // the bucket filter is a literal the planner can prune on
         val p = sigd.filter(col("vec_id") === 0)
