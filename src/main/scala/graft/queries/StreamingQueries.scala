@@ -40,23 +40,33 @@ object StreamingQueries {
   private val streamPartitionsCache =
     scala.collection.concurrent.TrieMap.empty[String, Int]
 
-  private def streamPartitions(dir: String): Int =
+  private def streamPartitions(spark: SparkSession, dir: String): Int =
     sys.env.get("GRAFT_STREAM_PARTITIONS").flatMap(_.toIntOption)
-      .getOrElse(streamPartitionsCache.getOrElseUpdate(dir, {
-        // events may ship as a single file OR a directory of part files
-        // (a Spark-written replica) — recurse, File.length() of a
-        // directory is the dirent size, not the content
-        def sizeOf(f: java.io.File): Long =
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
-          else f.length()
-        val bytes = Option(new java.io.File(dir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(_.getName.startsWith("events.parquet"))
-          .map(sizeOf).sum
-        val sized = math.ceil(bytes / (6.0 * 1024 * 1024)).toInt
-        math.max(1, math.min(8, sized))
-      }))
+      .getOrElse {
+        val sized = streamPartitionsCache.getOrElseUpdate(dir, {
+          // events may ship as a single file OR a directory of part
+          // files (a Spark-written replica) — recurse, File.length() of
+          // a directory is the dirent size, not the content
+          def sizeOf(f: java.io.File): Long =
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+            else f.length()
+          val bytes = Option(new java.io.File(dir).listFiles())
+            .getOrElse(Array.empty)
+            .filter(_.getName.startsWith("events.parquet"))
+            .map(sizeOf).sum
+          math.min(8, math.ceil(bytes / (6.0 * 1024 * 1024)).toInt)
+        })
+        // floor at min(4, cores): the r9 "1 beats 4 at sf0.1" result no
+        // longer holds on the current code — re-measured r19 back-to-back
+        // at BOTH 32 and 8 cores over the seven heaviest stateful
+        // streams, 4 partitions beat 1 by ~0.6 s aggregate each time
+        // (state-store commit cost shrank across rounds while the
+        // per-batch compute parallelism gain stayed). Cores-adaptive, so
+        // a 2-core host still gets 2, and the bytes rule keeps growing
+        // it toward 8 at replica scale.
+        math.max(math.min(4, spark.sparkContext.defaultParallelism), sized)
+      }
 
   /** Run `body` with streaming-sized shuffle partitions for `dir`,
     * restoring the session value after (queries run sequentially in
@@ -65,7 +75,7 @@ object StreamingQueries {
       body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, streamPartitions(dir).toString)
+    spark.conf.set(key, streamPartitions(spark, dir).toString)
     try body finally spark.conf.set(key, prev)
   }
 
@@ -568,11 +578,14 @@ object StreamingQueries {
         try {
           val docSchema = rawSchemaCache.getOrElseUpdate(s"$dir#documents",
             spark.read.parquet(s"$dir/documents.parquet").schema)
-          // NOT spread (spreadIfUnderSplit, the q128 rule): measured
-          // SLOWER at sf0.1 (1.65 → 2.17 s min-of-5) — the SpaceSaving
-          // fold, not the tokenize map, dominates this stream's batch
-          val tokens = spark.readStream.schema(docSchema)
-            .parquet(s"$dir/documents.parque*")
+          // spread before the heavy tokenize explode (the q128 rule):
+          // back-to-back isolated A/B (two alternations, min-of-5) has
+          // 1.77-1.78 s spread vs 1.85-2.04 s without. The SpaceSaving
+          // guarantee and the exact recount tail are arrival-order-
+          // independent, so the gated result is unchanged.
+          val tokens = spreadIfUnderSplit(spark, dir, "documents.parquet",
+              spark.readStream.schema(docSchema)
+                .parquet(s"$dir/documents.parque*"))
             .select(explode(
               graft.functions.TextFns.tokens(col("text"))).as("token"))
             .as[String]
@@ -746,8 +759,8 @@ object StreamingQueries {
         val refCells = Q.localized(DriftOps.centroidCells(
           graft.io.Tables.table(spark, dir, "embeddings")
             .filter(col("vec_id") % 2 === 0), lit(0)))
-        // NOT spread: measured SLOWER at sf0.1 (1.24 → 1.53/1.66 s,
-        // min-of-5 ×2) — the posexplode map is lighter than the exchange
+        // NOT spread: back-to-back A/B has the spread 2.02 s vs
+        // 1.81-1.90 s without — posexplode is lighter than the exchange
         val cur = embeddingsStream(spark, dir)
           .filter(col("vec_id") % 2 === 1)
           .select(col("label"),
@@ -861,9 +874,10 @@ object StreamingQueries {
         import org.apache.spark.sql.graft.PqExprs
         val cb = Similarity.pqCodebook(Similarity.normed(spark, dir))
         val bc = spark.sparkContext.broadcast(cb)
-        // NOT spread (spreadIfUnderSplit): measured SLOWER at sf0.1
-        // (0.59 → 0.79/0.84 s min-of-5 ×2) — the per-batch exchange
-        // costs more than the encode map gains (see OPTIMIZATION_r19.md)
+        // NOT spread (spreadIfUnderSplit): back-to-back isolated A/B
+        // (two alternations, min-of-5) has the spread 0.95-1.03 s vs
+        // 0.83-0.93 s without — the encode map is lighter than the
+        // added exchange (see OPTIMIZATION_r19.md)
         val enc = embeddingsStream(spark, dir)
           .select(col("vec_id"), posexplode(
             PqExprs.pqEncode(bc, col("embedding").cast("array<double>"))))
@@ -968,8 +982,9 @@ object StreamingQueries {
     Q("q148_stream_chunks",
       oracle = Some(CurationOps.chunkOverlapOracleSql),
       run = (spark, dir) => {
-        // NOT spread: measured SLOWER at sf0.1 (0.82 → 0.92/1.02 s,
-        // min-of-5 ×2) — chunkRows' map is lighter than the exchange
+        // NOT spread: the A/B is a wash inside the noise band
+        // (1.16-1.17 s spread vs 1.11-1.43 s without) — keep the
+        // exchange-free plan (OPTIMIZATION_r19.md)
         val chunks = CurationOps.chunkRows(documentsStream(spark, dir))
         runToMemorySink(spark, dir, "stream_chunks_", "append", chunks) {
           _.orderBy(col("doc_id"), col("chunk_no"))
