@@ -177,13 +177,32 @@ object StreamingQueries {
       val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
       val prevNoData = spark.conf.get(noDataKey)
       spark.conf.set(noDataKey, noDataBatch.toString)
+      // Spark 4's checkpoint-file checksums are OFF for these
+      // run-to-completion checkpoints: the checkpoint is ephemeral by
+      // construction (drained and deleted in this very call — see ckpt
+      // above), so integrity companions protect nothing, while their
+      // writer pays a second file per checkpoint file through Hadoop's
+      // LOCAL FS — whose permission/stat calls fork an external process
+      // each (measured r19, StreamStartProbe: Shell.runCommand under
+      // ChecksumCheckpointFileManager was the single hottest driver
+      // stack in q58, ~1.3 s of a 2.8 s run). A PRODUCTION stream
+      // (durable checkpoint outliving the process) keeps the default.
+      val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+      val prevCk = spark.conf.getOption(ckKey)
+      spark.conf.set(ckKey, "false")
       try {
         val w = streamed.writeStream.format("memory").queryName(sink)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .outputMode(mode)
         ckpt.foreach(w.option("checkpointLocation", _))
         w.start()
-      } finally spark.conf.set(noDataKey, prevNoData)
+      } finally {
+        spark.conf.set(noDataKey, prevNoData)
+        prevCk match {
+          case Some(v) => spark.conf.set(ckKey, v)
+          case None => spark.conf.unset(ckKey)
+        }
+      }
     }
     try q.awaitTermination() finally {
       q.stop()
